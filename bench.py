@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed once for warm-up-free wall time measured around a
+full materialization (count of the result — avoids driver-side collect cost
+dominating small results while still forcing every stage to run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship join, the heaviest aggregations, a window op,
+# the dedup/similarity pipeline ops, and the streaming-equivalent batch ops.
+HEADLINE = [
+    "agg_q1",
+    "join_multiway",
+    "join_broadcast",
+    "agg_multi_distinct",
+    "subquery_from",
+    "window_topk_per_group",
+    "having_filter",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "text_quality_scores",
+    "events_window_batch",
+    "sessionize_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from hive_nexr_spark.session import get_session
+
+    spark = get_session(app_name="hive-nexr-spark-bench")
+    queries = entry_mod.queries()
+
+    # One tiny action to absorb JVM/codegen warm-up before timing.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

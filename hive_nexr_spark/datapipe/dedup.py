@@ -1,0 +1,206 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB): the only shuffles are on hash keys (text digest,
+shingle, band bucket) — never on raw text pairs. Candidate generation is
+LSH-band bucketing, so the pairwise verification join touches only
+candidate pairs, not the n² document space. All hash functions are either
+portable (md5 — identical in any engine, used where an SQL oracle must
+reproduce the result) or Spark-deterministic (xxhash64 for the cheap path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# MinHash parameters: H hash functions grouped into BANDS bands of ROWS_PER_BAND.
+MINHASH_H = 6
+MINHASH_BANDS = 3
+ROWS_PER_BAND = MINHASH_H // MINHASH_BANDS
+SHINGLE_N = 3
+
+
+def with_synthetic_dups(documents: DataFrame) -> DataFrame:
+    """Deterministic dup corpus: originals ∪ exact copies (+100000) ∪
+    near-dups with the first token replaced (+200000). The testdata corpus
+    is 100% unique texts, so dedup operators need planted duplicates to have
+    observable behavior."""
+    orig = documents.select("doc_id", "text")
+    exact = documents.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = documents.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+    )
+    return orig.unionAll(exact).unionAll(near)
+
+
+def exact_dedup_summary(documents: DataFrame) -> DataFrame:
+    """Exact dedup = hash-groupBy on the text (at scale: on md5(text) so the
+    shuffle key is 16 bytes, not the document)."""
+    corpus = with_synthetic_dups(documents)
+    groups = corpus.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+    return groups.agg(
+        F.count("*").alias("n_unique"),
+        F.sum("n_copies").alias("n_rows"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+def _shingles(text_col):
+    """Distinct word n-gram shingles of the lowercased text (JVM-side:
+    transform over a sequence — no Python)."""
+    toks = F.split(F.lower(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
+        )
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5,
+                      max_doc_id: int = 200) -> DataFrame:
+    """MinHash + LSH near-dup pairs.
+
+    Pipeline: shingle → H portable minhashes (min over md5(h || shingle) —
+    string min is engine-portable, so the oracle can reproduce it) → band
+    buckets → self-join per bucket → exact Jaccard verification on candidate
+    pairs only. Shuffles: by (doc), by (band, bucket) — both fine at scale;
+    the verification join is |candidates|, not n²."""
+    corpus = with_synthetic_dups(documents).filter(
+        (F.col("doc_id") % 100000) < max_doc_id
+    )
+    sh = corpus.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle"))).alias(f"mh{h}")
+            for h in range(MINHASH_H)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"mh{h}").alias(f"mh{h}") for h in range(MINHASH_H)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                              for r in range(ROWS_PER_BAND)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toks = with_synthetic_dups(documents).select(
+        "doc_id", _shingles(F.col("text")).alias("sh"))
+    verified = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(toks.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect(F.col("ta.sh"), F.col("tb.sh")))
+                / F.size(F.array_union(F.col("ta.sh"), F.col("tb.sh")))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8,
+                        max_doc_id: int = 100) -> DataFrame:
+    """Exact n-gram Jaccard over a bounded candidate set (all pairs within
+    the subset — the brute-force baseline the LSH path approximates)."""
+    corpus = with_synthetic_dups(documents).filter(
+        (F.col("doc_id") % 100000) < max_doc_id
+    )
+    toks = corpus.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+                / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 6,
+                  max_doc_id: int = 200) -> DataFrame:
+    """SimHash near-dup detection: 64-bit signature from per-token xxhash64
+    bit votes; pairs within `max_hamming`. Spark-deterministic (xxhash64
+    seed is fixed) but not engine-portable → no SQL oracle; exactness is
+    unit-tested against planted duplicates.
+
+    Scale: signature build is a flat map + groupBy(doc); the pair join here
+    is brute-force over a bounded subset — at 100 TB you bucket by signature
+    prefix bands (same LSH trick as minhash) instead."""
+    corpus = with_synthetic_dups(documents).filter(
+        (F.col("doc_id") % 100000) < max_doc_id
+    )
+    tok = corpus.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok")
+    )
+    tok = tok.withColumn("h", F.xxhash64("tok"))
+    # bit-vote vector via SQL lambda (shiftright's Python API needs a literal
+    # int shift, so the per-element shift lives in an expr lambda instead)
+    bits = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63), "
+                "j -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)"
+            )
+        ).alias("bit", "vote"),
+    )
+    sig = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END")
+            ).alias("simhash")
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,94 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All pure JVM-side expressions (builtin functions
+over split/regexp arrays) — linear scans, no shuffle except the final
+aggregate, safe at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (word pieces and
+    punctuation as separate tokens)."""
+    return documents.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"),
+               F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0))).alias("n_re_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", ""))
+         ).alias("n_spaces"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality score from length / punctuation / stopword ratios —
+    the standard pre-training corpus filters."""
+    toks = _tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    avg_tok_len = (F.length(F.regexp_replace(F.col("text"), " ", ""))
+                   / n_toks).cast("double")
+    stop_ratio = (stop_hits / n_toks).cast("double")
+    punct_ratio = (n_punct / F.length("text")).cast("double")
+    score = (
+        F.when(n_toks >= 20, 0.4).otherwise(0.0)
+        + F.when((avg_tok_len >= 3) & (avg_tok_len <= 10), 0.3).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
+    )
+    return documents.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(avg_tok_len, 6).alias("avg_tok_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-vote language heuristic (en vs de vs fr), scored per doc and
+    compared with the labeled `lang` column."""
+    toks = _tokens(F.col("text"))
+    def votes(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+    en = votes(EN_STOPWORDS)
+    de = votes(("der", "die", "das", "und", "ist", "nicht", "ein", "zu"))
+    fr = votes(("le", "la", "les", "et", "est", "un", "une", "pas"))
+    pred = (
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return documents.select(
+        "doc_id",
+        en.alias("en_votes"),
+        de.alias("de_votes"),
+        fr.alias("fr_votes"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("match"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set (portable across engines), plus a 16-hex-digit short key —
+    the shuffle key for exact-dedup at scale."""
+    toks = F.array_distinct(_tokens(F.col("text")))
+    canon = F.array_join(F.array_sort(toks), " ")
+    return documents.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.substring(F.md5(canon), 1, 16).alias("short_key"),
+        F.size(toks).alias("n_distinct_tokens"),
+    )

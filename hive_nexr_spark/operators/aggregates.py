@@ -1,0 +1,165 @@
+"""Aggregation operators.
+
+Reference: `exec/GroupByOperator.java:66` (hash + sort modes, partial/final
+`:103-111`, memory-pressure flush `:828-844,899`), UDAF library registered in
+`exec/FunctionRegistry.java:377-403`, skewed 2-MR plan
+(`SemanticAnalyzer.java:3293` genGroupByPlan2MR).
+
+Spark-first mapping: `groupBy().agg()` — Catalyst always plans partial
+(map-side combine) + final HashAggregate, which is the reference's
+PARTIAL1/FINAL mode pair for free; spills are handled by
+UnsafeExternalSorter. At 100 TB the only extra care is key skew, which AQE
+handles, and which `salted_groupby` demonstrates explicitly as the manual
+fallback (the reference's `hive.groupby.skewindata` two-stage plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.stable import charge_sum, dmean, dsum, revenue_sum
+
+
+def tpch_q1(lineitem: DataFrame) -> DataFrame:
+    """Pricing-summary aggregate: 2 group cols × 8 aggregates
+    (sum/avg/count — `GenericUDAFSum.java:41`, `GenericUDAFAverage.java:48`,
+    `GenericUDAFCount.java:44`)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            revenue_sum(F.col("l_extendedprice"), F.col("l_discount")).alias("sum_disc_price"),
+            charge_sum(
+                F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            dmean("l_extendedprice").alias("avg_price"),
+            dmean("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def multi_distinct(lineitem: DataFrame) -> DataFrame:
+    """Multiple DISTINCT aggregates in one group-by
+    (`SemanticAnalyzer.java:2533` distinct-field union plan)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("nd_part_supp"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def stats_aggregates(lineitem: DataFrame) -> DataFrame:
+    """Statistical UDAFs (`GenericUDAFStd/Variance/Covariance/Correlation`,
+    registry :384-393). Results rounded: Spark and any oracle use different
+    single-pass variance algorithms, identical only to ~1e-12 relative."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_pop("l_quantity"), 6).alias("std_qty"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("stds_qty"),
+            F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("vars_qty"),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 9).alias("covp"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 9).alias("covs"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias("corr_qp"),
+        )
+    )
+
+
+def minmax_collect(orders: DataFrame) -> DataFrame:
+    """min/max over numeric/string/timestamp + collect_set
+    (`GenericUDAFMax/Min`, `GenericUDAFCollectSet.java:41`). collect_set is
+    order-insensitive; serialize sorted to a string for stable comparison."""
+    return orders.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("prio_set"),
+    )
+
+
+def salted_groupby(lineitem: DataFrame) -> DataFrame:
+    """Skew-resistant two-stage aggregation: stage 1 aggregates on
+    (key, salt) — spreading a hot key over N reducers — stage 2 merges
+    partials. This is `hive.groupby.skewindata`'s 2-MR plan
+    (`SemanticAnalyzer.java:3293`) expressed as two groupBys; on Spark, AQE
+    usually makes this unnecessary, but it is the manual pattern for
+    pathological keys at 100 TB. Result is identical to a plain groupBy."""
+    salted = lineitem.withColumn("_salt", (F.col("l_orderkey") % 8).cast("int"))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum("l_quantity").alias("_sum_qty"),
+        F.count("*").alias("_cnt"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("_sum_qty").alias("sum_qty"),
+            F.sum("_cnt").alias("n_rows"),
+        )
+    )
+
+
+def grouping_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP with grouping() — absent in Hive 0.8 (SURVEY §2.4), free in
+    Spark; exposed as an extension."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "g_rf",
+            "g_ls",
+        )
+    )
+
+
+def percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact percentile over integer input (`udf/UDAFPercentile.java:44`) —
+    linear interpolation at (n-1)*p, the percentile_cont definition Hive,
+    Spark, and DuckDB share."""
+    q = F.col("l_quantity").cast("long")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.5)).alias("p50"),
+        F.percentile(q, F.lit(0.9)).alias("p90"),
+    )
+
+
+def percentile_approx_hist(lineitem: DataFrame) -> DataFrame:
+    """Approximate percentile + histogram_numeric — the reference's
+    Ben-Haim/Tom-Tov streaming histogram (`GenericUDAFPercentileApprox.java:70`,
+    `NumericHistogram.java:35,128-146`). Approximation is engine-specific →
+    no SQL oracle (rows-only); correctness is bounded-error by construction.
+    histogram_numeric's struct array is serialized to a string for a stable
+    schema."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("ap99"),
+        F.expr(
+            "aggregate(histogram_numeric(l_quantity, 5), '', (s, x) -> s || round(x.x, 2) || ':' || x.y || ';')"
+        ).alias("hist"),
+    )
+
+
+def approx_count_distinct(lineitem: DataFrame) -> DataFrame:
+    """HyperLogLog++ distinct estimate — absent in 0.8 (SURVEY §2.4), the
+    scale path for 100 TB cardinality estimation. No oracle (estimator is
+    engine-specific); exactness tested against countDistinct in unit tests."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part"),
+        F.count("*").alias("n_rows"),
+    )

@@ -1,0 +1,184 @@
+"""Join operators.
+
+Reference semantics: reduce-side common join over tagged co-shuffled rows
+(`exec/CommonJoinOperator.java:617-646` null-bitvector outer logic, semi-join
+short-circuit `:673`; join kinds `plan/JoinDesc.java:34-39`), map-side
+broadcast-hash join (`exec/MapJoinOperator.java:51`,
+`optimizer/MapJoinProcessor.java:86`), sort-merge-bucket join
+(`exec/SMBMapJoinOperator.java:51`), runtime skew join
+(`optimizer/physical/SkewJoinResolver.java:47`).
+
+Spark-first mapping: `df.join(..., how)` — Catalyst plans SortMergeJoin for
+large equi-joins (the common join), BroadcastHashJoin below
+`spark.sql.autoBroadcastJoinThreshold` or under an explicit `F.broadcast`
+hint (the map join), and AQE converts / splits skewed partitions at runtime
+(the conditional + skew-join resolvers, for free). At 100 TB the dimension
+tables (region/nation/supplier) stay broadcast-able; fact-fact joins shuffle
+on the join key with AQE-coalesced partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.stable import dsum, revenue_sum
+
+
+def join_inner(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Equi inner join lineitem ⋈ orders (fact-fact shuffle join)."""
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+def join_left_outer(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT OUTER with a sparse right side so NULL rows actually appear
+    (null-bitvector path, `CommonJoinOperator.java:617-646`)."""
+    big = orders.filter(F.col("o_orderkey") % 100 == 0)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+def join_right_outer(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    big = orders.filter(F.col("o_orderkey") % 100 == 0)
+    return (
+        big.join(customer, big.o_custkey == customer.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+def join_full_outer(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """FULL OUTER join of two per-nation aggregates with partially
+    overlapping key ranges → NULLs on both sides."""
+    c = (
+        customer.filter(F.col("c_nationkey") < 15)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        supplier.filter(F.col("s_nationkey") >= 10)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.col("n_cust"),
+        F.col("n_supp"),
+    )
+
+
+def join_left_semi(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT SEMI (existence) join — `JoinDesc.java:39`, grammar `Hive.g:1625`."""
+    big = orders.filter(F.col("o_totalprice") > 300000.0)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("sum_bal"))
+    )
+
+
+def join_left_anti(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI — beyond 0.8 parity (reference would need NOT IN rewrite);
+    free in Spark, included for completeness."""
+    big = orders.filter(F.col("o_totalprice") > 300000.0)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+def join_broadcast(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                   nation: DataFrame) -> DataFrame:
+    """Explicit map-join: broadcast the dimension chain
+    (`/*+ MAPJOIN */` hint, `MapJoinProcessor.java:86`) so the fact table
+    never shuffles for the dimension lookup — the 100 TB-safe shape."""
+    dim = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(revenue_sum(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"))
+    )
+
+
+def join_multiway(dfs: dict[str, DataFrame]) -> DataFrame:
+    """Q5-style 5-way join (the flagship): fact tables shuffle-join on
+    their keys, dimensions broadcast."""
+    li, o, c = dfs["lineitem"], dfs["orders"], dfs["customer"]
+    n, r = dfs["nation"], dfs["region"]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            revenue_sum(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def join_theta(nation: DataFrame) -> DataFrame:
+    """Theta join: cartesian + residual non-equi predicate
+    (`joinCond` residual filters; cartesian blocked only in strict mode,
+    `SemanticAnalyzer.java:4723-4725`)."""
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    return (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_name") < F.col("n2.n_name")),
+        )
+        .select(
+            F.col("n1.n_regionkey").alias("regionkey"),
+            F.col("n1.n_name").alias("name_a"),
+            F.col("n2.n_name").alias("name_b"),
+        )
+    )
+
+
+def uniquejoin_preserve(dfs: dict[str, DataFrame]) -> DataFrame:
+    """UNIQUEJOIN ... PRESERVE (`Hive.g:1595-1614`, `JoinDesc.java:38`,
+    `CommonJoinOperator.java:754`): multiway full-outer-style join keyed on
+    one expression per alias, preserving unmatched rows from PRESERVE'd
+    aliases. Composed from full-outer joins on the join key."""
+    c = dfs["customer"].groupBy(F.col("c_nationkey").alias("k")).agg(F.count("*").alias("n_cust"))
+    s = dfs["supplier"].groupBy(F.col("s_nationkey").alias("k")).agg(F.count("*").alias("n_supp"))
+    n = dfs["nation"].filter(F.col("n_nationkey") < 20).select(
+        F.col("n_nationkey").alias("k"), F.col("n_name"))
+    left = c.join(s, "k", "full")
+    return (
+        left.join(n, "k", "full")
+        .select(
+            F.col("k").alias("nationkey"),
+            "n_cust",
+            "n_supp",
+            "n_name",
+        )
+    )

@@ -1,0 +1,51 @@
+"""Window functions — absent in the reference (Hive gained OVER in 0.11;
+SURVEY §2.5: only contrib `UDFRowSequence.java:32` exists as a stateful row
+counter). Free in Spark; exposed as engine extensions, plus the row_sequence
+parity shim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(customer: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k per group via ranked window — the scalable top-k idiom (no
+    global sort; each group ranks inside its shuffle partition)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+def running_aggregate(orders: DataFrame) -> DataFrame:
+    """Running sum + lag/lead over an ordered per-key frame."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("running_total"),
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.row_number().over(w).alias("seq"),
+        )
+    )
+
+
+def row_sequence(nation: DataFrame) -> DataFrame:
+    """Parity for contrib UDFRowSequence (`contrib/.../UDFRowSequence.java:32`):
+    a deterministic row number. The reference's version numbers rows in task
+    order (non-deterministic across runs); we expose the deterministic form
+    over an explicit total order."""
+    w = Window.orderBy("n_nationkey")
+    return nation.select(
+        F.row_number().over(w).alias("seq"), "n_nationkey", "n_name"
+    )

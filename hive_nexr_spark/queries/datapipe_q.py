@@ -1,0 +1,223 @@
+"""Declared queries for the data-pipeline operators (dedup / similarity /
+multimodal / text analysis) + DuckDB oracles where engine-portable."""
+
+from __future__ import annotations
+
+from ..datapipe import dedup, multimodal, similarity, textops
+from .base import ensure_views
+
+
+def _bind(builder, table):
+    def run(spark, sf_dir):
+        dfs = ensure_views(spark, sf_dir)
+        return builder(dfs[table])
+
+    run.__doc__ = builder.__doc__
+    return run
+
+
+QUERIES = {
+    "dedup_exact": _bind(dedup.exact_dedup_summary, "documents"),
+    "dedup_minhash_lsh": _bind(dedup.minhash_lsh_pairs, "documents"),
+    "dedup_ngram_jaccard": _bind(dedup.ngram_jaccard_pairs, "documents"),
+    "dedup_simhash": _bind(dedup.simhash_pairs, "documents"),
+    "dedup_embedding_cosine": _bind(similarity.embedding_cosine_dups, "embeddings"),
+    "similarity_bruteforce_topk": _bind(similarity.brute_force_topk, "embeddings"),
+    "similarity_lsh_topk": _bind(similarity.lsh_topk, "embeddings"),
+    "text_token_counts": _bind(textops.token_counts, "documents"),
+    "text_quality_scores": _bind(textops.quality_scores, "documents"),
+    "text_language_id": _bind(textops.language_id, "documents"),
+    "text_fingerprints": _bind(textops.fingerprints, "documents"),
+    "multimodal_featurize": _bind(multimodal.featurize, "documents"),
+}
+
+# Portable corpus CTE shared by the dedup oracles (mirrors
+# dedup.with_synthetic_dups exactly).
+_CORPUS = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, 'zzz ' || text AS text
+      FROM documents WHERE doc_id % 3 = 0
+    )
+"""
+
+_SHINGLE = """
+      SELECT doc_id, list_distinct([
+               array_to_string(l[i:i+2], ' ')
+               for i in range(1, greatest(len(l) - 2, 1) + 1)
+             ]) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM corpus) t
+"""
+
+ORACLE = {
+    "dedup_exact": _CORPUS + """
+        SELECT count(*) AS n_unique,
+               sum(n_copies) AS n_rows,
+               sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+        FROM (
+          SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+          FROM corpus GROUP BY md5(text)
+        ) g
+    """,
+    "dedup_minhash_lsh": _CORPUS + f"""
+        , subset AS (SELECT * FROM corpus WHERE doc_id % 100000 < 200)
+        , shingled AS (
+          SELECT doc_id, unnest(list_distinct([
+                   array_to_string(l[i:i+2], ' ')
+                   for i in range(1, greatest(len(l) - 2, 1) + 1)
+                 ])) AS shingle
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM subset) t
+        )
+        , sig AS (
+          SELECT doc_id,
+                 {", ".join(f"min(md5('{h}|' || shingle)) AS mh{h}" for h in range(6))}
+          FROM shingled GROUP BY doc_id
+        )
+        , bands AS (
+          SELECT doc_id, 0 AS band, mh0 || mh1 AS bucket FROM sig
+          UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+          UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+        )
+        , cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        , toks AS (
+          SELECT doc_id, list_distinct([
+                   array_to_string(l[i:i+2], ' ')
+                   for i in range(1, greatest(len(l) - 2, 1) + 1)
+                 ]) AS sh
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM corpus) t
+        )
+        SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+          SELECT doc_a, doc_b,
+                 CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
+          FROM cand
+          JOIN toks ta ON cand.doc_a = ta.doc_id
+          JOIN toks tb ON cand.doc_b = tb.doc_id
+        ) v WHERE jaccard >= 0.5
+    """,
+    "dedup_ngram_jaccard": _CORPUS + """
+        , subset AS (SELECT * FROM corpus WHERE doc_id % 100000 < 100)
+        , toks AS (
+          SELECT doc_id, list_distinct([
+                   array_to_string(l[i:i+2], ' ')
+                   for i in range(1, greatest(len(l) - 2, 1) + 1)
+                 ]) AS sh
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM subset) t
+        )
+        SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        ) v WHERE jaccard >= 0.8
+    """,
+    # dedup_simhash: xxhash64 is Spark-specific → rows-only check.
+    "dedup_embedding_cosine": """
+        SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 200 AND b.vec_id < 200
+        ) t WHERE cosine >= 0.99
+    """,
+    "similarity_bruteforce_topk": """
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[]))
+                            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(q.embedding AS DOUBLE[])))
+                               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                       CAST(c.embedding AS DOUBLE[]))))
+                            DESC, c.vec_id
+                 ) AS rank
+          FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+          WHERE q.vec_id < 10
+        ) t WHERE rank <= 3
+    """,
+    "text_token_counts": r"""
+        SELECT doc_id,
+          len(string_split(lower(text), ' ')) AS n_ws_tokens,
+          len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_re_tokens,
+          length(text) AS n_chars_measured,
+          length(text) - length(replace(text, ' ', '')) AS n_spaces
+        FROM documents
+    """,
+    "text_quality_scores": """
+        SELECT doc_id,
+          n_toks AS n_tokens,
+          round(avg_tok_len, 6) AS avg_tok_len,
+          round(stop_ratio, 6) AS stop_ratio,
+          round(punct_ratio, 6) AS punct_ratio,
+          round(CASE WHEN n_toks >= 20 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END, 2) AS quality
+        FROM (
+          SELECT doc_id,
+            len(toks) AS n_toks,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_tok_len,
+            CAST(len(list_filter(toks, t -> t IN
+              ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+              / len(toks) AS stop_ratio,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / length(text) AS punct_ratio
+          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+                FROM documents) t
+        ) s
+    """,
+    "text_language_id": """
+        SELECT doc_id, en_votes, de_votes, fr_votes,
+          CASE WHEN en_votes >= de_votes AND en_votes >= fr_votes THEN 'en'
+               WHEN de_votes >= fr_votes THEN 'de' ELSE 'fr' END AS pred_lang,
+          (CASE WHEN en_votes >= de_votes AND en_votes >= fr_votes THEN 'en'
+                WHEN de_votes >= fr_votes THEN 'de' ELSE 'fr' END) = lang AS match
+        FROM (
+          SELECT doc_id, lang,
+            len(list_filter(toks, t -> t IN
+              ('the','a','of','and','to','in','is','it','for','on'))) AS en_votes,
+            len(list_filter(toks, t -> t IN
+              ('der','die','das','und','ist','nicht','ein','zu'))) AS de_votes,
+            len(list_filter(toks, t -> t IN
+              ('le','la','les','et','est','un','une','pas'))) AS fr_votes
+          FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+                FROM documents) t
+        ) s
+    """,
+    "text_fingerprints": """
+        SELECT doc_id,
+          md5(canon) AS fingerprint,
+          substr(md5(canon), 1, 16) AS short_key,
+          n_distinct_tokens
+        FROM (
+          SELECT doc_id,
+            array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS canon,
+            len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens
+          FROM documents
+        ) t
+    """,
+    "multimodal_featurize": """
+        SELECT doc_id,
+          CAST(length(text) AS INT) AS n_bytes,
+          CAST(CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1))
+                    ELSE -1 END AS INT) AS first_byte,
+          CAST(list_reduce(
+                 list_prepend(0, [unicode(c) for c in string_split(substr(text, 1, 16), '')]),
+                 (a, b) -> a + b) % 256 AS INT) AS head_sum,
+          'text/plain' AS modality
+        FROM documents
+    """,
+}

@@ -1,0 +1,177 @@
+"""Declared queries for streaming / windowed / DDL-surface operators."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..io import table_path
+from ..streaming import events as ev
+from .base import ensure_views
+
+_SCRATCH = "/tmp/hive_nexr_spark_scratch"
+
+
+def _window_counts_batch(spark, sf_dir):
+    dfs = ensure_views(spark, sf_dir)
+    return ev.window_counts_batch(dfs["events"])
+
+
+def _window_counts_stream(spark, sf_dir):
+    return ev.window_counts_stream(spark, sf_dir)
+
+
+def _sessionize(spark, sf_dir):
+    dfs = ensure_views(spark, sf_dir)
+    return ev.sessionize_batch(dfs["events"])
+
+
+def _dynamic_partition_roundtrip(spark, sf_dir):
+    """Dynamic-partition insert (`exec/FileSinkOperator.java:294-366`) →
+    partition-pruned read-back. The write is `partitionBy(l_returnflag)`
+    (Hive dynamic partitioning); the read filters one partition, which
+    Spark prunes at the directory level."""
+    dfs = ensure_views(spark, sf_dir)
+    out = os.path.join(_SCRATCH, f"dynpart_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        dfs["lineitem"]
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+
+
+def _multi_insert_fanout(spark, sf_dir):
+    """Multi-insert (one FROM, many INSERT — `Hive.g:1417`,
+    `SemanticAnalyzer.genBodyPlan:5781`): single cached source scan fanned
+    out to two sinks, then both read back."""
+    dfs = ensure_views(spark, sf_dir)
+    src = dfs["orders"].cache()
+    base = os.path.join(_SCRATCH, f"multiins_{os.path.basename(sf_dir.rstrip('/'))}")
+    hi = src.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_totalprice")
+    lo = src.filter(F.col("o_totalprice") <= 200000).select("o_orderkey", "o_totalprice")
+    hi.write.mode("overwrite").parquet(base + "/hi")
+    lo.write.mode("overwrite").parquet(base + "/lo")
+    from ..functions.stable import dsum
+
+    h = spark.read.parquet(base + "/hi").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    ).select(F.lit("hi").alias("sink"), "n", "total")
+    l = spark.read.parquet(base + "/lo").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    ).select(F.lit("lo").alias("sink"), "n", "total")
+    return h.unionAll(l)
+
+
+def _virtual_columns(spark, sf_dir):
+    """Virtual columns (`ql/metadata/VirtualColumn.java:34-35`):
+    INPUT__FILE__NAME → input_file_name(). Normalized to the basename so
+    the value is location-independent."""
+    dfs = ensure_views(spark, sf_dir)
+    return (
+        dfs["lineitem"]
+        .select(F.regexp_extract(F.input_file_name(), r"([^/]+\.parquet)", 1).alias("fname"))
+        .groupBy("fname")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _bucketed_smb_join(spark, sf_dir):
+    """Sort-merge-bucket join (`exec/SMBMapJoinOperator.java:51`,
+    `optimizer/SortedMergeBucketMapJoinOptimizer.java:62`): both sides
+    written `bucketBy(8, key).sortBy(key)`; Spark's SortMergeJoin then reads
+    co-located buckets without an Exchange (verified in tests via the
+    physical plan)."""
+    dfs = ensure_views(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    lt, ot = f"li_b_{tag}", f"ord_b_{tag}"
+    for name, df, key in ((lt, dfs["lineitem"], "l_orderkey"),
+                          (ot, dfs["orders"], "o_orderkey")):
+        if not spark.catalog.tableExists(name):
+            # a previous session may have left the managed location behind
+            # without a catalog entry — clear it so saveAsTable can recreate
+            import shutil
+
+            loc = os.path.join(
+                spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+                name,
+            )
+            shutil.rmtree(loc, ignore_errors=True)
+            (df.write.bucketBy(8, key).sortBy(key).mode("overwrite")
+             .format("parquet").saveAsTable(name))
+    li, o = spark.table(lt), spark.table(ot)
+    from ..functions.stable import dsum
+
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+QUERIES = {
+    "events_window_batch": _window_counts_batch,
+    "events_window_stream": _window_counts_stream,
+    "sessionize_events": _sessionize,
+    "dynamic_partition_roundtrip": _dynamic_partition_roundtrip,
+    "multi_insert_fanout": _multi_insert_fanout,
+    "virtual_columns": _virtual_columns,
+    "bucketed_smb_join": _bucketed_smb_join,
+}
+
+_WINDOW_SQL = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLE = {
+    "events_window_batch": _WINDOW_SQL,
+    "events_window_stream": _WINDOW_SQL,
+    "sessionize_events": """
+        SELECT user_id, session_id, count(*) AS n_events,
+               CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        FROM (
+          SELECT user_id, event_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN floor(epoch(ts)) - floor(epoch(
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        )) > 1800 THEN 1 ELSE 0 END AS new_sess
+            FROM events
+          ) m
+        ) s
+        GROUP BY user_id, session_id
+    """,
+    "dynamic_partition_roundtrip": """
+        SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag
+    """,
+    "multi_insert_fanout": """
+        SELECT 'hi' AS sink, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_totalprice > 200000
+        UNION ALL
+        SELECT 'lo' AS sink, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_totalprice <= 200000
+    """,
+    "virtual_columns": """
+        SELECT 'lineitem.parquet' AS fname, count(*) AS n FROM lineitem
+    """,
+    "bucketed_smb_join": """
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+}

@@ -1,0 +1,86 @@
+"""SparkSession factory pinned to reference-compatible semantics.
+
+The reference engine (Hive 0.8: ``ql/src/java/org/apache/hadoop/hive/ql/Driver.java:111``)
+evaluates expressions with non-ANSI semantics: bad casts and division by zero
+return NULL instead of raising, and timestamps are timezone-naive. Spark 4
+defaults to ANSI mode, so we explicitly pin the Hive-compatible behavior here.
+
+Scale posture: these settings are chosen for a real cluster, then overridden
+by env for local runs — AQE handles runtime coalescing / skew joins, shuffle
+partitions default to the core count locally (driver sets SPARK_GRAFT_CPUS).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(
+    app_name: str = "hive-nexr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the configured SparkSession.
+
+    Semantics pins (required for oracle parity — SURVEY.md §2.9 casts,
+    §7.3 timestamps):
+
+    * ``spark.sql.ansi.enabled=false``  — cast('x' as int) → NULL, x/0 → NULL,
+      matching Hive 0.8 (`exec/FunctionRegistry.java:356-374` cast family).
+    * ``spark.sql.session.timeZone=UTC`` — Hive 0.8 timestamps are tz-naive;
+      the DuckDB oracle reads the same parquet as UTC-naive.
+
+    Scale pins (100 TB posture):
+
+    * AQE on, with partition coalescing and skew-join handling — replaces the
+      reference's compile-time skew plans (`optimizer/physical/SkewJoinResolver.java:47`)
+      and conditional map-join tasks (`optimizer/physical/CommonJoinResolver.java:55`).
+    * Arrow transfer on for the few Pandas-UDF operators (the slow path).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", DEFAULT_CPUS)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # --- Hive-0.8 semantic parity ---
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
+        # convert to micros timestamp in io.load_table (lossless: generator
+        # emits whole-microsecond values)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- scale posture ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/hive_nexr_spark_warehouse"))
+        # deterministic derby metastore location for saveAsTable/bucketBy
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/hive_nexr_spark_derby")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §2/§4 promise.
+
+These guard the 100 TB posture, not just correctness: filters must reach the
+parquet scan, dimension joins must broadcast, bucketed joins must not
+re-shuffle, and Python must stay out of the relational hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(dfs):
+    from hive_nexr_spark.operators.relational import filter_predicate
+
+    plan = _formatted(filter_predicate(dfs["lineitem"]))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "LessThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(dfs):
+    from hive_nexr_spark.operators.relational import scan_project
+
+    plan = _formatted(scan_project(dfs["lineitem"]))
+    # ReadSchema must contain only referenced columns, not e.g. l_shipdate
+    assert "l_shipdate" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_dimension_join_broadcasts(dfs):
+    from hive_nexr_spark.operators.joins import join_broadcast
+
+    plan = _plan(join_broadcast(
+        dfs["lineitem"], dfs["orders"], dfs["customer"], dfs["nation"]))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_orderby_limit_is_topk(dfs):
+    from hive_nexr_spark.operators.relational import orderby_limit
+
+    plan = _plan(orderby_limit(dfs["orders"]))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udf_in_relational_core(dfs):
+    from hive_nexr_spark.operators.joins import join_multiway
+
+    plan = _plan(join_multiway(dfs))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_smb_join_no_shuffle(spark, sf_dir):
+    """Bucketed sort-merge join must read co-located buckets without an
+    Exchange on either side (`exec/SMBMapJoinOperator.java:51` parity)."""
+    from hive_nexr_spark.queries.streaming_q import _bucketed_smb_join
+
+    # Force the SMJ path (the tiny sf0.001 tables would otherwise broadcast)
+    # and materialize so the AQE plan is final before inspecting it.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _bucketed_smb_join(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning(l_orderkey" not in join_part
+    assert "Exchange hashpartitioning(o_orderkey" not in join_part

@@ -1,0 +1,32 @@
+"""Structured-Streaming parity: the streaming pipelines must produce the
+same result as their batch twins (SURVEY §2.11 north-star extension)."""
+
+from __future__ import annotations
+
+
+def _key(rows):
+    return sorted(tuple(str(c) for c in r) for r in rows)
+
+
+def test_stream_window_counts_equal_batch(spark, sf_dir, dfs):
+    from hive_nexr_spark.streaming import events as ev
+
+    batch = ev.window_counts_batch(dfs["events"]).collect()
+    stream = ev.window_counts_stream(spark, sf_dir).collect()
+    assert _key(batch) == _key(stream)
+
+
+def test_sessionize_batch_sane(dfs):
+    from hive_nexr_spark.streaming import events as ev
+
+    sess = ev.sessionize_batch(dfs["events"]).collect()
+    assert sess
+    assert all(r.n_events >= 1 and r.duration_s >= 0 for r in sess)
+
+
+def test_stream_sessionize_runs(spark, sf_dir):
+    from hive_nexr_spark.streaming import events as ev
+
+    rows = ev.sessionize_stream(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_events >= 1 for r in rows)
