@@ -155,6 +155,62 @@ def percentile_approx_hist(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def top_ngrams(documents: DataFrame, n: int = 2, k: int = 10) -> DataFrame:
+    """ngrams(sentences(text), n, k) parity (`GenericUDAFnGrams.java:63` +
+    `NGramEstimator.java`): top-k word n-grams by frequency.
+
+    The reference estimates under memory pressure; at Spark scale the exact
+    computation is a flat explode → count → top-k, all shuffle-parallel
+    (no driver-side state), so we compute exactly. Ties broken on the gram
+    text for determinism."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = documents.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 1)), "
+                f"i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n})))"
+            )
+        ).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("gram", "freq", "rank")
+    )
+
+
+def context_ngrams(documents: DataFrame, context: str = "the", k: int = 10) -> DataFrame:
+    """context_ngrams(sentences(text), array('the', null), k) parity
+    (`GenericUDAFContextNGrams.java`): top-k words following a context
+    token (null = wildcard slot)."""
+    from pyspark.sql import Window
+
+    pairs = documents.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 1, 1)), "
+                "i -> struct(element_at(split(lower(text), ' '), i) AS w1, "
+                "element_at(split(lower(text), ' '), i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = (
+        pairs.filter((F.col("w1") == context) & F.col("w2").isNotNull())
+        .groupBy("w2")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("w2"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("w2").alias("gram"), "freq", "rank")
+    )
+
+
 def approx_count_distinct(lineitem: DataFrame) -> DataFrame:
     """HyperLogLog++ distinct estimate — absent in 0.8 (SURVEY §2.4), the
     scale path for 100 TB cardinality estimation. No oracle (estimator is

@@ -24,6 +24,19 @@ def ensure_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _last_dfs
 
 
+def reset_database(spark: SparkSession, db: str) -> None:
+    """DROP DATABASE ... CASCADE plus filesystem cleanup.
+
+    The session catalog is in-memory, so a database created by a *previous*
+    process is invisible to DROP yet its warehouse directory persists and
+    blocks CREATE TABLE (LOCATION_ALREADY_EXISTS). Remove both."""
+    import shutil
+
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{db}.db", ignore_errors=True)
+
+
 def sql_query(sql: str):
     """A declared query that is plain Spark SQL over the testdata views."""
 

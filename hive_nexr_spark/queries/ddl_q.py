@@ -1,0 +1,205 @@
+"""Declared queries for the DDL/session-command surface (SURVEY §2.13,
+§2.12) and the HiveQL dialect facade.
+
+Each query drives the catalog/session machinery end-to-end (CREATE/ALTER/
+SHOW/DESCRIBE/INSERT/CTAS/VIEW, CREATE TEMPORARY FUNCTION, TABLESAMPLE
+rewrite) and ends in a SELECT whose result an SQL oracle can reproduce from
+the base tables — so the surface is hash-checked, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..hiveql import HiveQLSession
+from .base import ensure_views, reset_database
+
+_DB = "nexr_ddl"
+
+
+def _tag(sf_dir: str) -> str:
+    import os
+
+    return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+
+def _ddl_catalog_roundtrip(spark, sf_dir):
+    """DDL surface (`parse/DDLSemanticAnalyzer.java:185-362`,
+    `exec/DDLTask.java`): database → CTAS → ALTER ADD COLUMNS → view →
+    INSERT INTO → SHOW/DESCRIBE → final verifiable SELECT."""
+    ensure_views(spark, sf_dir)
+    db = f"{_DB}_{_tag(sf_dir)}"
+    reset_database(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    # CTAS (`SemanticAnalyzer.java:7203-7207` schema-from-query)
+    spark.sql(
+        f"CREATE TABLE {db}.nation_copy USING parquet AS "
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    )
+    spark.sql(f"ALTER TABLE {db}.nation_copy ADD COLUMNS (note STRING)")
+    # INSERT INTO with explicit values (append path)
+    spark.sql(
+        f"INSERT INTO {db}.nation_copy VALUES (900, 'ATLANTIS', 0, 'added')"
+    )
+    spark.sql(
+        f"CREATE VIEW {db}.low_regions AS "
+        f"SELECT * FROM {db}.nation_copy WHERE n_regionkey < 3"
+    )
+    # SHOW/DESCRIBE are metadata ops — exercised, result not part of the hash
+    assert spark.sql(f"SHOW TABLES IN {db}").count() >= 2
+    assert spark.sql(f"DESCRIBE TABLE {db}.nation_copy").count() >= 4
+    return spark.sql(
+        f"SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name "
+        f"FROM {db}.low_regions GROUP BY n_regionkey"
+    )
+
+
+def _temp_function_surface(spark, sf_dir):
+    """CREATE TEMPORARY FUNCTION (`parse/FunctionSemanticAnalyzer.java`,
+    `exec/FunctionTask.java:45`) through the HiveQL facade: binds the Hive
+    hash class to the Python Text.hashCode implementation, then uses it in
+    SQL. Row-at-a-time UDF — acceptable here because the surface under test
+    is registration, not throughput (the fast path is
+    functions.hive_compat.hive_hash, pure Column ops)."""
+    ensure_views(spark, sf_dir)
+    hql = HiveQLSession(spark)
+    hql.sql(
+        "CREATE TEMPORARY FUNCTION nexr_hash AS "
+        "'org.apache.hadoop.hive.ql.udf.generic.GenericUDFHash'"
+    )
+    return hql.sql(
+        "SELECT n_name, nexr_hash(n_name) AS h FROM nation"
+    )
+
+
+def _hiveql_bucket_sample(spark, sf_dir):
+    """TABLESAMPLE(BUCKET x OUT OF y ON col) (`Hive.g:1653`) — rejected by
+    Spark's parser, rewritten by HiveQLSession to the reference's bucket
+    predicate (`optimizer/SamplePruner.java:57` semantics)."""
+    ensure_views(spark, sf_dir)
+    hql = HiveQLSession(spark)
+    return hql.sql(
+        "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty "
+        "FROM lineitem TABLESAMPLE(BUCKET 4 OUT OF 10 ON l_orderkey) "
+        "GROUP BY l_returnflag"
+    )
+
+
+def _hiveql_multi_insert(spark, sf_dir):
+    """Multi-insert FROM-first syntax (`Hive.g:1417`,
+    `SemanticAnalyzer.genBodyPlan:5781`) — natively parsed by Spark; driven
+    through the facade into two tables, then both read back."""
+    ensure_views(spark, sf_dir)
+    db = f"{_DB}_mi_{_tag(sf_dir)}"
+    reset_database(spark, db)
+    hql = HiveQLSession(spark)
+    hql.sql(f"CREATE DATABASE {db}")
+    hql.sql(f"CREATE TABLE {db}.hi (k BIGINT, p DOUBLE) USING parquet")
+    hql.sql(f"CREATE TABLE {db}.lo (k BIGINT, p DOUBLE) USING parquet")
+    hql.sql(f"""
+        FROM orders
+        INSERT OVERWRITE TABLE {db}.hi
+          SELECT o_orderkey, o_totalprice WHERE o_totalprice > 200000
+        INSERT OVERWRITE TABLE {db}.lo
+          SELECT o_orderkey, o_totalprice WHERE o_totalprice <= 200000
+    """)
+    return hql.sql(f"""
+        SELECT 'hi' AS sink, count(*) AS n,
+               CAST(sum(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS total
+        FROM {db}.hi
+        UNION ALL
+        SELECT 'lo' AS sink, count(*) AS n,
+               CAST(sum(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS total
+        FROM {db}.lo
+    """)
+
+
+def _ngrams(spark, sf_dir):
+    from ..operators.aggregates import top_ngrams
+
+    dfs = ensure_views(spark, sf_dir)
+    return top_ngrams(dfs["documents"])
+
+
+def _context_ngrams(spark, sf_dir):
+    from ..operators.aggregates import context_ngrams
+
+    dfs = ensure_views(spark, sf_dir)
+    return context_ngrams(dfs["documents"])
+
+
+QUERIES = {
+    "ddl_catalog_roundtrip": _ddl_catalog_roundtrip,
+    "create_temp_function": _temp_function_surface,
+    "hiveql_bucket_sample": _hiveql_bucket_sample,
+    "hiveql_multi_insert": _hiveql_multi_insert,
+    "agg_ngrams": _ngrams,
+    "agg_context_ngrams": _context_ngrams,
+}
+
+ORACLE = {
+    "ddl_catalog_roundtrip": """
+        SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        FROM (
+          SELECT n_nationkey, n_name, n_regionkey FROM nation
+          UNION ALL SELECT 900, 'ATLANTIS', 0
+        ) t WHERE n_regionkey < 3 GROUP BY n_regionkey
+    """,
+    # Text.hashCode in DuckDB: fold h = (h*31 + byte) mod 2^32 over ASCII
+    # codepoints, then reinterpret as signed int32.
+    "create_temp_function": """
+        SELECT n_name,
+          CAST(CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS INT) AS h
+        FROM (
+          SELECT n_name,
+            list_reduce(
+              list_prepend(CAST(1 AS HUGEINT),
+                           [CAST(unicode(c) AS HUGEINT)
+                            for c in string_split(n_name, '')]),
+              (a, b) -> (a * 31 + b) % 4294967296
+            ) AS h
+          FROM nation
+        ) t
+    """,
+    "hiveql_bucket_sample": """
+        SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem WHERE l_orderkey % 10 = 3
+        GROUP BY l_returnflag
+    """,
+    "hiveql_multi_insert": """
+        SELECT 'hi' AS sink, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_totalprice > 200000
+        UNION ALL
+        SELECT 'lo' AS sink, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_totalprice <= 200000
+    """,
+    "agg_ngrams": """
+        WITH grams AS (
+          SELECT unnest([
+                   array_to_string(l[i:i+1], ' ')
+                   for i in range(1, greatest(len(l) - 1, 1) + 1)
+                 ]) AS gram
+          FROM (SELECT string_split(lower(text), ' ') AS l FROM documents) t
+        )
+        SELECT gram, freq, rank FROM (
+          SELECT gram, count(*) AS freq,
+                 row_number() OVER (ORDER BY count(*) DESC, gram) AS rank
+          FROM grams GROUP BY gram
+        ) r WHERE rank <= 10
+    """,
+    "agg_context_ngrams": """
+        WITH pairs AS (
+          SELECT unnest([l[i] for i in range(1, greatest(len(l) - 1, 1) + 1)]) AS w1,
+                 unnest([l[i+1] for i in range(1, greatest(len(l) - 1, 1) + 1)]) AS w2
+          FROM (SELECT string_split(lower(text), ' ') AS l FROM documents) t
+        )
+        SELECT w2 AS gram, freq, rank FROM (
+          SELECT w2, count(*) AS freq,
+                 row_number() OVER (ORDER BY count(*) DESC, w2) AS rank
+          FROM pairs WHERE w1 = 'the' AND w2 IS NOT NULL
+          GROUP BY w2
+        ) r WHERE rank <= 10
+    """,
+}
