@@ -45,8 +45,14 @@ def main() -> None:
     spark = get_session(app_name="hive-nexr-spark-bench")
     queries = entry_mod.queries()
 
-    # One tiny action to absorb JVM/codegen warm-up before timing.
+    # Absorb one-time costs before timing: JVM/codegen warm-up and the
+    # testdata view registration (parquet footer reads) — otherwise they
+    # land on whichever query touches each table first.
     spark.range(1).count()
+    from hive_nexr_spark.queries.base import ensure_views
+
+    for df in ensure_views(spark, sf_dir).values():
+        df.count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

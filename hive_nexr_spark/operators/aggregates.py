@@ -165,12 +165,15 @@ def top_ngrams(documents: DataFrame, n: int = 2, k: int = 10) -> DataFrame:
     text for determinism."""
     from pyspark.sql import Window
 
-    toks = F.split(F.lower(F.col("text")), " ")
+    # tokens materialized as a column so the lambda slices a bound array —
+    # split() inlined into the lambda would re-tokenize per gram position
     grams = documents.select(
+        F.split(F.lower(F.col("text")), " ").alias("toks")
+    ).select(
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 1)), "
-                f"i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n})))"
+                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                f"i -> concat_ws(' ', slice(toks, i, {n})))"
             )
         ).alias("gram")
     )
@@ -190,11 +193,13 @@ def context_ngrams(documents: DataFrame, context: str = "the", k: int = 10) -> D
     from pyspark.sql import Window
 
     pairs = documents.select(
+        F.split(F.lower(F.col("text")), " ").alias("toks")
+    ).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 1, 1)), "
-                "i -> struct(element_at(split(lower(text), ' '), i) AS w1, "
-                "element_at(split(lower(text), ' '), i + 1) AS w2))"
+                "transform(sequence(1, greatest(size(toks) - 1, 1)), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
