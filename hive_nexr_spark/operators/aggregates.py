@@ -224,3 +224,67 @@ def approx_count_distinct(lineitem: DataFrame) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part"),
         F.count("*").alias("n_rows"),
     )
+
+
+def histogram_bins(lineitem: DataFrame) -> DataFrame:
+    """Deterministic fixed-width histogram — the SQL-exact face of Hive's
+    `histogram_numeric` (`GenericUDAFHistogramNumeric.java:65`). The
+    Ben-Haim/Tom-Tov sketch is merge-order-dependent, so the portable
+    equivalent is fixed bins: a single shuffle on ~O(bins) keys, fully
+    map-side-combined — at 100 TB this aggregates to a handful of rows."""
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("long")
+    return (
+        lineitem.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 5000.0 + 2500.0).alias("bin_center"),
+            "n",
+        )
+    )
+
+
+def histogram_numeric_sketch(lineitem: DataFrame) -> DataFrame:
+    """Hive's actual `histogram_numeric` (Ben-Haim & Tom-Tov streaming
+    histogram, `NumericHistogram.java:35`, merge at `:128-146`) via the
+    Spark builtin of the same name. Bin placement is merge-order-dependent
+    by construction, hence no SQL oracle (rows-only check): the estimator's
+    contract is approximate. Exposed for parity with registry line
+    `FunctionRegistry.java:394`."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.expr("histogram_numeric(l_quantity, 10)").alias("hist"))
+        .select(
+            "l_returnflag",
+            F.explode("hist").alias("bin"),
+        )
+        .select("l_returnflag", F.col("bin.x").alias("x"), F.col("bin.y").alias("y"))
+    )
+
+
+def grouping_sets_agg(lineitem: DataFrame) -> DataFrame:
+    """GROUPING SETS ((rf,ls),(rf),()) — generalization of the ROLLUP
+    extension (absent in Hive 0.8, SURVEY §2.4; Hive gained it in 0.10).
+    Catalyst expands to a single Expand+HashAggregate: one shuffle, not one
+    job per set (the Hive-era equivalent was N UNION ALL scans)."""
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+            "g_rf",
+            "g_ls",
+        )
+    )

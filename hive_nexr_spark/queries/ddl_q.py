@@ -114,6 +114,55 @@ def _hiveql_multi_insert(spark, sf_dir):
     """)
 
 
+def _export_import_roundtrip(spark, sf_dir):
+    """EXPORT/IMPORT table (`parse/ExportSemanticAnalyzer.java`,
+    `parse/ImportSemanticAnalyzer.java`): parquet copy + DDL replay.
+    Export writes the table data plus a replayable schema descriptor;
+    import recreates the table from them and the result is verified
+    against the source."""
+    import json
+    import os
+    import shutil
+
+    ensure_views(spark, sf_dir)
+    db = f"{_DB}_exp_{_tag(sf_dir)}"
+    reset_database(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    spark.sql(
+        f"CREATE TABLE {db}.supplier_src USING parquet AS "
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+    )
+
+    export_dir = f"/tmp/hive_nexr_spark_scratch/export_{_tag(sf_dir)}"
+    shutil.rmtree(export_dir, ignore_errors=True)
+    src = spark.table(f"{db}.supplier_src")
+    src.write.mode("overwrite").parquet(f"{export_dir}/data")
+    with open(f"{export_dir}/_metadata.json", "w") as fh:
+        json.dump({"table": "supplier_src", "schema": src.schema.json()}, fh)
+
+    # import: replay DDL from the descriptor, load the data copy
+    from pyspark.sql.types import StructType
+
+    with open(f"{export_dir}/_metadata.json") as fh:
+        meta = json.load(fh)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    imported = spark.read.schema(schema).parquet(f"{export_dir}/data")
+    imported.write.mode("overwrite").saveAsTable(f"{db}.supplier_imported")
+
+    return spark.sql(
+        f"SELECT s_nationkey, count(*) AS n, "
+        f"CAST(sum(CAST(s_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal "
+        f"FROM {db}.supplier_imported GROUP BY s_nationkey"
+    )
+
+
+def _stateful_user_stats(spark, sf_dir):
+    from ..streaming.events import user_stats_stateful_stream
+
+    ensure_views(spark, sf_dir)
+    return user_stats_stateful_stream(spark, sf_dir)
+
+
 def _ngrams(spark, sf_dir):
     from ..operators.aggregates import top_ngrams
 
@@ -135,6 +184,8 @@ QUERIES = {
     "hiveql_multi_insert": _hiveql_multi_insert,
     "agg_ngrams": _ngrams,
     "agg_context_ngrams": _context_ngrams,
+    "export_import_roundtrip": _export_import_roundtrip,
+    "events_stateful_user_stats": _stateful_user_stats,
 }
 
 ORACLE = {
@@ -188,6 +239,16 @@ ORACLE = {
                  row_number() OVER (ORDER BY count(*) DESC, gram) AS rank
           FROM grams GROUP BY gram
         ) r WHERE rank <= 10
+    """,
+    "export_import_roundtrip": """
+        SELECT s_nationkey, count(*) AS n,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal
+        FROM supplier GROUP BY s_nationkey
+    """,
+    "events_stateful_user_stats": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events GROUP BY user_id
     """,
     "agg_context_ngrams": """
         WITH pairs AS (

@@ -39,6 +39,7 @@ QUERIES = {
     "join_broadcast": _bind(J.join_broadcast, "lineitem", "orders", "customer", "nation"),
     "join_multiway": _bind(J.join_multiway, "__all__"),
     "join_theta": _bind(J.join_theta, "nation"),
+    "join_skew_split": _bind(J.join_skew_split, "lineitem", "orders"),
     "uniquejoin_preserve": _bind(J.uniquejoin_preserve, "__all__"),
     # --- aggregation (§2.4) ---
     "agg_q1": _bind(agg.tpch_q1, "lineitem"),
@@ -50,6 +51,9 @@ QUERIES = {
     "agg_percentiles": _bind(agg.percentiles, "lineitem"),
     "agg_percentile_approx": _bind(agg.percentile_approx_hist, "lineitem"),
     "agg_approx_count_distinct": _bind(agg.approx_count_distinct, "lineitem"),
+    "agg_histogram_bins": _bind(agg.histogram_bins, "lineitem"),
+    "agg_histogram_numeric": _bind(agg.histogram_numeric_sketch, "lineitem"),
+    "agg_grouping_sets": _bind(agg.grouping_sets_agg, "lineitem"),
     # --- sort / distribute / cluster / sample (§2.6, §2.8) ---
     "sort_by": _bind(R.sort_by, "lineitem"),
     "distribute_cluster_by": _bind(R.distribute_cluster_by, "lineitem"),
@@ -247,6 +251,30 @@ ORACLE = {
                grouping(l_returnflag) AS g_rf,
                grouping(l_linestatus) AS g_ls
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_histogram_bins": """
+        SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+               CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000.0 + 2500.0 AS bin_center,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    """,
+    "agg_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               sum(l_quantity) AS sum_qty,
+               count(*) AS n_rows,
+               grouping(l_returnflag) AS g_rf,
+               grouping(l_linestatus) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    "join_skew_split": """
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "agg_percentiles": """
         SELECT l_returnflag,

@@ -114,6 +114,11 @@ def _bucketed_smb_join(spark, sf_dir):
     )
 
 
+
+def _stream_static_enrich(spark, sf_dir):
+    return ev.stream_static_enrich(spark, sf_dir)
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -122,6 +127,7 @@ QUERIES = {
     "multi_insert_fanout": _multi_insert_fanout,
     "virtual_columns": _virtual_columns,
     "bucketed_smb_join": _bucketed_smb_join,
+    "events_stream_static_enrich": _stream_static_enrich,
 }
 
 _WINDOW_SQL = """
@@ -132,6 +138,12 @@ _WINDOW_SQL = """
 """
 
 ORACLE = {
+    "events_stream_static_enrich": """
+        SELECT c_mktsegment, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "events_window_batch": _WINDOW_SQL,
     "events_window_stream": _WINDOW_SQL,
     "sessionize_events": """

@@ -74,6 +74,72 @@ def window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def user_stats_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the reference has no streaming at all — SURVEY §2.11; this is the
+    north-star extension's arbitrary-state path, the analogue of writing a
+    custom GenericUDAF over an unbounded stream).
+
+    Keeps (count, total value, max ts) per user in explicit GroupState and
+    emits the final state per key. State is partitioned by user_id —
+    shuffle-parallel; a watermark bounds retention on a real stream. The
+    final result equals the batch group-by, which is the SQL oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-user groups are small, so double accumulation error stays
+            # orders of magnitude below the 6dp rounding grain at emit
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    name = f"stream_userstats_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir)
+    result = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        result.writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode memory sink may hold one row per key per micro-batch;
+    # keep the last emitted row per user (the final state).
+    snap = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
+    return (
+        snap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gaps-and-islands sessionization: a session breaks when the gap to the
     previous event of the same user exceeds `gap_minutes`."""
@@ -118,6 +184,41 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
     )
     q = (
         agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join + windowless aggregation: the events *stream*
+    enriched against the static customer dimension, aggregated per market
+    segment (the reference has no streaming — SURVEY §2.11; this is the
+    north-star dimension-enrichment path every event pipeline needs).
+
+    Scale: the static side is re-read per micro-batch by Spark and joined
+    broadcast (dimension-sized); state is one row per segment (bounded, 5
+    keys), so the operator runs indefinitely on an unbounded stream. The
+    final answer equals the batch join+group-by, which is the SQL oracle.
+    """
+    from .. import io as _io
+
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    cust = (
+        _io.load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+    )
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
     )
     try:
         q.processAllAvailable()

@@ -1,0 +1,91 @@
+"""HiveQL dialect facade behavior (hiveql.HiveQLSession)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_nexr_spark.hiveql import HiveQLSession
+
+
+def test_bucket_sample_rewrite_on(spark, dfs):
+    hql = HiveQLSession(spark)
+    df = hql.sql(
+        "SELECT count(*) AS n FROM lineitem "
+        "TABLESAMPLE(BUCKET 4 OUT OF 10 ON l_orderkey)"
+    )
+    expected = dfs["lineitem"].filter("pmod(l_orderkey, 10) = 3").count()
+    assert df.collect()[0].n == expected
+
+
+def test_bucket_sample_rewrite_with_alias(spark, dfs):
+    hql = HiveQLSession(spark)
+    df = hql.sql(
+        "SELECT t.l_orderkey FROM lineitem t "
+        "TABLESAMPLE(BUCKET 1 OUT OF 5 ON l_orderkey) WHERE t.l_linenumber = 1"
+    )
+    assert all(r.l_orderkey % 5 == 0 for r in df.collect())
+
+
+def test_multi_insert_passthrough(spark, dfs):
+    from hive_nexr_spark.queries.base import reset_database
+
+    reset_database(spark, "hqltest")
+    hql = HiveQLSession(spark)
+    hql.sql("CREATE DATABASE hqltest")
+    hql.sql("CREATE TABLE hqltest.a (k BIGINT) USING parquet")
+    hql.sql("CREATE TABLE hqltest.b (k BIGINT) USING parquet")
+    hql.sql(
+        "FROM nation "
+        "INSERT OVERWRITE TABLE hqltest.a SELECT n_nationkey WHERE n_regionkey = 0 "
+        "INSERT OVERWRITE TABLE hqltest.b SELECT n_nationkey WHERE n_regionkey <> 0"
+    )
+    na = spark.table("hqltest.a").count()
+    nb = spark.table("hqltest.b").count()
+    assert na + nb == dfs["nation"].count()
+    assert na > 0 and nb > 0
+
+
+def test_temp_function_known_class(spark):
+    hql = HiveQLSession(spark)
+    hql.sql(
+        "CREATE TEMPORARY FUNCTION myhash AS "
+        "'org.apache.hadoop.hive.ql.udf.generic.GenericUDFHash'"
+    )
+    row = spark.sql("SELECT myhash('abc') AS h").collect()[0]
+    # Text.hashCode('abc') = ((1*31+97)*31+98)*31+99
+    assert row.h == ((1 * 31 + 97) * 31 + 98) * 31 + 99
+
+
+def test_temp_function_unknown_class_raises(spark):
+    hql = HiveQLSession(spark)
+    with pytest.raises(ValueError, match="unknown function class"):
+        hql.sql("CREATE TEMPORARY FUNCTION f AS 'com.example.Missing'")
+
+
+def test_add_list_resources(spark, tmp_path):
+    p = tmp_path / "aux.txt"
+    p.write_text("x")
+    hql = HiveQLSession(spark)
+    assert hql.sql(f"ADD FILE {p}") is None
+    listed = hql.sql("LIST FILES").collect()
+    assert any(str(p) in r.resource for r in listed)
+
+
+def test_stateful_stream_equals_batch_groupby(spark, sf_dir, dfs):
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.streaming.events import user_stats_stateful_stream
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in user_stats_stateful_stream(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in dfs["events"].groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("s")).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-5
