@@ -205,21 +205,25 @@ def join_skew_split(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     is what's asserted.
     """
     k = 64
-    hot = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.col("c").desc(), F.col("l_orderkey"))
-        .limit(k)
-        .select("l_orderkey")
-    )
-    li_hot = lineitem.join(F.broadcast(hot), "l_orderkey", "left_semi")
-    li_cold = lineitem.join(F.broadcast(hot), "l_orderkey", "left_anti")
-    ord_hot = orders.join(
-        F.broadcast(hot.withColumnRenamed("l_orderkey", "o_orderkey")),
-        "o_orderkey", "left_semi")
-    joined_hot = li_hot.join(
-        F.broadcast(ord_hot), li_hot.l_orderkey == ord_hot.o_orderkey)
-    joined_cold = li_cold.join(orders, li_cold.l_orderkey == orders.o_orderkey)
+    # top-k is O(k) rows by construction — a driver-side literal list keeps
+    # the hot/cold tagging a pure map-side filter (no extra joins/shuffles;
+    # this is a k-element IN-list, not a data-sized collect)
+    hot_keys = [
+        r.l_orderkey
+        for r in (
+            lineitem.groupBy("l_orderkey")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l_orderkey"))
+            .limit(k)
+            .collect()
+        )
+    ]
+    is_hot = F.col("l_orderkey").isin(hot_keys)
+    ord_hot = orders.filter(F.col("o_orderkey").isin(hot_keys))
+    joined_hot = lineitem.filter(is_hot).join(
+        F.broadcast(ord_hot), F.col("l_orderkey") == F.col("o_orderkey"))
+    joined_cold = lineitem.filter(~is_hot).join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey"))
     both = joined_hot.select("o_orderpriority", "l_extendedprice", "l_discount")\
         .unionAll(joined_cold.select("o_orderpriority", "l_extendedprice", "l_discount"))
     return (

@@ -16,11 +16,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from . import datapipe_q, ddl_q, functions_q, relational, streaming_q
+    from . import (
+        datapipe_q, ddl_q, functions_q, relational, sources_q, streaming_q)
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    for mod in (relational, functions_q, datapipe_q, streaming_q, ddl_q):
+    for mod in (relational, functions_q, datapipe_q, streaming_q, ddl_q,
+                sources_q):
         for k in mod.QUERIES:
             if k in queries:
                 raise ValueError(f"duplicate query key {k!r}")

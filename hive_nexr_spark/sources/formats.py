@@ -1,0 +1,104 @@
+"""Source/sink format operators (SURVEY §2.2).
+
+The reference's storage formats are SerDes projected over raw bytes at scan
+time (schema-on-read): LazySimpleSerDe delimited text
+(`serde2/lazy/LazySimpleSerDe.java:62`, Hive's default ^A/\\x01 field
+delimiter), RegexSerDe (`contrib/src/java/org/apache/hadoop/hive/contrib/
+serde2/RegexSerDe.java:73`), columnar RCFile (`ql/io/RCFile.java:148`).
+
+Spark-first mapping: delimited text is `spark.read/write.csv(sep='\\x01')`
+with an explicit schema (the same declared-schema-over-bytes model);
+RegexSerDe is `spark.read.text` + one `regexp_extract` per column (JVM
+codegen, not a Python UDF); RCFile's columnar role is played by parquet
+everywhere else in this repo. Both readers here are schema-on-read: bad
+rows/fields surface as NULL, never as errors — Hive semantics.
+
+Scale: text scan parallelism is per-file-split (Spark splits uncompressed
+text by `spark.sql.files.maxPartitionBytes`), and the regex/projection work
+is embarrassingly parallel map-side codegen; no shuffle until the consumer
+aggregates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType)
+
+from ..functions.stable import dsum
+
+_SCRATCH = "/tmp/hive_nexr_spark_scratch"
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+def textfile_roundtrip(spark: SparkSession, orders: DataFrame,
+                       sf_dir: str) -> DataFrame:
+    """TextFile sink + scan: write orders as ^A-delimited text (Hive's
+    default LazySimpleSerDe layout, `serde2/lazy/LazySimpleSerDe.java:62`;
+    output format `ql/io/HiveIgnoreKeyTextOutputFormat.java`), then read it
+    back by projecting the declared schema onto the bytes and aggregate."""
+    out = f"{_SCRATCH}/textfile_{_tag(sf_dir)}"
+    src = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    (
+        src.write.mode("overwrite")
+        .option("sep", "\x01")
+        .option("emptyValue", "")
+        .csv(out)
+    )
+    schema = StructType([
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderpriority", StringType()),
+    ])
+    back = (
+        spark.read.schema(schema)
+        .option("sep", "\x01")
+        .option("mode", "PERMISSIVE")  # bad fields → NULL, Hive-style
+        .csv(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+def regex_serde_extract(spark: SparkSession, orders: DataFrame,
+                        sf_dir: str) -> DataFrame:
+    """RegexSerDe scan (`contrib/.../serde2/RegexSerDe.java:73`): raw text
+    lines parsed into typed columns by one capture group per column.
+    Lines are rendered from orders, written as raw text, re-read with
+    `spark.read.text`, and split by `regexp_extract` — all JVM-side
+    expression codegen (no Python), exactly the SerDe's
+    input.regex="(...)\\\\|(...)\\\\|(...)" contract."""
+    out = f"{_SCRATCH}/regexserde_{_tag(sf_dir)}"
+    lines = orders.select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderpriority"),
+            F.col("o_totalprice").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    pat = r"^([^|]*)\|([^|]*)\|([^|]*)$"
+    raw = spark.read.text(out)
+    parsed = raw.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("o_orderkey"),
+        F.regexp_extract("value", pat, 2).alias("o_orderpriority"),
+        F.regexp_extract("value", pat, 3).cast("double").alias("o_totalprice"),
+    )
+    return parsed.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.max("o_orderkey").alias("max_key"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -78,3 +78,33 @@ def test_smb_join_no_shuffle(spark, sf_dir):
     join_part = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange hashpartitioning(l_orderkey" not in join_part
     assert "Exchange hashpartitioning(o_orderkey" not in join_part
+
+
+def test_skew_split_pushes_hot_keys_to_scan(dfs):
+    """The hot-key IN-list must reach both parquet scans as a pushed filter,
+    and both split branches must map-join (no shuffle before the final agg)."""
+    from hive_nexr_spark.operators.joins import join_skew_split
+
+    plan = _formatted(join_skew_split(dfs["lineitem"], dfs["orders"]))
+    assert plan.count("In(l_orderkey") >= 2   # hot (In) + cold (Not(In)) scans
+    assert plan.count("In(o_orderkey") >= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouping_sets_single_expand(dfs):
+    """GROUPING SETS must compile to one Expand + one aggregation pipeline,
+    not a UNION of per-set scans."""
+    from hive_nexr_spark.operators.aggregates import grouping_sets_agg
+
+    plan = _plan(grouping_sets_agg(dfs["lineitem"]))
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+
+
+def test_histogram_bins_partial_agg(dfs):
+    """Fixed-bin histogram must map-side combine (partial_count before the
+    exchange) so 100 TB reduces to O(bins) rows pre-shuffle."""
+    from hive_nexr_spark.operators.aggregates import histogram_bins
+
+    plan = _plan(histogram_bins(dfs["lineitem"]))
+    assert "partial_count" in plan
