@@ -35,13 +35,25 @@ def hive_hash(col: Column | str, typ: str = "string") -> Column:
         return F.when(c, F.lit(1231)).otherwise(F.lit(1237)).cast("int")
     if typ == "string":
         # Text.hashCode: seed 1, h = h*31 + byte over UTF-8 bytes. For ASCII
-        # data bytes == codepoints; aggregate() keeps this in codegen.
+        # data bytes == codepoints; aggregate() keeps this in codegen. The
+        # accumulator is a BIGINT wrapped mod 2^32 each step (then
+        # reinterpreted as signed int32), so the expression is exact on any
+        # session — including ANSI-enabled ones where silent int32 overflow
+        # would instead raise ARITHMETIC_OVERFLOW.
         chars = F.filter(F.split(c, ""), lambda x: x != F.lit(""))
-        return F.aggregate(
+        wrapped = F.aggregate(
             chars,
-            F.lit(1),
-            lambda acc, ch: acc * F.lit(31) + F.ascii(ch),
-        ).cast("int")
+            F.lit(1).cast("bigint"),
+            lambda acc, ch: F.pmod(
+                acc * F.lit(31).cast("bigint") + F.ascii(ch).cast("bigint"),
+                F.lit(4294967296).cast("bigint"),
+            ),
+        )
+        return (
+            F.when(wrapped >= F.lit(2147483648), wrapped - F.lit(4294967296))
+            .otherwise(wrapped)
+            .cast("int")
+        )
     raise ValueError(f"unsupported hive_hash type: {typ}")
 
 

@@ -32,7 +32,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Runtime-settable SQL confs the query surface depends on. Set here (not only
+# in session.get_session) so the inventory runs on ANY SparkSession — e.g. the
+# verification driver's stock `SparkSession.builder.getOrCreate()`:
+#   * nanosAsLong: events.parquet stores TIMESTAMP(NANOS); without this the
+#     read throws PARQUET_TYPE_ILLEGAL. _fix_nanos_ts converts the long back
+#     to a microsecond timestamp.
+#   * ansi.enabled=false: Hive-0.8 semantics (cast('x' as int) → NULL,
+#     x/0 → NULL; `ql/exec/FunctionRegistry.java:356` cast family).
+#   * session.timeZone=UTC: tz-naive timestamps, matching the DuckDB oracle.
+_RUNTIME_COMPAT_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_compat(spark: SparkSession) -> None:
+    """Pin runtime-settable Hive-parity confs on an arbitrary session."""
+    for k, v in _RUNTIME_COMPAT_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # a conf may be marked static on some builds; reads below may
+            # still succeed, so never let the pin itself sink a query
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_compat(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     return _fix_nanos_ts(df)
 
@@ -61,12 +89,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     against multiple scale factors sequentially (the driver does sf0.001
     smoke then sf0.01 correctness).
     """
+    ensure_runtime_compat(spark)
     dfs: dict[str, DataFrame] = {}
+    errors: dict[str, Exception] = {}
     for name in TABLES:
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = _fix_nanos_ts(spark.read.parquet(path))
-        df.createOrReplaceTempView(name)
-        dfs[name] = df
+        try:
+            df = _fix_nanos_ts(spark.read.parquet(path))
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+        except Exception as exc:  # fault-isolate: one unreadable table must
+            errors[name] = exc    # not sink queries over unrelated tables
+    if errors and not dfs:
+        raise next(iter(errors.values()))
     return dfs

@@ -163,9 +163,10 @@ ORACLE = {
           round(avg_tok_len, 6) AS avg_tok_len,
           round(stop_ratio, 6) AS stop_ratio,
           round(punct_ratio, 6) AS punct_ratio,
-          round(CASE WHEN n_toks >= 20 THEN 0.4 ELSE 0.0 END
+          CAST(round(CASE WHEN n_toks >= 20 THEN 0.4 ELSE 0.0 END
               + CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 THEN 0.3 ELSE 0.0 END
-              + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END, 2) AS quality
+              + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END, 2)
+            AS DOUBLE) AS quality
         FROM (
           SELECT doc_id,
             len(toks) AS n_toks,

@@ -51,12 +51,19 @@ def _multi_insert_fanout(spark, sf_dir):
     `SemanticAnalyzer.genBodyPlan:5781`): single cached source scan fanned
     out to two sinks, then both read back."""
     dfs = ensure_views(spark, sf_dir)
-    src = dfs["orders"].cache()
     base = os.path.join(_SCRATCH, f"multiins_{os.path.basename(sf_dir.rstrip('/'))}")
-    hi = src.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_totalprice")
-    lo = src.filter(F.col("o_totalprice") <= 200000).select("o_orderkey", "o_totalprice")
-    hi.write.mode("overwrite").parquet(base + "/hi")
-    lo.write.mode("overwrite").parquet(base + "/lo")
+    # Cache only for the duration of the fan-out writes, then unpersist:
+    # Spark's CacheManager substitutes the InMemoryRelation into EVERY later
+    # plan whose subtree matches the cached orders scan, which would silently
+    # disable parquet filter pushdown for unrelated queries in this session.
+    src = dfs["orders"].cache()
+    try:
+        hi = src.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_totalprice")
+        lo = src.filter(F.col("o_totalprice") <= 200000).select("o_orderkey", "o_totalprice")
+        hi.write.mode("overwrite").parquet(base + "/hi")
+        lo.write.mode("overwrite").parquet(base + "/lo")
+    finally:
+        src.unpersist()
     from ..functions.stable import dsum
 
     h = spark.read.parquet(base + "/hi").agg(

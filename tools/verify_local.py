@@ -53,14 +53,26 @@ def approx_equal(a, b):
 
 
 def main():
+    import os
+
     import duckdb
 
     from hive_nexr_spark.io import TABLES, table_path
-    from hive_nexr_spark.session import get_session
 
     import __spark_entry__ as entry_mod
 
-    spark = get_session(shuffle_partitions=8)
+    if os.environ.get("VERIFY_PLAIN"):
+        # replicate the driver: a stock SparkSession (ANSI on, no compat
+        # confs) — the query surface must pin what it needs at runtime
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[8]")
+                 .config("spark.sql.shuffle.partitions", "8")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+    else:
+        from hive_nexr_spark.session import get_session
+
+        spark = get_session(shuffle_partitions=8)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
