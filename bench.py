@@ -30,6 +30,8 @@ HEADLINE = [
     "having_filter",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_full",
+    "dedup_simhash_banded",
     "similarity_bruteforce_topk",
     "text_quality_scores",
     "events_window_batch",

@@ -162,7 +162,14 @@ def top_ngrams(documents: DataFrame, n: int = 2, k: int = 10) -> DataFrame:
     The reference estimates under memory pressure; at Spark scale the exact
     computation is a flat explode → count → top-k, all shuffle-parallel
     (no driver-side state), so we compute exactly. Ties broken on the gram
-    text for determinism."""
+    text for determinism.
+
+    The top-k is orderBy().limit(k) — planned as TakeOrderedAndProject,
+    which keeps a k-row heap per partition and merges on the driver. A
+    row_number window over *all* distinct grams would funnel the entire
+    distinct-gram space (billions of rows on a 100 TB corpus) through a
+    single WindowExec partition; the window here runs only over the k
+    surviving rows to assign ranks."""
     from pyspark.sql import Window
 
     # tokens materialized as a column so the lambda slices a bound array —
@@ -178,18 +185,19 @@ def top_ngrams(documents: DataFrame, n: int = 2, k: int = 10) -> DataFrame:
         ).alias("gram")
     )
     counts = grams.groupBy("gram").agg(F.count("*").alias("freq"))
+    topk = counts.orderBy(F.col("freq").desc(), F.col("gram")).limit(k)
     w = Window.orderBy(F.col("freq").desc(), F.col("gram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("gram", "freq", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "gram", "freq", "rank"
     )
 
 
 def context_ngrams(documents: DataFrame, context: str = "the", k: int = 10) -> DataFrame:
     """context_ngrams(sentences(text), array('the', null), k) parity
     (`GenericUDAFContextNGrams.java`): top-k words following a context
-    token (null = wildcard slot)."""
+    token (null = wildcard slot). Top-k via orderBy().limit(k)
+    (TakeOrderedAndProject) — see top_ngrams for why a global row_number
+    window would not survive a 100 TB corpus."""
     from pyspark.sql import Window
 
     pairs = documents.select(
@@ -208,11 +216,10 @@ def context_ngrams(documents: DataFrame, context: str = "the", k: int = 10) -> D
         .groupBy("w2")
         .agg(F.count("*").alias("freq"))
     )
+    topk = counts.orderBy(F.col("freq").desc(), F.col("w2")).limit(k)
     w = Window.orderBy(F.col("freq").desc(), F.col("w2"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("w2").alias("gram"), "freq", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("w2").alias("gram"), "freq", "rank"
     )
 
 

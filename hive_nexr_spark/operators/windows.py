@@ -44,7 +44,12 @@ def row_sequence(nation: DataFrame) -> DataFrame:
     """Parity for contrib UDFRowSequence (`contrib/.../UDFRowSequence.java:32`):
     a deterministic row number. The reference's version numbers rows in task
     order (non-deterministic across runs); we expose the deterministic form
-    over an explicit total order."""
+    over an explicit total order.
+
+    The unpartitioned window forces a single-partition sort — acceptable
+    ONLY because nation is a 25-row dimension; for a large input, assign
+    global sequence numbers with zipWithIndex-style arithmetic
+    (per-partition row_number + partition offset) instead."""
     w = Window.orderBy("n_nationkey")
     return nation.select(
         F.row_number().over(w).alias("seq"), "n_nationkey", "n_name"

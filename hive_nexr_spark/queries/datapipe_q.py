@@ -16,11 +16,19 @@ def _bind(builder, table):
     return run
 
 
+def _minhash_full(documents):
+    # max_doc_id >= the synthetic-dup modulus → no subset cap: the whole
+    # corpus goes through the LSH pipeline (the shape you'd run at 100 TB)
+    return dedup.minhash_lsh_pairs(documents, max_doc_id=100000)
+
+
 QUERIES = {
     "dedup_exact": _bind(dedup.exact_dedup_summary, "documents"),
     "dedup_minhash_lsh": _bind(dedup.minhash_lsh_pairs, "documents"),
+    "dedup_minhash_lsh_full": _bind(_minhash_full, "documents"),
     "dedup_ngram_jaccard": _bind(dedup.ngram_jaccard_pairs, "documents"),
     "dedup_simhash": _bind(dedup.simhash_pairs, "documents"),
+    "dedup_simhash_banded": _bind(dedup.simhash_pairs_banded, "documents"),
     "dedup_embedding_cosine": _bind(similarity.embedding_cosine_dups, "embeddings"),
     "similarity_bruteforce_topk": _bind(similarity.brute_force_topk, "embeddings"),
     "similarity_lsh_topk": _bind(similarity.lsh_topk, "embeddings"),
@@ -70,6 +78,47 @@ ORACLE = {
                    for i in range(1, greatest(len(l) - 2, 1) + 1)
                  ])) AS shingle
           FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM subset) t
+        )
+        , sig AS (
+          SELECT doc_id,
+                 {", ".join(f"min(md5('{h}|' || shingle)) AS mh{h}" for h in range(6))}
+          FROM shingled GROUP BY doc_id
+        )
+        , bands AS (
+          SELECT doc_id, 0 AS band, mh0 || mh1 AS bucket FROM sig
+          UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+          UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+        )
+        , cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        , toks AS (
+          SELECT doc_id, list_distinct([
+                   array_to_string(l[i:i+2], ' ')
+                   for i in range(1, greatest(len(l) - 2, 1) + 1)
+                 ]) AS sh
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM corpus) t
+        )
+        SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+          SELECT doc_a, doc_b,
+                 CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
+          FROM cand
+          JOIN toks ta ON cand.doc_a = ta.doc_id
+          JOIN toks tb ON cand.doc_b = tb.doc_id
+        ) v WHERE jaccard >= 0.5
+    """,
+    # dedup_simhash / dedup_simhash_banded: xxhash64 is Spark-specific →
+    # rows-only checks; banded==bruteforce equality is unit-tested.
+    "dedup_minhash_lsh_full": _CORPUS + f"""
+        , shingled AS (
+          SELECT doc_id, unnest(list_distinct([
+                   array_to_string(l[i:i+2], ' ')
+                   for i in range(1, greatest(len(l) - 2, 1) + 1)
+                 ])) AS shingle
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM corpus) t
         )
         , sig AS (
           SELECT doc_id,

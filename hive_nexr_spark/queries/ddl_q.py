@@ -156,6 +156,116 @@ def _export_import_roundtrip(spark, sf_dir):
     )
 
 
+def _load_data_roundtrip(spark, sf_dir):
+    """LOAD DATA INPATH (`parse/LoadSemanticAnalyzer.java`, `Hive.g:302`):
+    stage parquet files outside the warehouse, file-move them into a table
+    (append), then LOAD ... OVERWRITE to replace — the reference's two load
+    modes — and verify the final content."""
+    import shutil
+
+    dfs = ensure_views(spark, sf_dir)
+    db = f"{_DB}_load_{_tag(sf_dir)}"
+    reset_database(spark, db)
+    hql = HiveQLSession(spark)
+    hql.sql(f"CREATE DATABASE {db}")
+    # clone the exact parquet schema with a zero-row CTAS
+    hql.sql(
+        f"CREATE TABLE {db}.nation_loaded USING parquet AS "
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE 1 = 0"
+    )
+    staging = f"/tmp/hive_nexr_spark_scratch/load_stage_{_tag(sf_dir)}"
+    shutil.rmtree(staging, ignore_errors=True)
+    dfs["nation"].select("n_nationkey", "n_name", "n_regionkey").coalesce(
+        1
+    ).write.mode("overwrite").parquet(staging)
+    # append twice, then OVERWRITE back to a single copy
+    hql.sql(f"LOAD DATA INPATH '{staging}' INTO TABLE {db}.nation_loaded")
+    hql.sql(f"LOAD DATA INPATH '{staging}' INTO TABLE {db}.nation_loaded")
+    assert spark.table(f"{db}.nation_loaded").count() == 2 * dfs["nation"].count()
+    hql.sql(
+        f"LOAD DATA INPATH '{staging}' OVERWRITE INTO TABLE {db}.nation_loaded"
+    )
+    return spark.sql(
+        f"SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name "
+        f"FROM {db}.nation_loaded GROUP BY n_regionkey"
+    )
+
+
+def _analyze_table_stats(spark, sf_dir):
+    """ANALYZE TABLE ... COMPUTE STATISTICS (+ FOR COLUMNS)
+    (`exec/StatsTask.java`, `parse/DDLSemanticAnalyzer.java` analyze
+    branch): Spark's native statement; table + column stats land in the
+    catalog and feed Catalyst's cost-based optimizer (the same role
+    StatsTask's row/byte counts play for the reference's planner). The
+    query asserts stats became visible, then returns a verifiable
+    aggregate."""
+    ensure_views(spark, sf_dir)
+    db = f"{_DB}_stats_{_tag(sf_dir)}"
+    reset_database(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    spark.sql(
+        f"CREATE TABLE {db}.supplier_stats USING parquet AS "
+        "SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier"
+    )
+    spark.sql(f"ANALYZE TABLE {db}.supplier_stats COMPUTE STATISTICS")
+    spark.sql(
+        f"ANALYZE TABLE {db}.supplier_stats COMPUTE STATISTICS "
+        "FOR COLUMNS s_suppkey, s_nationkey"
+    )
+    stats = [
+        r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {db}.supplier_stats").collect()
+        if (r.col_name or "").strip() == "Statistics"
+    ]
+    assert stats and "rows" in stats[0], f"no row stats in catalog: {stats}"
+    col_stats = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {db}.supplier_stats s_suppkey"
+    ).collect()
+    assert any(
+        r.info_name == "distinct_count" and r.info_value not in (None, "NULL")
+        for r in col_stats
+    ), f"no column stats: {col_stats}"
+    return spark.sql(
+        f"SELECT s_nationkey, count(*) AS n FROM {db}.supplier_stats "
+        "GROUP BY s_nationkey"
+    )
+
+
+def _alter_concatenate_merge(spark, sf_dir):
+    """ALTER TABLE ... CONCATENATE (`ql/io/rcfile/merge/BlockMergeTask.java`):
+    fragment a table into many small files (the classic many-reducer
+    output problem the reference's merge task exists for), compact via the
+    facade, assert the file count dropped, and verify content unchanged."""
+    import os
+
+    ensure_views(spark, sf_dir)
+    db = f"{_DB}_cat_{_tag(sf_dir)}"
+    reset_database(spark, db)
+    hql = HiveQLSession(spark)
+    hql.sql(f"CREATE DATABASE {db}")
+    spark.table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).repartition(24).write.mode("overwrite").saveAsTable(f"{db}.orders_frag")
+
+    loc = hql._table_location(f"{db}.orders_frag")
+
+    def n_files():
+        return sum(
+            1 for f in os.listdir(loc)
+            if os.path.isfile(os.path.join(loc, f)) and not f.startswith(("_", "."))
+        )
+
+    before = n_files()
+    hql.sql(f"ALTER TABLE {db}.orders_frag CONCATENATE")
+    after = n_files()
+    assert before == 24 and after < before, f"merge did not shrink: {before}->{after}"
+    return spark.sql(
+        f"SELECT o_orderstatus, count(*) AS n, "
+        f"CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price "
+        f"FROM {db}.orders_frag GROUP BY o_orderstatus"
+    )
+
+
 def _stateful_user_stats(spark, sf_dir):
     from ..streaming.events import user_stats_stateful_stream
 
@@ -182,6 +292,9 @@ QUERIES = {
     "create_temp_function": _temp_function_surface,
     "hiveql_bucket_sample": _hiveql_bucket_sample,
     "hiveql_multi_insert": _hiveql_multi_insert,
+    "load_data_roundtrip": _load_data_roundtrip,
+    "analyze_table_stats": _analyze_table_stats,
+    "alter_concatenate_merge": _alter_concatenate_merge,
     "agg_ngrams": _ngrams,
     "agg_context_ngrams": _context_ngrams,
     "export_import_roundtrip": _export_import_roundtrip,
@@ -216,6 +329,18 @@ ORACLE = {
         SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         FROM lineitem WHERE l_orderkey % 10 = 3
         GROUP BY l_returnflag
+    """,
+    "load_data_roundtrip": """
+        SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey
+    """,
+    "analyze_table_stats": """
+        SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY s_nationkey
+    """,
+    "alter_concatenate_merge": """
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_orderstatus
     """,
     "hiveql_multi_insert": """
         SELECT 'hi' AS sink, count(*) AS n,

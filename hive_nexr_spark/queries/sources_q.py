@@ -16,9 +16,48 @@ def _regex_serde(spark, sf_dir):
     return fmt.regex_serde_extract(spark, dfs["orders"], sf_dir)
 
 
+def _jdbc_external_table(spark, sf_dir):
+    """External storage handler stand-in (reference:
+    `hbase-handler/src/java/org/apache/hadoop/hive/hbase/HBaseStorageHandler.java:63`):
+    the reference maps a Hive table onto an external KV store; the
+    Spark-native analogue is the JDBC datasource. Round-trips nation
+    through an embedded Derby database (driver ships in Spark's jars) and
+    reads it back as a *partitioned* JDBC scan — partitionColumn splits
+    the external read into parallel range queries, the shape that scales
+    to a sharded external store (filters are pushed into the remote SQL)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    dfs = ensure_views(spark, sf_dir)
+    url = (
+        "jdbc:derby:/tmp/hive_nexr_spark_scratch/"
+        f"derby_ext_{uuid.uuid4().hex[:8]};create=true"
+    )
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    dfs["nation"].select("n_nationkey", "n_name", "n_regionkey").write.jdbc(
+        url, "nation_ext", mode="overwrite", properties=props
+    )
+    back = spark.read.jdbc(
+        url,
+        "nation_ext",
+        column="n_nationkey",
+        lowerBound=0,
+        upperBound=25,
+        numPartitions=4,
+        properties=props,
+    )
+    return (
+        back.filter(F.col("n_regionkey") < 3)
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"), F.min("n_name").alias("first_name"))
+    )
+
+
 QUERIES = {
     "textfile_roundtrip": _textfile_roundtrip,
     "regex_serde_extract": _regex_serde,
+    "jdbc_external_table": _jdbc_external_table,
 }
 
 ORACLE = {
@@ -34,5 +73,9 @@ ORACLE = {
         SELECT o_orderpriority, count(*) AS n, max(o_orderkey) AS max_key,
                CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
         FROM orders GROUP BY o_orderpriority
+    """,
+    "jdbc_external_table": """
+        SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        FROM nation WHERE n_regionkey < 3 GROUP BY n_regionkey
     """,
 }

@@ -129,10 +129,14 @@ def user_stats_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    # update-mode memory sink may hold one row per key per micro-batch;
-    # keep the last emitted row per user (the final state).
+    # update-mode memory sink may hold one row per key per micro-batch.
+    # The emitted n_events is the *cumulative* state count, so it is
+    # strictly increasing across a user's emissions — the final state is
+    # the max-n_events row per user. (Row order in the sink is not
+    # contractual across micro-batches, so sorting by sink position would
+    # be fragile; the state itself carries the ordering.)
     snap = spark.table(name)
-    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         snap.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -24,6 +24,52 @@ def test_registry_shape():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
+def test_prefix_coverage_spans_modules():
+    """The driver may evaluate only a prefix of queries() (round 1 stopped
+    at 50); the interleaved ordering must keep every module represented in
+    the first 50 entries."""
+    from hive_nexr_spark.queries import (
+        datapipe_q, ddl_q, functions_q, relational, sources_q, streaming_q)
+
+    prefix = set(list(entry_mod.queries())[:50])
+    for mod in (relational, functions_q, datapipe_q, streaming_q, ddl_q,
+                sources_q):
+        assert prefix & set(mod.QUERIES), mod.__name__
+
+
+def test_hive_metastore_catalog_roundtrip(tmp_path):
+    """SPARK_GRAFT_HIVE_METASTORE=1 → enableHiveSupport(): DDL runs against
+    a Hive-metastore-backed catalog (BASELINE.json's stated approach;
+    reference surface `metastore/if/hive_metastore.thrift:226-416`).
+    Needs its own JVM — catalogImplementation is a static conf."""
+    import subprocess
+    import sys
+
+    script = """
+import sys; sys.path.insert(0, "/root/repo")
+from hive_nexr_spark.session import get_session
+spark = get_session(app_name="hive-meta-test", shuffle_partitions=2)
+assert spark.conf.get("spark.sql.catalogImplementation") == "hive"
+spark.sql("CREATE DATABASE IF NOT EXISTS meta_t")
+spark.sql("DROP TABLE IF EXISTS meta_t.kv")
+spark.sql("CREATE TABLE meta_t.kv (k INT, v STRING) USING parquet")
+spark.sql("INSERT INTO meta_t.kv VALUES (1,'a'),(2,'b')")
+assert spark.sql("SELECT count(*) AS n FROM meta_t.kv").collect()[0].n == 2
+print("HIVE_CATALOG_OK")
+"""
+    env = dict(
+        __import__("os").environ,
+        SPARK_GRAFT_HIVE_METASTORE="1",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_WAREHOUSE=str(tmp_path / "wh"),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], env=env, cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "HIVE_CATALOG_OK" in out.stdout, out.stderr[-2000:]
+
+
 def test_all_queries_run_at_smoke_sf(spark, sf_dir):
     """Every declared query must at least execute and return a schema at
     sf0.001 (full value checks run against DuckDB at sf0.01 via

@@ -38,6 +38,25 @@ def test_simhash_near_dups_have_small_hamming(dfs):
     assert all(h == 0 for h in exact.values()), "exact copies must hash equal"
 
 
+def test_simhash_banded_equals_bruteforce(dfs):
+    """The banded (LSH) path must return exactly the brute-force pair set:
+    pigeonhole guarantees 100% candidate recall for max_hamming < n_bands,
+    and verification removes false positives."""
+    from hive_nexr_spark.datapipe import dedup
+
+    brute = {
+        (r.doc_a, r.doc_b): r.hamming
+        # max_doc_id=100000 → no subset cap: full corpus, same as banded
+        for r in dedup.simhash_pairs(dfs["documents"], max_doc_id=100000).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs_banded(dfs["documents"]).collect()
+    }
+    assert banded == brute
+    assert banded, "empty pair set would vacuously pass"
+
+
 def test_exact_dedup_counts(dfs):
     from hive_nexr_spark.datapipe import dedup
 

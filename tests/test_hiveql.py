@@ -45,6 +45,94 @@ def test_multi_insert_passthrough(spark, dfs):
     assert na > 0 and nb > 0
 
 
+def test_bucket_sample_string_column_java_hash(spark, dfs):
+    """ON a string column must bucket by Text.hashCode (h=31h+byte, seed 1,
+    & Integer.MAX_VALUE % y) — not Spark murmur3, not a silent numeric cast."""
+    hql = HiveQLSession(spark)
+    df = hql.sql(
+        "SELECT n_name FROM nation TABLESAMPLE(BUCKET 1 OUT OF 3 ON n_name)"
+    )
+
+    def text_hash(s):
+        h = 1
+        for ch in s.encode():
+            h = (h * 31 + ch) & 0xFFFFFFFF
+        return h
+
+    expected = sorted(
+        r.n_name for r in dfs["nation"].collect()
+        if (text_hash(r.n_name) & 0x7FFFFFFF) % 3 == 0
+    )
+    assert sorted(r.n_name for r in df.collect()) == expected
+    assert expected  # sample must not be silently empty
+
+
+def test_bucket_sample_multi_column(spark, dfs):
+    """Multi-col ON combines h = h*31 + hashCode(col_i) (Hive
+    getBucketHashCode), not hash(murmur3)."""
+    hql = HiveQLSession(spark)
+    df = hql.sql(
+        "SELECT n_nationkey FROM nation "
+        "TABLESAMPLE(BUCKET 2 OUT OF 4 ON n_nationkey, n_regionkey)"
+    )
+
+    expected = sorted(
+        r.n_nationkey for r in dfs["nation"].collect()
+        if (((31 * r.n_nationkey + r.n_regionkey) & 0x7FFFFFFF) % 4) == 1
+    )
+    assert sorted(r.n_nationkey for r in df.collect()) == expected
+
+
+def test_bucket_sample_unsupported_type_raises(spark, dfs):
+    hql = HiveQLSession(spark)
+    with pytest.raises(ValueError, match="not supported"):
+        hql.sql(
+            "SELECT * FROM orders TABLESAMPLE(BUCKET 1 OUT OF 2 ON o_totalprice)"
+        )
+
+
+def test_load_data_append_and_overwrite(spark, dfs, tmp_path):
+    from hive_nexr_spark.queries.base import reset_database
+
+    reset_database(spark, "hqlload")
+    hql = HiveQLSession(spark)
+    hql.sql("CREATE DATABASE hqlload")
+    hql.sql(
+        "CREATE TABLE hqlload.t USING parquet AS "
+        "SELECT n_nationkey, n_name FROM nation WHERE 1 = 0"
+    )
+    stage = str(tmp_path / "stage")
+    dfs["nation"].select("n_nationkey", "n_name").coalesce(1).write.parquet(stage)
+    n = dfs["nation"].count()
+    hql.sql(f"LOAD DATA INPATH '{stage}' INTO TABLE hqlload.t")
+    assert spark.table("hqlload.t").count() == n
+    hql.sql(f"LOAD DATA INPATH '{stage}' INTO TABLE hqlload.t")
+    assert spark.table("hqlload.t").count() == 2 * n
+    hql.sql(f"LOAD DATA INPATH '{stage}' OVERWRITE INTO TABLE hqlload.t")
+    assert spark.table("hqlload.t").count() == n
+
+
+def test_concatenate_merges_files(spark, dfs):
+    import os
+
+    from hive_nexr_spark.queries.base import reset_database
+
+    reset_database(spark, "hqlcat")
+    hql = HiveQLSession(spark)
+    hql.sql("CREATE DATABASE hqlcat")
+    dfs["orders"].repartition(8).write.saveAsTable("hqlcat.frag")
+    before = spark.table("hqlcat.frag").count()
+    loc = hql._table_location("hqlcat.frag")
+    n_files = lambda: sum(
+        1 for f in os.listdir(loc)
+        if os.path.isfile(os.path.join(loc, f)) and not f.startswith(("_", "."))
+    )
+    assert n_files() == 8
+    hql.sql("ALTER TABLE hqlcat.frag CONCATENATE")
+    assert n_files() < 8
+    assert spark.table("hqlcat.frag").count() == before
+
+
 def test_temp_function_known_class(spark):
     hql = HiveQLSession(spark)
     hql.sql(
