@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_minhash_lsh_full",
     "dedup_simhash_banded",
     "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "dedup_embedding_lsh_full",
     "text_quality_scores",
     "events_window_batch",
     "sessionize_events",

@@ -98,12 +98,169 @@ def lsh_topk(embeddings: DataFrame, n_planes: int = 4, n_queries: int = 10,
     )
 
 
+def ivf_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
+             stride: int = 37, nprobe: int = 4) -> DataFrame:
+    """Approximate NN via an IVF (inverted-file) index: coarse-quantize the
+    corpus into cells around centroids, probe only the `nprobe` nearest
+    cells per query, exact-rerank inside the probed cells.
+
+    Centroids are a deterministic 1-in-`stride` sample of the corpus
+    (`vec_id % stride == 0`) — the sampled-centroid IVF variant; any engine
+    can reproduce it, so the oracle is exact SQL (a trained-k-means centroid
+    set would drop into the same plan as a broadcast table).
+
+    100 TB shape: assignment is corpus × broadcast(centroids) followed by a
+    map-side-combined `max(struct(sim, cell))` groupBy — the shuffle carries
+    one row per corpus vector, never the |corpus|×|centroids| cross product.
+    Probing broadcasts `n_queries × nprobe` rows; the rerank join touches
+    only vectors in probed cells. Per-query ranking windows partition by
+    query_id (bounded query set)."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    cents = corpus.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+
+    csim = (_dot(F.col("v"), F.col("cv"))
+            / (_norm(F.col("v")) * _norm(F.col("cv"))))
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .select("vec_id", "v", csim.alias("s"), "cell")
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("s", "cell", "v")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.v").alias("v"))
+    )
+
+    qsim = (_dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    wq = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("cell"))
+    probes = (
+        queries.join(F.broadcast(cents))
+        .select("query_id", "qv", qsim.alias("s"), "cell")
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+         ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hash_planes(tables: int, bits: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes seeded by md5 — engine-
+    portable (any engine embedding the same literals reproduces the exact
+    buckets), data-independent (no vectors are consumed as planes)."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(hashlib.md5(f"{t}|{j}|{d}".encode()).hexdigest()[:8], 16)
+                / 2**32 - 0.5
+                for d in range(dim)
+            ]
+            for j in range(bits)
+        ]
+        for t in range(tables)
+    ]
+
+
+def with_synthetic_vec_dups(embeddings: DataFrame, dim: int = 64,
+                            eps: float = 0.05) -> DataFrame:
+    """Deterministic near-dup vector corpus: originals ∪ perturbed copies
+    (vec_id+100000, v + eps·delta with a fixed md5-seeded delta). The
+    testdata embeddings are unit vectors with max pairwise cosine ~0.51 —
+    no natural near-dups — so dedup operators need planted ones to have
+    observable behavior (same rationale as dedup.with_synthetic_dups for
+    text). For eps=0.05 the planted pairs land at cosine ≈ 0.993–0.995."""
+    delta = hash_planes(1, 1, dim)[0][0]
+    orig = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    near = orig.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            F.col("v"),
+            F.array(*[F.lit(eps * x) for x in delta]),
+            lambda x, y: x + y,
+        ).alias("v"),
+    )
+    return orig.unionAll(near)
+
+
+def embedding_dups_lsh(embeddings: DataFrame, threshold: float = 0.99,
+                       tables: int = 4, bits: int = 10,
+                       dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the FULL corpus via multi-table
+    sign-LSH — the 100 TB path the bounded all-pairs baseline
+    (`embedding_cosine_dups`) approximates from below.
+
+    Each of `tables` hash tables buckets a vector by the sign pattern of
+    `bits` hyperplane dot products; candidate pairs collide in ≥1 table and
+    are exact-verified. Recall for cosine ≥ 0.99: per-bit collision
+    p = 1 - acos(0.99)/π ≈ 0.955, per-table p^10 ≈ 0.63, across 4
+    independent tables 1-(1-0.63)^4 ≈ 0.98. Shuffles: explode to
+    (table, bucket) keys and self-join — never the n² vector space; the
+    planes are literal constants folded into codegen."""
+    planes = hash_planes(tables, bits, dim)
+    emb = with_synthetic_vec_dups(embeddings, dim=dim)
+
+    def bucket(t: int) -> Column:
+        return F.concat(*[
+            F.when(
+                _dot(F.col("v"),
+                     F.array(*[F.lit(x) for x in planes[t][j]])) >= 0,
+                "1",
+            ).otherwise("0")
+            for j in range(bits)
+        ])
+
+    bands = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt"))
+                for t in range(tables)
+            ])
+        ).alias("tb"),
+    ).select("vec_id", "v", "tb.tbl", "tb.bkt")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (_dot(F.col("a.v"), F.col("b.v"))
+             / (_norm(F.col("a.v")) * _norm(F.col("b.v")))).alias("cosine"),
+        )
+        .distinct()
+    )
+    return (
+        cand.filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_cosine_dups(embeddings: DataFrame, threshold: float = 0.99,
                           max_id: int = 200) -> DataFrame:
     """Embedding-cosine near-dup pairs over a bounded subset (the dedup
-    flavor of similarity search)."""
-    emb = embeddings.filter(F.col("vec_id") < max_id).select(
-        "vec_id", _as_double("embedding").alias("v"))
+    flavor of similarity search) — the all-pairs baseline that
+    `embedding_dups_lsh` approximates at full-corpus scale."""
+    emb = with_synthetic_vec_dups(embeddings).filter(
+        (F.col("vec_id") % 100000) < max_id)
     a, b = emb.alias("a"), emb.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

@@ -30,8 +30,10 @@ QUERIES = {
     "dedup_simhash": _bind(dedup.simhash_pairs, "documents"),
     "dedup_simhash_banded": _bind(dedup.simhash_pairs_banded, "documents"),
     "dedup_embedding_cosine": _bind(similarity.embedding_cosine_dups, "embeddings"),
+    "dedup_embedding_lsh_full": _bind(similarity.embedding_dups_lsh, "embeddings"),
     "similarity_bruteforce_topk": _bind(similarity.brute_force_topk, "embeddings"),
     "similarity_lsh_topk": _bind(similarity.lsh_topk, "embeddings"),
+    "similarity_ivf_topk": _bind(similarity.ivf_topk, "embeddings"),
     "text_token_counts": _bind(textops.token_counts, "documents"),
     "text_quality_scores": _bind(textops.quality_scores, "documents"),
     "text_language_id": _bind(textops.language_id, "documents"),
@@ -59,6 +61,62 @@ _SHINGLE = """
              ]) AS sh
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM corpus) t
 """
+
+def _vec_corpus_sql(dim: int = 64, eps: float = 0.05) -> str:
+    """`emb` CTE mirroring similarity.with_synthetic_vec_dups exactly:
+    originals ∪ (vec_id+100000, v + eps·delta) with the identical
+    md5-seeded delta embedded as double literals."""
+    delta = similarity.hash_planes(1, 1, dim)[0][0]
+    dlit = "[" + ", ".join(repr(eps * x) for x in delta) + "]"
+    return f"""emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 [v[i] + d[i] for i in range(1, {dim} + 1)] AS v
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {dlit} AS d
+                FROM embeddings WHERE vec_id % 5 = 0) p
+        )"""
+
+
+def _embedding_lsh_sql(threshold: float = 0.99, tables: int = 4,
+                       bits: int = 10, dim: int = 64) -> str:
+    """DuckDB oracle for `embedding_dups_lsh`: the identical md5-seeded
+    hyperplanes are embedded as double literals (shortest-repr round-trip →
+    bit-identical doubles), so bucketing and verification reproduce the
+    Spark result exactly."""
+    planes = similarity.hash_planes(tables, bits, dim)
+    emb = _vec_corpus_sql(dim=dim)
+
+    def bucket_expr(t: int) -> str:
+        cases = ", ".join(
+            "CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in planes[t][j])
+            + "]) >= 0 THEN '1' ELSE '0' END"
+            for j in range(bits)
+        )
+        return f"concat({cases})"
+
+    bands = "\n          UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket_expr(t)} AS bkt FROM emb"
+        for t in range(tables)
+    )
+    return f"""
+        WITH {emb},
+        bands AS (
+          {bands}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS cosine
+          FROM bands a JOIN bands b
+            ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(cosine, 6) AS cosine
+        FROM cand WHERE cosine >= {threshold}
+    """
+
 
 ORACLE = {
     "dedup_exact": _CORPUS + """
@@ -168,18 +226,58 @@ ORACLE = {
         ) v WHERE jaccard >= 0.8
     """,
     # dedup_simhash: xxhash64 is Spark-specific → rows-only check.
-    "dedup_embedding_cosine": """
+    "dedup_embedding_cosine": f"""
+        WITH {_vec_corpus_sql()}
         SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(b.embedding AS DOUBLE[]))
-                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(a.embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])))) AS cosine
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE a.vec_id < 200 AND b.vec_id < 200
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS cosine
+          FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+          WHERE a.vec_id % 100000 < 200 AND b.vec_id % 100000 < 200
         ) t WHERE cosine >= 0.99
+    """,
+    "dedup_embedding_lsh_full": _embedding_lsh_sql(),
+    "similarity_ivf_topk": """
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+        corpus AS (SELECT * FROM emb WHERE vec_id >= 10),
+        cents AS (SELECT vec_id AS cell, v AS cv FROM corpus WHERE vec_id % 37 = 0),
+        assigned AS (
+          SELECT vec_id, cell, v FROM (
+            SELECT c.vec_id, c.v, ct.cell,
+                   list_dot_product(c.v, ct.cv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(ct.cv, ct.cv))) AS s
+            FROM corpus c CROSS JOIN cents ct
+          ) t
+          QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, cell DESC) = 1
+        ),
+        probes AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, ct.cell,
+                   list_dot_product(q.qv, ct.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(ct.cv, ct.cv))) AS s
+            FROM q CROSS JOIN cents ct
+          ) t
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, cell) <= 4
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_dot_product(p.qv, a.v)
+                            / (sqrt(list_dot_product(p.qv, p.qv))
+                               * sqrt(list_dot_product(a.v, a.v))) DESC,
+                            a.vec_id
+                 ) AS rank
+          FROM assigned a JOIN probes p ON a.cell = p.cell
+        ) t WHERE rank <= 3
     """,
     "similarity_bruteforce_topk": """
         SELECT query_id, neighbor_id, rank FROM (

@@ -79,6 +79,43 @@ def test_brute_force_topk_rank1_is_self_like(dfs):
         assert sorted(r.rank for r in rs) == [1, 2, 3]
 
 
+def test_ivf_topk_recall_vs_bruteforce(dfs):
+    """IVF probes only nprobe cells, so it's approximate — but on the
+    testdata it must recover most of the exact top-3 and every neighbor it
+    returns must come from the probed cells deterministically (two runs
+    agree)."""
+    from hive_nexr_spark.datapipe import similarity
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(dfs["embeddings"]).collect()}
+    ivf1 = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(dfs["embeddings"]).collect()}
+    ivf2 = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(dfs["embeddings"]).collect()}
+    assert ivf1 == ivf2, "IVF must be deterministic"
+    recall = len(ivf1 & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} vs exact top-3"
+
+
+def test_embedding_lsh_dups_finds_planted_pairs(dfs):
+    """Every pair the LSH path returns must be a true >=threshold pair
+    (precision 1.0 after verification), and recall over the planted
+    (v, v+eps*delta) pairs must be high."""
+    from hive_nexr_spark.datapipe import similarity
+
+    pairs = similarity.embedding_dups_lsh(dfs["embeddings"]).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert all(r.cosine >= 0.99 for r in pairs)
+    planted = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in dfs["embeddings"].filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id").collect()
+    }
+    found_planted = got & planted
+    assert len(found_planted) / len(planted) >= 0.9, (
+        f"LSH recall {len(found_planted)}/{len(planted)}")
+
+
 def test_token_counts_invariants(dfs):
     from hive_nexr_spark.datapipe import textops
 
