@@ -135,6 +135,7 @@ QUERIES = {
     "virtual_columns": _virtual_columns,
     "bucketed_smb_join": _bucketed_smb_join,
     "events_stream_static_enrich": _stream_static_enrich,
+    "events_stream_dedup": lambda spark, sf_dir: ev.stream_dedup(spark, sf_dir),
 }
 
 _WINDOW_SQL = """
@@ -153,6 +154,10 @@ ORACLE = {
     """,
     "events_window_batch": _WINDOW_SQL,
     "events_window_stream": _WINDOW_SQL,
+    "events_stream_dedup": """
+        SELECT event_type, count(DISTINCT event_id) AS n_events
+        FROM events GROUP BY event_type
+    """,
     "sessionize_events": """
         SELECT user_id, session_id, count(*) AS n_events,
                CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s

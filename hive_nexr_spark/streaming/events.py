@@ -144,6 +144,37 @@ def user_stats_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup — the training-pipeline op of dropping
+    duplicate records as they arrive (the reference has no streaming;
+    batch-side this is DISTINCT, `ql/parse/SemanticAnalyzer.java` group-by
+    rewrite). The source is unioned with itself so every event arrives
+    twice (planted duplicates); `dropDuplicates` keyed on
+    (event_id, ts) holds one state row per key and the watermark evicts
+    state older than the horizon — bounded memory on an unbounded stream.
+    The aggregate after dedup equals batch count(DISTINCT event_id) per
+    type, which is the SQL oracle."""
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.union(read_events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        # include the event-time column in the key set so the watermark can
+        # evict dedup state (subset without it pins state forever)
+        .dropDuplicates(["event_id", "ts"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gaps-and-islands sessionization: a session breaks when the gap to the
     previous event of the same user exceeds `gap_minutes`."""

@@ -30,3 +30,18 @@ def test_stream_sessionize_runs(spark, sf_dir):
     rows = ev.sessionize_stream(spark, sf_dir).collect()
     assert rows
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_stream_dedup_removes_planted_duplicates(spark, sf_dir, dfs):
+    """Self-unioned stream arrives with every event twice; after
+    dropDuplicates the per-type counts equal the batch distinct counts."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.streaming import events as ev
+
+    batch = (
+        dfs["events"].groupBy("event_type")
+        .agg(F.count_distinct("event_id").alias("n_events")).collect()
+    )
+    stream = ev.stream_dedup(spark, sf_dir).collect()
+    assert _key(batch) == _key(stream)
