@@ -136,6 +136,7 @@ QUERIES = {
     "bucketed_smb_join": _bucketed_smb_join,
     "events_stream_static_enrich": _stream_static_enrich,
     "events_stream_dedup": lambda spark, sf_dir: ev.stream_dedup(spark, sf_dir),
+    "events_sessionize_stream": lambda spark, sf_dir: ev.sessionize_stream(spark, sf_dir),
 }
 
 _WINDOW_SQL = """
@@ -157,6 +158,26 @@ ORACLE = {
     "events_stream_dedup": """
         SELECT event_type, count(DISTINCT event_id) AS n_events
         FROM events GROUP BY event_type
+    """,
+    # session_window(ts, gap) merges events closer than the gap, so a
+    # session's window start equals min(ts) of the same gaps-and-islands
+    # session the batch oracle computes
+    "events_sessionize_stream": """
+        SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+        FROM (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN floor(epoch(ts)) - floor(epoch(
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        )) > 1800 THEN 1 ELSE 0 END AS new_sess
+            FROM events
+          ) m
+        ) s
+        GROUP BY user_id, session_id
     """,
     "sessionize_events": """
         SELECT user_id, session_id, count(*) AS n_events,
