@@ -71,3 +71,72 @@ def featurize(documents: DataFrame) -> DataFrame:
     payloads = to_binary_payloads(documents).select(
         "doc_id", "payload", F.col("meta.mime").alias("mime"))
     return payloads.mapInPandas(_featurize_batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, orig_len int, out_len int, out_sum int"
+
+
+def resize_payloads(documents: DataFrame, target_len: int = 32) -> DataFrame:
+    """'Resize' each payload to `target_len` samples by nearest-neighbor
+    downsampling over the byte axis — the exact plumbing an image-resize UDF
+    uses (decode → index-remap → re-encode), with the codec stubbed to the
+    1-D byte signal. Sampled positions are floor(i·len/target), i<target
+    (min(len, target) samples for short payloads). Arrow-batched
+    mapInPandas, one output row per input row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+
+            def sampled(b: bytes) -> tuple[int, int]:
+                n = len(b)
+                k = min(n, target_len)
+                picks = [b[(i * n) // target_len] for i in range(k)]
+                return k, int(sum(picks)) % 2**31
+
+            out = payloads.map(sampled)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_len": payloads.map(len).astype("int32"),
+                    "out_len": out.map(lambda t: t[0]).astype("int32"),
+                    "out_sum": out.map(lambda t: t[1]).astype("int32"),
+                }
+            )
+
+    payloads = to_binary_payloads(documents).select("doc_id", "payload")
+    return payloads.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_len int, frame_sum int"
+
+
+def sample_frames(documents: DataFrame, frame_size: int = 64,
+                  stride: int = 4) -> DataFrame:
+    """Frame sampling: split each payload into fixed-`frame_size` chunks and
+    keep every `stride`-th frame — the video-frame-sampling plumbing (emit
+    N output rows per input row through mapInPandas, the UDTF shape). The
+    per-frame 'feature' is the stubbed codec's byte sum."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            doc_ids, idxs, lens, sums = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, stride):
+                    fr = b[fi * frame_size:(fi + 1) * frame_size]
+                    doc_ids.append(doc_id)
+                    idxs.append(fi)
+                    lens.append(len(fr))
+                    sums.append(int(sum(fr)) % 2**31)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_sum": pd.Series(sums, dtype="int32"),
+                }
+            )
+
+    payloads = to_binary_payloads(documents).select("doc_id", "payload")
+    return payloads.mapInPandas(batches, schema=FRAME_SCHEMA)

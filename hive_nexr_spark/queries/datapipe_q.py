@@ -39,6 +39,8 @@ QUERIES = {
     "text_language_id": _bind(textops.language_id, "documents"),
     "text_fingerprints": _bind(textops.fingerprints, "documents"),
     "multimodal_featurize": _bind(multimodal.featurize, "documents"),
+    "multimodal_resize": _bind(multimodal.resize_payloads, "documents"),
+    "multimodal_frame_sample": _bind(multimodal.sample_frames, "documents"),
 }
 
 # Portable corpus CTE shared by the dedup oracles (mirrors
@@ -367,5 +369,31 @@ ORACLE = {
                  (a, b) -> a + b) % 256 AS INT) AS head_sum,
           'text/plain' AS modality
         FROM documents
+    """,
+    # payloads are the UTF-8 text bytes and the testdata text is ASCII, so
+    # char positions == byte positions and unicode(char) == byte value
+    "multimodal_resize": """
+        SELECT doc_id,
+          CAST(n AS INT) AS orig_len,
+          CAST(least(n, 32) AS INT) AS out_len,
+          CAST(list_reduce(
+                 list_prepend(0, [unicode(substr(text, (i * n) // 32 + 1, 1))
+                                  for i in range(0, least(n, 32))]),
+                 (a, b) -> a + b) % 2147483648 AS INT) AS out_sum
+        FROM (SELECT doc_id, text, length(text) AS n FROM documents) t
+    """,
+    "multimodal_frame_sample": """
+        SELECT doc_id,
+          CAST(fi AS INT) AS frame_idx,
+          CAST(length(fr) AS INT) AS frame_len,
+          CAST(list_reduce(
+                 list_prepend(0, [unicode(c) for c in string_split(fr, '')]),
+                 (a, b) -> a + b) % 2147483648 AS INT) AS frame_sum
+        FROM (
+          SELECT doc_id, fi, substr(text, fi * 64 + 1, 64) AS fr
+          FROM (SELECT doc_id, text,
+                       unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS fi
+                FROM documents) t
+        ) f
     """,
 }

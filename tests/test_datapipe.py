@@ -140,3 +140,19 @@ def test_language_id_behavior(dfs):
     assert hits == n_en
     assert df.filter(~F.col("pred_lang").isin("en", "de", "fr")).count() == 0
     df.unpersist()
+
+
+def test_multimodal_resize_and_frames(dfs):
+    """Resize emits exactly target_len samples for long payloads; frame
+    sampling emits ceil(n/64) frames strided by 4, all full-length except
+    possibly the last."""
+    from hive_nexr_spark.datapipe import multimodal
+
+    rs = multimodal.resize_payloads(dfs["documents"]).collect()
+    assert rs and all(r.out_len == min(r.orig_len, 32) for r in rs)
+
+    fr = multimodal.sample_frames(dfs["documents"]).collect()
+    assert fr and all(r.frame_idx % 4 == 0 for r in fr)
+    assert all(1 <= r.frame_len <= 64 for r in fr)
+    n_docs = dfs["documents"].count()
+    assert len({r.doc_id for r in fr}) == n_docs
