@@ -108,3 +108,45 @@ def test_histogram_bins_partial_agg(dfs):
 
     plan = _plan(histogram_bins(dfs["lineitem"]))
     assert "partial_count" in plan
+
+
+def test_ngrams_topk_no_global_window(dfs):
+    """Top-k n-grams must rank via TakeOrderedAndProject, never a
+    single-partition global window (billions of distinct grams at scale)."""
+    from hive_nexr_spark.operators.aggregates import top_ngrams
+
+    plan = _plan(top_ngrams(dfs["documents"]))
+    assert "TakeOrderedAndProject" in plan
+    # the rank window must consume the k-row top-k output (appear above
+    # TakeOrderedAndProject in the tree), never the full distinct-gram set
+    if "Window" in plan:
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_ivf_assignment_broadcasts_and_partially_aggregates(dfs):
+    """IVF cell assignment must broadcast the centroid set and map-side
+    combine the argmax (shuffle carries one row per vector, never the
+    corpus x centroids product or an n^2 join)."""
+    from hive_nexr_spark.datapipe.similarity import ivf_topk
+
+    plan = _plan(ivf_topk(dfs["embeddings"]))
+    assert "BroadcastExchange" in plan
+    assert "partial_max" in plan or "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_ops_never_cartesian(dfs):
+    """Every full-corpus LSH op must join on bucket keys — an all-pairs
+    CartesianProduct over documents/vectors is the 100 TB failure mode."""
+    from hive_nexr_spark.datapipe.dedup import (
+        minhash_lsh_pairs, simhash_pairs_banded)
+    from hive_nexr_spark.datapipe.similarity import embedding_dups_lsh
+
+    for df in (
+        minhash_lsh_pairs(dfs["documents"], max_doc_id=100000),
+        simhash_pairs_banded(dfs["documents"]),
+        embedding_dups_lsh(dfs["embeddings"]),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
