@@ -27,10 +27,11 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries first).
     """
     from . import (
-        datapipe_q, ddl_q, functions_q, relational, sources_q, streaming_q)
+        datapipe_q, ddl_q, functions_q, qtest_q, relational, sources_q,
+        streaming_q)
 
     mods = (relational, functions_q, datapipe_q, streaming_q, ddl_q,
-            sources_q)
+            sources_q, qtest_q)
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
     iters = [iter(mod.QUERIES.items()) for mod in mods]

@@ -1,0 +1,151 @@
+"""Reference .q-file parity runner.
+
+Executes the reference's own test queries (`ql/src/test/queries/clientpositive/*.q`,
+driven there by `ql/src/test/templates/TestCliDriver.vm` through
+`cli/src/java/org/apache/hadoop/hive/cli/CliDriver.java`) against this
+engine's HiveQL surface. The classic `src` fixture (`data/files/kv1.txt`:
+500 (key, value) string rows with duplicate keys) is synthesized
+deterministically — same shape, engine-independent generation — so the
+DuckDB oracle can reproduce every result exactly.
+
+Statement handling mirrors CliDriver's processing loop:
+* `set k=v;`      → session conf, best-effort (Hive-only knobs ignored)
+* `EXPLAIN ...`   → skipped (golden-file plan output; results are what we check)
+* `dfs ...`       → skipped
+* DDL/DML/SELECT  → executed in order; the LAST select's DataFrame is returned
+
+Two Hive-0.8-isms are rewritten for Spark's parser (documented dialect
+mapping, SURVEY §2.2: all storage formats standardize on parquet):
+* `STORED AS TEXTFILE|RCFILE|SEQUENCEFILE` → `USING parquet`
+* `CREATE TABLE t(cols) PARTITIONED BY(p T, ...)` → partition columns
+  appended to the schema + `PARTITIONED BY (names)` (Spark declares
+  partition columns inside the schema).
+
+Destination table names are prefixed per-qfile so concurrently declared
+queries never collide on Hive's shared fixture names (dest1, dest_g1, ...).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QFILE_DIR = "/root/reference/ql/src/test/queries/clientpositive"
+
+# src synthesis: 500 rows, string key/value, duplicate keys — kv1.txt's
+# shape. (i*17) % 331 covers keys 0..330 once for i<331, then repeats 169
+# of them → 331 distinct keys, 169 duplicated, like kv1's dup profile.
+SRC_N = 500
+SRC_MOD = 331
+SRC_MULT = 17
+
+SRC_SQL_DUCKDB = f"""src AS (
+  SELECT CAST((i * {SRC_MULT}) % {SRC_MOD} AS VARCHAR) AS key,
+         'val_' || CAST((i * {SRC_MULT}) % {SRC_MOD} AS VARCHAR) AS value
+  FROM range({SRC_N}) t(i)
+)"""
+
+
+def make_src(spark: SparkSession) -> DataFrame:
+    """Register the synthesized `src` fixture as a temp view."""
+    src = spark.range(SRC_N).select(
+        F.expr(f"cast((id * {SRC_MULT}) % {SRC_MOD} as string)").alias("key"),
+        F.expr(
+            f"concat('val_', cast((id * {SRC_MULT}) % {SRC_MOD} as string))"
+        ).alias("value"),
+    )
+    src.createOrReplaceTempView("src")
+    return src
+
+
+_STORED_AS = re.compile(r"\bSTORED\s+AS\s+\w+", re.IGNORECASE)
+_PARTITIONED = re.compile(
+    r"CREATE\s+TABLE\s+(?P<name>\w+)\s*\((?P<cols>[^)]*)\)\s*"
+    r"PARTITIONED\s+BY\s*\((?P<pcols>[^)]*)\)",
+    re.IGNORECASE,
+)
+_CREATE_NAME = re.compile(r"CREATE\s+TABLE\s+(?P<name>\w+)", re.IGNORECASE)
+_SET_CMD = re.compile(r"^set\s+(?P<k>[\w.]+)\s*=\s*(?P<v>.*)$", re.IGNORECASE)
+
+
+def _strip_comments(text: str) -> str:
+    return "\n".join(
+        line for line in text.splitlines() if not line.lstrip().startswith("--")
+    )
+
+
+def _rewrite_ddl(stmt: str) -> str:
+    m = _PARTITIONED.search(stmt)
+    if m:
+        pnames = ", ".join(
+            c.strip().split()[0] for c in m.group("pcols").split(",") if c.strip()
+        )
+        stmt = (
+            stmt[: m.start()]
+            + f"CREATE TABLE {m.group('name')}"
+            + f"({m.group('cols')}, {m.group('pcols')}) "
+            + f"USING parquet PARTITIONED BY ({pnames})"
+            + stmt[m.end():]
+        )
+        return _STORED_AS.sub("", stmt)
+    return _STORED_AS.sub("USING parquet", stmt)
+
+
+def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
+    """Run one reference .q file; returns the last SELECT's DataFrame."""
+    path = os.path.join(QFILE_DIR, qfile)
+    with open(path) as f:
+        text = _strip_comments(f.read())
+
+    prefix = "qt_" + re.sub(r"\W", "_", qfile.removesuffix(".q")) + "_"
+    make_src(spark)
+    # Hive 0.8 coerces on INSERT (string key → INT column); Spark 4's
+    # default ANSI store-assignment rejects that, so pin the Hive policy.
+    try:
+        spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    except Exception:
+        pass
+
+    # prefix every dest table name so qfiles can't collide with each other
+    dest_names = sorted(set(
+        m.group("name") for m in _CREATE_NAME.finditer(text)
+    ), key=len, reverse=True)
+    for name in dest_names:
+        text = re.sub(rf"\b{name}\b", prefix + name, text, flags=re.IGNORECASE)
+
+    last_select: DataFrame | None = None
+    for stmt in text.split(";"):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        upper = stmt.upper()
+        if upper.startswith("EXPLAIN") or upper.startswith("DFS "):
+            continue
+        m = _SET_CMD.match(stmt)
+        if m:
+            try:
+                spark.conf.set(m.group("k"), m.group("v").strip())
+            except Exception:
+                pass  # Hive-only knob — CliDriver semantics: best-effort
+            continue
+        if upper.startswith("CREATE TABLE"):
+            name = _CREATE_NAME.search(stmt).group("name")
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            # the session catalog is in-memory: a table dir left by a
+            # previous process is invisible to DROP but still blocks CREATE
+            import shutil
+
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir").removeprefix("file:")
+            shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
+            spark.sql(_rewrite_ddl(stmt))
+            continue
+        df = spark.sql(stmt)
+        if upper.startswith("SELECT"):
+            last_select = df
+    if last_select is None:
+        raise ValueError(f"{qfile}: no SELECT statement produced a result")
+    return last_select

@@ -25,6 +25,9 @@ SUBSET = [
     "dedup_minhash_lsh",
     "text_token_counts",
     "events_window_batch",
+    "qfile_groupby2",
+    "qfile_join2",
+    "qfile_input12",
 ]
 
 
