@@ -43,6 +43,10 @@ QUERIES = {
     "qfile_input11": partial(_qfile, "input11.q"),
     "qfile_input12": partial(_qfile, "input12.q"),
     "qfile_having": partial(_qfile, "having.q"),
+    "qfile_groupby6": partial(_qfile, "groupby6.q"),
+    "qfile_union": partial(_qfile, "union.q"),
+    "qfile_input14": partial(_qfile, "input14.q"),
+    "qfile_case_sensitivity": partial(_qfile, "case_sensitivity.q"),
 }
 
 _W = f"WITH {SRC_SQL_DUCKDB}"
@@ -100,5 +104,28 @@ ORACLE = {
     "qfile_having": f"""{_W}
         SELECT key, max(value) AS "max(value)"
         FROM src GROUP BY key HAVING max(value) > 'val_255'
+    """,
+    "qfile_groupby6": f"""{_W}
+        SELECT DISTINCT substr(value, 5, 1) AS c1 FROM src
+    """,
+    # INSERT OVERWRITE DIRECTORY result = the SELECT's rows; key 100 excluded
+    "qfile_union": f"""{_W}
+        SELECT key, value FROM src WHERE CAST(key AS DOUBLE) < 100
+        UNION ALL
+        SELECT key, value FROM src WHERE CAST(key AS DOUBLE) > 100
+    """,
+    # TRANSFORM ... USING '/bin/cat' is an identity pipe; tkey < 100 is a
+    # string-vs-int comparison → DOUBLE
+    "qfile_input14": f"""{_W}
+        SELECT CAST(key AS INT) AS key, value
+        FROM src WHERE CAST(key AS DOUBLE) < 100
+    """,
+    # synthesized src_thrift (sources/qtest.py): lint = [2i-6, i*i],
+    # lintstring[0].mystring = 'record_<i>'; predicate lint[0] > 0 ⟺ i ≥ 4.
+    # dest was created as DEST1(Key INT, VALUE STRING) → mixed-case names.
+    "qfile_case_sensitivity": """
+        SELECT CAST(i*i AS INT) AS "Key",
+               'record_' || CAST(i AS VARCHAR) AS "VALUE"
+        FROM range(11) t(i) WHERE i*2 - 6 > 0
     """,
 }

@@ -61,6 +61,29 @@ def make_src(spark: SparkSession) -> DataFrame:
     return src
 
 
+# src_thrift synthesis: 11 rows of complex types — same schema as the
+# reference fixture (`serde/if/test/complex.thrift:3-16`, loaded by
+# `QTestUtil.java:478-486`), deterministic content so the DuckDB oracle can
+# replay element accesses exactly. lint[0] = 2i-6 flips sign at i=4, giving
+# the `lint[0] > 0` predicates a non-trivial selection.
+SRC_THRIFT_N = 11
+
+
+def make_src_thrift(spark: SparkSession) -> DataFrame:
+    df = spark.range(SRC_THRIFT_N).selectExpr(
+        "cast(id as int) as aint",
+        "concat('record_', id) as astring",
+        "array(cast(id*2-6 as int), cast(id*id as int)) as lint",
+        "array(concat('s_', id), concat('s_', id*2)) as lstring",
+        "array(named_struct('myint', cast(id as int), "
+        "'mystring', concat('record_', id), "
+        "'underscore_int', cast(id+1 as int))) as lintstring",
+        "map(concat('k_', id), concat('v_', id)) as mstringstring",
+    )
+    df.createOrReplaceTempView("src_thrift")
+    return df
+
+
 _STORED_AS = re.compile(r"\bSTORED\s+AS\s+\w+", re.IGNORECASE)
 _PARTITIONED = re.compile(
     r"CREATE\s+TABLE\s+(?P<name>\w+)\s*\((?P<cols>[^)]*)\)\s*"
@@ -69,6 +92,12 @@ _PARTITIONED = re.compile(
 )
 _CREATE_NAME = re.compile(r"CREATE\s+TABLE\s+(?P<name>\w+)", re.IGNORECASE)
 _SET_CMD = re.compile(r"^set\s+(?P<k>[\w.]+)\s*=\s*(?P<v>.*)$", re.IGNORECASE)
+# INSERT OVERWRITE DIRECTORY '<path>' SELECT ... — the golden output is the
+# directory contents, i.e. exactly the SELECT's rows; rewrite to a plain
+# SELECT so the result is checkable without writing outside the repo.
+_INSERT_DIR = re.compile(
+    r"INSERT\s+OVERWRITE\s+DIRECTORY\s+'[^']*'\s*", re.IGNORECASE
+)
 
 
 def _strip_comments(text: str) -> str:
@@ -102,6 +131,9 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
 
     prefix = "qt_" + re.sub(r"\W", "_", qfile.removesuffix(".q")) + "_"
     make_src(spark)
+    if "src_thrift" in text.lower():
+        make_src_thrift(spark)
+    text = _INSERT_DIR.sub("", text)
     # Hive 0.8 coerces on INSERT (string key → INT column); Spark 4's
     # default ANSI store-assignment rejects that, so pin the Hive policy.
     try:
@@ -144,7 +176,11 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
             spark.sql(_rewrite_ddl(stmt))
             continue
         df = spark.sql(stmt)
-        if upper.startswith("SELECT"):
+        # a result statement is SELECT ... or Hive's FROM-first form
+        # (`FROM t SELECT ...`) when it carries no INSERT target
+        if upper.startswith("SELECT") or (
+            upper.startswith("FROM") and "INSERT" not in upper
+        ):
             last_select = df
     if last_select is None:
         raise ValueError(f"{qfile}: no SELECT statement produced a result")
