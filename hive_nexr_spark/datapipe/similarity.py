@@ -209,9 +209,16 @@ def embedding_dups_lsh(embeddings: DataFrame, threshold: float = 0.99,
     `bits` hyperplane dot products; candidate pairs collide in ≥1 table and
     are exact-verified. Recall for cosine ≥ 0.99: per-bit collision
     p = 1 - acos(0.99)/π ≈ 0.955, per-table p^10 ≈ 0.63, across 4
-    independent tables 1-(1-0.63)^4 ≈ 0.98. Shuffles: explode to
-    (table, bucket) keys and self-join — never the n² vector space; the
-    planes are literal constants folded into codegen."""
+    independent tables 1-(1-0.63)^4 ≈ 0.98.
+
+    Shuffle discipline (the part that matters at 100 TB): the band
+    self-join carries only (vec_id, tbl, bkt) — never the 512-byte vector
+    payload, which would otherwise be duplicated `tables`× through the
+    shuffle — and the 40 hyperplane dot products per vector are computed
+    once (bands persisted), not once per join side. Candidates collapse to
+    distinct bare id-pairs BEFORE the exact-verify stage, which fetches
+    vectors back by id; verification cost is |candidates|, not
+    |collisions|."""
     planes = hash_planes(tables, bits, dim)
     emb = with_synthetic_vec_dups(embeddings, dim=dim)
 
@@ -227,14 +234,13 @@ def embedding_dups_lsh(embeddings: DataFrame, threshold: float = 0.99,
 
     bands = emb.select(
         "vec_id",
-        "v",
         F.explode(
             F.array(*[
                 F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt"))
                 for t in range(tables)
             ])
         ).alias("tb"),
-    ).select("vec_id", "v", "tb.tbl", "tb.bkt")
+    ).select("vec_id", "tb.tbl", "tb.bkt").persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
@@ -243,13 +249,23 @@ def embedding_dups_lsh(embeddings: DataFrame, threshold: float = 0.99,
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            (_dot(F.col("a.v"), F.col("b.v"))
-             / (_norm(F.col("a.v")) * _norm(F.col("b.v")))).alias("cosine"),
         )
         .distinct()
     )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb"))
+             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+        )
+    )
     return (
-        cand.filter(F.col("cosine") >= threshold)
+        verified.filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
