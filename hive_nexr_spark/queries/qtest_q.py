@@ -47,6 +47,9 @@ QUERIES = {
     "qfile_union": partial(_qfile, "union.q"),
     "qfile_input14": partial(_qfile, "input14.q"),
     "qfile_case_sensitivity": partial(_qfile, "case_sensitivity.q"),
+    "qfile_join3": partial(_qfile, "join3.q"),
+    "qfile_join6": partial(_qfile, "join6.q"),
+    "qfile_input_part1": partial(_qfile, "input_part1.q"),
 }
 
 _W = f"WITH {SRC_SQL_DUCKDB}"
@@ -127,5 +130,26 @@ ORACLE = {
         SELECT CAST(i*i AS INT) AS "Key",
                'record_' || CAST(i AS VARCHAR) AS "VALUE"
         FROM range(11) t(i) WHERE i*2 - 6 > 0
+    """,
+    "qfile_join3": f"""{_W}
+        SELECT CAST(s1.key AS INT) AS key, s3.value AS value
+        FROM src s1 JOIN src s2 ON s1.key = s2.key
+        JOIN src s3 ON s1.key = s3.key
+    """,
+    # subquery range filters are string-vs-int → DOUBLE comparison
+    "qfile_join6": f"""{_W},
+        a AS (SELECT key AS c1, value AS c2 FROM src
+              WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20),
+        b AS (SELECT key AS c3, value AS c4 FROM src
+              WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25)
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(b.c3 AS INT) AS c3, b.c4 AS c4
+        FROM a FULL OUTER JOIN b ON a.c1 = b.c3
+    """,
+    # srcpart = src × 4 (ds, hr) partitions; predicate prunes to one.
+    # dest column order is (key, value, hr, ds) — hr before ds.
+    "qfile_input_part1": f"""{_W}
+        SELECT CAST(key AS INT) AS key, value, '12' AS hr, '2008-04-08' AS ds
+        FROM src WHERE CAST(key AS DOUBLE) < 100
     """,
 }

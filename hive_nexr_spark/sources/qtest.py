@@ -84,6 +84,34 @@ def make_src_thrift(spark: SparkSession) -> DataFrame:
     return df
 
 
+SRCPART_PARTS = (
+    ("2008-04-08", "11"),
+    ("2008-04-08", "12"),
+    ("2008-04-09", "11"),
+    ("2008-04-09", "12"),
+)
+
+
+def make_srcpart(spark: SparkSession) -> DataFrame:
+    """`srcpart` fixture: src replicated into 4 (ds, hr) partitions —
+    same shape as the reference's partitioned fixture
+    (`QTestUtil.java:441-447` loads kv1.txt into each of the 4 parts)."""
+    import functools
+
+    src = make_src(spark)
+    df = functools.reduce(
+        DataFrame.unionAll,
+        [
+            src.select(
+                "key", "value", F.lit(ds).alias("ds"), F.lit(hr).alias("hr")
+            )
+            for ds, hr in SRCPART_PARTS
+        ],
+    )
+    df.createOrReplaceTempView("srcpart")
+    return df
+
+
 _STORED_AS = re.compile(r"\bSTORED\s+AS\s+\w+", re.IGNORECASE)
 _PARTITIONED = re.compile(
     r"CREATE\s+TABLE\s+(?P<name>\w+)\s*\((?P<cols>[^)]*)\)\s*"
@@ -133,6 +161,8 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     make_src(spark)
     if "src_thrift" in text.lower():
         make_src_thrift(spark)
+    if "srcpart" in text.lower():
+        make_srcpart(spark)
     text = _INSERT_DIR.sub("", text)
     # Hive 0.8 coerces on INSERT (string key → INT column); Spark 4's
     # default ANSI store-assignment rejects that, so pin the Hive policy.
