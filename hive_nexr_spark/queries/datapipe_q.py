@@ -240,6 +240,44 @@ ORACLE = {
         ) t WHERE cosine >= 0.99
     """,
     "dedup_embedding_lsh_full": _embedding_lsh_sql(),
+    # replays lsh_topk exactly: planes = last 4 corpus vectors, bucket =
+    # 4 sign bits of plane dot products (plane order = vec_id asc), exact
+    # cosine rerank within bucket, k=1
+    "similarity_lsh_topk": """
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        mx AS (SELECT max(vec_id) AS m FROM emb),
+        planes AS (SELECT vec_id, v FROM emb, mx WHERE vec_id > m - 4),
+        body AS (SELECT vec_id, v FROM emb, mx WHERE vec_id <= m - 4),
+        bkt AS (
+          SELECT b.vec_id,
+                 string_agg(
+                   CASE WHEN list_dot_product(b.v, p.v) >= 0
+                        THEN '1' ELSE '0' END,
+                   '' ORDER BY p.vec_id) AS bkt
+          FROM body b CROSS JOIN planes p GROUP BY b.vec_id
+        ),
+        corpus AS (
+          SELECT b.vec_id, b.v, k.bkt FROM body b
+          JOIN bkt k USING (vec_id) WHERE b.vec_id >= 10
+        ),
+        queries AS (
+          SELECT b.vec_id AS query_id, b.v AS qv, k.bkt FROM body b
+          JOIN bkt k USING (vec_id) WHERE b.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.v)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(c.v, c.v))) DESC,
+                            c.vec_id
+                 ) AS rank
+          FROM corpus c JOIN queries q ON c.bkt = q.bkt
+        ) t WHERE rank <= 1
+    """,
     "similarity_ivf_topk": """
         WITH emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
