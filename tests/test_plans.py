@@ -150,3 +150,30 @@ def test_lsh_ops_never_cartesian(dfs):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_band_shuffle_carries_no_vectors(spark, dfs):
+    """The embedding-LSH band self-join must shuffle only (vec_id, tbl,
+    bkt) — the 64-dim vector payload through a tables-x-duplicated
+    exchange is the scale failure the candidate-first restructure
+    removed. The vectors may only reappear above the candidate join,
+    fetched back by id for exact verification. Broadcast is disabled so
+    the tiny test corpus takes the same exchange path a 100 TB corpus
+    would."""
+    import re
+
+    from hive_nexr_spark.datapipe.similarity import embedding_dups_lsh
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted(embedding_dups_lsh(dfs["embeddings"]))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    band_exchanges = [
+        m for m in re.findall(r"Arguments: hashpartitioning\([^\n]*", plan)
+        if "bkt" in m
+    ]
+    assert band_exchanges, "band self-join should shuffle on bucket keys"
+    for ex in band_exchanges:
+        assert "v#" not in ex, f"vector payload in band shuffle: {ex}"
