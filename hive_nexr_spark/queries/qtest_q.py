@@ -3,10 +3,11 @@
 Each entry executes a real file from the reference's own test suite
 (`ql/src/test/queries/clientpositive/*.q`, harness
 `ql/src/test/templates/TestCliDriver.vm`) through `sources.qtest.run_qfile`
-and returns the final SELECT.  The DuckDB oracle replays the same
-computation in ANSI SQL over the identical synthesized `src` fixture, so
-the driver's hash check proves result parity with the reference's own
-coverage, not just with queries we authored ourselves.
+and returns the final SELECT.  Fixtures are the reference's REAL data
+files (kv1.txt / kv3.txt); the DuckDB oracle replays the same computation
+in ANSI SQL over the same files, so the driver's hash check proves result
+parity with the reference's own coverage, not just with queries we
+authored ourselves.
 
 Hive-0.8 type quirks reproduced in the oracles (SURVEY §2.9):
 * `sum(substr(value,5))` — string arg coerced to DOUBLE (`udf/UDFOPSum`-era

@@ -3,10 +3,12 @@
 Executes the reference's own test queries (`ql/src/test/queries/clientpositive/*.q`,
 driven there by `ql/src/test/templates/TestCliDriver.vm` through
 `cli/src/java/org/apache/hadoop/hive/cli/CliDriver.java`) against this
-engine's HiveQL surface. The classic `src` fixture (`data/files/kv1.txt`:
-500 (key, value) string rows with duplicate keys) is synthesized
-deterministically — same shape, engine-independent generation — so the
-DuckDB oracle can reproduce every result exactly.
+engine's HiveQL surface. The classic fixtures are the reference's REAL
+data files read in place (`src` = kv1.txt, `src1` = kv3.txt, `srcpart` =
+kv1 × 4 partitions — what `QTestUtil.java:417` createSources loads), so
+results are comparable row-for-row with the reference's golden outputs;
+the DuckDB oracle reads the same files. Only `src_thrift` is synthesized
+(its on-disk form is a thrift-serialized SequenceFile).
 
 Statement handling mirrors CliDriver's processing loop:
 * `set k=v;`      → session conf, best-effort (Hive-only knobs ignored)
@@ -34,29 +36,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QFILE_DIR = "/root/reference/ql/src/test/queries/clientpositive"
+# The reference's actual fixture data files (read-only): `src` IS kv1.txt,
+# `src1` IS kv3.txt — the same bytes QTestUtil.createSources loads — so
+# query results are bit-identical to the reference's own golden runs.
+DATA_DIR = "/root/reference/data/files"
 
-# src synthesis: 500 rows, string key/value, duplicate keys — kv1.txt's
-# shape. (i*17) % 331 covers keys 0..330 once for i<331, then repeats 169
-# of them → 331 distinct keys, 169 duplicated, like kv1's dup profile.
-SRC_N = 500
-SRC_MOD = 331
-SRC_MULT = 17
 
-SRC_SQL_DUCKDB = f"""src AS (
-  SELECT CAST((i * {SRC_MULT}) % {SRC_MOD} AS VARCHAR) AS key,
-         'val_' || CAST((i * {SRC_MULT}) % {SRC_MOD} AS VARCHAR) AS value
-  FROM range({SRC_N}) t(i)
-)"""
+def _kv_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a ^A-delimited (key, value) fixture file with Hive semantics:
+    empty fields are empty strings, never NULL."""
+    return (
+        spark.read.option("sep", "\x01")
+        .option("emptyValue", "")
+        .schema("key string, value string")
+        .csv(path)
+    )
+
+
+def _kv_sql_duckdb(fname: str) -> str:
+    return (
+        f"SELECT * FROM read_csv('{DATA_DIR}/{fname}', delim='\x01', "
+        "header=false, columns={'key': 'VARCHAR', 'value': 'VARCHAR'}, "
+        "force_not_null=['key', 'value'])"
+    )
+
+
+SRC_SQL_DUCKDB = f"src AS ({_kv_sql_duckdb('kv1.txt')})"
 
 
 def make_src(spark: SparkSession) -> DataFrame:
-    """Register the synthesized `src` fixture as a temp view."""
-    src = spark.range(SRC_N).select(
-        F.expr(f"cast((id * {SRC_MULT}) % {SRC_MOD} as string)").alias("key"),
-        F.expr(
-            f"concat('val_', cast((id * {SRC_MULT}) % {SRC_MOD} as string))"
-        ).alias("value"),
-    )
+    """Register the `src` fixture (the reference's kv1.txt) as a temp view."""
+    src = _kv_csv(spark, f"{DATA_DIR}/kv1.txt")
     src.createOrReplaceTempView("src")
     return src
 
@@ -82,6 +92,17 @@ def make_src_thrift(spark: SparkSession) -> DataFrame:
     )
     df.createOrReplaceTempView("src_thrift")
     return df
+
+
+def make_src1(spark: SparkSession) -> DataFrame:
+    """`src1` fixture: the reference's kv3.txt (25 rows, some empty keys —
+    `QTestUtil.java:430-439`)."""
+    src1 = _kv_csv(spark, f"{DATA_DIR}/kv3.txt")
+    src1.createOrReplaceTempView("src1")
+    return src1
+
+
+SRC1_SQL_DUCKDB = f"src1 AS ({_kv_sql_duckdb('kv3.txt')})"
 
 
 SRCPART_PARTS = (
@@ -126,6 +147,40 @@ _SET_CMD = re.compile(r"^set\s+(?P<k>[\w.]+)\s*=\s*(?P<v>.*)$", re.IGNORECASE)
 _INSERT_DIR = re.compile(
     r"INSERT\s+OVERWRITE\s+DIRECTORY\s+'[^']*'\s*", re.IGNORECASE
 )
+_LOAD_DATA = re.compile(
+    r"LOAD\s+DATA\s+LOCAL\s+INPATH\s+'(?P<path>[^']+)'\s+"
+    r"(?P<ow>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<tbl>\w+)"
+    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?",
+    re.IGNORECASE,
+)
+
+
+def _emulate_load_data(spark: SparkSession, m: re.Match) -> None:
+    """LOAD DATA LOCAL INPATH (`parse/LoadSemanticAnalyzer.java`,
+    `Hive.g:302`) over a parquet-backed table: read the referenced ^A-
+    delimited text file with the table's column schema and insert it.
+    Static partition values become literal columns (Hive appends partition
+    values from the PARTITION clause the same way)."""
+    path = os.path.join(DATA_DIR, os.path.basename(m.group("path")))
+    if not os.path.exists(path) or not path.endswith(".txt"):
+        raise ValueError(f"LOAD DATA: unsupported fixture {m.group('path')}")
+    tbl = m.group("tbl")
+    part = {}
+    if m.group("part"):
+        for kv in m.group("part").split(","):
+            k, v = kv.split("=", 1)
+            part[k.strip()] = v.strip().strip("'\"")
+    schema = spark.table(tbl).schema
+    cols = [f for f in schema.fields if f.name not in part]
+    struct = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cols)
+    df = (
+        spark.read.option("sep", "\x01").option("emptyValue", "")
+        .schema(struct).csv(path)
+    )
+    for k, v in part.items():
+        df = df.withColumn(k, F.lit(v))
+    df = df.select(*[f.name for f in schema.fields])
+    df.write.insertInto(tbl, overwrite=bool(m.group("ow")))
 
 
 def _strip_comments(text: str) -> str:
@@ -163,6 +218,8 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
         make_src_thrift(spark)
     if "srcpart" in text.lower():
         make_srcpart(spark)
+    if re.search(r"\bsrc1\b", text, re.IGNORECASE):
+        make_src1(spark)
     text = _INSERT_DIR.sub("", text)
     # Hive 0.8 coerces on INSERT (string key → INT column); Spark 4's
     # default ANSI store-assignment rejects that, so pin the Hive policy.
@@ -179,6 +236,7 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
         text = re.sub(rf"\b{name}\b", prefix + name, text, flags=re.IGNORECASE)
 
     last_select: DataFrame | None = None
+    last_df: DataFrame | None = None
     for stmt in text.split(";"):
         stmt = stmt.strip()
         if not stmt:
@@ -193,6 +251,10 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
             except Exception:
                 pass  # Hive-only knob — CliDriver semantics: best-effort
             continue
+        m = _LOAD_DATA.match(stmt)
+        if m:
+            _emulate_load_data(spark, m)
+            continue
         if upper.startswith("CREATE TABLE"):
             name = _CREATE_NAME.search(stmt).group("name")
             spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -206,12 +268,16 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
             spark.sql(_rewrite_ddl(stmt))
             continue
         df = spark.sql(stmt)
+        last_df = df
         # a result statement is SELECT ... or Hive's FROM-first form
         # (`FROM t SELECT ...`) when it carries no INSERT target
         if upper.startswith("SELECT") or (
             upper.startswith("FROM") and "INSERT" not in upper
         ):
             last_select = df
-    if last_select is None:
-        raise ValueError(f"{qfile}: no SELECT statement produced a result")
-    return last_select
+    # files ending in DDL (SHOW/DESCRIBE/...) golden-check the DDL output;
+    # fall back to the last statement's DataFrame
+    result = last_select if last_select is not None else last_df
+    if result is None:
+        raise ValueError(f"{qfile}: no statement produced a result")
+    return result
