@@ -51,6 +51,11 @@ QUERIES = {
     "qfile_join3": partial(_qfile, "join3.q"),
     "qfile_join6": partial(_qfile, "join6.q"),
     "qfile_input_part1": partial(_qfile, "input_part1.q"),
+    "qfile_groupby7": partial(_qfile, "groupby7.q"),
+    "qfile_join4": partial(_qfile, "join4.q"),
+    "qfile_join5": partial(_qfile, "join5.q"),
+    "qfile_input9": partial(_qfile, "input9.q"),
+    "qfile_input_testxpath": partial(_qfile, "input_testxpath.q"),
 }
 
 _W = f"WITH {SRC_SQL_DUCKDB}"
@@ -124,13 +129,23 @@ ORACLE = {
         SELECT CAST(key AS INT) AS key, value
         FROM src WHERE CAST(key AS DOUBLE) < 100
     """,
-    # synthesized src_thrift (sources/qtest.py): lint = [2i-6, i*i],
-    # lintstring[0].mystring = 'record_<i>'; predicate lint[0] > 0 ⟺ i ≥ 4.
-    # dest was created as DEST1(Key INT, VALUE STRING) → mixed-case names.
+    # src_thrift reproduces the reference fixture (sources/qtest.py):
+    # lint = [i, 2i], lintstring[0].mystring = '<i³>'; lint[0] > 0 ⟺ i ≥ 1
+    # (the all-NULL row drops out of the predicate). dest was created as
+    # DEST1(Key INT, VALUE STRING) → mixed-case names. Matches the
+    # reference's own golden `case_sensitivity.q.out` rows.
     "qfile_case_sensitivity": """
-        SELECT CAST(i*i AS INT) AS "Key",
-               'record_' || CAST(i AS VARCHAR) AS "VALUE"
-        FROM range(11) t(i) WHERE i*2 - 6 > 0
+        SELECT CAST(2*i AS INT) AS "Key", CAST(i*i*i AS VARCHAR) AS "VALUE"
+        FROM range(1, 10) t(i)
+    """,
+    # golden `input_testxpath.q.out` parity: lint[1], lintstring[0].mystring,
+    # mstringstring['key_2'] over all 11 rows (incl. the all-NULL row)
+    "qfile_input_testxpath": """
+        SELECT CAST(2*i AS INT) AS key, CAST(i*i*i AS VARCHAR) AS value,
+               CASE WHEN i = 2 THEN 'value_2' END AS mapvalue
+        FROM range(10) t(i)
+        UNION ALL
+        SELECT NULL, NULL, NULL
     """,
     "qfile_join3": f"""{_W}
         SELECT CAST(s1.key AS INT) AS key, s3.value AS value
@@ -152,5 +167,36 @@ ORACLE = {
     "qfile_input_part1": f"""{_W}
         SELECT CAST(key AS INT) AS key, value, '12' AS hr, '2008-04-08' AS ds
         FROM src WHERE CAST(key AS DOUBLE) < 100
+    """,
+    # multi-insert groupby; the checked (last) SELECT is DEST2(key INT,
+    # value STRING) — the double sum renders Java-style into the string col
+    "qfile_groupby7": f"""{_W}
+        SELECT CAST(key AS INT) AS key,
+               CAST(CAST(sum(CAST(substr(value, 5) AS DOUBLE)) AS DOUBLE)
+                    AS VARCHAR) AS value
+        FROM src GROUP BY key
+    """,
+    "qfile_join4": f"""{_W},
+        a AS (SELECT key AS c1, value AS c2 FROM src
+              WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20),
+        b AS (SELECT key AS c3, value AS c4 FROM src
+              WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25)
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(b.c3 AS INT) AS c3, b.c4 AS c4
+        FROM a LEFT OUTER JOIN b ON a.c1 = b.c3
+    """,
+    "qfile_join5": f"""{_W},
+        a AS (SELECT key AS c1, value AS c2 FROM src
+              WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20),
+        b AS (SELECT key AS c3, value AS c4 FROM src
+              WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25)
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(b.c3 AS INT) AS c3, b.c4 AS c4
+        FROM a RIGHT OUTER JOIN b ON a.c1 = b.c3
+    """,
+    # WHERE NULL = NULL selects nothing — dest1(value STRING, key INT) empty
+    "qfile_input9": """
+        SELECT CAST(NULL AS VARCHAR) AS value, CAST(NULL AS INT) AS key
+        WHERE 1 = 0
     """,
 }

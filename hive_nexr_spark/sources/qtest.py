@@ -71,25 +71,43 @@ def make_src(spark: SparkSession) -> DataFrame:
     return src
 
 
-# src_thrift synthesis: 11 rows of complex types — same schema as the
-# reference fixture (`serde/if/test/complex.thrift:3-16`, loaded by
-# `QTestUtil.java:478-486`), deterministic content so the DuckDB oracle can
-# replay element accesses exactly. lint[0] = 2i-6 flips sign at i=4, giving
-# the `lint[0] > 0` predicates a non-trivial selection.
-SRC_THRIFT_N = 11
+# src_thrift: the reference fixture is a thrift-serialized SequenceFile
+# (`data/files/complex.seq`, schema `serde/if/test/complex.thrift:3-16`,
+# loaded by `QTestUtil.java:478-486`) we can't parse directly, so its 11
+# rows are reproduced from the reference's own golden outputs
+# (`results/clientpositive/input_columnarserde.q.out`, `join_thrift.q.out`,
+# `input_testxpath.q.out`): for i in 0..9 — aint = the seeded-random values
+# below, astring = 'record_<i>', lint = [i, 2i], lstring = ['<10i>'],
+# lintstring = [{myint: i², mystring: '<i³>', underscore_int: i}],
+# mstringstring = {'key_<i>': 'value_<i>'} — plus one all-NULL row with
+# aint = 0. Queries over this view therefore reproduce the reference's
+# golden results row-for-row.
+SRC_THRIFT_AINTS = (
+    1712634731, 465985200, -751827638, 477111222, -734328909,
+    -1952710710, 1244525190, -1461153973, 1638581578, 336964413,
+)
 
 
 def make_src_thrift(spark: SparkSession) -> DataFrame:
-    df = spark.range(SRC_THRIFT_N).selectExpr(
-        "cast(id as int) as aint",
+    aints = ", ".join(str(a) for a in SRC_THRIFT_AINTS)
+    body = spark.range(10).selectExpr(
+        f"element_at(array({aints}), cast(id + 1 as int)) as aint",
         "concat('record_', id) as astring",
-        "array(cast(id*2-6 as int), cast(id*id as int)) as lint",
-        "array(concat('s_', id), concat('s_', id*2)) as lstring",
-        "array(named_struct('myint', cast(id as int), "
-        "'mystring', concat('record_', id), "
-        "'underscore_int', cast(id+1 as int))) as lintstring",
-        "map(concat('k_', id), concat('v_', id)) as mstringstring",
+        "array(cast(id as int), cast(id*2 as int)) as lint",
+        "array(cast(id*10 as string)) as lstring",
+        "array(named_struct('myint', cast(id*id as int), "
+        "'mystring', cast(id*id*id as string), "
+        "'underscore_int', cast(id as int))) as lintstring",
+        "map(concat('key_', id), concat('value_', id)) as mstringstring",
     )
+    nullrow = spark.sql(
+        "SELECT 0 aint, CAST(NULL AS STRING) astring, "
+        "CAST(NULL AS ARRAY<INT>) lint, CAST(NULL AS ARRAY<STRING>) lstring, "
+        "CAST(NULL AS ARRAY<STRUCT<myint:INT, mystring:STRING, "
+        "underscore_int:INT>>) lintstring, "
+        "CAST(NULL AS MAP<STRING,STRING>) mstringstring"
+    )
+    df = body.unionAll(nullrow)
     df.createOrReplaceTempView("src_thrift")
     return df
 
@@ -134,6 +152,17 @@ def make_srcpart(spark: SparkSession) -> DataFrame:
 
 
 _STORED_AS = re.compile(r"\bSTORED\s+AS\s+\w+", re.IGNORECASE)
+# Hive serde/delimiter DDL (`LazySimpleSerDe`) is a storage detail — all
+# tables standardize on parquet (SURVEY §2.2), so strip the clause.
+_ROW_FORMAT = re.compile(
+    r"ROW\s+FORMAT\s+(?:DELIMITED"
+    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+'[^']*'(?:\s+ESCAPED\s+BY\s+'[^']*')?)?"
+    r"(?:\s+COLLECTION\s+ITEMS\s+TERMINATED\s+BY\s+'[^']*')?"
+    r"(?:\s+MAP\s+KEYS\s+TERMINATED\s+BY\s+'[^']*')?"
+    r"(?:\s+LINES\s+TERMINATED\s+BY\s+'[^']*')?"
+    r"|SERDE\s+'[^']*'(?:\s+WITH\s+SERDEPROPERTIES\s*\([^)]*\))?)",
+    re.IGNORECASE,
+)
 _PARTITIONED = re.compile(
     r"CREATE\s+TABLE\s+(?P<name>\w+)\s*\((?P<cols>[^)]*)\)\s*"
     r"PARTITIONED\s+BY\s*\((?P<pcols>[^)]*)\)",
@@ -190,6 +219,7 @@ def _strip_comments(text: str) -> str:
 
 
 def _rewrite_ddl(stmt: str) -> str:
+    stmt = _ROW_FORMAT.sub("", stmt)
     m = _PARTITIONED.search(stmt)
     if m:
         pnames = ", ".join(
@@ -213,6 +243,9 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
         text = _strip_comments(f.read())
 
     prefix = "qt_" + re.sub(r"\W", "_", qfile.removesuffix(".q")) + "_"
+    # a previous qfile may have left the session in its own database
+    # (`USE some_db` without switching back) — CliDriver resets per test
+    spark.sql("USE default")
     make_src(spark)
     if "src_thrift" in text.lower():
         make_src_thrift(spark)
@@ -246,10 +279,14 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
             continue
         m = _SET_CMD.match(stmt)
         if m:
-            try:
-                spark.conf.set(m.group("k"), m.group("v").strip())
-            except Exception:
-                pass  # Hive-only knob — CliDriver semantics: best-effort
+            # fs.* relocations (create_1.q sets fs.default.name to an
+            # invalid scheme and never resets it) would poison the shared
+            # session for every later qfile — ignore them
+            if not m.group("k").lower().startswith("fs."):
+                try:
+                    spark.conf.set(m.group("k"), m.group("v").strip())
+                except Exception:
+                    pass  # Hive-only knob — CliDriver: best-effort
             continue
         m = _LOAD_DATA.match(stmt)
         if m:

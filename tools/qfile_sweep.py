@@ -52,6 +52,14 @@ def main() -> None:
 
     spark = get_session(shuffle_partitions=4)
     spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    # start from a clean slate: stale table dirs from prior sweeps block
+    # CREATE TABLE (the in-memory catalog forgot them, the dirs persist)
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for d in os.listdir(warehouse) if os.path.isdir(warehouse) else []:
+        if d.startswith("qt_") or d.endswith(".db"):
+            shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
 
     files = sorted(f for f in os.listdir(QFILE_DIR) if f.endswith(".q"))
     if name_filter:
