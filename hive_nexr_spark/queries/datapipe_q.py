@@ -123,8 +123,8 @@ def _embedding_lsh_sql(threshold: float = 0.99, tables: int = 4,
 ORACLE = {
     "dedup_exact": _CORPUS + """
         SELECT count(*) AS n_unique,
-               sum(n_copies) AS n_rows,
-               sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+               CAST(sum(n_copies) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
         FROM (
           SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
           FROM corpus GROUP BY md5(text)

@@ -159,9 +159,10 @@ ORACLE = {
         SELECT event_type, count(DISTINCT event_id) AS n_events
         FROM events GROUP BY event_type
     """,
-    # session_window(ts, gap) merges events closer than the gap, so a
-    # session's window start equals min(ts) of the same gaps-and-islands
-    # session the batch oracle computes
+    # session_window(ts, gap) merges an event into the previous session iff
+    # ts < prev_ts + gap at FULL timestamp precision — i.e. split when the
+    # exact gap is >= 1800s. epoch_us gives exact integer microseconds, so
+    # the boundary condition is bit-identical to Spark's internal micros.
     "events_sessionize_stream": """
         SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
         FROM (
@@ -171,9 +172,9 @@ ORACLE = {
                    AS session_id
           FROM (
             SELECT user_id, event_id, ts,
-                   CASE WHEN floor(epoch(ts)) - floor(epoch(
+                   CASE WHEN epoch_us(ts) - epoch_us(
                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                        )) > 1800 THEN 1 ELSE 0 END AS new_sess
+                        ) >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
             FROM events
           ) m
         ) s
@@ -184,9 +185,9 @@ ORACLE = {
                CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
         FROM (
           SELECT user_id, event_id, ts,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+                   AS BIGINT) AS session_id
           FROM (
             SELECT user_id, event_id, ts,
                    CASE WHEN floor(epoch(ts)) - floor(epoch(
