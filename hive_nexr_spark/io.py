@@ -66,19 +66,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _fix_nanos_ts(df: DataFrame) -> DataFrame:
-    """Convert TIMESTAMP(NANOS) columns (read as long via
-    ``spark.sql.legacy.parquet.nanosAsLong``) to microsecond timestamps.
+    """Normalize the events ``ts`` column to a session-TZ TIMESTAMP.
 
-    The conversion is JVM-side (`timestamp_micros(x div 1000)`) and lossless
-    for the testdata generator's whole-microsecond values; the DuckDB oracle
-    reads the same file natively as TIMESTAMP_NS with identical values.
+    The testdata generator has shipped ``ts`` two ways across rounds:
+      * parquet TIMESTAMP(NANOS) — read as long under
+        ``spark.sql.legacy.parquet.nanosAsLong``; converted JVM-side with
+        ``timestamp_micros(ts div 1000)`` (lossless for whole-microsecond
+        values);
+      * parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — read as
+        TIMESTAMP_NTZ; cast to TIMESTAMP (session TZ is pinned UTC, so the
+        wall-clock values are unchanged and watermarks/event-time ops work).
+    The DuckDB oracle reads the same file natively with identical values.
     """
     from pyspark.sql import functions as F  # local import keeps module light
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -15,16 +15,50 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    """Assemble the inventory with modules interleaved round-robin.
+def _latest_driver_status() -> dict[str, bool]:
+    """Map query key -> was it green in the LATEST round that sampled it.
 
-    The verification driver evaluates queries in insertion order and may
-    stop after a fixed budget (round 1 stopped at 50 of 85, covering only
-    relational + part of functions). Interleaving one query per module per
-    round keeps every module represented in any prefix of the dict, so a
-    budget-capped sweep still exercises datapipe/streaming/DDL/sources.
-    Within a module the declared order is preserved (most representative
-    queries first).
+    Reads the committed ``CORRECTNESS_r*.json`` files at the repo root (the
+    verification driver's own output). Keys never sampled are absent. Green
+    means a full hash match; a ``no_oracle`` rows-only row or an errored row
+    counts as not-green so it is re-sampled after a fix. Failure to read the
+    files (fresh clone, odd cwd) degrades to "nothing verified yet", which
+    only affects ordering, never membership.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    status: dict[str, bool] = {}
+    try:
+        for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            with open(path) as fh:
+                rows = json.load(fh)
+            for k, v in rows.items():
+                status[k] = bool(isinstance(v, dict) and v.get("hash_match"))
+    except Exception:
+        return {}
+    return status
+
+
+def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Assemble the inventory, never-driver-verified queries first.
+
+    The verification driver evaluates queries in insertion order with a
+    fixed budget (50 of the declared set per round), so insertion order IS
+    the sampling policy. Three tiers, each interleaved one-query-per-module
+    round-robin so any prefix spans relational/functions/datapipe/streaming/
+    DDL/sources/qtest:
+
+      0. sampled before but not green in their latest round (regression or
+         no_oracle fixes — must be re-seen to show the fix);
+      1. never sampled by any round (the coverage debt);
+      2. green in their latest sampled round (cheapest to lose a slot).
+
+    The tiers come from the committed CORRECTNESS_r*.json files, so the
+    ordering self-adapts each round without hand-editing.
     """
     from . import (
         datapipe_q, ddl_q, functions_q, qtest_q, relational, sources_q,
@@ -32,30 +66,49 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     mods = (relational, functions_q, datapipe_q, streaming_q, ddl_q,
             sources_q, qtest_q)
+
+    status = _latest_driver_status()
+
+    def tier(key: str) -> int:
+        if key not in status:
+            return 1
+        return 2 if status[key] else 0
+
+    all_oracle: dict[str, str] = {}
+    # per-module ordered key lists, split by tier (declared order preserved
+    # within a module+tier: most representative queries first)
+    per_mod: list[tuple[dict[str, QueryFn], dict[str, str]]] = []
+    seen: set[str] = set()
+    for mod in mods:
+        for k in mod.QUERIES:
+            if k in seen:
+                raise ValueError(f"duplicate query key {k!r}")
+            seen.add(k)
+        all_oracle.update(mod.ORACLE)
+        per_mod.append((mod.QUERIES, mod.ORACLE))
+
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    iters = [iter(mod.QUERIES.items()) for mod in mods]
-    by_mod_oracle = [mod.ORACLE for mod in mods]
-    while iters:
-        nxt = []
-        for it, orc in zip(iters, by_mod_oracle):
-            try:
-                k, fn = next(it)
-            except StopIteration:
-                continue
-            if k in queries:
-                raise ValueError(f"duplicate query key {k!r}")
-            queries[k] = fn
-            if k in orc:
-                oracle[k] = orc[k]
-            nxt.append((it, orc))
-        if not nxt:
-            break
-        iters = [it for it, _ in nxt]
-        by_mod_oracle = [orc for _, orc in nxt]
-    all_oracle: dict[str, str] = {}
-    for mod in mods:
-        all_oracle.update(mod.ORACLE)
+    for t in (0, 1, 2):
+        iters = [iter([(k, fn) for k, fn in q.items() if tier(k) == t])
+                 for q, _ in per_mod]
+        by_mod_oracle = [orc for _, orc in per_mod]
+        while iters:
+            nxt = []
+            for it, orc in zip(iters, by_mod_oracle):
+                try:
+                    k, fn = next(it)
+                except StopIteration:
+                    continue
+                queries[k] = fn
+                if k in orc:
+                    oracle[k] = orc[k]
+                nxt.append((it, orc))
+            if not nxt:
+                break
+            iters = [it for it, _ in nxt]
+            by_mod_oracle = [orc for _, orc in nxt]
+
     missing = set(all_oracle) - set(queries)
     if missing:
         raise ValueError(f"oracle without query: {missing}")

@@ -29,8 +29,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     `spark.sql.legacy.parquet.nanosAsLong`) and converted to a microsecond
     timestamp — same as the batch path in `io._fix_nanos_ts`.
     """
-    from ..io import _fix_nanos_ts, table_path
+    from ..io import _fix_nanos_ts, ensure_runtime_compat, table_path
 
+    ensure_runtime_compat(spark)
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         spark.readStream.schema(raw_schema)
