@@ -1,0 +1,32 @@
+"""Bounded persist tracking for shared intermediate stages.
+
+LSH-style operators persist an expensive shared stage (shingle arrays, band
+buckets) that is consumed several times within one query. A bare
+``.persist()`` with no release accumulates MEMORY_AND_DISK blocks across a
+multi-query sweep (driver correctness run, bench loop) — the cache from
+query N is dead weight while query N+1 runs.
+
+``tracked_persist`` keeps at most the persists of the CURRENT operator
+alive: constructing the next persisting operator releases the previous
+ones. Unpersisting never invalidates a DataFrame (it only drops the cache),
+so a still-pending earlier query stays correct — it just recomputes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` after releasing persists from prior tracked calls."""
+    for old in _LIVE:
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session gone / already released — nothing to leak
+    _LIVE.clear()
+    df = df.persist()
+    _LIVE.append(df)
+    return df

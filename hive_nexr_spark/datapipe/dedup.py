@@ -3,15 +3,17 @@
 Scale design (100 TB): the only shuffles are on hash keys (text digest,
 shingle, band bucket) — never on raw text pairs. Candidate generation is
 LSH-band bucketing, so the pairwise verification join touches only
-candidate pairs, not the n² document space. All hash functions are either
-portable (md5 — identical in any engine, used where an SQL oracle must
-reproduce the result) or Spark-deterministic (xxhash64 for the cheap path).
+candidate pairs, not the n² document space. All hash functions are md5
+slices — identical in any engine, so every operator's result is
+reproducible by an external SQL oracle bit-for-bit.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ._cache import tracked_persist
 
 # MinHash parameters: H hash functions grouped into BANDS bands of ROWS_PER_BAND.
 MINHASH_H = 6
@@ -95,7 +97,8 @@ def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5,
     # recomputing the tokenize+slice pipeline per consumer (40% faster at
     # sf0.1). MEMORY_AND_DISK by default — at cluster scale this is the
     # standard disk-backed materialization of an expensive shared stage.
-    toks = _with_shingles(corpus).select("doc_id", "sh").persist()
+    # tracked_persist bounds cache growth across a multi-query sweep.
+    toks = tracked_persist(_with_shingles(corpus).select("doc_id", "sh"))
     sh = toks.select("doc_id", F.explode(F.col("sh")).alias("shingle"))
     hashed = sh.select("doc_id", F.md5("shingle").alias("d"))
     sig = hashed.groupBy("doc_id").agg(
@@ -171,8 +174,14 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8,
 
 
 def _simhash_signatures(corpus: DataFrame) -> DataFrame:
-    """64-bit SimHash signature per document from per-token xxhash64 bit
-    votes: flat map → groupBy(doc) — shuffle-parallel, no driver state.
+    """64-bit SimHash signature per document from per-token bit votes:
+    flat map → groupBy(doc) — shuffle-parallel, no driver state.
+
+    The token hash is the first 16 hex chars of md5 read as a big-endian
+    64-bit value (two 32-bit `conv` halves packed with shift/or, since a
+    single 64-bit conv can exceed signed range) — engine-portable, so a
+    DuckDB oracle reproduces every bit vote from the same nibbles
+    (the md5-slice pattern proven for the minhash signatures above).
 
     The 64 bit-votes are 64 aggregate columns over ONE token-level shuffle
     (map-side combined down to one row per doc), not a posexplode of 64
@@ -183,7 +192,13 @@ def _simhash_signatures(corpus: DataFrame) -> DataFrame:
     tok = corpus.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok")
     )
-    tok = tok.withColumn("h", F.xxhash64("tok"))
+    tok = tok.withColumn("d", F.md5("tok")).withColumn(
+        "h",
+        F.expr(
+            "shiftleft(cast(conv(substring(d, 1, 8), 16, 10) as bigint), 32)"
+            " | cast(conv(substring(d, 9, 8), 16, 10) as bigint)"
+        ),
+    )
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -205,10 +220,11 @@ def _simhash_signatures(corpus: DataFrame) -> DataFrame:
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
                   max_doc_id: int = 200) -> DataFrame:
-    """SimHash near-dup detection: 64-bit signature from per-token xxhash64
-    bit votes; pairs within `max_hamming`. Spark-deterministic (xxhash64
-    seed is fixed) but not engine-portable → no SQL oracle; exactness is
-    unit-tested against planted duplicates.
+    """SimHash near-dup detection: 64-bit signature from per-token md5
+    bit votes; pairs within `max_hamming`. Engine-portable (md5 is
+    identical in any engine), so a DuckDB oracle reproduces the exact
+    pair set; exactness is additionally unit-tested against planted
+    duplicates.
 
     This is the brute-force baseline over a bounded subset; the 100 TB
     path is `simhash_pairs_banded` (byte-band bucketing, exact same result

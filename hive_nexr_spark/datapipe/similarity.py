@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import tracked_persist
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -240,7 +242,10 @@ def embedding_dups_lsh(embeddings: DataFrame, threshold: float = 0.99,
                 for t in range(tables)
             ])
         ).alias("tb"),
-    ).select("vec_id", "tb.tbl", "tb.bkt").persist()
+    ).select("vec_id", "tb.tbl", "tb.bkt")
+    # tracked_persist: shared band stage cached for the self-join, released
+    # when the next persisting operator is constructed (bounded sweep cache)
+    bands = tracked_persist(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))

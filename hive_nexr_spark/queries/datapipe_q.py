@@ -64,6 +64,49 @@ _SHINGLE = """
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM corpus) t
 """
 
+def _simhash_sql(bounded: bool, max_hamming: int = 3) -> str:
+    """DuckDB oracle for the SimHash pair ops.
+
+    Reproduces the Spark signature bit-for-bit: the token hash is the first
+    16 hex chars of md5 as a big-endian 64-bit value, and bit j of that
+    value lives in nibble 16 - j//4 (1-indexed hex char), bit j%4 — decoded
+    with strpos on the hex alphabet, so no engine-specific hash is needed.
+    The banded operator has pigeonhole-exact recall (hamming < n_bands ⇒
+    ≥1 whole band agrees), so the full-corpus brute-force pair set IS its
+    expected output."""
+    def bit(j: int) -> str:
+        nib = f"(strpos('0123456789abcdef', substr(d, {16 - j // 4}, 1)) - 1)"
+        return f"(({nib} >> {j % 4}) & 1)"
+
+    votes = ",\n                 ".join(
+        f"sum(CASE WHEN {bit(j)} = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    terms = " + ".join(
+        "(CASE WHEN v{j} > 0 THEN CAST({lit} AS BIGINT) ELSE 0 END)".format(
+            j=j, lit=(1 << j) if j < 63 else "(-9223372036854775807 - 1)")
+        for j in range(64)
+    )
+    subset = "WHERE doc_id % 100000 < 200" if bounded else ""
+    return _CORPUS + f"""
+        , tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+          FROM corpus {subset}
+        )
+        , hashed AS (SELECT doc_id, md5(tok) AS d FROM tok)
+        , votes AS (SELECT doc_id,
+                 {votes}
+          FROM hashed GROUP BY doc_id)
+        , sig AS (SELECT doc_id, {terms} AS simhash FROM votes)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        ) p WHERE hamming <= {max_hamming}
+    """
+
+
 def _vec_corpus_sql(dim: int = 64, eps: float = 0.05) -> str:
     """`emb` CTE mirroring similarity.with_synthetic_vec_dups exactly:
     originals ∪ (vec_id+100000, v + eps·delta) with the identical
@@ -170,8 +213,8 @@ ORACLE = {
           JOIN toks tb ON cand.doc_b = tb.doc_id
         ) v WHERE jaccard >= 0.5
     """,
-    # dedup_simhash / dedup_simhash_banded: xxhash64 is Spark-specific →
-    # rows-only checks; banded==bruteforce equality is unit-tested.
+    "dedup_simhash": _simhash_sql(bounded=True),
+    "dedup_simhash_banded": _simhash_sql(bounded=False),
     "dedup_minhash_lsh_full": _CORPUS + f"""
         , shingled AS (
           SELECT doc_id, unnest(list_distinct([
@@ -227,7 +270,6 @@ ORACLE = {
           FROM toks a JOIN toks b ON a.doc_id < b.doc_id
         ) v WHERE jaccard >= 0.8
     """,
-    # dedup_simhash: xxhash64 is Spark-specific → rows-only check.
     "dedup_embedding_cosine": f"""
         WITH {_vec_corpus_sql()}
         SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
