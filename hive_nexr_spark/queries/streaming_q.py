@@ -160,9 +160,10 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
     # session_window(ts, gap) merges an event into the previous session iff
-    # ts < prev_ts + gap at FULL timestamp precision — i.e. split when the
-    # exact gap is >= 1800s. epoch_us gives exact integer microseconds, so
-    # the boundary condition is bit-identical to Spark's internal micros.
+    # ts <= prev_ts + gap at FULL timestamp precision (events exactly gap
+    # apart share a session) — i.e. split only when the exact gap is
+    # STRICTLY > 1800s. epoch_us gives exact integer microseconds, so the
+    # boundary condition is bit-identical to Spark's internal micros.
     "events_sessionize_stream": """
         SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
         FROM (
@@ -174,7 +175,7 @@ ORACLE = {
             SELECT user_id, event_id, ts,
                    CASE WHEN epoch_us(ts) - epoch_us(
                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                        ) >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+                        ) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
             FROM events
           ) m
         ) s

@@ -81,13 +81,14 @@ def get_session(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    # Hive-metastore-backed catalog (the reference's metastore surface:
-    # `metastore/if/hive_metastore.thrift:226-416`; BASELINE.json names
-    # "Spark SQL + Hive metastore integration" as the approach). Opt-in via
-    # env because the embedded-Derby metastore pins the warehouse to one
-    # concurrent JVM; DDL then persists across sessions, and LOAD DATA /
-    # Hive-serde DDL run natively.
-    if os.environ.get("SPARK_GRAFT_HIVE_METASTORE") == "1":
+    # Hive-metastore-backed catalog ON BY DEFAULT (the reference's metastore
+    # surface: `metastore/if/hive_metastore.thrift:226-416`; BASELINE.json
+    # names "Spark SQL + Hive metastore integration" as the approach). DDL
+    # persists across sessions in the embedded Derby metastore, and LOAD
+    # DATA / Hive-serde DDL run natively. Opt OUT with
+    # SPARK_GRAFT_HIVE_METASTORE=0 when two JVMs must share the warehouse
+    # concurrently (embedded Derby is single-process).
+    if os.environ.get("SPARK_GRAFT_HIVE_METASTORE", "1") != "0":
         builder = builder.enableHiveSupport()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
