@@ -237,7 +237,16 @@ def _rewrite_ddl(stmt: str) -> str:
 
 
 def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
-    """Run one reference .q file; returns the last SELECT's DataFrame."""
+    """Run one reference .q file; returns the last SELECT's DataFrame.
+
+    Conf hygiene (CliDriver resets its session per test —
+    `ql/src/test/templates/TestCliDriver.vm`): every runtime conf a qfile's
+    `set k=v` touches is snapshotted first and restored on exit, so one
+    file's knobs can't order-dependently poison later queries in the
+    shared session. All INSERT/DDL statements execute eagerly inside this
+    function, so restoring before the caller collects the final SELECT is
+    safe — only Hive-only no-op knobs and already-applied write policies
+    are rolled back."""
     path = os.path.join(QFILE_DIR, qfile)
     with open(path) as f:
         text = _strip_comments(f.read())
@@ -254,12 +263,23 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     if re.search(r"\bsrc1\b", text, re.IGNORECASE):
         make_src1(spark)
     text = _INSERT_DIR.sub("", text)
+
+    saved: dict[str, str | None] = {}
+
+    def set_conf(k: str, v: str) -> None:
+        if k not in saved:
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None  # key had no value/default → unset on exit
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # Hive-only knob — CliDriver: best-effort
+
     # Hive 0.8 coerces on INSERT (string key → INT column); Spark 4's
     # default ANSI store-assignment rejects that, so pin the Hive policy.
-    try:
-        spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
-    except Exception:
-        pass
+    set_conf("spark.sql.storeAssignmentPolicy", "LEGACY")
 
     # prefix every dest table name so qfiles can't collide with each other
     dest_names = sorted(set(
@@ -270,48 +290,55 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
 
     last_select: DataFrame | None = None
     last_df: DataFrame | None = None
-    for stmt in text.split(";"):
-        stmt = stmt.strip()
-        if not stmt:
-            continue
-        upper = stmt.upper()
-        if upper.startswith("EXPLAIN") or upper.startswith("DFS "):
-            continue
-        m = _SET_CMD.match(stmt)
-        if m:
-            # fs.* relocations (create_1.q sets fs.default.name to an
-            # invalid scheme and never resets it) would poison the shared
-            # session for every later qfile — ignore them
-            if not m.group("k").lower().startswith("fs."):
-                try:
-                    spark.conf.set(m.group("k"), m.group("v").strip())
-                except Exception:
-                    pass  # Hive-only knob — CliDriver: best-effort
-            continue
-        m = _LOAD_DATA.match(stmt)
-        if m:
-            _emulate_load_data(spark, m)
-            continue
-        if upper.startswith("CREATE TABLE"):
-            name = _CREATE_NAME.search(stmt).group("name")
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            # the session catalog is in-memory: a table dir left by a
-            # previous process is invisible to DROP but still blocks CREATE
-            import shutil
+    try:
+        for stmt in text.split(";"):
+            stmt = stmt.strip()
+            if not stmt:
+                continue
+            upper = stmt.upper()
+            if upper.startswith("EXPLAIN") or upper.startswith("DFS "):
+                continue
+            m = _SET_CMD.match(stmt)
+            if m:
+                # fs.* relocations (create_1.q sets fs.default.name to an
+                # invalid scheme and never resets it) would poison the
+                # shared session mid-run — ignore them
+                if not m.group("k").lower().startswith("fs."):
+                    set_conf(m.group("k"), m.group("v").strip())
+                continue
+            m = _LOAD_DATA.match(stmt)
+            if m:
+                _emulate_load_data(spark, m)
+                continue
+            if upper.startswith("CREATE TABLE"):
+                name = _CREATE_NAME.search(stmt).group("name")
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                # a table dir left by a crashed previous process may be
+                # invisible to DROP but still block CREATE
+                import shutil
 
-            warehouse = spark.conf.get(
-                "spark.sql.warehouse.dir").removeprefix("file:")
-            shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
-            spark.sql(_rewrite_ddl(stmt))
-            continue
-        df = spark.sql(stmt)
-        last_df = df
-        # a result statement is SELECT ... or Hive's FROM-first form
-        # (`FROM t SELECT ...`) when it carries no INSERT target
-        if upper.startswith("SELECT") or (
-            upper.startswith("FROM") and "INSERT" not in upper
-        ):
-            last_select = df
+                warehouse = spark.conf.get(
+                    "spark.sql.warehouse.dir").removeprefix("file:")
+                shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
+                spark.sql(_rewrite_ddl(stmt))
+                continue
+            df = spark.sql(stmt)
+            last_df = df
+            # a result statement is SELECT ... or Hive's FROM-first form
+            # (`FROM t SELECT ...`) when it carries no INSERT target
+            if upper.startswith("SELECT") or (
+                upper.startswith("FROM") and "INSERT" not in upper
+            ):
+                last_select = df
+    finally:
+        for k, prev in saved.items():
+            try:
+                if prev is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, prev)
+            except Exception:
+                pass
     # files ending in DDL (SHOW/DESCRIBE/...) golden-check the DDL output;
     # fall back to the last statement's DataFrame
     result = last_select if last_select is not None else last_df

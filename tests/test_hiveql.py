@@ -177,3 +177,43 @@ def test_stateful_stream_equals_batch_groupby(spark, sf_dir, dfs):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-5
+
+
+def test_run_qfile_restores_session_confs(spark):
+    """A qfile's `set k=v` statements must not leak into the shared
+    session: run_qfile snapshots and restores every conf it touches
+    (groupby1.q sets hive.map.aggr / hive.groupby.skewindata)."""
+    from hive_nexr_spark.sources.qtest import run_qfile
+
+    sentinel = object()
+
+    def get(k):
+        try:
+            return spark.conf.get(k)
+        except Exception:
+            return sentinel
+
+    keys = ("spark.sql.storeAssignmentPolicy", "hive.map.aggr",
+            "hive.groupby.skewindata")
+    before = {k: get(k) for k in keys}
+    run_qfile(spark, "groupby1.q").collect()
+    after = {k: get(k) for k in keys}
+    assert after == before
+
+
+def test_cli_runs_qfile_end_to_end(spark, dfs, tmp_path, capsys):
+    """The CLI script mode (python -m hive_nexr_spark.cli -f file.q) runs a
+    multi-statement .q end-to-end: set commands, DDL through the dialect
+    facade, and a final SELECT whose rows are displayed."""
+    from hive_nexr_spark.cli import main
+
+    q = tmp_path / "smoke.q"
+    q.write_text(
+        "set spark.sql.shuffle.partitions=4;\n"
+        "SELECT r_name FROM region ORDER BY r_name LIMIT 2;\n"
+    )
+    # get_session().getOrCreate() reuses the test session, so this is cheap
+    rc = main(["-f", str(q), "--sf-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "AFRICA" in out and "AMERICA" in out
