@@ -23,7 +23,9 @@ from __future__ import annotations
 from functools import partial
 
 from ..io import ensure_runtime_compat
-from ..sources.qtest import SRC_SQL_DUCKDB, run_qfile
+from ..sources.qtest import (
+    SRC_SQL_DUCKDB, SRCBUCKET_SQL_DUCKDB, _srcbucket_file_sql_duckdb,
+    run_qfile)
 
 
 def _qfile(qname: str, spark, sf_dir):
@@ -56,6 +58,15 @@ QUERIES = {
     "qfile_join5": partial(_qfile, "join5.q"),
     "qfile_input9": partial(_qfile, "input9.q"),
     "qfile_input_testxpath": partial(_qfile, "input_testxpath.q"),
+    "qfile_join7": partial(_qfile, "join7.q"),
+    "qfile_join8": partial(_qfile, "join8.q"),
+    "qfile_groupby3": partial(_qfile, "groupby3.q"),
+    "qfile_sample2": partial(_qfile, "sample2.q"),
+    "qfile_sample3": partial(_qfile, "sample3.q"),
+    "qfile_sample4": partial(_qfile, "sample4.q"),
+    "qfile_sample5": partial(_qfile, "sample5.q"),
+    "qfile_sample6": partial(_qfile, "sample6.q"),
+    "qfile_sample7": partial(_qfile, "sample7.q"),
 }
 
 _W = f"WITH {SRC_SQL_DUCKDB}"
@@ -198,5 +209,66 @@ ORACLE = {
     "qfile_input9": """
         SELECT CAST(NULL AS VARCHAR) AS value, CAST(NULL AS INT) AS key
         WHERE 1 = 0
+    """,
+    # 3-way outer join of range-filtered subqueries
+    "qfile_join7": f"""{_W},
+        a AS (SELECT key AS c1, value AS c2 FROM src
+              WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20),
+        b AS (SELECT key AS c3, value AS c4 FROM src
+              WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25),
+        c AS (SELECT key AS c5, value AS c6 FROM src
+              WHERE CAST(key AS DOUBLE) > 20 AND CAST(key AS DOUBLE) < 25)
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(b.c3 AS INT) AS c3, b.c4 AS c4,
+               CAST(c.c5 AS INT) AS c5, c.c6 AS c6
+        FROM a FULL OUTER JOIN b ON a.c1 = b.c3
+        LEFT OUTER JOIN c ON a.c1 = c.c5
+    """,
+    # anti-join shape: left-outer rows where the right side missed
+    "qfile_join8": f"""{_W},
+        a AS (SELECT key AS c1, value AS c2 FROM src
+              WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20),
+        b AS (SELECT key AS c3, value AS c4 FROM src
+              WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25)
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(b.c3 AS INT) AS c3, b.c4 AS c4
+        FROM a LEFT OUTER JOIN b ON a.c1 = b.c3
+        WHERE b.c3 IS NULL AND a.c1 IS NOT NULL
+    """,
+    # qfile_groupby3 is rows-only BY DESIGN: its dest columns include raw
+    # (unrounded) stddev_pop/var_pop doubles, and streaming-variance
+    # algorithms differ across engines in the last ulps (verified: Spark
+    # and DuckDB agree to 1e-13 relative but not bit-exactly), so an exact
+    # value-hash cannot pass. The std/var family IS hash-verified via
+    # agg_stats, which rounds at emit (operators/aggregates.py).
+    # BUCKET 1 OUT OF 2 (no ON → bucket cols): pure input pruning to the
+    # first bucket file
+    "qfile_sample2": f"""
+        SELECT key, value FROM ({_srcbucket_file_sql_duckdb(0)}) b0
+    """,
+    # BUCKET 1 OUT OF 5 on key over 2 buckets: 5 % 2 != 0 → no pruning,
+    # hash filter over the whole table; final SELECT is `s.key` only
+    "qfile_sample3": f"""
+        WITH {SRCBUCKET_SQL_DUCKDB}
+        SELECT key FROM srcbucket WHERE key % 5 = 0
+    """,
+    # BUCKET 1 OUT OF 2 on key == the bucket spec → pruning, no filter
+    "qfile_sample4": f"""
+        SELECT key, value FROM ({_srcbucket_file_sql_duckdb(0)}) b0
+    """,
+    "qfile_sample5": f"""
+        WITH {SRCBUCKET_SQL_DUCKDB}
+        SELECT key, value FROM srcbucket WHERE key % 5 = 0
+    """,
+    # the file's last result statement samples the just-created (and never
+    # loaded) 2-bucket empty_bucket table → empty (key INT, value STRING)
+    "qfile_sample6": """
+        SELECT CAST(NULL AS INT) AS key, CAST(NULL AS VARCHAR) AS value
+        WHERE 1 = 0
+    """,
+    # BUCKET 1 OUT OF 4 → file 0 + key%4=0, plus the qfile's WHERE
+    "qfile_sample7": f"""
+        SELECT key, value FROM ({_srcbucket_file_sql_duckdb(0)}) b0
+        WHERE key % 4 = 0 AND key > 100
     """,
 }

@@ -75,8 +75,12 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get(
             "SPARK_GRAFT_WAREHOUSE", "/tmp/hive_nexr_spark_warehouse"))
-        # deterministic derby metastore location for saveAsTable/bucketBy
-        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/hive_nexr_spark_derby")
+        # deterministic derby metastore location for saveAsTable/bucketBy;
+        # embedded Derby is single-process, so a second concurrent JVM must
+        # point SPARK_GRAFT_DERBY somewhere else
+        .config("spark.driver.extraJavaOptions",
+                "-Dderby.system.home="
+                + os.environ.get("SPARK_GRAFT_DERBY", "/tmp/hive_nexr_spark_derby"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

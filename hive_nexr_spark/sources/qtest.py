@@ -123,6 +123,89 @@ def make_src1(spark: SparkSession) -> DataFrame:
 SRC1_SQL_DUCKDB = f"src1 AS ({_kv_sql_duckdb('kv3.txt')})"
 
 
+# Bucketed fixtures: srcbucket = 2 buckets of (key int, value string),
+# srcbucket2 = 4 buckets (`QTestUtil.java:451-466`), loaded file-per-bucket.
+# Hive's LOAD DATA does not re-bucket — the file IS the bucket — so
+# TABLESAMPLE(BUCKET x OUT OF y) resolves to file pruning + an optional
+# hash filter (`ql/parse/SamplePruner.java`).
+SRCBUCKET_TABLES = {
+    "srcbucket": ("srcbucket0.txt", "srcbucket1.txt"),
+    "srcbucket2": ("srcbucket20.txt", "srcbucket21.txt",
+                   "srcbucket22.txt", "srcbucket23.txt"),
+}
+
+
+def make_srcbucket(spark: SparkSession, table: str = "srcbucket") -> DataFrame:
+    import functools
+
+    dfs = []
+    for i, fname in enumerate(SRCBUCKET_TABLES[table]):
+        df = (
+            spark.read.option("sep", "\x01").option("emptyValue", "")
+            .schema("key int, value string").csv(f"{DATA_DIR}/{fname}")
+        )
+        df.createOrReplaceTempView(f"{table}_b{i}")
+        dfs.append(df)
+    union = functools.reduce(DataFrame.unionAll, dfs)
+    union.createOrReplaceTempView(table)
+    return union
+
+
+def _srcbucket_file_sql_duckdb(i: int, table: str = "srcbucket") -> str:
+    fname = SRCBUCKET_TABLES[table][i]
+    return (
+        f"SELECT * FROM read_csv('{DATA_DIR}/{fname}', "
+        "delim='\x01', header=false, "
+        "columns={'key': 'INT', 'value': 'VARCHAR'}, "
+        "force_not_null=['value'])"
+    )
+
+
+SRCBUCKET_SQL_DUCKDB = "srcbucket AS (" + " UNION ALL ".join(
+    _srcbucket_file_sql_duckdb(i) for i in range(2)
+) + ")"
+
+
+_BUCKET_SAMPLE = re.compile(
+    r"(?P<tbl>\w+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(?P<x>\d+)\s+OUT\s+OF\s+(?P<y>\d+)"
+    r"(?:\s+ON\s+(?P<col>\w+))?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_bucket_sample(m: re.Match) -> str:
+    """Hive TABLESAMPLE(BUCKET x OUT OF y [ON col]) → file pruning + hash
+    filter, per `ql/parse/SamplePruner.java`:
+
+    * for the file-per-bucket fixtures (srcbucket/srcbucket2), with the
+      sample column == the bucket column:
+        - y == numBuckets     → prune to bucket file x-1, no filter
+        - y % numBuckets == 0 → prune to file (x-1) % numBuckets, plus
+                                hash filter (Hive int hash = the value:
+                                pmod(key, y) = x-1)
+        - otherwise           → no pruning, hash filter over all buckets
+    * for any other table → pure hash filter (equivalent for tables whose
+      buckets were written by INSERT, and for empty tables).
+
+    No ON clause defaults to the bucket columns (key for the fixtures).
+    ON <expression> (e.g. rand()) does not match the regex and is left
+    for Spark's parser to reject — those files stay unsupported."""
+    tbl = m.group("tbl")
+    x, y = int(m.group("x")), int(m.group("y"))
+    col = (m.group("col") or "key").lower()
+    files = SRCBUCKET_TABLES.get(tbl.lower())
+    if files and col == "key":
+        n = len(files)
+        if y % n == 0:
+            base = f"{tbl}_b{(x - 1) % n}"
+            if y == n:
+                return base
+        else:
+            base = tbl
+        return f"(SELECT * FROM {base} WHERE pmod(key, {y}) = {x - 1})"
+    return f"(SELECT * FROM {tbl} WHERE pmod({col}, {y}) = {x - 1})"
+
+
 SRCPART_PARTS = (
     ("2008-04-08", "11"),
     ("2008-04-08", "12"),
@@ -218,8 +301,20 @@ def _strip_comments(text: str) -> str:
     )
 
 
+_CLUSTERED = re.compile(
+    r"CLUSTERED\s+BY\s*\([^)]*\)(?:\s+SORTED\s+BY\s*\([^)]*\))?"
+    r"\s+INTO\s+\d+\s+BUCKETS",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_ddl(stmt: str) -> str:
     stmt = _ROW_FORMAT.sub("", stmt)
+    # Spark's CREATE TABLE grammar wants the bucket spec AFTER `USING`;
+    # Hive puts it before `STORED AS` — cut it out and re-append.
+    cluster = _CLUSTERED.search(stmt)
+    if cluster:
+        stmt = _CLUSTERED.sub("", stmt)
     m = _PARTITIONED.search(stmt)
     if m:
         pnames = ", ".join(
@@ -232,8 +327,12 @@ def _rewrite_ddl(stmt: str) -> str:
             + f"USING parquet PARTITIONED BY ({pnames})"
             + stmt[m.end():]
         )
-        return _STORED_AS.sub("", stmt)
-    return _STORED_AS.sub("USING parquet", stmt)
+        stmt = _STORED_AS.sub("", stmt)
+    else:
+        stmt = _STORED_AS.sub("USING parquet", stmt)
+    if cluster:
+        stmt = stmt.rstrip() + " " + cluster.group(0)
+    return stmt
 
 
 def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
@@ -262,6 +361,17 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
         make_srcpart(spark)
     if re.search(r"\bsrc1\b", text, re.IGNORECASE):
         make_src1(spark)
+    for bucket_table in SRCBUCKET_TABLES:
+        if re.search(rf"\b{bucket_table}\b", text, re.IGNORECASE):
+            make_srcbucket(spark, bucket_table)
+    text = _BUCKET_SAMPLE.sub(_rewrite_bucket_sample, text)
+    # Hive 0.8's std/stddev/variance are POPULATION forms
+    # (`exec/FunctionRegistry.java:349-355` registers std|stddev|stddev_pop
+    # → GenericUDAFStd, variance|var_pop → GenericUDAFVariance); Spark's
+    # same-named functions are sample forms, so map to the population ones.
+    text = re.sub(r"\bstd\s*\(", "stddev_pop(", text, flags=re.IGNORECASE)
+    text = re.sub(r"\bstddev\s*\(", "stddev_pop(", text, flags=re.IGNORECASE)
+    text = re.sub(r"\bvariance\s*\(", "var_pop(", text, flags=re.IGNORECASE)
     text = _INSERT_DIR.sub("", text)
 
     saved: dict[str, str | None] = {}

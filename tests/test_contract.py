@@ -24,17 +24,19 @@ def test_registry_shape():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
-def test_prefix_coverage_spans_modules():
-    """The driver may evaluate only a prefix of queries() (round 1 stopped
-    at 50); the interleaved ordering must keep every module represented in
-    the first 50 entries."""
-    from hive_nexr_spark.queries import (
-        datapipe_q, ddl_q, functions_q, relational, sources_q, streaming_q)
+def test_ordering_prioritizes_unverified_queries():
+    """The driver evaluates only a prefix of queries() (50-query budget),
+    so insertion order IS the sampling policy: every query whose latest
+    driver sample was green must come AFTER every query that is unverified
+    (never sampled, or failed/no_oracle in its latest sample)."""
+    from hive_nexr_spark.queries import _latest_driver_status
 
-    prefix = set(list(entry_mod.queries())[:50])
-    for mod in (relational, functions_q, datapipe_q, streaming_q, ddl_q,
-                sources_q):
-        assert prefix & set(mod.QUERIES), mod.__name__
+    status = _latest_driver_status()
+    keys = list(entry_mod.queries())
+    if not status:  # fresh clone without CORRECTNESS files: nothing to rank
+        return
+    unverified = [k for k in keys if not status.get(k)]
+    assert keys[: len(unverified)] == unverified
 
 
 def test_hive_metastore_catalog_roundtrip(tmp_path):
@@ -62,6 +64,8 @@ print("HIVE_CATALOG_OK")
         SPARK_GRAFT_HIVE_METASTORE="1",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_WAREHOUSE=str(tmp_path / "wh"),
+        # own Derby home: the pytest session JVM holds the default one
+        SPARK_GRAFT_DERBY=str(tmp_path / "derby"),
     )
     out = subprocess.run(
         [sys.executable, "-c", script], env=env, cwd=str(tmp_path),
