@@ -67,6 +67,14 @@ QUERIES = {
     "qfile_sample5": partial(_qfile, "sample5.q"),
     "qfile_sample6": partial(_qfile, "sample6.q"),
     "qfile_sample7": partial(_qfile, "sample7.q"),
+    "qfile_input0": partial(_qfile, "input0.q"),
+    "qfile_join9": partial(_qfile, "join9.q"),
+    "qfile_join10": partial(_qfile, "join10.q"),
+    "qfile_join11": partial(_qfile, "join11.q"),
+    "qfile_union2": partial(_qfile, "union2.q"),
+    "qfile_union10": partial(_qfile, "union10.q"),
+    "qfile_groupby8": partial(_qfile, "groupby8.q"),
+    "qfile_groupby_neg_float": partial(_qfile, "groupby_neg_float.q"),
 }
 
 _W = f"WITH {SRC_SQL_DUCKDB}"
@@ -270,5 +278,46 @@ ORACLE = {
     "qfile_sample7": f"""
         SELECT key, value FROM ({_srcbucket_file_sql_duckdb(0)}) b0
         WHERE key % 4 = 0 AND key > 100
+    """,
+    "qfile_input0": f"""{_W}
+        SELECT key, value FROM src
+    """,
+    # srcpart partition (ds='2008-04-08', hr='12') is a full copy of src
+    "qfile_join9": f"""{_W}
+        SELECT CAST(s1.key AS INT) AS key, s2.value AS value
+        FROM src s1 JOIN src s2 ON s1.key = s2.key
+    """,
+    # self-join projecting the right side only
+    "qfile_join10": f"""{_W}
+        SELECT y.key, y.value FROM src x JOIN src y ON x.key = y.key
+    """,
+    # join condition carries the string-vs-int range predicate (→ DOUBLE)
+    "qfile_join11": f"""{_W}
+        SELECT a.key AS c1, b.value AS c4
+        FROM src a JOIN src b
+          ON a.key = b.key AND CAST(a.key AS DOUBLE) < 100
+    """,
+    "qfile_union2": f"""{_W}
+        SELECT count(1) AS "count(1)" FROM (
+          SELECT key, value FROM src UNION ALL SELECT key, value FROM src
+        ) unionsrc
+    """,
+    # tmptable(key STRING, value INT): three labeled count(1) branches
+    "qfile_union10": f"""{_W}
+        SELECT 'tst1' AS key, CAST(count(1) AS INT) AS value FROM src
+        UNION ALL
+        SELECT 'tst2', CAST(count(1) AS INT) FROM src
+        UNION ALL
+        SELECT 'tst3', CAST(count(1) AS INT) FROM src
+    """,
+    # DEST2(key INT, value STRING): count(DISTINCT) rendered into a string
+    "qfile_groupby8": f"""{_W}
+        SELECT CAST(key AS INT) AS key,
+               CAST(count(DISTINCT substr(value, 5)) AS VARCHAR) AS value
+        FROM src GROUP BY key
+    """,
+    # last statement groups on the string literal '-30.33' (one row)
+    "qfile_groupby_neg_float": """
+        SELECT '-30.33' AS "-30.33"
     """,
 }
