@@ -217,3 +217,28 @@ def test_cli_runs_qfile_end_to_end(spark, dfs, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "AFRICA" in out and "AMERICA" in out
+
+
+def test_server_query_roundtrip(spark, dfs):
+    """The line-protocol server (HiveServer analogue) executes SQL over a
+    shared session and returns JSON rows; errors come back structured, and
+    session commands return an empty OK."""
+    from hive_nexr_spark.server import HiveQLServer, query
+
+    srv = HiveQLServer(spark, max_rows=10)
+    host, port = srv.serve_background()
+    try:
+        resp = query(host, port, "SELECT count(*) AS n FROM region")
+        assert resp["error"] is None
+        assert resp["columns"] == ["n"]
+        assert resp["rows"][0][0] == 5
+        # truncation cap
+        resp = query(host, port, "SELECT l_orderkey FROM lineitem")
+        assert resp["truncated"] is True and resp["rowcount"] == 10
+        # structured error, server keeps serving
+        resp = query(host, port, "SELECT * FROM no_such_table")
+        assert resp["error"] and "no_such_table" in resp["error"]
+        resp = query(host, port, "SELECT 1 AS ok")
+        assert resp["rows"] == [[1]]
+    finally:
+        srv.shutdown()
