@@ -149,6 +149,11 @@ class HiveQLSession:
             # BUCKET sampling without ON means "by the table's bucket files";
             # on unbucketed parquet the reference falls back to rand() — we
             # use a deterministic spread over an internal row id instead.
+            # CAVEAT: monotonically_increasing_id is layout-stable only —
+            # the selected subset is deterministic for a fixed file layout
+            # and partition count, but changes if either does. That matches
+            # the reference's contract (its file-offset sampling is equally
+            # layout-dependent) without rand()'s run-to-run instability.
             cond = f"pmod(monotonically_increasing_id(), {y}) = {x - 1}"
         else:
             # Hive buckets rows by (hashCode(cols) & Integer.MAX_VALUE) % y
