@@ -242,3 +242,31 @@ def test_server_query_roundtrip(spark, dfs):
         assert resp["rows"] == [[1]]
     finally:
         srv.shutdown()
+
+
+def test_srcbucket_sample_pruning_semantics(spark):
+    """TABLESAMPLE(BUCKET x OUT OF y) over the file-per-bucket fixtures
+    follows Hive SamplePruner: y == nbuckets prunes to one file with no
+    filter; y a multiple adds the hash filter; y coprime filters the whole
+    table (`ql/parse/SamplePruner.java`)."""
+    from hive_nexr_spark.sources.qtest import (
+        _BUCKET_SAMPLE, _rewrite_bucket_sample, make_srcbucket)
+
+    def rw(s):
+        return _BUCKET_SAMPLE.sub(_rewrite_bucket_sample, s)
+
+    assert rw("srcbucket TABLESAMPLE (BUCKET 1 OUT OF 2) s") == "srcbucket_b0 s"
+    assert rw("srcbucket TABLESAMPLE (BUCKET 2 OUT OF 2 on key) s") == "srcbucket_b1 s"
+    assert rw("srcbucket TABLESAMPLE (BUCKET 1 OUT OF 4 on key) s") == (
+        "(SELECT * FROM srcbucket_b0 WHERE pmod(key, 4) = 0) s")
+    assert rw("srcbucket TABLESAMPLE (BUCKET 1 OUT OF 5 on key) s") == (
+        "(SELECT * FROM srcbucket WHERE pmod(key, 5) = 0) s")
+    # generic table → pure hash filter
+    assert rw("other TABLESAMPLE (BUCKET 3 OUT OF 8 ON k) t") == (
+        "(SELECT * FROM other WHERE pmod(k, 8) = 2) t")
+
+    # the bucket files really partition the table by pmod(key, 2)
+    make_srcbucket(spark)
+    b0 = spark.table("srcbucket_b0")
+    assert b0.filter("pmod(key, 2) != 0").count() == 0
+    assert spark.table("srcbucket_b1").filter("pmod(key, 2) != 1").count() == 0
