@@ -398,6 +398,11 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     for name in dest_names:
         text = re.sub(rf"\b{name}\b", prefix + name, text, flags=re.IGNORECASE)
 
+    from ..hiveql import HiveQLSession
+
+    hql = HiveQLSession(spark)
+    fixture_names = {"src", "src1", "srcpart", "src_thrift",
+                     *SRCBUCKET_TABLES}
     last_select: DataFrame | None = None
     last_df: DataFrame | None = None
     try:
@@ -408,6 +413,17 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
             upper = stmt.upper()
             if upper.startswith("EXPLAIN") or upper.startswith("DFS "):
                 continue
+            # DROP TABLE on a classic fixture: CliDriver recreates fixtures
+            # per test (QTestUtil.createSources), so dropping them is a
+            # no-op here — they are temp views, which DROP TABLE rejects
+            m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)",
+                         stmt, re.IGNORECASE)
+            if m and m.group(1).lower() in fixture_names:
+                continue
+            # Hive 0.8 tolerated dropping absent partitions; Spark requires
+            # IF EXISTS for that
+            stmt = re.sub(r"\bDROP\s+PARTITION\b", "DROP IF EXISTS PARTITION",
+                          stmt, flags=re.IGNORECASE)
             m = _SET_CMD.match(stmt)
             if m:
                 # fs.* relocations (create_1.q sets fs.default.name to an
@@ -432,7 +448,12 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                 shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
                 spark.sql(_rewrite_ddl(stmt))
                 continue
-            df = spark.sql(stmt)
+            # the dialect facade handles CREATE TEMPORARY FUNCTION (class
+            # registry), ALTER TABLE CONCATENATE, ADD/LIST FILE, and falls
+            # through to spark.sql for everything else
+            df = hql.sql(stmt)
+            if df is None:
+                continue
             last_df = df
             # a result statement is SELECT ... or Hive's FROM-first form
             # (`FROM t SELECT ...`) when it carries no INSERT target
