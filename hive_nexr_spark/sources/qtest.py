@@ -260,20 +260,25 @@ _INSERT_DIR = re.compile(
     r"INSERT\s+OVERWRITE\s+DIRECTORY\s+'[^']*'\s*", re.IGNORECASE
 )
 _LOAD_DATA = re.compile(
-    r"LOAD\s+DATA\s+LOCAL\s+INPATH\s+'(?P<path>[^']+)'\s+"
+    r"LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'(?P<path>[^']+)'\s+"
     r"(?P<ow>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<tbl>\w+)"
     r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?",
     re.IGNORECASE,
 )
 
 
-def _emulate_load_data(spark: SparkSession, m: re.Match) -> None:
-    """LOAD DATA LOCAL INPATH (`parse/LoadSemanticAnalyzer.java`,
+def _emulate_load_data(spark: SparkSession, m: re.Match,
+                       prefix: str = "") -> None:
+    """LOAD DATA [LOCAL] INPATH (`parse/LoadSemanticAnalyzer.java`,
     `Hive.g:302`) over a parquet-backed table: read the referenced ^A-
     delimited text file with the table's column schema and insert it.
     Static partition values become literal columns (Hive appends partition
-    values from the PARTITION clause the same way)."""
-    path = os.path.join(DATA_DIR, os.path.basename(m.group("path")))
+    values from the PARTITION clause the same way). The dest-table
+    prefixing pass may have rewritten a table name that also appears in
+    the data file's name (T1 → <prefix>T1.txt) — strip it back."""
+    base = os.path.basename(m.group("path"))
+    base = base.removeprefix(prefix) if prefix else base
+    path = os.path.join(DATA_DIR, base)
     if not os.path.exists(path) or not path.endswith(".txt"):
         raise ValueError(f"LOAD DATA: unsupported fixture {m.group('path')}")
     tbl = m.group("tbl")
@@ -434,7 +439,7 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                 continue
             m = _LOAD_DATA.match(stmt)
             if m:
-                _emulate_load_data(spark, m)
+                _emulate_load_data(spark, m, prefix)
                 continue
             if upper.startswith("CREATE TABLE"):
                 name = _CREATE_NAME.search(stmt).group("name")
