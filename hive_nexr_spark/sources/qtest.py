@@ -300,6 +300,80 @@ def _emulate_load_data(spark: SparkSession, m: re.Match,
     df.write.insertInto(tbl, overwrite=bool(m.group("ow")))
 
 
+_UNIQUEJOIN_STMT = re.compile(
+    r"^FROM\s+UNIQUEJOIN\s+(?P<specs>.*?)\s+SELECT\s+(?P<sel>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UJ_SPEC = re.compile(
+    r"(?P<p>PRESERVE\s+)?(?P<tbl>\w+)\s+(?P<alias>\w+)\s*\((?P<exprs>[^)]*)\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_uniquejoin(spark: SparkSession, stmt: str) -> str:
+    """FROM UNIQUEJOIN [PRESERVE] t a (expr...), ... SELECT ...
+    (`Hive.g:1595-1614` uniqueJoinToken, executed by
+    `exec/CommonJoinOperator.java:754` with per-alias preserve flags).
+
+    Semantics, verified against the reference's own golden output
+    (`results/clientpositive/uniquejoin.q.out`): the qualifying key set is
+    the UNION of the PRESERVE'd aliases' keys — or the INTERSECTION of all
+    aliases' keys when nothing is preserved — and each key emits the
+    cartesian product of the matching rows per alias, NULL-padded where an
+    alias has no match. Rewritten to a distinct-keys subquery LEFT JOINed
+    back to every alias, which Catalyst executes as ordinary hash joins.
+
+    Hive compares mixed-type keys numerically (string key vs arithmetic
+    expr → DOUBLE), so when a key position's expression types differ
+    across aliases every expression at that position is cast to DOUBLE.
+    NULL join keys never match (Hive drops them from key groups too)."""
+    m = _UNIQUEJOIN_STMT.match(stmt)
+    if not m:
+        return stmt
+    specs = [
+        (bool(s.group("p")), s.group("tbl"), s.group("alias"),
+         [e.strip() for e in s.group("exprs").split(",")])
+        for s in _UJ_SPEC.finditer(m.group("specs"))
+    ]
+    if not specs:
+        return stmt
+    nk = len(specs[0][3])
+    # per key position: if expression types differ across aliases, Hive
+    # compares as double — mirror that with explicit casts
+    types: list[set[str]] = [set() for _ in range(nk)]
+    for _, tbl, alias, exprs in specs:
+        row = spark.sql(
+            f"SELECT {', '.join(exprs)} FROM {tbl} {alias}").dtypes
+        for i, (_, t) in enumerate(row):
+            types[i].add(t)
+    casts = ["CAST(%s AS DOUBLE)" if len(types[i]) > 1 else "%s"
+             for i in range(nk)]
+
+    def key_cols(exprs: list[str]) -> list[str]:
+        return [casts[i] % (e,) for i, e in enumerate(exprs)]
+
+    def key_sel(tbl: str, alias: str, exprs: list[str], distinct: bool) -> str:
+        cols = ", ".join(f"{c} AS k{i}" for i, c in enumerate(key_cols(exprs)))
+        return f"SELECT {'DISTINCT ' if distinct else ''}{cols} FROM {tbl} {alias}"
+
+    preserved = [s for s in specs if s[0]]
+    if preserved:
+        union = " UNION ALL ".join(
+            key_sel(t, a, e, False) for _, t, a, e in preserved)
+        keys = (f"SELECT DISTINCT {', '.join(f'k{i}' for i in range(nk))} "
+                f"FROM ({union}) uj_u")
+    else:
+        keys = " INTERSECT ".join(
+            key_sel(t, a, e, True) for _, t, a, e in specs)
+    joins = "".join(
+        f" LEFT JOIN {t} {a} ON "
+        + " AND ".join(f"({c}) = uj_keys.k{i}"
+                       for i, c in enumerate(key_cols(e)))
+        for _, t, a, e in specs
+    )
+    return f"SELECT {m.group('sel')} FROM ({keys}) uj_keys{joins}"
+
+
 def _strip_comments(text: str) -> str:
     return "\n".join(
         line for line in text.splitlines() if not line.lstrip().startswith("--")
@@ -441,6 +515,9 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
             if m:
                 _emulate_load_data(spark, m, prefix)
                 continue
+            if upper.startswith("FROM UNIQUEJOIN"):
+                stmt = _rewrite_uniquejoin(spark, stmt)
+                upper = stmt.upper()
             if upper.startswith("CREATE TABLE"):
                 name = _CREATE_NAME.search(stmt).group("name")
                 spark.sql(f"DROP TABLE IF EXISTS {name}")

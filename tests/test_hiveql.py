@@ -270,3 +270,16 @@ def test_srcbucket_sample_pruning_semantics(spark):
     b0 = spark.table("srcbucket_b0")
     assert b0.filter("pmod(key, 2) != 0").count() == 0
     assert spark.table("srcbucket_b1").filter("pmod(key, 2) != 1").count() == 0
+
+
+def test_uniquejoin_qfile_matches_reference_golden(spark):
+    """uniquejoin.q through the UNIQUEJOIN rewrite reproduces the
+    reference's own golden rows (results/clientpositive/uniquejoin.q.out,
+    last query block: PRESERVE T1 (a.key), T2 (b.key))."""
+    from hive_nexr_spark.sources.qtest import run_qfile
+
+    rows = sorted(tuple(r) for r in run_qfile(spark, "uniquejoin.q").collect())
+    assert rows == [
+        ("1", None), ("2", "2"), ("3", "3"), ("7", None),
+        ("8", "8"), ("8", "8"), ("8", "8"), ("8", "8"),
+    ]
