@@ -499,10 +499,16 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                          stmt, re.IGNORECASE)
             if m and m.group(1).lower() in fixture_names:
                 continue
-            # Hive 0.8 tolerated dropping absent partitions; Spark requires
-            # IF EXISTS for that
+            # Hive 0.8 tolerates dropping absent tables/views/partitions
+            # (hive.exec.drop.ignorenonexistent defaults true,
+            # `conf/HiveConf.java` DROPIGNORESNONEXISTENT); Spark requires
+            # an explicit IF EXISTS
             stmt = re.sub(r"\bDROP\s+PARTITION\b", "DROP IF EXISTS PARTITION",
                           stmt, flags=re.IGNORECASE)
+            stmt = re.sub(r"^DROP\s+TABLE\s+(?!IF\s)",
+                          "DROP TABLE IF EXISTS ", stmt, flags=re.IGNORECASE)
+            stmt = re.sub(r"^DROP\s+VIEW\s+(?!IF\s)",
+                          "DROP VIEW IF EXISTS ", stmt, flags=re.IGNORECASE)
             m = _SET_CMD.match(stmt)
             if m:
                 # fs.* relocations (create_1.q sets fs.default.name to an
