@@ -75,6 +75,7 @@ QUERIES = {
     "qfile_union10": partial(_qfile, "union10.q"),
     "qfile_groupby8": partial(_qfile, "groupby8.q"),
     "qfile_groupby_neg_float": partial(_qfile, "groupby_neg_float.q"),
+    "qfile_load_dyn_part1": partial(_qfile, "load_dyn_part1.q"),
 }
 
 _W = f"WITH {SRC_SQL_DUCKDB}"
@@ -319,5 +320,12 @@ ORACLE = {
     # last statement groups on the string literal '-30.33' (one row)
     "qfile_groupby_neg_float": """
         SELECT '-30.33' AS "-30.33"
+    """,
+    # dynamic-partition multi-insert: final SELECT reads nzhang_part2 =
+    # srcpart rows with ds > '2008-04-08' (the two 2008-04-09 partitions,
+    # i.e. src twice) written under static ds='2008-12-31', dynamic hr
+    "qfile_load_dyn_part1": f"""{_W}
+        SELECT key, value, '2008-12-31' AS ds, hr
+        FROM src CROSS JOIN (SELECT unnest(['11', '12']) AS hr) h
     """,
 }

@@ -214,10 +214,16 @@ SRCPART_PARTS = (
 )
 
 
-def make_srcpart(spark: SparkSession) -> DataFrame:
+def make_srcpart(spark: SparkSession, as_table: bool = False) -> DataFrame:
     """`srcpart` fixture: src replicated into 4 (ds, hr) partitions —
     same shape as the reference's partitioned fixture
-    (`QTestUtil.java:441-447` loads kv1.txt into each of the 4 parts)."""
+    (`QTestUtil.java:441-447` loads kv1.txt into each of the 4 parts).
+
+    Registered as a temp view by default (cheapest); ``as_table``
+    materializes a real partitioned parquet table instead, for qfiles
+    that run partition DDL against it (SHOW PARTITIONS / ALTER TABLE) —
+    a temp view would shadow the table in name resolution, so it is
+    dropped first."""
     import functools
 
     src = make_src(spark)
@@ -230,6 +236,20 @@ def make_srcpart(spark: SparkSession) -> DataFrame:
             for ds, hr in SRCPART_PARTS
         ],
     )
+    if as_table:
+        spark.catalog.dropTempView("srcpart")
+        spark.sql("DROP TABLE IF EXISTS srcpart")
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{warehouse}/srcpart", ignore_errors=True)
+        spark.sql(
+            "CREATE TABLE srcpart (key STRING, value STRING, ds STRING, "
+            "hr STRING) USING parquet PARTITIONED BY (ds, hr)"
+        )
+        df.write.insertInto("srcpart", overwrite=True)
+        return spark.table("srcpart")
     df.createOrReplaceTempView("srcpart")
     return df
 
@@ -251,7 +271,9 @@ _PARTITIONED = re.compile(
     r"PARTITIONED\s+BY\s*\((?P<pcols>[^)]*)\)",
     re.IGNORECASE,
 )
-_CREATE_NAME = re.compile(r"CREATE\s+TABLE\s+(?P<name>\w+)", re.IGNORECASE)
+_CREATE_NAME = re.compile(
+    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)",
+    re.IGNORECASE)
 _SET_CMD = re.compile(r"^set\s+(?P<k>[\w.]+)\s*=\s*(?P<v>.*)$", re.IGNORECASE)
 # INSERT OVERWRITE DIRECTORY '<path>' SELECT ... — the golden output is the
 # directory contents, i.e. exactly the SELECT's rows; rewrite to a plain
@@ -437,7 +459,9 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     if "src_thrift" in text.lower():
         make_src_thrift(spark)
     if "srcpart" in text.lower():
-        make_srcpart(spark)
+        make_srcpart(spark, as_table=bool(re.search(
+            r"(SHOW\s+PARTITIONS|ALTER\s+TABLE|ANALYZE\s+TABLE)\s+srcpart",
+            text, re.IGNORECASE)))
     if re.search(r"\bsrc1\b", text, re.IGNORECASE):
         make_src1(spark)
     for bucket_table in SRCBUCKET_TABLES:
