@@ -28,6 +28,9 @@ SUBSET = [
     "qfile_groupby2",
     "qfile_join2",
     "qfile_input12",
+    "qfile_sample2",
+    "qfile_load_dyn_part1",
+    "dedup_simhash",
 ]
 
 
