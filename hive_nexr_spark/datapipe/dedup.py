@@ -53,6 +53,19 @@ def exact_dedup_summary(documents: DataFrame) -> DataFrame:
     )
 
 
+def exact_dedup_decisions(documents: DataFrame) -> DataFrame:
+    """The dedup decision table a pipeline actually consumes downstream:
+    one row per distinct text with the surviving doc_id (smallest — the
+    standard keep-first policy) and how many copies were dropped. Same
+    16-byte-digest shuffle as the summary; the decisions join back to the
+    corpus by digest to materialize the deduplicated dataset."""
+    corpus = with_synthetic_dups(documents)
+    return corpus.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("keep_id"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
+
+
 def _with_shingles(df: DataFrame) -> DataFrame:
     """Add a distinct word-3-gram shingle array column (JVM-side).
 

@@ -30,22 +30,55 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def _quality_exprs() -> tuple[Column, Column]:
+    """(n_tokens, quality score) over the `text` column — shared by the
+    per-doc scoring query and the corpus-cleaning pass."""
+    toks = _tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    avg_tok_len = (F.length(F.regexp_replace(F.col("text"), " ", ""))
+                   / n_toks).cast("double")
+    stop_ratio = (stop_hits / n_toks).cast("double")
+    score = (
+        F.when(n_toks >= 20, 0.4).otherwise(0.0)
+        + F.when((avg_tok_len >= 3) & (avg_tok_len <= 10), 0.3).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
+    )
+    return n_toks, score
+
+
+def _lang_votes() -> tuple[Column, Column, Column]:
+    toks = _tokens(F.col("text"))
+
+    def votes(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    en = votes(EN_STOPWORDS)
+    de = votes(("der", "die", "das", "und", "ist", "nicht", "ein", "zu"))
+    fr = votes(("le", "la", "les", "et", "est", "un", "une", "pas"))
+    return en, de, fr
+
+
+def _lang_pred() -> Column:
+    en, de, fr = _lang_votes()
+    return (
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic quality score from length / punctuation / stopword ratios —
     the standard pre-training corpus filters."""
     toks = _tokens(F.col("text"))
-    n_toks = F.size(toks)
+    n_toks, score = _quality_exprs()
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
     n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
     avg_tok_len = (F.length(F.regexp_replace(F.col("text"), " ", ""))
                    / n_toks).cast("double")
     stop_ratio = (stop_hits / n_toks).cast("double")
     punct_ratio = (n_punct / F.length("text")).cast("double")
-    score = (
-        F.when(n_toks >= 20, 0.4).otherwise(0.0)
-        + F.when((avg_tok_len >= 3) & (avg_tok_len <= 10), 0.3).otherwise(0.0)
-        + F.when(stop_ratio >= 0.05, 0.3).otherwise(0.0)
-    )
     return documents.select(
         "doc_id",
         n_toks.alias("n_tokens"),
@@ -59,17 +92,8 @@ def quality_scores(documents: DataFrame) -> DataFrame:
 def language_id(documents: DataFrame) -> DataFrame:
     """Stopword-vote language heuristic (en vs de vs fr), scored per doc and
     compared with the labeled `lang` column."""
-    toks = _tokens(F.col("text"))
-    def votes(words):
-        return F.size(F.filter(toks, lambda t: t.isin(*words)))
-    en = votes(EN_STOPWORDS)
-    de = votes(("der", "die", "das", "und", "ist", "nicht", "ein", "zu"))
-    fr = votes(("le", "la", "les", "et", "est", "un", "une", "pas"))
-    pred = (
-        F.when((en >= de) & (en >= fr), "en")
-        .when(de >= fr, "de")
-        .otherwise("fr")
-    )
+    en, de, fr = _lang_votes()
+    pred = _lang_pred()
     return documents.select(
         "doc_id",
         en.alias("en_votes"),
@@ -77,6 +101,25 @@ def language_id(documents: DataFrame) -> DataFrame:
         fr.alias("fr_votes"),
         pred.alias("pred_lang"),
         (pred == F.col("lang")).alias("match"),
+    )
+
+
+def clean_corpus(documents: DataFrame, min_quality: float = 0.7) -> DataFrame:
+    """The C4-style corpus cleaning pass a pre-training pipeline actually
+    runs: keep documents that clear the quality threshold AND classify as
+    English. Quality and language are computed in ONE projection over ONE
+    scan — composing the standalone queries would self-join the corpus on
+    doc_id, an extra shuffle that is pure waste at 100 TB."""
+    n_toks, score = _quality_exprs()
+    pred = _lang_pred()
+    return (
+        documents.select(
+            "doc_id",
+            n_toks.alias("n_tokens"),
+            F.round(score, 2).alias("quality"),
+            pred.alias("pred_lang"),
+        )
+        .filter((F.col("quality") >= min_quality) & (F.col("pred_lang") == "en"))
     )
 
 

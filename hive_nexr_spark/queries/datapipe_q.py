@@ -24,6 +24,8 @@ def _minhash_full(documents):
 
 QUERIES = {
     "dedup_exact": _bind(dedup.exact_dedup_summary, "documents"),
+    "dedup_exact_decisions": _bind(dedup.exact_dedup_decisions, "documents"),
+    "text_clean_corpus": _bind(textops.clean_corpus, "documents"),
     "dedup_minhash_lsh": _bind(dedup.minhash_lsh_pairs, "documents"),
     "dedup_minhash_lsh_full": _bind(_minhash_full, "documents"),
     "dedup_ngram_jaccard": _bind(dedup.ngram_jaccard_pairs, "documents"),
@@ -212,6 +214,38 @@ ORACLE = {
           JOIN toks ta ON cand.doc_a = ta.doc_id
           JOIN toks tb ON cand.doc_b = tb.doc_id
         ) v WHERE jaccard >= 0.5
+    """,
+    "dedup_exact_decisions": _CORPUS + """
+        SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        FROM corpus GROUP BY md5(text)
+    """,
+    "text_clean_corpus": """
+        SELECT doc_id, n_toks AS n_tokens,
+               CAST(round(q, 2) AS DOUBLE) AS quality, pred_lang
+        FROM (
+          SELECT doc_id, len(toks) AS n_toks,
+            (CASE WHEN len(toks) >= 20 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+                         BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN CAST(len(list_filter(toks, t -> t IN
+                   ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                   / len(toks) >= 0.05 THEN 0.3 ELSE 0.0 END) AS q,
+            CASE WHEN en >= de AND en >= fr THEN 'en'
+                 WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
+          FROM (
+            SELECT doc_id, text, toks,
+              len(list_filter(toks, t -> t IN
+                ('the','a','of','and','to','in','is','it','for','on'))) AS en,
+              len(list_filter(toks, t -> t IN
+                ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+              len(list_filter(toks, t -> t IN
+                ('le','la','les','et','est','un','une','pas'))) AS fr
+            FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+                  FROM documents) t
+          ) v
+        ) s
+        WHERE round(q, 2) >= 0.7 AND pred_lang = 'en'
     """,
     "dedup_simhash": _simhash_sql(bounded=True),
     "dedup_simhash_banded": _simhash_sql(bounded=False),
