@@ -24,8 +24,8 @@ from functools import partial
 
 from ..io import ensure_runtime_compat
 from ..sources.qtest import (
-    SRC_SQL_DUCKDB, SRCBUCKET_SQL_DUCKDB, _srcbucket_file_sql_duckdb,
-    run_qfile)
+    SRC_SQL_DUCKDB, SRCBUCKET_SQL_DUCKDB, _kv_sql_duckdb,
+    _srcbucket_file_sql_duckdb, run_qfile)
 
 
 def _qfile(qname: str, spark, sf_dir):
@@ -76,6 +76,10 @@ QUERIES = {
     "qfile_groupby8": partial(_qfile, "groupby8.q"),
     "qfile_groupby_neg_float": partial(_qfile, "groupby_neg_float.q"),
     "qfile_load_dyn_part1": partial(_qfile, "load_dyn_part1.q"),
+    "qfile_groupby10": partial(_qfile, "groupby10.q"),
+    "qfile_groupby11": partial(_qfile, "groupby11.q"),
+    "qfile_union4": partial(_qfile, "union4.q"),
+    "qfile_union5": partial(_qfile, "union5.q"),
 }
 
 _W = f"WITH {SRC_SQL_DUCKDB}"
@@ -327,5 +331,36 @@ ORACLE = {
     "qfile_load_dyn_part1": f"""{_W}
         SELECT key, value, '2008-12-31' AS ds, hr
         FROM src CROSS JOIN (SELECT unnest(['11', '12']) AS hr) h
+    """,
+    # dest2(key INT, val1 INT, val2 INT) over the kv5 fixture: sums of
+    # integral substrings — exact in double, truncating INT store is a
+    # no-op on integral values
+    "qfile_groupby10": f"""
+        WITH input AS ({_kv_sql_duckdb('kv5.txt')})
+        SELECT CAST(key AS INT) AS key,
+               CAST(sum(CAST(substr(value, 5) AS DOUBLE)) AS INT) AS val1,
+               CAST(sum(DISTINCT CAST(substr(value, 5) AS DOUBLE)) AS INT) AS val2
+        FROM input GROUP BY key
+    """,
+    # dest2(key STRING, val1 INT, val2 INT) partition ds='111'
+    "qfile_groupby11": f"""{_W}
+        SELECT substr(s.value, 5) AS key,
+               CAST(count(s.key) AS INT) AS val1,
+               CAST(count(DISTINCT s.key) AS INT) AS val2,
+               '111' AS ds
+        FROM src s GROUP BY substr(s.value, 5)
+    """,
+    # tmptable(key STRING, value INT): two labeled count branches
+    "qfile_union4": f"""{_W}
+        SELECT 'tst1' AS key, CAST(count(1) AS INT) AS value FROM src
+        UNION ALL
+        SELECT 'tst2', CAST(count(1) AS INT) FROM src
+    """,
+    "qfile_union5": f"""{_W}
+        SELECT key, CAST(count(1) AS BIGINT) AS "count(1)" FROM (
+          SELECT 'tst1' AS key, count(1) AS value FROM src
+          UNION ALL
+          SELECT 'tst2', count(1) FROM src
+        ) unionsrc GROUP BY key
     """,
 }
