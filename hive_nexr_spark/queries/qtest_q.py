@@ -80,6 +80,16 @@ QUERIES = {
     "qfile_groupby11": partial(_qfile, "groupby11.q"),
     "qfile_union4": partial(_qfile, "union4.q"),
     "qfile_union5": partial(_qfile, "union5.q"),
+    # execution-knob variants of the groupby files (hive.map.aggr /
+    # hive.groupby.skewindata): identical queries, identical expected
+    # results — they assert the engine is insensitive to the reference's
+    # physical-plan knobs (Catalyst picks its own plan)
+    "qfile_groupby1_map": partial(_qfile, "groupby1_map.q"),
+    "qfile_groupby1_noskew": partial(_qfile, "groupby1_noskew.q"),
+    "qfile_groupby2_map": partial(_qfile, "groupby2_map.q"),
+    "qfile_groupby4_map": partial(_qfile, "groupby4_map.q"),
+    "qfile_groupby5_map": partial(_qfile, "groupby5_map.q"),
+    "qfile_groupby6_map": partial(_qfile, "groupby6_map.q"),
 }
 
 _W = f"WITH {SRC_SQL_DUCKDB}"
@@ -363,4 +373,19 @@ ORACLE = {
           SELECT 'tst2', count(1) FROM src
         ) unionsrc GROUP BY key
     """,
+    # groupby4_map: plain count(1) into dest1(key INT)
+    "qfile_groupby4_map": f"""{_W}
+        SELECT CAST(count(1) AS INT) AS key FROM src
+    """,
+    # groupby5_map: sum of the string keys (numeric coercion) into INT
+    "qfile_groupby5_map": f"""{_W}
+        SELECT CAST(sum(CAST(key AS DOUBLE)) AS INT) AS key FROM src
+    """,
 }
+
+# knob-variant files run the identical query as their base file, so they
+# share the base oracle verbatim
+ORACLE["qfile_groupby1_map"] = ORACLE["qfile_groupby1"]
+ORACLE["qfile_groupby1_noskew"] = ORACLE["qfile_groupby1"]
+ORACLE["qfile_groupby2_map"] = ORACLE["qfile_groupby2"]
+ORACLE["qfile_groupby6_map"] = ORACLE["qfile_groupby6"]
