@@ -24,12 +24,19 @@ import sys
 
 
 def _process_line(hql, line: str, max_rows: int) -> None:
-    """CliDriver.processLine: split on ';', dispatch each statement."""
+    """CliDriver.processLine: split on ';', dispatch each statement.
+
+    Comment-only lines are stripped BEFORE splitting (same pass as the
+    qfile runner's _strip_comments) — splitting first would leave a
+    leading '--' line attached to the following SQL and silently drop
+    the whole statement."""
     import re
 
-    for stmt in line.split(";"):
+    from .sources.qtest import _strip_comments
+
+    for stmt in _strip_comments(line).split(";"):
         stmt = stmt.strip()
-        if not stmt or stmt.startswith("--"):
+        if not stmt:
             continue
         low = stmt.lower()
         if low in ("quit", "exit"):

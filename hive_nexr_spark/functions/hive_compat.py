@@ -76,15 +76,86 @@ def create_union(tag: Column, *fields: Column) -> Column:
 
 
 def register_all(spark: SparkSession) -> None:
-    """Expose the parity functions to SQL (`CREATE TEMPORARY FUNCTION`
-    surface, `parse/FunctionSemanticAnalyzer.java`). The expression-based
-    ones are registered via SQL macro-style temp functions where Spark
-    allows; hash is exposed for strings (the common fixture case)."""
+    """Expose the parity functions to SQL so the SQL surface matches the
+    Column API (`exec/FunctionRegistry.java` registry rows; the reference
+    reaches them via `parse/FunctionSemanticAnalyzer.java`).
+
+    * ``hive_hash_str`` — Text.hashCode parity (string form).
+    * ``field``        — `FunctionRegistry.java:276`, variadic; Hive
+      compares mixed types numerically (string col vs int literal →
+      DOUBLE), mirrored by the numeric-fallback equality.
+    * ``ewah_bitmap_and/or/empty`` — `:349-351`, javaewah-serialized
+      bitmaps (see functions/ewah.py; golden-output verified).
+    * ``ewah_bitmap``  — `:348`, the bitmap-building aggregate.
+
+    ``create_union`` (`:413`) is NOT registered here: its return struct
+    type depends on the argument types, which a registered UDF cannot
+    express — the HiveQL facade rewrites calls to ``named_struct``
+    instead (hiveql._rewrite_create_union), keeping it JVM-side.
+
+    These are catalog/test-surface functions, not data-path hot loops —
+    plain Python UDFs are acceptable (SURVEY §2.9); the engine's own
+    operators never call them.
+    """
+    from . import ewah
+
     spark.udf.register(
         "hive_hash_str",
         lambda s: _py_text_hash(s),
         "int",
     )
+    spark.udf.register("field", _py_field, "int")
+    spark.udf.register("ewah_bitmap_and", ewah.bitmap_and, "array<bigint>")
+    spark.udf.register("ewah_bitmap_or", ewah.bitmap_or, "array<bigint>")
+    spark.udf.register("ewah_bitmap_empty", ewah.bitmap_empty, "boolean")
+    try:
+        spark.udf.register("ewah_bitmap", _make_ewah_bitmap_agg())
+    except Exception:
+        pass  # pandas/arrow unavailable — scalar bitmap ops still work
+
+
+def _make_ewah_bitmap_agg():
+    """Build the grouped-agg pandas UDF at MODULE scope: pandas_udf
+    resolves the `pd.Series` type hint in the defining function's global
+    namespace, so `pd` must be importable there (a function-local import
+    silently breaks the hint lookup)."""
+    import pandas  # noqa: F401 — must exist in module globals for hints
+    globals().setdefault("pd", pandas)
+    from pyspark.sql.functions import pandas_udf
+
+    from . import ewah
+
+    @pandas_udf("array<bigint>")
+    def _ewah_bitmap_agg(positions: "pd.Series") -> list:
+        # Series -> scalar type hint = grouped-agg pandas UDF
+        return ewah.bitmap_from_positions(positions.dropna().tolist())
+
+    return _ewah_bitmap_agg
+
+
+def _py_field(*args) -> int:
+    """field(x, a1, ...) → 1-based index of the first ai equal to x, 0 if
+    none; NULL never matches (`udf_field.q` golden behavior). Mixed-type
+    comparisons coerce to double, as Hive's common-comparison-type rule
+    does for string-vs-numeric pairs."""
+    if not args or args[0] is None:
+        return 0
+    x = args[0]
+
+    def eq(a, b) -> bool:
+        if b is None:
+            return False
+        if type(a) is type(b):
+            return a == b
+        try:
+            return float(a) == float(b)
+        except (TypeError, ValueError):
+            return False
+
+    for i, a in enumerate(args[1:], 1):
+        if eq(x, a):
+            return i
+    return 0
 
 
 def _py_text_hash(s: str | None) -> int | None:

@@ -15,29 +15,39 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def _latest_driver_status() -> dict[str, bool]:
-    """Map query key -> was it green in the LATEST round that sampled it.
+def _latest_driver_status() -> dict[str, tuple[bool, str | None]]:
+    """Map query key -> (green, err) from the LATEST round that sampled it.
 
     Reads the committed ``CORRECTNESS_r*.json`` files at the repo root (the
-    verification driver's own output). Keys never sampled are absent. Green
-    means a full hash match; a ``no_oracle`` rows-only row or an errored row
-    counts as not-green so it is re-sampled after a fix. Failure to read the
-    files (fresh clone, odd cwd) degrades to "nothing verified yet", which
-    only affects ordering, never membership.
+    verification driver's own output), newest round last (numeric round
+    order — lexicographic would put r100 before r11). Keys never sampled
+    are absent. Green means a full hash match; ``err`` carries the driver's
+    error tag (e.g. ``no_oracle`` for rows-only checks). Failure to read
+    the files (fresh clone, odd cwd) degrades to "nothing verified yet",
+    which only affects ordering, never membership.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    status: dict[str, bool] = {}
+
+    def round_no(path: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    status: dict[str, tuple[bool, str | None]] = {}
     try:
-        for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+                       key=round_no)
+        for path in paths:
             with open(path) as fh:
                 rows = json.load(fh)
             for k, v in rows.items():
-                status[k] = bool(isinstance(v, dict) and v.get("hash_match"))
+                if isinstance(v, dict):
+                    status[k] = (bool(v.get("hash_match")), v.get("err"))
     except Exception:
         return {}
     return status
@@ -48,14 +58,18 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     The verification driver evaluates queries in insertion order with a
     fixed budget (50 of the declared set per round), so insertion order IS
-    the sampling policy. Three tiers, each interleaved one-query-per-module
+    the sampling policy. Four tiers, each interleaved one-query-per-module
     round-robin so any prefix spans relational/functions/datapipe/streaming/
     DDL/sources/qtest:
 
-      0. sampled before but not green in their latest round (regression or
-         no_oracle fixes — must be re-seen to show the fix);
+      0. sampled before and FAILED (regression — must be re-seen to show
+         the fix); a ``no_oracle`` row only lands here if the query has
+         since gained a declared oracle (i.e. the fix needs re-sampling);
       1. never sampled by any round (the coverage debt);
-      2. green in their latest sampled round (cheapest to lose a slot).
+      2. green in their latest sampled round (cheapest to lose a slot);
+      3. permanent rows-only queries (``no_oracle`` by design, still no
+         declared oracle) — they can never turn green, so they must not
+         pre-spend sample slots every round.
 
     The tiers come from the committed CORRECTNESS_r*.json files, so the
     ordering self-adapts each round without hand-editing.
@@ -68,11 +82,6 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
             sources_q, qtest_q)
 
     status = _latest_driver_status()
-
-    def tier(key: str) -> int:
-        if key not in status:
-            return 1
-        return 2 if status[key] else 0
 
     all_oracle: dict[str, str] = {}
     # per-module ordered key lists, split by tier (declared order preserved
@@ -87,9 +96,19 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         all_oracle.update(mod.ORACLE)
         per_mod.append((mod.QUERIES, mod.ORACLE))
 
+    def tier(key: str) -> int:
+        if key not in status:
+            return 1
+        green, err = status[key]
+        if green:
+            return 2
+        if err == "no_oracle" and key not in all_oracle:
+            return 3  # rows-only by design — can never turn green
+        return 0
+
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    for t in (0, 1, 2):
+    for t in (0, 1, 2, 3):
         iters = [iter([(k, fn) for k, fn in q.items() if tier(k) == t])
                  for q, _ in per_mod]
         by_mod_oracle = [orc for _, orc in per_mod]

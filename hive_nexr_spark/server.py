@@ -120,7 +120,12 @@ def query(host: str, port: int, sql: str, timeout: float = 60.0) -> dict:
         while not buf.endswith(b"\n"):
             chunk = sock.recv(65536)
             if not chunk:
-                break
+                # connection closed mid-response (handler died): a partial
+                # buffer would json-decode to an opaque error — name the
+                # real failure instead
+                raise ConnectionError(
+                    "server closed connection before a complete response "
+                    f"({len(buf)} bytes buffered)")
             buf += chunk
     return json.loads(buf.decode())
 

@@ -75,12 +75,16 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get(
             "SPARK_GRAFT_WAREHOUSE", "/tmp/hive_nexr_spark_warehouse"))
-        # deterministic derby metastore location for saveAsTable/bucketBy;
-        # embedded Derby is single-process, so a second concurrent JVM must
-        # point SPARK_GRAFT_DERBY somewhere else
+        # embedded Derby is single-process, so the metastore home defaults
+        # to a PER-PROCESS dir: a CLI/server/bench running alongside a
+        # sweep would otherwise die on the Derby db.lck. Set
+        # SPARK_GRAFT_DERBY to a fixed path when cross-process DDL
+        # persistence is wanted (and only one JVM runs at a time).
         .config("spark.driver.extraJavaOptions",
                 "-Dderby.system.home="
-                + os.environ.get("SPARK_GRAFT_DERBY", "/tmp/hive_nexr_spark_derby"))
+                + os.environ.get(
+                    "SPARK_GRAFT_DERBY",
+                    f"/tmp/hive_nexr_spark_derby_{os.getpid()}"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -64,9 +64,28 @@ def _kv_sql_duckdb(fname: str) -> str:
 SRC_SQL_DUCKDB = f"src AS ({_kv_sql_duckdb('kv1.txt')})"
 
 
-def make_src(spark: SparkSession) -> DataFrame:
-    """Register the `src` fixture (the reference's kv1.txt) as a temp view."""
+def _materialize_table(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
+    """Turn a fixture into a REAL parquet table (dropping any same-named
+    temp view first — it would shadow the table in name resolution). Needed
+    when a qfile runs constructs that reject temp views: CREATE TABLE LIKE,
+    persistent CREATE VIEW over it, partition DDL (QTestUtil.createSources
+    likewise materializes real tables)."""
+    import shutil
+
+    spark.catalog.dropTempView(name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
+    df.write.saveAsTable(name)
+    return spark.table(name)
+
+
+def make_src(spark: SparkSession, as_table: bool = False) -> DataFrame:
+    """Register the `src` fixture (the reference's kv1.txt) as a temp view
+    (or a real table — see _materialize_table)."""
     src = _kv_csv(spark, f"{DATA_DIR}/kv1.txt")
+    if as_table:
+        return _materialize_table(spark, "src", src)
     src.createOrReplaceTempView("src")
     return src
 
@@ -112,10 +131,12 @@ def make_src_thrift(spark: SparkSession) -> DataFrame:
     return df
 
 
-def make_src1(spark: SparkSession) -> DataFrame:
+def make_src1(spark: SparkSession, as_table: bool = False) -> DataFrame:
     """`src1` fixture: the reference's kv3.txt (25 rows, some empty keys —
     `QTestUtil.java:430-439`)."""
     src1 = _kv_csv(spark, f"{DATA_DIR}/kv3.txt")
+    if as_table:
+        return _materialize_table(spark, "src1", src1)
     src1.createOrReplaceTempView("src1")
     return src1
 
@@ -135,7 +156,8 @@ SRCBUCKET_TABLES = {
 }
 
 
-def make_srcbucket(spark: SparkSession, table: str = "srcbucket") -> DataFrame:
+def make_srcbucket(spark: SparkSession, table: str = "srcbucket",
+                   as_table: bool = False) -> DataFrame:
     import functools
 
     dfs = []
@@ -147,6 +169,8 @@ def make_srcbucket(spark: SparkSession, table: str = "srcbucket") -> DataFrame:
         df.createOrReplaceTempView(f"{table}_b{i}")
         dfs.append(df)
     union = functools.reduce(DataFrame.unionAll, dfs)
+    if as_table:
+        return _materialize_table(spark, table, union)
     union.createOrReplaceTempView(table)
     return union
 
@@ -226,7 +250,9 @@ def make_srcpart(spark: SparkSession, as_table: bool = False) -> DataFrame:
     dropped first."""
     import functools
 
-    src = make_src(spark)
+    # build from the raw file — calling make_src here would re-register
+    # the `src` TEMP VIEW and shadow a just-materialized `src` TABLE
+    src = _kv_csv(spark, f"{DATA_DIR}/kv1.txt")
     df = functools.reduce(
         DataFrame.unionAll,
         [
@@ -259,20 +285,25 @@ _STORED_AS = re.compile(r"\bSTORED\s+AS\s+\w+", re.IGNORECASE)
 # tables standardize on parquet (SURVEY §2.2), so strip the clause.
 _ROW_FORMAT = re.compile(
     r"ROW\s+FORMAT\s+(?:DELIMITED"
-    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+'[^']*'(?:\s+ESCAPED\s+BY\s+'[^']*')?)?"
-    r"(?:\s+COLLECTION\s+ITEMS\s+TERMINATED\s+BY\s+'[^']*')?"
-    r"(?:\s+MAP\s+KEYS\s+TERMINATED\s+BY\s+'[^']*')?"
-    r"(?:\s+LINES\s+TERMINATED\s+BY\s+'[^']*')?"
-    r"|SERDE\s+'[^']*'(?:\s+WITH\s+SERDEPROPERTIES\s*\([^)]*\))?)",
+    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+['\"][^'\"]*['\"]"
+    r"(?:\s+ESCAPED\s+BY\s+['\"][^'\"]*['\"])?)?"
+    r"(?:\s+COLLECTION\s+ITEMS\s+TERMINATED\s+BY\s+['\"][^'\"]*['\"])?"
+    r"(?:\s+MAP\s+KEYS\s+TERMINATED\s+BY\s+['\"][^'\"]*['\"])?"
+    r"(?:\s+LINES\s+TERMINATED\s+BY\s+['\"][^'\"]*['\"])?"
+    r"|SERDE\s+['\"][^'\"]*['\"]"
+    r"(?:\s+WITH\s+SERDEPROPERTIES\s*\([^)]*\))?)",
     re.IGNORECASE,
 )
 _PARTITIONED = re.compile(
-    r"CREATE\s+TABLE\s+(?P<name>\w+)\s*\((?P<cols>[^)]*)\)\s*"
+    r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.]+)\s*\((?P<cols>[^)]*)\)\s*"
+    r"(?P<comment>COMMENT\s+(?P<cq>['\"]).*?(?P=cq)\s*)?"
     r"PARTITIONED\s+BY\s*\((?P<pcols>[^)]*)\)",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 _CREATE_NAME = re.compile(
-    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)",
+    r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<qual>\w+\.)?(?P<name>\w+)",
     re.IGNORECASE)
 _SET_CMD = re.compile(r"^set\s+(?P<k>[\w.]+)\s*=\s*(?P<v>.*)$", re.IGNORECASE)
 # INSERT OVERWRITE DIRECTORY '<path>' SELECT ... — the golden output is the
@@ -282,11 +313,30 @@ _INSERT_DIR = re.compile(
     r"INSERT\s+OVERWRITE\s+DIRECTORY\s+'[^']*'\s*", re.IGNORECASE
 )
 _LOAD_DATA = re.compile(
-    r"LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'(?P<path>[^']+)'\s+"
-    r"(?P<ow>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<tbl>\w+)"
+    r"LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+(?P<q>['\"])(?P<path>.+?)(?P=q)\s+"
+    r"(?P<ow>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<tbl>[\w.]+)"
     r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
+
+
+def _resolve_fixture(path: str, prefix: str = "") -> str:
+    """Resolve a qfile LOAD DATA path to a readable text fixture.
+
+    The reference's qfiles address fixtures relative to the build tree
+    (``../data/files/<f>`` — `QTestUtil.java` sets user.dir under ql/), so
+    any relative path resolves by basename into DATA_DIR. Binary container
+    fixtures standardize like the tables that load them (SURVEY §2.2
+    storage standardization): ``smbbucket_1.rc`` (RCFile) and ``kv1.seq``
+    (SequenceFile) carry the same rows as their reference-provided
+    ``.txt`` twins, so the twin is read instead."""
+    base = os.path.basename(path)
+    base = base.removeprefix(prefix) if prefix else base
+    cand = os.path.join(DATA_DIR, base)
+    root, ext = os.path.splitext(cand)
+    if ext in (".rc", ".seq") and os.path.exists(root + ".txt"):
+        cand = root + ".txt"
+    return cand
 
 
 def _emulate_load_data(spark: SparkSession, m: re.Match,
@@ -298,10 +348,8 @@ def _emulate_load_data(spark: SparkSession, m: re.Match,
     values from the PARTITION clause the same way). The dest-table
     prefixing pass may have rewritten a table name that also appears in
     the data file's name (T1 → <prefix>T1.txt) — strip it back."""
-    base = os.path.basename(m.group("path"))
-    base = base.removeprefix(prefix) if prefix else base
-    path = os.path.join(DATA_DIR, base)
-    if not os.path.exists(path) or not path.endswith(".txt"):
+    path = _resolve_fixture(m.group("path"), prefix)
+    if not os.path.exists(path) or not path.endswith((".txt", ".dat")):
         raise ValueError(f"LOAD DATA: unsupported fixture {m.group('path')}")
     tbl = m.group("tbl")
     part = {}
@@ -408,6 +456,75 @@ _CLUSTERED = re.compile(
     re.IGNORECASE,
 )
 
+# Statements that are no-ops under this engine's documented posture:
+# * serde/fileformat DDL — all storage standardizes on parquet (SURVEY
+#   §2.2), so SET SERDE / SET SERDEPROPERTIES / SET FILEFORMAT have
+#   nothing to change (`parse/DDLSemanticAnalyzer.java` alterTableSerde);
+# * TOUCH — metadata-timestamp-only in the reference (`DDLTask.touch`);
+# * ENABLE/DISABLE NO_DROP|OFFLINE protect mode, LOCK/UNLOCK/SHOW LOCKS —
+#   single-session test runs never observe them (SURVEY §2.13);
+# * CREATE/DROP/ALTER INDEX, SHOW INDEXES — compact/bitmap indexes are an
+#   access-path optimization subsumed by parquet min/max stats (SURVEY
+#   §2.4); queries over indexed tables return identical rows without them.
+_SKIP_STMT = re.compile(
+    r"^\s*(?:"
+    r"ALTER\s+TABLE\s+\w+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
+    r"(?:SET\s+(?:SERDE|SERDEPROPERTIES|FILEFORMAT)\b|TOUCH\b"
+    r"|ENABLE\b|DISABLE\b)"
+    r"|ALTER\s+TABLE\s+\w+\s+SET\s+TBLPROPERTIES\s*\(\s*['\"]EXTERNAL"
+    # partitioned-view partition registration: metadata-only in the
+    # reference (view rows are unaffected — SemanticAnalyzer:7278)
+    r"|ALTER\s+VIEW\s+\w+\s+(?:ADD|DROP)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
+    r"PARTITION"
+    r"|LOCK\s+TABLE|UNLOCK\s+TABLE|SHOW\s+LOCKS"
+    r")",
+    re.IGNORECASE,
+)
+
+# Hive: `SHOW TABLE EXTENDED LIKE ident` — Spark wants a quoted pattern
+_SHOW_EXTENDED = re.compile(
+    r"^(SHOW\s+TABLE\s+EXTENDED\s+(?:IN\s+\w+\s+)?LIKE\s+)(\w+)",
+    re.IGNORECASE,
+)
+
+# statements that can delete/replace files a pending lazy result reads
+_DESTRUCTIVE = re.compile(
+    r"^\s*(?:DROP\s+(?:TABLE|VIEW|DATABASE|SCHEMA)|TRUNCATE"
+    r"|INSERT\s+OVERWRITE|ALTER\s+TABLE|LOAD\s+DATA)",
+    re.IGNORECASE,
+)
+
+
+_HAS_LOCATION = re.compile(r"\bLOCATION\s+['\"]", re.IGNORECASE)
+_EXTERNAL_KW = re.compile(r"(CREATE\s+)EXTERNAL\s+(TABLE)", re.IGNORECASE)
+
+
+def _insert_using(stmt: str, using: str) -> str:
+    """Insert a `USING <provider>` clause at Spark's grammatical position:
+    right after the column list (or after the table name for CTAS/no-cols
+    forms). Hive 0.8 has no provider clause — tables default to textfile —
+    so every CREATE needs one injected for the parquet standardization."""
+    m = _CREATE_NAME.search(stmt)
+    if not m:
+        return stmt
+    i = m.end()
+    while i < len(stmt) and stmt[i].isspace():
+        i += 1
+    if i < len(stmt) and stmt[i] == "(":
+        depth = 0
+        while i < len(stmt):
+            if stmt[i] == "(":
+                depth += 1
+            elif stmt[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+            i += 1
+    else:
+        i = m.end()
+    return f"{stmt[:i]} USING {using}{stmt[i:]}"
+
 
 def _rewrite_ddl(stmt: str) -> str:
     stmt = _ROW_FORMAT.sub("", stmt)
@@ -416,6 +533,20 @@ def _rewrite_ddl(stmt: str) -> str:
     cluster = _CLUSTERED.search(stmt)
     if cluster:
         stmt = _CLUSTERED.sub("", stmt)
+    is_like = bool(re.search(r"\bLIKE\s+\w+", stmt, re.IGNORECASE))
+    external_loc = bool(_HAS_LOCATION.search(stmt)) and bool(
+        _EXTERNAL_KW.search(stmt)) and not is_like
+    # Spark requires EXTERNAL to come with LOCATION (and rejects it with
+    # LIKE entirely); Hive 0.8 allowed a location-less external table (it
+    # landed in the warehouse like a managed one —
+    # `parse/SemanticAnalyzer.java` analyzeCreateTable)
+    if not external_loc:
+        stmt = _EXTERNAL_KW.sub(r"\1\2", stmt)
+    # An external table with a LOCATION points at PRE-EXISTING reference
+    # fixture data, which is ^A-delimited text — so the provider must be
+    # csv; everything else standardizes on parquet (SURVEY §2.2)
+    provider = ("csv OPTIONS (sep '\x01', emptyValue '')"
+                if external_loc else "parquet")
     m = _PARTITIONED.search(stmt)
     if m:
         pnames = ", ".join(
@@ -425,12 +556,18 @@ def _rewrite_ddl(stmt: str) -> str:
             stmt[: m.start()]
             + f"CREATE TABLE {m.group('name')}"
             + f"({m.group('cols')}, {m.group('pcols')}) "
-            + f"USING parquet PARTITIONED BY ({pnames})"
+            + f"USING {provider} {m.group('comment') or ''}"
+            + f"PARTITIONED BY ({pnames})"
             + stmt[m.end():]
         )
         stmt = _STORED_AS.sub("", stmt)
-    else:
-        stmt = _STORED_AS.sub("USING parquet", stmt)
+    elif _STORED_AS.search(stmt):
+        stmt = _STORED_AS.sub(f"USING {provider}", stmt, count=1)
+    elif not re.search(r"\bUSING\s+\w+", stmt, re.IGNORECASE) and not re.search(
+            r"\bLIKE\s+\w+", stmt, re.IGNORECASE):
+        # LIKE copies the source table's provider; everything else gets
+        # the standard provider injected
+        stmt = _insert_using(stmt, provider)
     if cluster:
         stmt = stmt.rstrip() + " " + cluster.group(0)
     return stmt
@@ -451,23 +588,51 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     with open(path) as f:
         text = _strip_comments(f.read())
 
+    if not text.strip():
+        # 14 of the corpus's .q files are empty; CliDriver runs them
+        # successfully with empty golden output — mirror that
+        return spark.sql("SELECT '' AS result WHERE false")
+
+    # Hive test-harness variable interpolation (`QTestUtil`/`HiveConf`
+    # substitution): the only variable the clientpositive corpus uses
+    # points at the fixture data tree
+    text = text.replace("${system:test.src.data.dir}",
+                        os.path.dirname(DATA_DIR))
+
     prefix = "qt_" + re.sub(r"\W", "_", qfile.removesuffix(".q")) + "_"
     # a previous qfile may have left the session in its own database
     # (`USE some_db` without switching back) — CliDriver resets per test
     spark.sql("USE default")
-    make_src(spark)
+    # constructs that reject temp views (CREATE TABLE LIKE, persistent
+    # CREATE VIEW, partition DDL) need the fixtures as REAL tables
+    has_views = bool(re.search(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW", text,
+                               re.IGNORECASE))
+    make_src(spark, as_table=has_views or bool(re.search(
+        r"(LIKE|ALTER\s+TABLE)\s+(?:`?default`?\.)?`?src`?\b"
+        r"|\bdefault\s*\.\s*`?src`?\b", text, re.IGNORECASE)))
     if "src_thrift" in text.lower():
         make_src_thrift(spark)
     if "srcpart" in text.lower():
-        make_srcpart(spark, as_table=bool(re.search(
-            r"(SHOW\s+PARTITIONS|ALTER\s+TABLE|ANALYZE\s+TABLE)\s+srcpart",
+        make_srcpart(spark, as_table=has_views or bool(re.search(
+            r"(SHOW\s+PARTITIONS|ALTER\s+TABLE|ANALYZE\s+TABLE|LIKE)"
+            r"\s+(?:default\.)?srcpart|\bdefault\s*\.\s*srcpart\b",
             text, re.IGNORECASE)))
     if re.search(r"\bsrc1\b", text, re.IGNORECASE):
-        make_src1(spark)
+        make_src1(spark, as_table=has_views or bool(re.search(
+            r"(LIKE|ALTER\s+TABLE)\s+(?:default\.)?src1\b"
+            r"|\bdefault\s*\.\s*src1\b", text, re.IGNORECASE)))
     for bucket_table in SRCBUCKET_TABLES:
         if re.search(rf"\b{bucket_table}\b", text, re.IGNORECASE):
-            make_srcbucket(spark, bucket_table)
+            make_srcbucket(spark, bucket_table, as_table=has_views)
     text = _BUCKET_SAMPLE.sub(_rewrite_bucket_sample, text)
+    # TRANSFORM ... USING 'tr \t _': Hive hands the script string to the
+    # shell VERBATIM (`exec/ScriptOperator.java` — no unescaping); Spark's
+    # parser would turn \t into a literal TAB and break the argv split, so
+    # double the backslashes to restore pass-through semantics
+    text = re.sub(r"(USING\s+')([^']*\\[^']*)(')",
+                  lambda m: m.group(1) + m.group(2).replace("\\", "\\\\")
+                  + m.group(3),
+                  text, flags=re.IGNORECASE)
     # Hive 0.8's std/stddev/variance are POPULATION forms
     # (`exec/FunctionRegistry.java:349-355` registers std|stddev|stddev_pop
     # → GenericUDAFStd, variance|var_pop → GenericUDAFVariance); Spark's
@@ -493,10 +658,26 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     # Hive 0.8 coerces on INSERT (string key → INT column); Spark 4's
     # default ANSI store-assignment rejects that, so pin the Hive policy.
     set_conf("spark.sql.storeAssignmentPolicy", "LEGACY")
+    # Hive auto-names unaliased view output columns (_c0 / expr text);
+    # Spark rejects them by default — pin the Hive behavior
+    set_conf("spark.sql.legacy.allowAutoGeneratedAliasForView", "true")
 
-    # prefix every dest table name so qfiles can't collide with each other
+    # prefix every dest table AND database name so qfiles can't collide
+    # with each other (CliDriver gives each test a clean metastore).
+    # Qualified creates (CREATE TABLE db1.t) are covered by prefixing the
+    # DATABASE name; fixture names are never prefixed (a qfile that
+    # re-creates `src` inside its own database keeps addressing the
+    # fixture view unqualified — same resolution Hive gives it).
+    fixtures_lower = {"src", "src1", "srcpart", "src_thrift",
+                      *SRCBUCKET_TABLES}
     dest_names = sorted(set(
         m.group("name") for m in _CREATE_NAME.finditer(text)
+        if m.group("name").lower() not in fixtures_lower
+        and not m.group("qual")
+    ) | set(
+        m.group(1) for m in re.finditer(
+            r"CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
+            text, re.IGNORECASE)
     ), key=len, reverse=True)
     for name in dest_names:
         text = re.sub(rf"\b{name}\b", prefix + name, text, flags=re.IGNORECASE)
@@ -508,20 +689,82 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                      *SRCBUCKET_TABLES}
     last_select: DataFrame | None = None
     last_df: DataFrame | None = None
+    frozen: set[int] = set()
+
+    def freeze(df: DataFrame | None) -> DataFrame | None:
+        """Materialize a result BEFORE a later statement (qfiles commonly
+        end with `DROP TABLE`) deletes the files its lazy plan reads.
+        Driver-side rows are fine here: qfile results are golden-test
+        sized by construction."""
+        if df is None or id(df) in frozen:
+            return df
+        out = spark.createDataFrame(df.collect(), df.schema)
+        frozen.add(id(out))
+        return out
+
     try:
         for stmt in text.split(";"):
-            stmt = stmt.strip()
+            # a trailing `stmt; -- note` line keeps its comment attached
+            # to the NEXT fragment after the ';' split — drop leading
+            # comment-only lines per statement
+            stmt = "\n".join(
+                ln for ln in stmt.splitlines()
+                if not ln.lstrip().startswith("--")).strip()
             if not stmt:
                 continue
             upper = stmt.upper()
-            if upper.startswith("EXPLAIN") or upper.startswith("DFS "):
+            if upper.startswith("DFS ") or stmt.startswith("!"):
+                continue  # filesystem / shell escapes (CliDriver side ops)
+            if upper.startswith("EXPLAIN"):
+                # run the EXPLAIN through Catalyst (parse+analyze+plan —
+                # what the reference's golden checks exercise, though the
+                # plan TEXT is Catalyst's, by design); the inner DML is
+                # planned, not executed. Unsupported EXPLAIN targets
+                # (DDL) are skipped like before.
+                try:
+                    last_df = spark.sql(stmt)
+                except Exception:
+                    pass
                 continue
+            if _SKIP_STMT.match(stmt):
+                # storage-/metadata-detail statements that are no-ops under
+                # the parquet standardization (SET SERDE/FILEFORMAT,
+                # TOUCH, ENABLE/DISABLE protect mode, LOCK/UNLOCK, index
+                # DDL — see _SKIP_STMT)
+                continue
+            stmt = _SHOW_EXTENDED.sub(lambda m: f"{m.group(1)}'{m.group(2)}'",
+                                      stmt)
+            # Hive partitioned views (`parse/SemanticAnalyzer.java:7278`
+            # saveViewDefinition PARTITIONED ON) are metadata-only — the
+            # view's rows are identical; Spark has no equivalent clause
+            stmt = re.sub(
+                r"^(CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+\w+\s*(?:\([^)]*\))?)"
+                r"\s*PARTITIONED\s+ON\s*\([^)]*\)",
+                r"\1", stmt, flags=re.IGNORECASE)
+            m = re.match(r"CREATE\s+(?:DATABASE|SCHEMA)\s+(?!IF\s)(\w+)",
+                         stmt, re.IGNORECASE)
+            if m:
+                # each qfile expects a clean metastore; a crashed earlier
+                # run may have left the (prefixed) database behind
+                spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
+            stmt = re.sub(r"^DROP\s+(DATABASE|SCHEMA)\s+(?!IF\s)",
+                          r"DROP \1 IF EXISTS ", stmt, flags=re.IGNORECASE)
+            stmt = re.sub(r"^DROP\s+TEMPORARY\s+FUNCTION\s+(?!IF\s)",
+                          "DROP TEMPORARY FUNCTION IF EXISTS ",
+                          stmt, flags=re.IGNORECASE)
+            if _DESTRUCTIVE.match(stmt):
+                same = last_df is last_select
+                last_select = freeze(last_select)
+                last_df = last_select if same else freeze(last_df)
             # DROP TABLE on a classic fixture: CliDriver recreates fixtures
             # per test (QTestUtil.createSources), so dropping them is a
-            # no-op here — they are temp views, which DROP TABLE rejects
-            m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)",
+            # no-op here — they are temp views, which DROP TABLE rejects.
+            # Only applies in `default`: inside another database the name
+            # refers to a table the qfile itself created there.
+            m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
                          stmt, re.IGNORECASE)
-            if m and m.group(1).lower() in fixture_names:
+            if (m and m.group(1).lower() in fixture_names
+                    and spark.catalog.currentDatabase() == "default"):
                 continue
             # Hive 0.8 tolerates dropping absent tables/views/partitions
             # (hive.exec.drop.ignorenonexistent defaults true,
@@ -545,11 +788,35 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
             if m:
                 _emulate_load_data(spark, m, prefix)
                 continue
+            # self-referencing INSERT OVERWRITE (union22.q, input28.q):
+            # Spark rejects overwriting a table the SELECT reads
+            # (UNSUPPORTED_OVERWRITE); the reference stages through a
+            # scratch dir (`Context.getExternalScratchDir`) — mirror that
+            # with an explicit staging table
+            m = re.match(
+                r"INSERT\s+OVERWRITE\s+TABLE\s+(?P<tbl>[\w.]+)\s*"
+                r"(?P<part>PARTITION\s*\([^)]*\))?\s*(?P<body>SELECT\b.*)$",
+                stmt, re.IGNORECASE | re.DOTALL)
+            if m and re.search(
+                    rf"\b{re.escape(m.group('tbl').split('.')[-1])}\b",
+                    m.group("body"), re.IGNORECASE):
+                stage = "qt_self_insert_stage"
+                spark.sql(f"DROP TABLE IF EXISTS {stage}")
+                spark.sql(f"CREATE TABLE {stage} USING parquet AS "
+                          + hql._rewrite(m.group("body")))
+                spark.sql(
+                    f"INSERT OVERWRITE TABLE {m.group('tbl')} "
+                    f"{m.group('part') or ''} SELECT * FROM {stage}")
+                spark.sql(f"DROP TABLE {stage}")
+                continue
             if upper.startswith("FROM UNIQUEJOIN"):
                 stmt = _rewrite_uniquejoin(spark, stmt)
                 upper = stmt.upper()
-            if upper.startswith("CREATE TABLE"):
-                name = _CREATE_NAME.search(stmt).group("name")
+            cm = _CREATE_NAME.search(stmt) if (
+                upper.startswith("CREATE TABLE")
+                or upper.startswith("CREATE EXTERNAL TABLE")) else None
+            if cm:
+                name = (cm.group("qual") or "") + cm.group("name")
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
                 # a table dir left by a crashed previous process may be
                 # invisible to DROP but still block CREATE
@@ -557,13 +824,42 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
 
                 warehouse = spark.conf.get(
                     "spark.sql.warehouse.dir").removeprefix("file:")
-                shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
-                spark.sql(_rewrite_ddl(stmt))
+                # resolve the dir against the table's database: qualifier
+                # if given, else the session's CURRENT database (an
+                # unqualified CREATE inside `USE other_db` must never
+                # touch default's same-named table dir)
+                db = (cm.group("qual").rstrip(".")
+                      if cm.group("qual")
+                      else spark.catalog.currentDatabase()).lower()
+                reldir = (f"{db}.db/" if db != "default" else "") \
+                    + cm.group("name").lower()
+                shutil.rmtree(f"{warehouse}/{reldir}", ignore_errors=True)
+                # the facade rewrites (temp-function aliases, bucket
+                # sample, create_union) apply inside CTAS bodies too
+                spark.sql(hql._rewrite(_rewrite_ddl(stmt)))
                 continue
             # the dialect facade handles CREATE TEMPORARY FUNCTION (class
             # registry), ALTER TABLE CONCATENATE, ADD/LIST FILE, and falls
             # through to spark.sql for everything else
-            df = hql.sql(stmt)
+            try:
+                df = hql.sql(stmt)
+            except Exception as exc:
+                if ("WRONG_COMMAND_FOR_OBJECT_TYPE" in str(exc)
+                        and re.match(r"DROP\s+(TABLE|VIEW)\b", stmt,
+                                     re.IGNORECASE)):
+                    # Hive 0.8: DROP TABLE naming a VIEW (and vice versa)
+                    # is a silent no-op (`create_view.q:207` golden keeps
+                    # the view alive); Spark raises instead
+                    df = None
+                elif ("EXPECT_TABLE_NOT_VIEW" in str(exc)
+                      and re.match(r"SHOW\s+(PARTITIONS|TABLE\s+EXTENDED)\b",
+                                   stmt, re.IGNORECASE)):
+                    # partition metadata of a partitioned VIEW: partition
+                    # registration is metadata-only and skipped, so the
+                    # listing is empty
+                    df = spark.createDataFrame([], "partition string")
+                else:
+                    raise
             if df is None:
                 continue
             last_df = df
@@ -583,8 +879,11 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
             except Exception:
                 pass
     # files ending in DDL (SHOW/DESCRIBE/...) golden-check the DDL output;
-    # fall back to the last statement's DataFrame
+    # fall back to the last statement's DataFrame. A file whose every
+    # statement is a locally-handled command (pure DDL like drop_index.q)
+    # executed successfully with empty output — mirror CliDriver's empty
+    # golden rather than erroring.
     result = last_select if last_select is not None else last_df
     if result is None:
-        raise ValueError(f"{qfile}: no statement produced a result")
+        return spark.sql("SELECT '' AS result WHERE false")
     return result
