@@ -56,32 +56,29 @@ def brute_force_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10) -> 
 
 
 def lsh_topk(embeddings: DataFrame, n_planes: int = 4, n_queries: int = 10,
-             k: int = 1) -> DataFrame:
+             k: int = 1, dim: int = 64) -> DataFrame:
     """Approximate NN via sign-LSH: bucket = sign bits of dot products with
-    `n_planes` fixed hyperplanes (here: the last `n_planes` corpus vectors,
-    a deterministic choice any engine can reproduce); exact cosine rerank
-    within bucket."""
+    `n_planes` md5-seeded hyperplanes (`hash_planes` — the same
+    data-INDEPENDENT plane family `embedding_dups_lsh` uses). The planes
+    are broadcast literals baked into the plan: no driver collect, no
+    extra corpus scan, and a re-ingest of the corpus cannot change any
+    bucket (the previous variant derived planes from the last corpus
+    vectors via two `.collect()` round-trips)."""
+    planes = hash_planes(1, n_planes, dim)[0]
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
-    planes = [
-        r["v"]
-        for r in emb.filter(F.col("vec_id") > max_id - n_planes)
-        .orderBy("vec_id")
-        .collect()
-    ]
 
     def bucket(vcol: Column) -> Column:
         bits = [
-            F.when(_dot(vcol, F.array(*[F.lit(float(x)) for x in p])) >= 0, "1"
+            F.when(_dot(vcol, F.array(*[F.lit(x) for x in p])) >= 0, "1"
                    ).otherwise("0")
             for p in planes
         ]
         return F.concat(*bits)
 
-    body = emb.filter(F.col("vec_id") <= max_id - n_planes)
-    corpus = body.filter(F.col("vec_id") >= n_queries).withColumn("bkt", bucket(F.col("v")))
+    corpus = emb.filter(F.col("vec_id") >= n_queries).withColumn(
+        "bkt", bucket(F.col("v")))
     queries = (
-        body.filter(F.col("vec_id") < n_queries)
+        emb.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
         .withColumn("bkt", bucket(F.col("qv")))
     )

@@ -16,6 +16,17 @@ def _bind(builder, table):
     return run
 
 
+def _lsh_planes_sql(n_planes: int = 4, dim: int = 64) -> str:
+    """The md5-seeded hyperplanes `similarity.lsh_topk` hashes with, as a
+    DuckDB inline relation (pid, pv). repr() of a Python float is
+    shortest-round-trip, so the doubles parse back bit-identically."""
+    planes = similarity.hash_planes(1, n_planes, dim)[0]
+    return " UNION ALL ".join(
+        f"SELECT {j} AS pid, [{', '.join(repr(x) for x in row)}]::DOUBLE[] AS pv"
+        for j, row in enumerate(planes)
+    )
+
+
 def _minhash_full(documents):
     # max_doc_id >= the synthetic-dup modulus → no subset cap: the whole
     # corpus goes through the LSH pipeline (the shape you'd run at 100 TB)
@@ -319,28 +330,28 @@ ORACLE = {
     # replays lsh_topk exactly: planes = last 4 corpus vectors, bucket =
     # 4 sign bits of plane dot products (plane order = vec_id asc), exact
     # cosine rerank within bucket, k=1
-    "similarity_lsh_topk": """
+    # planes: the same md5-seeded literals similarity.hash_planes(1,4,64)
+    # emits (data-independent — identical in any engine embedding them)
+    "similarity_lsh_topk": f"""
         WITH emb AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
-        mx AS (SELECT max(vec_id) AS m FROM emb),
-        planes AS (SELECT vec_id, v FROM emb, mx WHERE vec_id > m - 4),
-        body AS (SELECT vec_id, v FROM emb, mx WHERE vec_id <= m - 4),
+        planes AS ({_lsh_planes_sql()}),
         bkt AS (
-          SELECT b.vec_id,
+          SELECT e.vec_id,
                  string_agg(
-                   CASE WHEN list_dot_product(b.v, p.v) >= 0
+                   CASE WHEN list_dot_product(e.v, p.pv) >= 0
                         THEN '1' ELSE '0' END,
-                   '' ORDER BY p.vec_id) AS bkt
-          FROM body b CROSS JOIN planes p GROUP BY b.vec_id
+                   '' ORDER BY p.pid) AS bkt
+          FROM emb e CROSS JOIN planes p GROUP BY e.vec_id
         ),
         corpus AS (
-          SELECT b.vec_id, b.v, k.bkt FROM body b
-          JOIN bkt k USING (vec_id) WHERE b.vec_id >= 10
+          SELECT e.vec_id, e.v, k.bkt FROM emb e
+          JOIN bkt k USING (vec_id) WHERE e.vec_id >= 10
         ),
         queries AS (
-          SELECT b.vec_id AS query_id, b.v AS qv, k.bkt FROM body b
-          JOIN bkt k USING (vec_id) WHERE b.vec_id < 10
+          SELECT e.vec_id AS query_id, e.v AS qv, k.bkt FROM emb e
+          JOIN bkt k USING (vec_id) WHERE e.vec_id < 10
         )
         SELECT query_id, neighbor_id, rank FROM (
           SELECT q.query_id, c.vec_id AS neighbor_id,

@@ -115,15 +115,11 @@ def _hiveql_multi_insert(spark, sf_dir):
 
 
 def _export_import_roundtrip(spark, sf_dir):
-    """EXPORT/IMPORT table (`parse/ExportSemanticAnalyzer.java`,
-    `parse/ImportSemanticAnalyzer.java`): parquet copy + DDL replay.
-    Export writes the table data plus a replayable schema descriptor;
-    import recreates the table from them and the result is verified
-    against the source."""
-    import json
-    import os
-    import shutil
-
+    """EXPORT/IMPORT as SQL statements through the dialect facade
+    (`parse/ExportSemanticAnalyzer.java`, `parse/ImportSemanticAnalyzer.java`,
+    grammar `Hive.g:1171`): EXPORT writes the table data plus a replayable
+    schema descriptor; IMPORT recreates the table from them in a second
+    database and the result is verified against the source."""
     ensure_views(spark, sf_dir)
     db = f"{_DB}_exp_{_tag(sf_dir)}"
     reset_database(spark, db)
@@ -132,27 +128,47 @@ def _export_import_roundtrip(spark, sf_dir):
         f"CREATE TABLE {db}.supplier_src USING parquet AS "
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
     )
-
-    export_dir = f"/tmp/hive_nexr_spark_scratch/export_{_tag(sf_dir)}"
-    shutil.rmtree(export_dir, ignore_errors=True)
-    src = spark.table(f"{db}.supplier_src")
-    src.write.mode("overwrite").parquet(f"{export_dir}/data")
-    with open(f"{export_dir}/_metadata.json", "w") as fh:
-        json.dump({"table": "supplier_src", "schema": src.schema.json()}, fh)
-
-    # import: replay DDL from the descriptor, load the data copy
-    from pyspark.sql.types import StructType
-
-    with open(f"{export_dir}/_metadata.json") as fh:
-        meta = json.load(fh)
-    schema = StructType.fromJson(json.loads(meta["schema"]))
-    imported = spark.read.schema(schema).parquet(f"{export_dir}/data")
-    imported.write.mode("overwrite").saveAsTable(f"{db}.supplier_imported")
+    hql = HiveQLSession(spark)
+    export_path = f"exports/roundtrip_{_tag(sf_dir)}"
+    hql.sql(f"EXPORT TABLE {db}.supplier_src TO '{export_path}'")
+    spark.sql(f"DROP TABLE {db}.supplier_src")
+    hql.sql(f"IMPORT TABLE {db}.supplier_imported FROM '{export_path}'")
 
     return spark.sql(
         f"SELECT s_nationkey, count(*) AS n, "
         f"CAST(sum(CAST(s_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal "
         f"FROM {db}.supplier_imported GROUP BY s_nationkey"
+    )
+
+
+def _msck_repair_partitions(spark, sf_dir):
+    """MSCK REPAIR TABLE (`parse/DDLSemanticAnalyzer.java` metastore-check
+    dispatch; `ql/metadata/CheckResult.java` lists the missing partitions a
+    repair registers): partition directories materialized directly on the
+    filesystem — bypassing the catalog, as an external loader would — are
+    discovered and registered, and only then become queryable."""
+    dfs = ensure_views(spark, sf_dir)
+    db = f"{_DB}_msck_{_tag(sf_dir)}"
+    reset_database(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    spark.sql(
+        f"CREATE TABLE {db}.nation_parts "
+        "(n_nationkey INT, n_name STRING, n_regionkey INT) "
+        "USING parquet PARTITIONED BY (n_regionkey)"
+    )
+    hql = HiveQLSession(spark)
+    loc = hql._table_location(f"{db}.nation_parts")
+    nation = dfs["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    for r in range(5):
+        (nation.filter(F.col("n_regionkey") == r).drop("n_regionkey")
+         .write.mode("overwrite").parquet(f"{loc}/n_regionkey={r}"))
+    assert spark.sql(f"SHOW PARTITIONS {db}.nation_parts").count() == 0
+    # Hive-0.8 check-only spelling routes to the same repair
+    hql.sql(f"MSCK TABLE {db}.nation_parts")
+    assert spark.sql(f"SHOW PARTITIONS {db}.nation_parts").count() == 5
+    return spark.sql(
+        f"SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name "
+        f"FROM {db}.nation_parts GROUP BY n_regionkey"
     )
 
 
@@ -293,6 +309,7 @@ QUERIES = {
     "hiveql_bucket_sample": _hiveql_bucket_sample,
     "hiveql_multi_insert": _hiveql_multi_insert,
     "load_data_roundtrip": _load_data_roundtrip,
+    "msck_repair_partitions": _msck_repair_partitions,
     "analyze_table_stats": _analyze_table_stats,
     "alter_concatenate_merge": _alter_concatenate_merge,
     "agg_ngrams": _ngrams,
@@ -369,6 +386,10 @@ ORACLE = {
         SELECT s_nationkey, count(*) AS n,
                CAST(sum(CAST(s_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal
         FROM supplier GROUP BY s_nationkey
+    """,
+    "msck_repair_partitions": """
+        SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey
     """,
     "events_stateful_user_stats": """
         SELECT user_id, count(*) AS n_events,

@@ -24,7 +24,7 @@ from functools import partial
 
 from ..io import ensure_runtime_compat
 from ..sources.qtest import (
-    SRC_SQL_DUCKDB, SRCBUCKET_SQL_DUCKDB, _kv_sql_duckdb,
+    DATA_DIR, SRC_SQL_DUCKDB, SRCBUCKET_SQL_DUCKDB, _kv_sql_duckdb,
     _srcbucket_file_sql_duckdb, run_qfile)
 
 
@@ -34,6 +34,13 @@ def _qfile(qname: str, spark, sf_dir):
     # regardless of benchmark scale).
     ensure_runtime_compat(spark)
     return run_qfile(spark, qname)
+
+
+def _qfile_named(qname: str, names: list[str], spark, sf_dir):
+    """Like _qfile, but renames the final SELECT's columns: the driver's
+    compare keys on column NAMES, and a qfile's unaliased expression
+    columns auto-name differently in Spark vs DuckDB. Values are untouched."""
+    return _qfile(qname, spark, sf_dir).toDF(*names)
 
 
 QUERIES = {
@@ -80,6 +87,11 @@ QUERIES = {
     "qfile_groupby11": partial(_qfile, "groupby11.q"),
     "qfile_union4": partial(_qfile, "union4.q"),
     "qfile_union5": partial(_qfile, "union5.q"),
+    "qfile_exim_nonpart": partial(_qfile, "exim_01_nonpart.q"),
+    "qfile_udf_field": partial(
+        _qfile_named, "udf_field.q",
+        ["col1", "col2", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]),
+    "qfile_udf_bitmap_or": partial(_qfile_named, "udf_bitmap_or.q", ["bm"]),
     # execution-knob variants of the groupby files (hive.map.aggr /
     # hive.groupby.skewindata): identical queries, identical expected
     # results — they assert the engine is insensitive to the reference's
@@ -95,6 +107,43 @@ QUERIES = {
 _W = f"WITH {SRC_SQL_DUCKDB}"
 
 ORACLE = {
+    # exim_01_nonpart.q ends in `SELECT * FROM exim_department` after the
+    # EXPORT → DROP → IMPORT roundtrip; the data is ../data/files/test.dat
+    "qfile_exim_nonpart": f"""
+        SELECT * FROM read_csv('{DATA_DIR}/test.dat', delim='\x01',
+          header=false, columns={{'dep_id': 'INT'}})
+    """,
+    # udf_field.q final SELECT (`exec/FunctionRegistry.java:276` field):
+    # 1-based index of the first matching argument; Hive compares a
+    # string-vs-numeric pair as DOUBLE (try_cast mirrors the coercion
+    # failing to no-match), NULL never matches.
+    "qfile_udf_field": f"""
+        WITH t AS (
+          SELECT CAST(key AS INT) AS col1, value AS col2
+          FROM ({_kv_sql_duckdb('kv1.txt')}) kv
+          WHERE key = '86' OR key = '66'
+        )
+        SELECT col1, col2,
+          CASE WHEN col1 = 66 THEN 1 ELSE 0 END AS f1,
+          CASE WHEN col1 = 66 THEN 1
+               WHEN try_cast(col2 AS DOUBLE) = 66 THEN 2 ELSE 0 END AS f2,
+          CASE WHEN try_cast(col2 AS DOUBLE) = 86 THEN 1
+               WHEN col1 = 86 THEN 2 ELSE 0 END AS f3,
+          CASE WHEN col1 = 86 THEN 1 WHEN col1 = 86 THEN 2 ELSE 0 END AS f4,
+          CASE WHEN col1 = 86 THEN 1
+               WHEN try_cast(col2 AS DOUBLE) = 86 THEN 3 ELSE 0 END AS f5,
+          0 AS f6,
+          CASE WHEN try_cast(col2 AS DOUBLE) = col1 THEN 1 ELSE 0 END AS f7
+        FROM t
+    """,
+    # udf_bitmap_or.q: the expected value is the reference's OWN golden
+    # output (`results/clientpositive/udf_bitmap_or.q.out`) — the
+    # javaewah-serialized OR of the two fixture bitmaps, once per the 10
+    # inserted rows; functions/ewah.py reproduces the encoding exactly.
+    "qfile_udf_bitmap_or": """
+        SELECT [13, 2, 4, 8589934592, 4224, 0]::BIGINT[] AS bm
+        FROM range(10)
+    """,
     # dest_g1(key INT, value DOUBLE) ← SELECT key, sum(substr(value,5))
     "qfile_groupby1": f"""{_W}
         SELECT CAST(key AS INT) AS key,
