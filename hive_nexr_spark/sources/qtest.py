@@ -310,7 +310,8 @@ _SET_CMD = re.compile(r"^set\s+(?P<k>[\w.]+)\s*=\s*(?P<v>.*)$", re.IGNORECASE)
 # directory contents, i.e. exactly the SELECT's rows; rewrite to a plain
 # SELECT so the result is checkable without writing outside the repo.
 _INSERT_DIR = re.compile(
-    r"INSERT\s+OVERWRITE\s+DIRECTORY\s+'[^']*'\s*", re.IGNORECASE
+    r"INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+'[^']*'\s*",
+    re.IGNORECASE,
 )
 _LOAD_DATA = re.compile(
     r"LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+(?P<q>['\"])(?P<path>.+?)(?P=q)\s+"
@@ -599,6 +600,64 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     text = text.replace("${system:test.src.data.dir}",
                         os.path.dirname(DATA_DIR))
 
+    # CLI `source <file>;` (CliDriver processCmd SOURCE branch): inline the
+    # referenced script's statements
+    def _inline_source(m: re.Match) -> str:
+        spath = m.group(1)
+        for cand in (spath, os.path.join(DATA_DIR, os.path.basename(spath))):
+            if os.path.exists(cand):
+                with open(cand) as fh:
+                    return _strip_comments(fh.read())
+        raise ValueError(f"source: missing script {spath}")
+
+    text = re.sub(r"(?m)^\s*source\s+(\S+?)\s*;", _inline_source, text)
+
+    # ADD FILE'd transform scripts: Hive runs them from the distributed
+    # cache working dir; resolve each to its absolute reference-tree path
+    # and invoke through an explicit interpreter so TRANSFORM ... USING
+    # '<script>' works without PATH/cwd assumptions
+    # qfile-relative paths resolve against ql/ (QTestUtil sets user.dir
+    # there): "../data/scripts/x" and "src/test/scripts/x" both normalize
+    # under the reference root
+    ref_root = os.path.dirname(os.path.dirname(DATA_DIR.rstrip("/")))
+    patches: list[tuple[str, str]] = []
+    for m in re.finditer(r"ADD\s+FILE\s+(\S+?)\s*;", text, re.IGNORECASE):
+        rel = m.group(1)
+        base = os.path.basename(rel)
+        for cand in (
+            os.path.join(ref_root, "ql", rel),
+            os.path.join(os.path.dirname(DATA_DIR), "scripts", base),
+            os.path.join(ref_root, "ql/src/test/scripts", base),
+        ):
+            cand = os.path.normpath(cand)
+            if os.path.isfile(cand):
+                patches.append((m.group(0), f"ADD FILE {cand};"))
+                interp = "python3" if base.endswith(".py") else "bash"
+                text = re.sub(
+                    rf"(USING\s+')((?:python\d?\s+)?){re.escape(base)}(')",
+                    rf"\g<1>{interp} {cand}\g<3>", text, flags=re.IGNORECASE)
+                break
+    for old, new in patches:
+        text = text.replace(old, new)
+
+    # TRANSFORM scripts invoked as `java -cp ../build/ql/test/classes C`:
+    # the reference ships the SOURCE of these tiny JDK-only test scripts
+    # (ql/src/test/<C>.java); compile once into a scratch classes dir and
+    # point the classpath there
+    for m in re.finditer(r"USING\s+'java\s+-cp\s+(\S+)\s+([\w.]+)'", text):
+        cp, cls = m.group(1), m.group(2)
+        src = os.path.join(ref_root, "ql/src/test", cls.replace(".", "/") + ".java")
+        classes = "/tmp/hive_nexr_spark_scratch/test_classes"
+        clsfile = os.path.join(classes, cls.replace(".", "/") + ".class")
+        if os.path.isfile(src):
+            if not os.path.isfile(clsfile):
+                import subprocess
+
+                os.makedirs(classes, exist_ok=True)
+                subprocess.run(["javac", "-d", classes, src], check=False)
+            if os.path.isfile(clsfile):
+                text = text.replace(f"-cp {cp} ", f"-cp {classes} ")
+
     prefix = "qt_" + re.sub(r"\W", "_", qfile.removesuffix(".q")) + "_"
     # a previous qfile may have left the session in its own database
     # (`USE some_db` without switching back) — CliDriver resets per test
@@ -625,6 +684,24 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
         if re.search(rf"\b{bucket_table}\b", text, re.IGNORECASE):
             make_srcbucket(spark, bucket_table, as_table=has_views)
     text = _BUCKET_SAMPLE.sub(_rewrite_bucket_sample, text)
+    # Hive 0.8 allows an unparenthesized LIMIT inside a UNION branch
+    # (input25.q/input26.q); Spark requires the branch parenthesized.
+    # Wrap `select ... limit N` branches adjacent to UNION (paren-free
+    # branch bodies only — exactly the Hive-ism's shape).
+    text = re.sub(
+        r"(?<![(\w])(select\b[^()]*?\blimit\s+\d+)\s+(union\b)",
+        r"(\1) \2", text, flags=re.IGNORECASE | re.DOTALL)
+    text = re.sub(
+        r"(union\s+(?:all|distinct)\s+)(select\b[^()]*?\blimit\s+\d+)(\s*\))",
+        r"\1(\2)\3", text, flags=re.IGNORECASE | re.DOTALL)
+    # Hive virtual columns (`ql/metadata/VirtualColumn.java`): file path
+    # maps directly; the block offset has no parquet analogue — a stable
+    # per-row id is the documented surrogate (same one the index emulation
+    # uses)
+    text = re.sub(r"\bINPUT__FILE__NAME\b", "input_file_name()", text,
+                  flags=re.IGNORECASE)
+    text = re.sub(r"\bBLOCK__OFFSET__INSIDE__FILE\b",
+                  "monotonically_increasing_id()", text, flags=re.IGNORECASE)
     # TRANSFORM ... USING 'tr \t _': Hive hands the script string to the
     # shell VERBATIM (`exec/ScriptOperator.java` — no unescaping); Spark's
     # parser would turn \t into a literal TAB and break the argv split, so
@@ -640,7 +717,6 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     text = re.sub(r"\bstd\s*\(", "stddev_pop(", text, flags=re.IGNORECASE)
     text = re.sub(r"\bstddev\s*\(", "stddev_pop(", text, flags=re.IGNORECASE)
     text = re.sub(r"\bvariance\s*\(", "var_pop(", text, flags=re.IGNORECASE)
-    text = _INSERT_DIR.sub("", text)
 
     saved: dict[str, str | None] = {}
 
@@ -661,6 +737,10 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     # Hive auto-names unaliased view output columns (_c0 / expr text);
     # Spark rejects them by default — pin the Hive behavior
     set_conf("spark.sql.legacy.allowAutoGeneratedAliasForView", "true")
+    # Hive treats backquoted identifiers as column REGEXES
+    # (`parse/SemanticAnalyzer.java` genColListRegex, regex_col.q) —
+    # Spark has the same behavior behind a conf
+    set_conf("spark.sql.parser.quotedRegexColumnNames", "true")
 
     # prefix every dest table AND database name so qfiles can't collide
     # with each other (CliDriver gives each test a clean metastore).
@@ -788,6 +868,28 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
             if m:
                 _emulate_load_data(spark, m, prefix)
                 continue
+            # INSERT OVERWRITE DIRECTORY: standalone → rewrite to a bare
+            # SELECT (the golden output IS the directory content, so the
+            # result stays checkable); as an arm of a FROM-first
+            # multi-insert (input13.q) a bare SELECT is invalid, so route
+            # that arm to a scratch directory sink instead
+            if _INSERT_DIR.search(stmt) and len(
+                    re.findall(r"\bINSERT\b", stmt, re.IGNORECASE)) == 1:
+                # sole sink (standalone or FROM-first single-insert):
+                # becomes a plain SELECT whose rows ARE the golden output
+                stmt = _INSERT_DIR.sub("", stmt, count=1)
+                upper = stmt.upper()
+            elif _INSERT_DIR.search(stmt):
+                ndir = [0]
+
+                def _dir_sink(_m: re.Match) -> str:
+                    ndir[0] += 1
+                    return ("INSERT OVERWRITE DIRECTORY "
+                            f"'/tmp/hive_nexr_spark_scratch/{prefix}"
+                            f"dir{ndir[0]}' USING parquet ")
+
+                stmt = _INSERT_DIR.sub(_dir_sink, stmt)
+                upper = stmt.upper()
             # self-referencing INSERT OVERWRITE (union22.q, input28.q):
             # Spark rejects overwriting a table the SELECT reads
             # (UNSUPPORTED_OVERWRITE); the reference stages through a
