@@ -2,12 +2,16 @@
 
 Covers the registry entries with no direct Spark builtin (SURVEY §2.9):
 
-* ``hive_hash``   — bit-parity with `ObjectInspectorUtils.hashCode` /
-  `exec/FunctionRegistry.java:417` (Hive's `hash()`): ints hash to their
-  value, longs to `(int)(v ^ v >>> 32)`, booleans to 1231/1237, strings to
-  Hadoop `Text.hashCode` (`WritableComparator.hashBytes`: seed 1, per-byte
-  `h = h*31 + byte`). Implemented with `aggregate()` over the char array —
-  integer overflow wraps like Java because ANSI mode is off.
+* ``hive_hash``   — bit-parity with `ObjectInspectorUtils.hashCode`
+  (`serde/.../ObjectInspectorUtils.java:404-445`, reached from Hive's
+  `hash()` = `udf/generic/GenericUDFHash.java`): ints hash to their value,
+  longs to `(int)(v >>> 32 ^ v)`, booleans to 1/0, strings to a seed-0
+  per-byte fold `r = r*31 + byte` (String.hashCode-compatible for ASCII —
+  NOT Text.hashCode, which seeds with 1). Verified against the
+  reference's own golden outputs (`results/clientpositive/
+  insert_into1.q.out`: SUM(HASH(c)) = -826625916). Implemented with
+  `aggregate()` over the char array — the fold wraps mod 2^32 each step,
+  so it is exact regardless of ANSI overflow behavior.
 * ``field``       — `FunctionRegistry.java:276`: 1-based position of x in
   the argument list, 0 if absent.
 * ``elt``         — `:422`: n-th string argument (Spark has `elt` builtin;
@@ -32,18 +36,21 @@ def hive_hash(col: Column | str, typ: str = "string") -> Column:
     if typ == "bigint":
         return (c.bitwiseXOR(F.shiftrightunsigned(c, 32))).cast("int")
     if typ == "boolean":
-        return F.when(c, F.lit(1231)).otherwise(F.lit(1237)).cast("int")
+        # ObjectInspectorUtils.hashCode BOOLEAN: true→1, false→0 (not
+        # Java Boolean.hashCode's 1231/1237)
+        return F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("int")
     if typ == "string":
-        # Text.hashCode: seed 1, h = h*31 + byte over UTF-8 bytes. For ASCII
-        # data bytes == codepoints; aggregate() keeps this in codegen. The
-        # accumulator is a BIGINT wrapped mod 2^32 each step (then
-        # reinterpreted as signed int32), so the expression is exact on any
-        # session — including ANSI-enabled ones where silent int32 overflow
-        # would instead raise ARITHMETIC_OVERFLOW.
+        # ObjectInspectorUtils.hashCode STRING: seed 0, r = r*31 + byte
+        # over UTF-8 bytes (String.hashCode-compatible for ASCII). For
+        # ASCII data bytes == codepoints; aggregate() keeps this in
+        # codegen. The accumulator is a BIGINT wrapped mod 2^32 each step
+        # (then reinterpreted as signed int32), so the expression is exact
+        # on any session — including ANSI-enabled ones where silent int32
+        # overflow would instead raise ARITHMETIC_OVERFLOW.
         chars = F.filter(F.split(c, ""), lambda x: x != F.lit(""))
         wrapped = F.aggregate(
             chars,
-            F.lit(1).cast("bigint"),
+            F.lit(0).cast("bigint"),
             lambda acc, ch: F.pmod(
                 acc * F.lit(31).cast("bigint") + F.ascii(ch).cast("bigint"),
                 F.lit(4294967296).cast("bigint"),
@@ -80,7 +87,10 @@ def register_all(spark: SparkSession) -> None:
     Column API (`exec/FunctionRegistry.java` registry rows; the reference
     reaches them via `parse/FunctionSemanticAnalyzer.java`).
 
-    * ``hive_hash_str`` — Text.hashCode parity (string form).
+    * ``hive_hash``     — variadic `hash()` parity (`udf/generic/
+      GenericUDFHash.java`; the qfile runner rewrites `HASH(` to it —
+      Spark's builtin `hash` is murmur3 and cannot be shadowed).
+    * ``hive_hash_str`` — single-string form (seed-0 byte fold).
     * ``field``        — `FunctionRegistry.java:276`, variadic; Hive
       compares mixed types numerically (string col vs int literal →
       DOUBLE), mirrored by the numeric-fallback equality.
@@ -104,6 +114,7 @@ def register_all(spark: SparkSession) -> None:
         lambda s: _py_text_hash(s),
         "int",
     )
+    spark.udf.register("hive_hash", _py_hive_hash, "int")
     spark.udf.register("field", _py_field, "int")
     spark.udf.register("ewah_bitmap_and", ewah.bitmap_and, "array<bigint>")
     spark.udf.register("ewah_bitmap_or", ewah.bitmap_or, "array<bigint>")
@@ -159,10 +170,48 @@ def _py_field(*args) -> int:
 
 
 def _py_text_hash(s: str | None) -> int | None:
+    """String branch of `ObjectInspectorUtils.hashCode` (seed 0, signed
+    bytes) — what `GenericUDFHash` / bucketing hash strings with."""
     if s is None:
         return None
-    h = 1
+    h = 0
     for b in s.encode("utf-8"):
         sb = b - 256 if b > 127 else b
         h = (h * 31 + sb) & 0xFFFFFFFF
     return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _py_hive_hash(*args) -> int:
+    """Variadic `hash(a1, a2, ...)` parity (`udf/generic/
+    GenericUDFHash.java`: r = r*31 + hashCode(ai); null hashes to 0).
+
+    Python-side type dispatch stands in for the ObjectInspector: a
+    registered UDF sees values, not declared SQL types, so an integral
+    value outside int32 uses the LONG fold and one inside it the INT
+    identity. (A BIGINT column holding small negatives would hash as INT
+    here — Hive would fold it — but the qfile surface only applies hash()
+    to strings and int-ranged keys.) Golden-verified: the declared
+    qfile_insert_into1..4 oracles pin the reference's own SUM(HASH(c))
+    outputs."""
+    def h1(v) -> int:
+        if v is None:
+            return 0
+        if isinstance(v, bool):
+            return 1 if v else 0
+        if isinstance(v, int):
+            if -(1 << 31) <= v < (1 << 31):
+                return v
+            x = ((v ^ ((v & 0xFFFFFFFFFFFFFFFF) >> 32))) & 0xFFFFFFFF
+            return x - (1 << 32) if x >= (1 << 31) else x
+        if isinstance(v, float):
+            import struct
+
+            (bits,) = struct.unpack(">q", struct.pack(">d", v))
+            x = (bits ^ ((bits & 0xFFFFFFFFFFFFFFFF) >> 32)) & 0xFFFFFFFF
+            return x - (1 << 32) if x >= (1 << 31) else x
+        return _py_text_hash(str(v))
+
+    r = 0
+    for a in args:
+        r = (r * 31 + h1(a)) & 0xFFFFFFFF
+    return r - (1 << 32) if r >= (1 << 31) else r

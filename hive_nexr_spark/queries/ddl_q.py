@@ -57,8 +57,8 @@ def _ddl_catalog_roundtrip(spark, sf_dir):
 def _temp_function_surface(spark, sf_dir):
     """CREATE TEMPORARY FUNCTION (`parse/FunctionSemanticAnalyzer.java`,
     `exec/FunctionTask.java:45`) through the HiveQL facade: binds the Hive
-    hash class to the Python Text.hashCode implementation, then uses it in
-    SQL. Row-at-a-time UDF — acceptable here because the surface under test
+    hash class to the Python ObjectInspectorUtils string-hash
+    implementation, then uses it in SQL. Row-at-a-time UDF — acceptable here because the surface under test
     is registration, not throughput (the fast path is
     functions.hive_compat.hive_hash, pure Column ops)."""
     ensure_views(spark, sf_dir)
@@ -334,7 +334,7 @@ ORACLE = {
         FROM (
           SELECT n_name,
             list_reduce(
-              list_prepend(CAST(1 AS HUGEINT),
+              list_prepend(CAST(0 AS HUGEINT),
                            [CAST(unicode(c) AS HUGEINT)
                             for c in string_split(n_name, '')]),
               (a, b) -> (a * 31 + b) % 4294967296

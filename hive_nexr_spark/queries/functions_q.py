@@ -68,8 +68,9 @@ def _field_union(spark, sf_dir):
 
 
 def _hive_hash_q(spark, sf_dir):
-    """hash() bit-parity (`ObjectInspectorUtils.hashCode`; Text.hashCode for
-    strings — seed 1, h = h*31 + byte)."""
+    """hash() bit-parity (`ObjectInspectorUtils.hashCode:404-445`: strings
+    fold seed-0 r*31+byte, booleans 1/0, longs (v>>>32)^v; golden-anchored
+    by the insert_into qfile oracles)."""
     dfs = ensure_views(spark, sf_dir)
     n = dfs["nation"]
     big = (F.col("n_nationkey").cast("bigint") * 1000000007).cast("bigint")
@@ -306,11 +307,11 @@ ORACLE = {
           CAST(CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS INT) AS h_str,
           n_nationkey AS h_int,
           CAST(CASE WHEN hb >= 2147483648 THEN hb - 4294967296 ELSE hb END AS INT) AS h_big,
-          CASE WHEN n_nationkey % 2 = 0 THEN 1231 ELSE 1237 END AS h_bool
+          CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END AS h_bool
         FROM (
           SELECT n_nationkey,
             list_reduce(
-              list_prepend(CAST(1 AS HUGEINT),
+              list_prepend(CAST(0 AS HUGEINT),
                            [CAST(unicode(c) AS HUGEINT) for c in string_split(n_name, '')]),
               (a, b) -> (a * 31 + b) % 4294967296
             ) AS h,

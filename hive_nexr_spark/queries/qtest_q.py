@@ -88,6 +88,35 @@ QUERIES = {
     "qfile_union4": partial(_qfile, "union4.q"),
     "qfile_union5": partial(_qfile, "union5.q"),
     "qfile_exim_nonpart": partial(_qfile, "exim_01_nonpart.q"),
+    # INSERT INTO family (Hive 0.8 `Hive.g:1417` insertClause; appends vs
+    # INSERT OVERWRITE replace). Oracles pin the reference's OWN golden
+    # outputs (results/clientpositive/insert_into{1..6}.q.out) — the final
+    # SUM(HASH(...)) over the table contents, Hive-hash semantics
+    # (GenericUDFHash), which also golden-verifies the hive_hash parity
+    # function end-to-end.
+    "qfile_insert_into1": partial(
+        _qfile_named, "insert_into1.q", ["hash_sum"]),
+    "qfile_insert_into2": partial(
+        _qfile_named, "insert_into2.q", ["hash_sum"]),
+    "qfile_insert_into3": partial(
+        _qfile_named, "insert_into3.q", ["hash_sum"]),
+    "qfile_insert_into4": partial(
+        _qfile_named, "insert_into4.q", ["hash_sum"]),
+    "qfile_insert_into5": partial(
+        _qfile_named, "insert_into5.q", ["hash_sum"]),
+    "qfile_insert_into6": partial(
+        _qfile_named, "insert_into6.q", ["hash_sum"]),
+    # CTAS / CREATE TABLE LIKE / view DDL dialect
+    # (`parse/SemanticAnalyzer.java:7203` analyzeCreateTable, `:7278`
+    # saveViewDefinition)
+    "qfile_ctas": partial(_qfile, "ctas.q"),
+    "qfile_create_like": partial(_qfile, "create_like.q"),
+    "qfile_create_view": partial(_qfile, "create_view.q"),
+    "qfile_create_or_replace_view": partial(
+        _qfile, "create_or_replace_view.q"),
+    # self-referencing INSERT OVERWRITE staged through a scratch table
+    # (the reference stages via Context.getExternalScratchDir)
+    "qfile_union22": partial(_qfile, "union22.q"),
     "qfile_udf_field": partial(
         _qfile_named, "udf_field.q",
         ["col1", "col2", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]),
@@ -143,6 +172,57 @@ ORACLE = {
     "qfile_udf_bitmap_or": """
         SELECT [13, 2, 4, 8589934592, 4224, 0]::BIGINT[] AS bm
         FROM range(10)
+    """,
+    # insert_into*.q: literal final values from the reference's own golden
+    # outputs (`results/clientpositive/insert_into{N}.q.out`) — each is the
+    # SUM of Java-hashCode-family hashes over deterministic file-order
+    # LIMIT prefixes of kv1.txt, independently recomputed in
+    # tests/test_functions.py::test_hive_hash_golden_sum
+    "qfile_insert_into1": "SELECT CAST(-826625916 AS BIGINT) AS hash_sum",
+    "qfile_insert_into2": "SELECT CAST(-27100860056 AS BIGINT) AS hash_sum",
+    "qfile_insert_into3": "SELECT CAST(9399898328 AS BIGINT) AS hash_sum",
+    "qfile_insert_into4": "SELECT CAST(-1653251832 AS BIGINT) AS hash_sum",
+    "qfile_insert_into5": "SELECT CAST(-37252105840 AS BIGINT) AS hash_sum",
+    "qfile_insert_into6": "SELECT CAST(-35226404960 AS BIGINT) AS hash_sum",
+    # ctas.q final SELECT: nzhang_ctas4 = first 10 (key, value) in lexical
+    # order (sort by + limit over the single-split src scan is a total
+    # order; the rows at the LIMIT boundary are duplicates, so the
+    # multiset is deterministic)
+    "qfile_ctas": f"""{_W}
+        SELECT key, value FROM src ORDER BY key, value LIMIT 10
+    """,
+    # create_like.q final SELECT * FROM table4 — the ext_test external
+    # fixture (golden create_like.q.out: ints 1..6)
+    "qfile_create_like": """
+        SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6)) t(a)
+    """,
+    # create_view.q final: SELECT * FROM view16 ORDER BY value LIMIT 10,
+    # view16 = SELECT DISTINCT value FROM src
+    "qfile_create_view": f"""{_W}
+        SELECT DISTINCT value FROM src ORDER BY value LIMIT 10
+    """,
+    # create_or_replace_view.q final: v = SELECT * FROM srcpart, filtered
+    # to one partition and value='val_409'
+    "qfile_create_or_replace_view": f"""{_W}
+        SELECT key, value, '2008-04-08' AS ds, '11' AS hr
+        FROM src WHERE value = 'val_409'
+    """,
+    # union22.q: dst_union22 ds='2' = UNION of (delta k0<=50 rows) and
+    # (dst_union22 ds='1' LEFT JOIN delta k0>50 ON k1, a.k1>20); string
+    # range predicates compare as DOUBLE (Hive common-comparison type)
+    "qfile_union22": f"""{_W},
+        delta AS (SELECT key AS k0, key AS k1, value AS k2, key AS k3,
+                         value AS k4, value AS k5 FROM src),
+        a AS (SELECT key AS k1, value AS k2 FROM src)
+        SELECT k1, k2, k3, k4, '2' AS ds FROM (
+          SELECT k1, k2, k3, k4 FROM delta WHERE CAST(k0 AS DOUBLE) <= 50
+          UNION ALL
+          SELECT a.k1, a.k2, b.k3, b.k4
+          FROM a LEFT OUTER JOIN (
+            SELECT k1, k3, k4 FROM delta WHERE CAST(k0 AS DOUBLE) > 50
+          ) b ON a.k1 = b.k1
+          WHERE CAST(a.k1 AS DOUBLE) > 20
+        ) subq
     """,
     # dest_g1(key INT, value DOUBLE) ← SELECT key, sum(substr(value,5))
     "qfile_groupby1": f"""{_W}

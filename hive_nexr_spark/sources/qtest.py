@@ -702,14 +702,25 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                   flags=re.IGNORECASE)
     text = re.sub(r"\bBLOCK__OFFSET__INSIDE__FILE\b",
                   "monotonically_increasing_id()", text, flags=re.IGNORECASE)
-    # TRANSFORM ... USING 'tr \t _': Hive hands the script string to the
-    # shell VERBATIM (`exec/ScriptOperator.java` — no unescaping); Spark's
-    # parser would turn \t into a literal TAB and break the argv split, so
-    # double the backslashes to restore pass-through semantics
+    # TRANSFORM ... USING 'tr \t _': Hive splits the script on spaces and
+    # exec's the argv DIRECTLY (`exec/ScriptOperator.java` — no shell, no
+    # unescaping), so tr receives the two characters \t and applies its own
+    # escape → translates TABs. Spark parses the SQL string literal (\t →
+    # TAB) and then runs the script through `bash -c` (which eats a lone
+    # backslash). Quadruple each backslash so that after BOTH unescape
+    # layers the invoked program still sees \t: SQL '\\\\t' → Spark '\\t'
+    # → bash '\t' → tr translates TAB, matching the reference's goldens
+    # (insert_into1.q.out hashes prove the tabs were replaced).
     text = re.sub(r"(USING\s+')([^']*\\[^']*)(')",
-                  lambda m: m.group(1) + m.group(2).replace("\\", "\\\\")
+                  lambda m: m.group(1) + m.group(2).replace("\\", "\\\\\\\\")
                   + m.group(3),
                   text, flags=re.IGNORECASE)
+    # Hive's hash() is `udf/generic/GenericUDFHash.java` (Java-hashCode
+    # family, golden-anchored by insert_into*.q.out); Spark's builtin
+    # `hash` is murmur3 and can't be shadowed by a UDF, so route calls to
+    # the registered parity function. (\b won't match inside hive_hash —
+    # '_' is a word char.)
+    text = re.sub(r"\bhash\s*\(", "hive_hash(", text, flags=re.IGNORECASE)
     # Hive 0.8's std/stddev/variance are POPULATION forms
     # (`exec/FunctionRegistry.java:349-355` registers std|stddev|stddev_pop
     # → GenericUDAFStd, variance|var_pop → GenericUDAFVariance); Spark's

@@ -7,9 +7,10 @@ from pyspark.sql import functions as F
 from hive_nexr_spark.functions import hive_compat as hc
 
 
-def _java_string_hash31(s: str) -> int:
-    """Reference implementation of Hadoop Text.hashCode (seed 1, h*31+b)."""
-    h = 1
+def _java_string_hash(s: str) -> int:
+    """Reference implementation of `ObjectInspectorUtils.hashCode` STRING
+    (seed 0, r*31+signed byte — String.hashCode-compatible for ASCII)."""
+    h = 0
     for b in s.encode("utf-8"):
         sb = b - 256 if b > 127 else b
         h = (h * 31 + sb) & 0xFFFFFFFF
@@ -21,7 +22,20 @@ def test_hive_hash_string_parity(spark):
     df = spark.createDataFrame([(v,) for v in vals], ["s"])
     got = {r.s: r.h for r in df.select("s", hc.hive_hash("s", "string").alias("h")).collect()}
     for v in vals:
-        assert got[v] == _java_string_hash31(v), v
+        assert got[v] == _java_string_hash(v), v
+    # Java String.hashCode anchors (ASCII): "abc" = 96354
+    assert got["abc"] == 96354
+
+
+def test_hive_hash_golden_sum(spark):
+    """SUM(HASH(key_value)) over the first 10 kv1 rows reproduces the
+    reference's own golden output (`results/clientpositive/
+    insert_into1.q.out`: -826625916)."""
+    rows = [
+        line.rstrip("\n").split("\x01")
+        for line in open("/root/reference/data/files/kv1.txt")
+    ][:10]
+    assert sum(hc._py_hive_hash(f"{k}_{v}") for k, v in rows) == -826625916
 
 
 def test_hive_hash_int_bigint_bool(spark):
@@ -38,9 +52,9 @@ def test_hive_hash_int_bigint_bool(spark):
         return x - (1 << 32) if x >= (1 << 31) else x
     assert rows[0].hi == 7
     assert rows[0].hl == jlong(1234567890123)
-    assert rows[0].hb == 1231
+    assert rows[0].hb == 1
     assert rows[1].hi == -3
-    assert rows[1].hb == 1237
+    assert rows[1].hb == 0
 
 
 def test_field_function(spark):

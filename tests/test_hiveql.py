@@ -140,8 +140,9 @@ def test_temp_function_known_class(spark):
         "'org.apache.hadoop.hive.ql.udf.generic.GenericUDFHash'"
     )
     row = spark.sql("SELECT myhash('abc') AS h").collect()[0]
-    # Text.hashCode('abc') = ((1*31+97)*31+98)*31+99
-    assert row.h == ((1 * 31 + 97) * 31 + 98) * 31 + 99
+    # ObjectInspectorUtils.hashCode STRING (seed 0) == String.hashCode for
+    # ASCII: 'abc' → ((0*31+97)*31+98)*31+99 = 96354
+    assert row.h == ((0 * 31 + 97) * 31 + 98) * 31 + 99
 
 
 def test_temp_function_unknown_class_raises(spark):
