@@ -115,6 +115,7 @@ def register_all(spark: SparkSession) -> None:
         "int",
     )
     spark.udf.register("hive_hash", _py_hive_hash, "int")
+    spark.udf.register("reflect", _py_reflect, "string")
     spark.udf.register("field", _py_field, "int")
     spark.udf.register("ewah_bitmap_and", ewah.bitmap_and, "array<bigint>")
     spark.udf.register("ewah_bitmap_or", ewah.bitmap_or, "array<bigint>")
@@ -167,6 +168,39 @@ def _py_field(*args) -> int:
         if eq(x, a):
             return i
     return 0
+
+
+_REFLECT_METHODS = {
+    ("java.lang.String", "valueOf"): lambda x: (
+        ("true" if x else "false") if isinstance(x, bool) else str(x)),
+    ("java.lang.String", "isEmpty"): lambda: "true",  # no-arg → new String()
+    ("java.lang.Math", "max"): lambda a, b: str(max(a, b)),
+    ("java.lang.Math", "min"): lambda a, b: str(min(a, b)),
+    # Math.round(double) → long (half-up)
+    ("java.lang.Math", "round"): lambda x: str(int(__import__("math").floor(x + 0.5))),
+    ("java.lang.Math", "exp"): lambda x: str(__import__("math").exp(x)),
+    ("java.lang.Math", "floor"): lambda x: str(__import__("math").floor(float(x)) * 1.0),
+    ("java.lang.Math", "ceil"): lambda x: str(__import__("math").ceil(float(x)) * 1.0),
+    ("java.lang.Math", "abs"): lambda x: str(abs(x)),
+    ("java.lang.Math", "sqrt"): lambda x: str(__import__("math").sqrt(x)),
+}
+
+
+def _py_reflect(cls: str, method: str, *args) -> str | None:
+    """`reflect(class, method, args...)` (`udf/generic/GenericUDFReflect
+    .java`) restricted to a deterministic java.lang.String/Math allowlist
+    — arbitrary JVM reflection is non-portable by design (SURVEY §2.9);
+    the allowlist covers the reference's own udf_reflect.q surface with
+    Java-rendered return strings. Unknown methods yield NULL instead of
+    raising: Spark evaluates Python UDFs eagerly even under a CASE branch
+    that Hive would never take (udf_case.q's ELSE reflect('bogus'))."""
+    fn = _REFLECT_METHODS.get((cls, method))
+    if fn is None:
+        return None
+    try:
+        return fn(*args)
+    except Exception:
+        return None
 
 
 def _py_text_hash(s: str | None) -> int | None:

@@ -88,7 +88,10 @@ _CLASS_BUILTIN_ALIASES = {
 _BUCKET_SAMPLE = re.compile(
     r"(?P<kw>FROM|JOIN)\s+(?P<table>[\w.`]+)(?:\s+(?P<alias>(?!TABLESAMPLE)\w+))?"
     r"\s+TABLESAMPLE\s*\(\s*BUCKET\s+"
-    r"(?P<x>\d+)\s+OUT\s+OF\s+(?P<y>\d+)(?:\s+ON\s+(?P<on>[^)]+))?\s*\)",
+    # the ON expression may itself contain a no-arg call — rand() in
+    # sample1.q — so allow empty paren pairs inside it
+    r"(?P<x>\d+)\s+OUT\s+OF\s+(?P<y>\d+)"
+    r"(?:\s+ON\s+(?P<on>(?:[^()]|\(\s*\))+))?\s*\)",
     re.IGNORECASE,
 )
 
@@ -112,7 +115,8 @@ _LOAD_DATA = re.compile(
 )
 
 _CONCATENATE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+CONCATENATE\s*$",
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)"
+    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?\s+CONCATENATE\s*$",
     re.IGNORECASE,
 )
 
@@ -327,7 +331,7 @@ class HiveQLSession:
 
         m = _CONCATENATE.match(stmt)
         if m:
-            self._concatenate(m.group("table"))
+            self._concatenate(m.group("table"), m.group("part"))
             return None
 
         m = _DESC_FUNCTION.match(stmt)
@@ -456,7 +460,19 @@ class HiveQLSession:
         kw = m.group("kw")
         table, alias = m.group("table"), m.group("alias") or m.group("table").strip("`")
         x, y, on = int(m.group("x")), int(m.group("y")), m.group("on")
-        if on is None:
+        if on is not None and re.fullmatch(r"rand\s*\(\s*\)", on.strip(),
+                                           re.IGNORECASE):
+            # TABLESAMPLE(BUCKET x OUT OF y ON rand()) — sample1.q: Hive
+            # hashes a fresh random number per row (`SemanticAnalyzer`
+            # genSamplePredicate on TOK_FUNCTION rand). y=1 selects every
+            # row; otherwise a uniform 1/y row sample, non-deterministic
+            # exactly like the reference.
+            if y == 1:
+                # no explicit alias before TABLESAMPLE → any alias in the
+                # source text AFTER the clause still applies; emit none
+                return f"{kw} {table} {m.group('alias') or ''}"
+            cond = f"pmod(cast(floor(rand() * {y}) as int), {y}) = {x - 1}"
+        elif on is None:
             # BUCKET sampling without ON means "by the table's bucket files";
             # on unbucketed parquet the reference falls back to rand() — we
             # use a deterministic spread over an internal row id instead.
@@ -483,12 +499,14 @@ class HiveQLSession:
 
     def _java_hash_sql(self, table: str, col: str) -> str:
         """SQL expression for Java/Hive hashCode of one column, by type
-        (`serde2/objectinspector/ObjectInspectorUtils.java` hashCode):
-        int → value; bigint → (int)(v ^ v>>>32); boolean → 1231/1237;
-        string → Text.hashCode (h=31h+byte, seed 1). All emitted on a
-        BIGINT accumulator (the caller wraps mod 2^32), so the expression
-        is exact on ANSI sessions. Unsupported types are rejected loudly
-        rather than silently sampling the wrong rows."""
+        (`serde2/objectinspector/ObjectInspectorUtils.java:404-445`
+        hashCode — the same dispatch `getBucketHashCode` and `hash()`
+        use): int → value; bigint → (int)(v >>> 32 ^ v); boolean → 1/0;
+        string → seed-0 fold r = r*31 + byte (String.hashCode-compatible
+        for ASCII). All emitted on a BIGINT accumulator (the caller wraps
+        mod 2^32), so the expression is exact on ANSI sessions.
+        Unsupported types are rejected loudly rather than silently
+        sampling the wrong rows."""
         dtypes = dict(self.spark.table(table.strip("`")).dtypes)
         typ = dtypes.get(col)
         if typ is None:
@@ -498,11 +516,11 @@ class HiveQLSession:
         if typ == "bigint":
             return f"(cast({col} as bigint) ^ shiftrightunsigned(cast({col} as bigint), 32))"
         if typ == "boolean":
-            return f"if({col}, 1231, 1237)"
+            return f"if({col}, 1, 0)"
         if typ == "string":
             return (
                 f"aggregate(filter(split({col}, ''), x -> x != ''), "
-                f"cast(1 as bigint), "
+                f"cast(0 as bigint), "
                 f"(acc, ch) -> pmod(acc * 31 + ascii(ch), 4294967296))"
             )
         raise ValueError(
@@ -699,11 +717,30 @@ class HiveQLSession:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(os.path.join(dest, "data"))
+        # registered partitions (possibly EMPTY — added but never loaded,
+        # exim_04_evolved_parts.q): the reference's _metadata replays them
+        # on import even with no data files
+        partitions: list[str] = []
+        if pcols:
+            try:
+                partitions = [
+                    r[0] for r in self.spark.sql(
+                        f"SHOW PARTITIONS {table}").collect()
+                ]
+            except Exception:
+                partitions = []
+            want = self._parse_part_spec(part)
+            if want:
+                partitions = [
+                    p for p in partitions
+                    if all(f"{k}={v}" in p.split("/") for k, v in want.items())
+                ]
         with open(os.path.join(dest, "_metadata.json"), "w") as fh:
             json.dump({
                 "table": table.split(".")[-1].strip("`"),
                 "schema": df.schema.json(),
                 "partition_cols": pcols,
+                "partitions": partitions,
             }, fh)
 
     def _import_table(self, path: str, table: str | None,
@@ -737,13 +774,24 @@ class HiveQLSession:
             if meta["partition_cols"]:
                 writer = writer.partitionBy(*meta["partition_cols"])
             writer.saveAsTable(name)
+        # replay registered-but-empty partitions from the descriptor
+        # (`ImportSemanticAnalyzer` addPartition tasks)
+        want = self._parse_part_spec(part)
+        for pspec in meta.get("partitions", []):
+            kv = dict(seg.split("=", 1) for seg in pspec.split("/"))
+            if want and any(kv.get(k) != v for k, v in want.items()):
+                continue
+            spec = ", ".join(f"{k}='{v}'" for k, v in kv.items())
+            self.spark.sql(
+                f"ALTER TABLE {name} ADD IF NOT EXISTS PARTITION ({spec})")
         # a dropped-and-reimported table of the same name may still have a
         # cached (stale) file listing in the shared session
         self.spark.sql(f"REFRESH TABLE {name}")
 
-    def _concatenate(self, table: str) -> None:
-        """ALTER TABLE ... CONCATENATE (`ql/io/rcfile/merge/BlockMergeTask.java`):
-        small-file compaction. Rewrites the table's data files coalesced to
+    def _concatenate(self, table: str, part: str | None = None) -> None:
+        """ALTER TABLE [PARTITION(...)] CONCATENATE
+        (`ql/io/rcfile/merge/BlockMergeTask.java`): small-file compaction.
+        Rewrites the table's (or one partition's) data files coalesced to
         ~128 MB targets into a staging dir, then swaps them in — the same
         rewrite-and-move the reference's merge task performs. Content is
         preserved exactly; only the file layout changes."""
@@ -752,6 +800,13 @@ class HiveQLSession:
         import shutil
 
         loc = self._table_location(table)
+        if part:
+            # partition spec → the hive-style partition subdirectory
+            subdir = "/".join(
+                f"{k.strip()}={v.strip().strip(chr(39) + chr(34))}"
+                for k, v in (kv.split("=", 1) for kv in part.split(","))
+            )
+            loc = os.path.join(loc, subdir)
         files = [
             os.path.join(loc, f) for f in os.listdir(loc)
             if os.path.isfile(os.path.join(loc, f)) and not f.startswith(("_", "."))
@@ -796,7 +851,13 @@ class HiveQLSession:
     def _resource_cmd(self, verb: str, kind: str, rest: str) -> DataFrame | None:
         if verb == "ADD":
             if kind == "FILE" and rest:
-                self.spark.sparkContext.addFile(rest)
+                try:
+                    self.spark.sparkContext.addFile(rest)
+                except Exception:
+                    # missing path (e.g. an unresolved ${system:} build
+                    # var in set_processor_namespaces.q): record it like
+                    # CliDriver's best-effort resource list and move on
+                    pass
             self.resources.append((kind, rest))
             return None
         if verb == "LIST":

@@ -326,7 +326,8 @@ ORACLE = {
           UNION ALL SELECT 900, 'ATLANTIS', 0
         ) t WHERE n_regionkey < 3 GROUP BY n_regionkey
     """,
-    # Text.hashCode in DuckDB: fold h = (h*31 + byte) mod 2^32 over ASCII
+    # ObjectInspectorUtils string hashCode in DuckDB: fold
+    # h = (h*31 + byte) mod 2^32 over ASCII, seed 0
     # codepoints, then reinterpret as signed int32.
     "create_temp_function": """
         SELECT n_name,

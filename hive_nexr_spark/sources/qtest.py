@@ -131,6 +131,16 @@ def make_src_thrift(spark: SparkSession) -> DataFrame:
     return df
 
 
+def make_src_json(spark: SparkSession) -> DataFrame:
+    """`src_json` fixture: one STRING column `json`, the whole line of
+    data/files/json.txt (`QTestUtil.java:490-514` creates it with
+    TextInputFormat and loads json.txt)."""
+    df = spark.read.text(f"{DATA_DIR}/json.txt").withColumnRenamed(
+        "value", "json")
+    df.createOrReplaceTempView("src_json")
+    return df
+
+
 def make_src1(spark: SparkSession, as_table: bool = False) -> DataFrame:
     """`src1` fixture: the reference's kv3.txt (25 rows, some empty keys —
     `QTestUtil.java:430-439`)."""
@@ -291,7 +301,10 @@ _ROW_FORMAT = re.compile(
     r"(?:\s+MAP\s+KEYS\s+TERMINATED\s+BY\s+['\"][^'\"]*['\"])?"
     r"(?:\s+LINES\s+TERMINATED\s+BY\s+['\"][^'\"]*['\"])?"
     r"|SERDE\s+['\"][^'\"]*['\"]"
-    r"(?:\s+WITH\s+SERDEPROPERTIES\s*\([^)]*\))?)",
+    # serdeproperty VALUES may contain parens/commas inside quotes
+    # (input19.q's quote.delim='("|\[|\])') — consume quoted strings
+    # atomically instead of stopping at the first ')'
+    r"(?:\s+WITH\s+SERDEPROPERTIES\s*\((?:[^()']|'[^']*')*\))?)",
     re.IGNORECASE,
 )
 _PARTITIONED = re.compile(
@@ -305,7 +318,8 @@ _CREATE_NAME = re.compile(
     r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<qual>\w+\.)?(?P<name>\w+)",
     re.IGNORECASE)
-_SET_CMD = re.compile(r"^set\s+(?P<k>[\w.]+)\s*=\s*(?P<v>.*)$", re.IGNORECASE)
+_SET_CMD = re.compile(r"^set\s+(?P<k>[\w.:]+)\s*=\s*(?P<v>.*)$",
+                      re.IGNORECASE)
 # INSERT OVERWRITE DIRECTORY '<path>' SELECT ... — the golden output is the
 # directory contents, i.e. exactly the SELECT's rows; rewrite to a plain
 # SELECT so the result is checkable without writing outside the repo.
@@ -340,6 +354,54 @@ def _resolve_fixture(path: str, prefix: str = "") -> str:
     return cand
 
 
+def _hive_text_expr(col, dtype, depth: int):
+    """Parse one LazySimpleSerDe text field into `dtype`
+    (`serde2/lazy/LazySimpleSerDe.java`: nesting level N uses delimiter
+    byte N — ^A fields, ^B items/struct members, ^C map-values/deeper).
+    `depth` is the delimiter byte for THIS level's separator. A struct
+    whose fields are (tag, field0..fieldN) is the rewritten uniontype
+    encoding: its text form is `tag<d>value` where only the tag-selected
+    member is present (`serde2/lazy/LazyUnion.java`)."""
+    from pyspark.sql import types as T
+
+    d = chr(depth)
+    if isinstance(dtype, T.StructType):
+        names = [f.name for f in dtype.fields]
+        parts = F.split(col, d)
+        if names[0] == "tag" and all(
+                n == f"field{i}" for i, n in enumerate(names[1:])):
+            tag = F.element_at(parts, 1).cast("int")
+            members = [tag.alias("tag")] + [
+                F.when(
+                    tag == i,
+                    _hive_text_expr(F.element_at(parts, 2), f.dataType,
+                                    depth + 1),
+                ).alias(f.name)
+                for i, f in enumerate(dtype.fields[1:])
+            ]
+            return F.struct(*members)
+        return F.struct(*[
+            _hive_text_expr(F.element_at(parts, i + 1), f.dataType,
+                            depth + 1).alias(f.name)
+            for i, f in enumerate(dtype.fields)
+        ])
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(
+            F.split(col, d),
+            lambda x: _hive_text_expr(x, dtype.elementType, depth + 1))
+    if isinstance(dtype, T.MapType):
+        kv = chr(depth + 1)
+        return F.map_from_entries(F.transform(
+            F.split(col, d),
+            lambda e: F.struct(
+                _hive_text_expr(F.element_at(F.split(e, kv), 1),
+                                dtype.keyType, depth + 2).alias("key"),
+                _hive_text_expr(F.element_at(F.split(e, kv), 2),
+                                dtype.valueType, depth + 2).alias("value"),
+            )))
+    return col.cast(dtype)
+
+
 def _emulate_load_data(spark: SparkSession, m: re.Match,
                        prefix: str = "") -> None:
     """LOAD DATA [LOCAL] INPATH (`parse/LoadSemanticAnalyzer.java`,
@@ -348,9 +410,16 @@ def _emulate_load_data(spark: SparkSession, m: re.Match,
     Static partition values become literal columns (Hive appends partition
     values from the PARTITION clause the same way). The dest-table
     prefixing pass may have rewritten a table name that also appears in
-    the data file's name (T1 → <prefix>T1.txt) — strip it back."""
+    the data file's name (T1 → <prefix>T1.txt) — strip it back.
+
+    Tables with complex columns (array/map/struct/union —
+    create_union_table.q, create_nested_type.q) can't go through the CSV
+    reader; their lines are parsed with the LazySimpleSerDe nested
+    delimiter scheme via `_hive_text_expr`."""
+    from pyspark.sql import types as T
+
     path = _resolve_fixture(m.group("path"), prefix)
-    if not os.path.exists(path) or not path.endswith((".txt", ".dat")):
+    if not os.path.exists(path) or not path.endswith((".txt", ".dat", ".log")):
         raise ValueError(f"LOAD DATA: unsupported fixture {m.group('path')}")
     tbl = m.group("tbl")
     part = {}
@@ -360,11 +429,20 @@ def _emulate_load_data(spark: SparkSession, m: re.Match,
             part[k.strip()] = v.strip().strip("'\"")
     schema = spark.table(tbl).schema
     cols = [f for f in schema.fields if f.name not in part]
-    struct = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cols)
-    df = (
-        spark.read.option("sep", "\x01").option("emptyValue", "")
-        .schema(struct).csv(path)
-    )
+    if all(isinstance(f.dataType, T.AtomicType) for f in cols):
+        struct = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in cols)
+        df = (
+            spark.read.option("sep", "\x01").option("emptyValue", "")
+            .schema(struct).csv(path)
+        )
+    else:
+        fields = F.split(F.col("value"), "\x01")
+        df = spark.read.text(path).select(*[
+            _hive_text_expr(F.element_at(fields, i + 1), f.dataType, 2)
+            .alias(f.name)
+            for i, f in enumerate(cols)
+        ])
     for k, v in part.items():
         df = df.withColumn(k, F.lit(v))
     df = df.select(*[f.name for f in schema.fields])
@@ -445,10 +523,74 @@ def _rewrite_uniquejoin(spark: SparkSession, stmt: str) -> str:
     return f"SELECT {m.group('sel')} FROM ({keys}) uj_keys{joins}"
 
 
+def _ensure_py3(path: str, base: str) -> str:
+    """The reference's test scripts are Python-2 era (`data/scripts/
+    dumpdata_script.py` uses xrange / print statements). If a script
+    doesn't compile under the Python 3 we invoke it with, write a
+    mechanically converted copy (xrange→range, statement print→call) to
+    the scratch dir and run that instead — stdout bytes are unchanged."""
+    src = open(path).read()
+    try:
+        compile(src, path, "exec")
+        return path
+    except SyntaxError:
+        pass
+    conv = re.sub(r"\bxrange\b", "range", src)
+    conv = re.sub(r"(?m)^(\s*)print\s+([^(\s][^\n]*)$",
+                  r"\1print(\2)", conv)
+    out_dir = "/tmp/hive_nexr_spark_scratch/py3"
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, base)
+    try:
+        compile(conv, out, "exec")
+    except SyntaxError:
+        return path  # conversion insufficient — keep the original error
+    with open(out, "w") as fh:
+        fh.write(conv)
+    return out
+
+
 def _strip_comments(text: str) -> str:
     return "\n".join(
         line for line in text.splitlines() if not line.lstrip().startswith("--")
     )
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split a script on ';' like CliDriver, but never inside a quoted
+    string — `query_with_semi.q` selects literals containing ';'
+    (`CliDriver.java` processLine splits naively too, but its tests
+    pre-escape; the parser-level split here must not). `--` comments are
+    consumed to end-of-line here (outside quotes only): an inline
+    comment may contain an unbalanced apostrophe (sample5.q's
+    "here's") that would otherwise flip the quote state."""
+    out, buf, quote = [], [], None
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            buf.append(ch)
+            if ch == "\\" and quote in "'\"" and i + 1 < len(text):
+                buf.append(text[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch == "-" and text[i:i + 2] == "--":
+            while i < len(text) and text[i] != "\n":
+                i += 1
+            continue
+        elif ch in "'\"`":
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return out
 
 
 _CLUSTERED = re.compile(
@@ -466,27 +608,93 @@ _CLUSTERED = re.compile(
 #   single-session test runs never observe them (SURVEY §2.13);
 # * CREATE/DROP/ALTER INDEX, SHOW INDEXES — compact/bitmap indexes are an
 #   access-path optimization subsumed by parquet min/max stats (SURVEY
-#   §2.4); queries over indexed tables return identical rows without them.
+#   §2.4); queries over indexed tables return identical rows without them;
+# * ARCHIVE/UNARCHIVE — a HAR re-packaging of partition files
+#   (`exec/DDLTask.java` archive); query results over archived partitions
+#   are IDENTICAL by contract, so the storage move is a no-op here;
+# * GRANT/REVOKE/ROLE/SHOW GRANT — the authorization layer
+#   (`parse/DDLSemanticAnalyzer.java` analyzeGrant*, SURVEY §2.13) is
+#   documented out-of-scope for a single-user engine; tolerating the
+#   statements lets the authorization_*.q / *_authsuccess.q corpus run
+#   its actual queries.
 _SKIP_STMT = re.compile(
     r"^\s*(?:"
     r"ALTER\s+TABLE\s+\w+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
     r"(?:SET\s+(?:SERDE|SERDEPROPERTIES|FILEFORMAT)\b|TOUCH\b"
-    r"|ENABLE\b|DISABLE\b)"
+    r"|ENABLE\b|DISABLE\b|ARCHIVE\b|UNARCHIVE\b"
+    # bucketing metadata on existing tables (alter4.q, bucket_groupby.q):
+    # Hive only records the clause for FUTURE writes (`DDLTask`
+    # alterTable NOT CLUSTERED / CLUSTERED BY); rows are untouched
+    r"|NOT\s+CLUSTERED\b|CLUSTERED\s+BY\b)"
     r"|ALTER\s+TABLE\s+\w+\s+SET\s+TBLPROPERTIES\s*\(\s*['\"]EXTERNAL"
     # partitioned-view partition registration: metadata-only in the
     # reference (view rows are unaffected — SemanticAnalyzer:7278)
     r"|ALTER\s+VIEW\s+\w+\s+(?:ADD|DROP)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
     r"PARTITION"
     r"|LOCK\s+TABLE|UNLOCK\s+TABLE|SHOW\s+LOCKS"
+    r"|GRANT\b|REVOKE\b|SHOW\s+GRANT\b"
+    r"|CREATE\s+ROLE\b|DROP\s+ROLE\b|SHOW\s+ROLE\w*\b"
     r")",
     re.IGNORECASE,
 )
 
-# Hive: `SHOW TABLE EXTENDED LIKE ident` — Spark wants a quoted pattern
+# Hive: `SHOW TABLE EXTENDED [IN|FROM db] LIKE ident|`ident`` — Spark
+# wants IN and a quoted GLOB pattern; Hive's pattern is regex-flavored
+# (show_tablestatus.q uses `src.?`, `^s.*`), so translate the regex
+# wildcards to glob stars
 _SHOW_EXTENDED = re.compile(
-    r"^(SHOW\s+TABLE\s+EXTENDED\s+(?:IN\s+\w+\s+)?LIKE\s+)(\w+)",
+    r"^(SHOW\s+TABLE\s+EXTENDED\s+)(?:(?:IN|FROM)\s+(\w+)\s+)?"
+    r"LIKE\s+`?([^`\s;]+)`?",
     re.IGNORECASE,
 )
+
+
+def _show_extended_sub(m: re.Match) -> str:
+    pat = re.sub(r"(\.\*|\.\?|\^|\$)", lambda g: ""
+                 if g.group(1) in ("^", "$") else "*", m.group(3))
+    db = f"IN {m.group(2)} " if m.group(2) else ""
+    return f"{m.group(1)}{db}LIKE '{pat}'"
+
+# Hive column-path DESCRIBE (`parse/DDLSemanticAnalyzer.java`
+# analyzeDescribeTable tablePartColumn branch, describe_xpath.q):
+# `DESCRIBE t.col[.$elem$|.$key$|.$value$|.field ...]` — Spark only
+# describes whole relations, so the path is resolved against the schema
+_DESC_COLUMN = re.compile(
+    r"^DESCRIBE\s+(?:EXTENDED\s+|FORMATTED\s+)?(\w+)\.([\w$.]+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _describe_column(spark: SparkSession, tbl: str, path: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    dtype = None
+    parts = path.split(".")
+    for f in spark.table(tbl).schema.fields:
+        if f.name.lower() == parts[0].lower():
+            dtype = f.dataType
+            break
+    if dtype is None:
+        raise ValueError(f"DESCRIBE: no column {parts[0]} in {tbl}")
+    for seg in parts[1:]:
+        if seg == "$elem$" and isinstance(dtype, T.ArrayType):
+            dtype = dtype.elementType
+        elif seg == "$key$" and isinstance(dtype, T.MapType):
+            dtype = dtype.keyType
+        elif seg == "$value$" and isinstance(dtype, T.MapType):
+            dtype = dtype.valueType
+        elif isinstance(dtype, T.StructType):
+            match = [f for f in dtype.fields
+                     if f.name.lower() == seg.lower()]
+            if not match:
+                raise ValueError(f"DESCRIBE: no field {seg} in {path}")
+            dtype = match[0].dataType
+        else:
+            raise ValueError(f"DESCRIBE: cannot navigate {seg} in {path}")
+    return spark.createDataFrame(
+        [(path, dtype.simpleString(), "from deserializer")],
+        "col_name string, data_type string, comment string")
+
 
 # statements that can delete/replace files a pending lazy result reads
 _DESTRUCTIVE = re.compile(
@@ -527,7 +735,41 @@ def _insert_using(stmt: str, using: str) -> str:
     return f"{stmt[:i]} USING {using}{stmt[i:]}"
 
 
+# STORED AS INPUTFORMAT '<cls>' OUTPUTFORMAT '<cls>' [INPUTDRIVER ...
+# OUTPUTDRIVER ...] (`Hive.g` tableFileFormat explicit-class branch):
+# the class pair is a storage detail standardized to parquet like the
+# keyword forms (SURVEY §2.2)
+_STORED_AS_IOF = re.compile(
+    r"STORED\s+AS\s+INPUTFORMAT\s+['\"][^'\"]+['\"]\s+"
+    r"OUTPUTFORMAT\s+['\"][^'\"]+['\"]"
+    r"(?:\s+INPUTDRIVER\s+['\"][^'\"]+['\"])?"
+    r"(?:\s+OUTPUTDRIVER\s+['\"][^'\"]+['\"])?",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_ddl(stmt: str) -> str:
+    # a thrift-serde CREATE TABLE carries NO column list — the schema
+    # comes from the serialization.class (`serde/if/test/complex.thrift`,
+    # the src_thrift fixture's schema); inject it before the serde clause
+    # is stripped so DESCRIBE output matches the reference (inputddl8.q)
+    if re.search(r"serialization\.class['\"]?\s*=\s*['\"][\w.]*"
+                 r"thrift\.test\.Complex['\"]", stmt):
+        cm = _CREATE_NAME.search(stmt)
+        if cm:
+            j = cm.end()
+            while j < len(stmt) and stmt[j].isspace():
+                j += 1
+            if j >= len(stmt) or stmt[j] != "(":
+                stmt = (
+                    stmt[: cm.end()]
+                    + " (aint INT, astring STRING, lint ARRAY<INT>, "
+                    "lstring ARRAY<STRING>, lintstring ARRAY<STRUCT<"
+                    "myint:INT, mystring:STRING, underscore_int:INT>>, "
+                    "mstringstring MAP<STRING,STRING>)"
+                    + stmt[cm.end():]
+                )
+    stmt = _STORED_AS_IOF.sub("STORED AS TEXTFILE", stmt)
     stmt = _ROW_FORMAT.sub("", stmt)
     # Spark's CREATE TABLE grammar wants the bucket spec AFTER `USING`;
     # Hive puts it before `STORED AS` — cut it out and re-append.
@@ -631,6 +873,8 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
         ):
             cand = os.path.normpath(cand)
             if os.path.isfile(cand):
+                if base.endswith(".py"):
+                    cand = _ensure_py3(cand, base)
                 patches.append((m.group(0), f"ADD FILE {cand};"))
                 interp = "python3" if base.endswith(".py") else "bash"
                 text = re.sub(
@@ -671,6 +915,14 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
         r"|\bdefault\s*\.\s*`?src`?\b", text, re.IGNORECASE)))
     if "src_thrift" in text.lower():
         make_src_thrift(spark)
+    if "src_json" in text.lower():
+        make_src_json(spark)
+    if "tbl_created_by_init" in text.lower():
+        # QTestUtil registers ../data/scripts/test_init_file.sql as a
+        # session init script (`QTestUtil.java:597`); replay its one
+        # statement so init_file.q sees the table
+        spark.sql("CREATE TABLE IF NOT EXISTS tbl_created_by_init (i INT) "
+                  "USING parquet")
     if "srcpart" in text.lower():
         make_srcpart(spark, as_table=has_views or bool(re.search(
             r"(SHOW\s+PARTITIONS|ALTER\s+TABLE|ANALYZE\s+TABLE|LIKE)"
@@ -684,24 +936,78 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
         if re.search(rf"\b{bucket_table}\b", text, re.IGNORECASE):
             make_srcbucket(spark, bucket_table, as_table=has_views)
     text = _BUCKET_SAMPLE.sub(_rewrite_bucket_sample, text)
-    # Hive 0.8 allows an unparenthesized LIMIT inside a UNION branch
-    # (input25.q/input26.q); Spark requires the branch parenthesized.
-    # Wrap `select ... limit N` branches adjacent to UNION (paren-free
-    # branch bodies only — exactly the Hive-ism's shape).
+    # Hive 0.8 allows an unparenthesized LIMIT / CLUSTER BY / SORT BY /
+    # DISTRIBUTE BY inside a UNION branch (input25.q, explode_null.q,
+    # union3.q); Spark requires such branches parenthesized. Wrap
+    # `select ... limit N|cluster by c` branches adjacent to UNION. The
+    # branch body tolerates two levels of balanced parens (function
+    # calls like IF(false, array(1,2,3), NULL)); the LIMIT/CLUSTER must
+    # sit DIRECTLY against UNION, so an already-parenthesized branch
+    # (`... limit 1) union`) never re-matches.
+    _body = r"[^()]*?(?:\((?:[^()]|\([^()]*\))*\)[^()]*?)*?"
+    _tail = r"(?:limit\s+\d+|(?:cluster|sort|distribute)\s+by\s+\w+)"
     text = re.sub(
-        r"(?<![(\w])(select\b[^()]*?\blimit\s+\d+)\s+(union\b)",
+        rf"(?<!\w)(select\b{_body}\b{_tail})\s+(union\b)",
         r"(\1) \2", text, flags=re.IGNORECASE | re.DOTALL)
     text = re.sub(
-        r"(union\s+(?:all|distinct)\s+)(select\b[^()]*?\blimit\s+\d+)(\s*\))",
+        rf"(union\s+(?:all|distinct)\s+)(select\b{_body}\b{_tail})(\s*\))",
         r"\1(\2)\3", text, flags=re.IGNORECASE | re.DOTALL)
-    # Hive virtual columns (`ql/metadata/VirtualColumn.java`): file path
-    # maps directly; the block offset has no parquet analogue — a stable
-    # per-row id is the documented surrogate (same one the index emulation
-    # uses)
-    text = re.sub(r"\bINPUT__FILE__NAME\b", "input_file_name()", text,
-                  flags=re.IGNORECASE)
-    text = re.sub(r"\bBLOCK__OFFSET__INSIDE__FILE\b",
-                  "monotonically_increasing_id()", text, flags=re.IGNORECASE)
+    # (virtual-column token handling is per-STATEMENT — see the loop —
+    # because the aggregate form needs a different rewrite shape)
+    # parse_url_tuple UDTF (`udf/generic/GenericUDTFParseUrlTuple.java`):
+    # N parse_url() projections carry the identical result — same mapping
+    # the declared fn_url query uses
+    def _purl_tuple(m: re.Match) -> str:
+        url = m.group(1).strip()
+        parts = [p.strip().strip("'\"") for p in m.group(2).split(",")]
+        names = [n.strip() for n in m.group(3).split(",")]
+        outs = []
+        for p, n in zip(parts, names):
+            if p.upper().startswith("QUERY:"):
+                outs.append(
+                    f"parse_url({url}, 'QUERY', '{p[6:]}') AS {n}")
+            else:
+                outs.append(f"parse_url({url}, '{p.upper()}') AS {n}")
+        return ", ".join(outs)
+
+    text = re.sub(
+        r"parse_url_tuple\s*\(\s*([^,()]+)\s*,\s*([^()]*)\)\s+"
+        r"AS\s+\(([^)]*)\)",
+        _purl_tuple, text, flags=re.IGNORECASE)
+
+    # LATERAL VIEW parse_url_tuple(url, p...) alias AS n1, n2, ... →
+    # LATERAL VIEW inline(array(struct(parse_url...))) alias AS n1, ...
+    def _purl_lateral(m: re.Match) -> str:
+        url = m.group(1).strip()
+        parts = [p.strip().strip("'\"") for p in m.group(2).split(",")]
+        names = [n.strip() for n in m.group(4).split(",")]
+        if len(parts) != len(names):
+            return m.group(0)
+        exprs = []
+        for p in parts:
+            if p.upper().startswith("QUERY:"):
+                exprs.append(f"parse_url({url}, 'QUERY', '{p[6:]}')")
+            else:
+                exprs.append(f"parse_url({url}, '{p.upper()}')")
+        return (f"inline(array(struct({', '.join(exprs)}))) "
+                f"{m.group(3)} AS {', '.join(names)}")
+
+    text = re.sub(
+        r"parse_url_tuple\s*\(\s*([^,()]+)\s*,\s*([^()]*)\)\s+"
+        r"(\w+)\s+AS\s+((?:\w+\s*,\s*)*\w+)",
+        _purl_lateral, text, flags=re.IGNORECASE)
+    # Hive auto-aliases unaliased select items _c0.._cN; Spark names a
+    # bare NULL column `NULL`, so `SELECT null, null` (null_column.q)
+    # collides on INSERT targets — number them the way Hive does
+    def _alias_nulls(m: re.Match) -> str:
+        items = [s.strip() for s in m.group(2).split(",")]
+        aliased = ", ".join(
+            f"null AS _c{i}" for i, _ in enumerate(items))
+        return m.group(1) + aliased + m.group(3)
+
+    text = re.sub(
+        r"(?i)(select\s+)((?:null\s*,\s*)+null)(\s+from)",
+        _alias_nulls, text)
     # TRANSFORM ... USING 'tr \t _': Hive splits the script on spaces and
     # exec's the argv DIRECTLY (`exec/ScriptOperator.java` — no shell, no
     # unescaping), so tr receives the two characters \t and applies its own
@@ -715,6 +1021,68 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                   lambda m: m.group(1) + m.group(2).replace("\\", "\\\\\\\\")
                   + m.group(3),
                   text, flags=re.IGNORECASE)
+    # Hive charset string literals `_UTF-8 0x<hex>` (`Hive.g`
+    # charSetStringLiteral, inputddl5.q/udf_reverse.q i18n tests): decode
+    # the hex bytes in the declared charset to a plain string literal
+    def _charset_literal(m: re.Match) -> str:
+        return "'" + bytes.fromhex(m.group(2)).decode(
+            m.group(1).replace("-", "_")) + "'"
+
+    text = re.sub(r"_(UTF-8|ASCII|ISO8859_1)\s+0x([0-9A-Fa-f]+)",
+                  _charset_literal, text)
+    # optimizer hints between SELECT and TRANSFORM
+    # (select_transform_hint.q): Hive's MAPJOIN hint has no meaning for a
+    # script pipe; Spark's parser rejects a hint in that position
+    text = re.sub(r"(SELECT)\s*/\*\+[^*]*\*/\s*(?=TRANSFORM)", r"\1 ",
+                  text, flags=re.IGNORECASE)
+    # Hive lets a comparison chain directly off IN (`udf_in.q`:
+    # `true IN (true, false) = true` parses as `(x IN (...)) = y`); Spark
+    # needs the IN parenthesized
+    text = re.sub(
+        r"(\S+)\s+IN\s*(\([^()]*\))\s*=\s*(true|false)\b",
+        r"(\1 IN \2) = \3", text, flags=re.IGNORECASE)
+    # MAP cols USING / REDUCE cols USING (`Hive.g` trfmClause — pure
+    # aliases of TRANSFORM, `SemanticAnalyzer.genScriptPlan`): Spark only
+    # has the TRANSFORM spelling
+    text = re.sub(
+        r"\b(?:MAP|REDUCE)\s+([\w.`]+(?:\s*,\s*[\w.`]+)*)\s+(USING\s+')",
+        r"SELECT TRANSFORM(\1) \2", text, flags=re.IGNORECASE)
+    # TRANSFORM output spec RECORDREADER/RECORDWRITER '<class>'
+    # (`Hive.g` recordReader — binary_output_format.q): the byte-stream
+    # framing class is a storage detail with no Spark grammar slot; the
+    # default line reader carries the same rows
+    text = re.sub(r"\bRECORD(?:READER|WRITER)\s+'[^']*'", "", text,
+                  flags=re.IGNORECASE)
+    # uniontype<t1,t2,...> DDL column type (`serde` UnionObjectInspector;
+    # SURVEY §1.3): no Spark equivalent — encode as the same
+    # struct<tag:int, field0:t1, ...> the create_union() value rewrite
+    # produces, so DDL and values stay consistent
+    def _uniontype_struct(m: re.Match) -> str:
+        depth, parts, buf = 0, [], []
+        body = m.group(1)
+        for ch in body:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        fields = ", ".join(
+            f"field{i}:{t.strip()}" for i, t in enumerate(parts))
+        return f"struct<tag:int, {fields}>"
+
+    while re.search(r"uniontype<", text, re.IGNORECASE):
+        # innermost-out: match a uniontype<> whose body has balanced <>
+        new = re.sub(
+            r"uniontype<((?:[^<>]|<[^<>]*>)*)>", _uniontype_struct, text,
+            count=1, flags=re.IGNORECASE)
+        if new == text:
+            break  # deeper nesting than the pattern handles — leave as-is
+        text = new
     # Hive's hash() is `udf/generic/GenericUDFHash.java` (Java-hashCode
     # family, golden-anchored by insert_into*.q.out); Spark's builtin
     # `hash` is murmur3 and can't be shadowed by a UDF, so route calls to
@@ -730,6 +1098,10 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     text = re.sub(r"\bvariance\s*\(", "var_pop(", text, flags=re.IGNORECASE)
 
     saved: dict[str, str | None] = {}
+    # Hive variable-substitution scopes (set_processor_namespaces.q)
+    qvars: dict[str, str] = {}
+    qvars_sys: dict[str, str] = {}
+    subst_on = [True]
 
     def set_conf(k: str, v: str) -> None:
         if k not in saved:
@@ -752,6 +1124,11 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     # (`parse/SemanticAnalyzer.java` genColListRegex, regex_col.q) —
     # Spark has the same behavior behind a conf
     set_conf("spark.sql.parser.quotedRegexColumnNames", "true")
+    # Hive 0.8 has NO ordinal GROUP BY / ORDER BY — an integer literal in
+    # those clauses is a constant (bucket_groupby.q: `group by key,3`);
+    # Spark defaults to positional resolution, so pin it off
+    set_conf("spark.sql.groupByOrdinal", "false")
+    set_conf("spark.sql.orderByOrdinal", "false")
 
     # prefix every dest table AND database name so qfiles can't collide
     # with each other (CliDriver gives each test a clean metastore).
@@ -794,7 +1171,7 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
         return out
 
     try:
-        for stmt in text.split(";"):
+        for stmt in _split_statements(text):
             # a trailing `stmt; -- note` line keeps its comment attached
             # to the NEXT fragment after the ';' split — drop leading
             # comment-only lines per statement
@@ -803,6 +1180,75 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                 if not ln.lstrip().startswith("--")).strip()
             if not stmt:
                 continue
+            # Hive variable substitution (`parse/VariableSubstitution.java`,
+            # set_processor_namespaces.q): expand ${hiveconf:}/${system:}/
+            # ${env:} from the session's `set` state at EXECUTION time —
+            # innermost-first, iterated for nested references
+            if subst_on[0]:
+                for _ in range(8):
+                    new = re.sub(
+                        r"\$\{(hiveconf|system|env):([\w.]+)\}",
+                        lambda mm: (
+                            os.environ.get(mm.group(2), mm.group(0))
+                            if mm.group(1) == "env"
+                            else (qvars_sys if mm.group(1) == "system"
+                                  else qvars).get(mm.group(2), mm.group(0))
+                        ),
+                        stmt)
+                    if new == stmt:
+                        break
+                    stmt = new
+            # Hive virtual columns (`ql/metadata/VirtualColumn.java`):
+            # file path maps directly; the block offset has no parquet
+            # analogue — a stable per-row id is the documented surrogate.
+            # When a virtual column appears INSIDE an aggregate or its
+            # GROUP BY (virtual_column.q: count(INPUT__FILE__NAME)),
+            # Spark rejects the non-deterministic expression there —
+            # project the virtual columns in a scan-level subquery and
+            # leave the tokens as plain columns for THAT statement only
+            # (a blanket wrap would widen `SELECT *` for inserts too).
+            if re.search(r"\bINPUT__FILE__NAME\b|\bBLOCK__OFFSET"
+                         r"__INSIDE__FILE\b", stmt, re.IGNORECASE):
+                if re.search(
+                        r"\b(?:count|collect_set|collect_list|min|max|sum)"
+                        r"\s*\(\s*(?:DISTINCT\s+)?(?:INPUT__FILE__NAME|"
+                        r"BLOCK__OFFSET__INSIDE__FILE)",
+                        stmt, re.IGNORECASE):
+                    stmt = re.sub(
+                        r"\b(FROM|JOIN)\s+src\b(?!\w)",
+                        r"\1 (SELECT *, input_file_name() AS "
+                        "input__file__name, monotonically_increasing_id() "
+                        "AS block__offset__inside__file FROM src) src",
+                        stmt, flags=re.IGNORECASE)
+                else:
+                    stmt = re.sub(r"\bINPUT__FILE__NAME\b",
+                                  "input_file_name()", stmt,
+                                  flags=re.IGNORECASE)
+                    stmt = re.sub(r"\bBLOCK__OFFSET__INSIDE__FILE\b",
+                                  "monotonically_increasing_id()", stmt,
+                                  flags=re.IGNORECASE)
+            # Hive auto-aliases unaliased view output columns _c<N>
+            # (`SemanticAnalyzer` genSelectPlan); Spark derives the name
+            # from the expression TEXT, so create_big_view.q's repeated
+            # identical string literals collide — number the bare
+            # literals the way Hive does
+            vm = re.match(
+                r"(CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+.*?AS\s+SELECT\s+)"
+                r"(.*?)(\s+FROM\s+.*)$",
+                stmt, re.IGNORECASE | re.DOTALL)
+            if vm and re.fullmatch(
+                    r"(?:'[^']*'(?:\s+AS\s+\w+)?\s*,\s*)+"
+                    r"'[^']*'(?:\s+AS\s+\w+)?",
+                    vm.group(2).strip(), re.IGNORECASE):
+                # the select list is NOTHING BUT literals (possibly
+                # aliased) — safe to number the bare ones
+                items = re.findall(r"('[^']*')(\s+AS\s+\w+)?",
+                                   vm.group(2))
+                new_items = [
+                    lit + (alias if alias else f" AS _c{i}")
+                    for i, (lit, alias) in enumerate(items)
+                ]
+                stmt = vm.group(1) + ", ".join(new_items) + vm.group(3)
             upper = stmt.upper()
             if upper.startswith("DFS ") or stmt.startswith("!"):
                 continue  # filesystem / shell escapes (CliDriver side ops)
@@ -823,8 +1269,11 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                 # TOUCH, ENABLE/DISABLE protect mode, LOCK/UNLOCK, index
                 # DDL — see _SKIP_STMT)
                 continue
-            stmt = _SHOW_EXTENDED.sub(lambda m: f"{m.group(1)}'{m.group(2)}'",
-                                      stmt)
+            stmt = _SHOW_EXTENDED.sub(_show_extended_sub, stmt)
+            m = _DESC_COLUMN.match(stmt)
+            if m:
+                last_df = _describe_column(spark, m.group(1), m.group(2))
+                continue
             # Hive partitioned views (`parse/SemanticAnalyzer.java:7278`
             # saveViewDefinition PARTITIONED ON) are metadata-only — the
             # view's rows are identical; Spark has no equivalent clause
@@ -869,11 +1318,21 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                           "DROP VIEW IF EXISTS ", stmt, flags=re.IGNORECASE)
             m = _SET_CMD.match(stmt)
             if m:
+                k, v = m.group("k"), m.group("v").strip()
+                if k.lower() == "hive.variable.substitute":
+                    subst_on[0] = v.lower() == "true"
+                if ":" in k:
+                    # namespaced vars (system:/hiveconf:) live in the
+                    # substitution scope, not the Spark conf
+                    ns, name = k.split(":", 1)
+                    (qvars_sys if ns.lower() == "system" else qvars)[name] = v
+                    continue
+                qvars[k] = v
                 # fs.* relocations (create_1.q sets fs.default.name to an
                 # invalid scheme and never resets it) would poison the
                 # shared session mid-run — ignore them
-                if not m.group("k").lower().startswith("fs."):
-                    set_conf(m.group("k"), m.group("v").strip())
+                if not k.lower().startswith("fs."):
+                    set_conf(k, v)
                 continue
             m = _LOAD_DATA.match(stmt)
             if m:

@@ -46,15 +46,17 @@ def test_multi_insert_passthrough(spark, dfs):
 
 
 def test_bucket_sample_string_column_java_hash(spark, dfs):
-    """ON a string column must bucket by Text.hashCode (h=31h+byte, seed 1,
-    & Integer.MAX_VALUE % y) — not Spark murmur3, not a silent numeric cast."""
+    """ON a string column must bucket by ObjectInspectorUtils.hashCode
+    (seed-0 h=31h+byte fold, & Integer.MAX_VALUE % y —
+    `ObjectInspectorUtils.java:404-445`, the dispatch getBucketHashCode
+    uses) — not Spark murmur3, not a silent numeric cast."""
     hql = HiveQLSession(spark)
     df = hql.sql(
         "SELECT n_name FROM nation TABLESAMPLE(BUCKET 1 OUT OF 3 ON n_name)"
     )
 
     def text_hash(s):
-        h = 1
+        h = 0
         for ch in s.encode():
             h = (h * 31 + ch) & 0xFFFFFFFF
         return h
