@@ -602,17 +602,28 @@ class HiveQLSession:
                        else f"default__{tbl.split('.')[-1]}_{name.lower()}__")
         collist = [c.strip().strip("`") for c in cols.split(",") if c.strip()]
         src_types = dict(self.spark.table(table).dtypes)
+        # an index on a PARTITIONED table carries the base partition
+        # columns after the payload (the reference's index table is
+        # PARTITIONED BY them — index_compact.q filters x.ds/x.hr)
+        try:
+            pcols = [c.name for c in self.spark.catalog.listColumns(table)
+                     if c.isPartition and c.name not in collist]
+        except Exception:
+            pcols = []
         schema_cols = ", ".join(
             f"`{c}` {src_types.get(c, 'string')}" for c in collist)
         payload = ("`_bucketname` string, `_offset` bigint, "
                    "`_bitmaps` array<bigint>" if is_bitmap
                    else "`_bucketname` string, `_offsets` array<bigint>")
+        ptail = "".join(
+            f", `{c}` {src_types.get(c, 'string')}" for c in pcols)
         self.spark.sql(f"DROP TABLE IF EXISTS {index_table}")
         self.spark.sql(
-            f"CREATE TABLE {index_table} ({schema_cols}, {payload}) "
+            f"CREATE TABLE {index_table} ({schema_cols}, {payload}{ptail}) "
             "USING parquet")
         self.indexes[(tbl, name.lower())] = {
             "cols": ",".join(collist),
+            "pcols": ",".join(pcols),
             "kind": "bitmap" if is_bitmap else "compact",
             "index_table": index_table,
         }
@@ -629,30 +640,35 @@ class HiveQLSession:
         if idx is None:
             raise ValueError(f"index {name} on {table} does not exist")
         cols = idx["cols"]
+        pc = idx.get("pcols") or ""
+        grp = cols + (f", {pc}" if pc else "")
+        ptail = f", {pc}" if pc else ""
         if idx["kind"] == "bitmap":
             # a grouped-agg pandas UDF (ewah_bitmap) cannot share an
             # Aggregate with JVM aggs — split into two grouped passes
             # joined back on the group key
             body = (
-                f"WITH rows_t AS (SELECT {cols}, "
+                f"WITH rows_t AS (SELECT {grp}, "
                 "coalesce(input_file_name(), '<in-memory>') AS _bucketname, "
                 "monotonically_increasing_id() AS _row "
                 f"FROM {table}), "
-                f"offs AS (SELECT {cols}, _bucketname, min(_row) AS _offset "
-                f"FROM rows_t GROUP BY {cols}, _bucketname), "
-                f"bms AS (SELECT {cols}, _bucketname, "
+                f"offs AS (SELECT {grp}, _bucketname, min(_row) AS _offset "
+                f"FROM rows_t GROUP BY {grp}, _bucketname), "
+                f"bms AS (SELECT {grp}, _bucketname, "
                 "ewah_bitmap(cast(_row % 1024 as int)) AS _bitmaps "
-                f"FROM rows_t GROUP BY {cols}, _bucketname) "
-                f"SELECT offs.*, bms._bitmaps FROM offs "
-                f"JOIN bms USING ({cols}, _bucketname)")
+                f"FROM rows_t GROUP BY {grp}, _bucketname) "
+                f"SELECT {', '.join('offs.' + c.strip() for c in cols.split(','))}, "
+                "offs._bucketname, offs._offset, bms._bitmaps"
+                + "".join(f", offs.{c.strip()}" for c in pc.split(",") if c)
+                + f" FROM offs JOIN bms USING ({grp}, _bucketname)")
         else:
             body = (
                 f"SELECT {cols}, _bucketname, "
-                "sort_array(collect_set(_row)) AS _offsets "
-                f"FROM (SELECT {cols}, "
+                f"sort_array(collect_set(_row)) AS _offsets{ptail} "
+                f"FROM (SELECT {grp}, "
                 "coalesce(input_file_name(), '<in-memory>') AS _bucketname, "
                 "monotonically_increasing_id() AS _row "
-                f"FROM {table}) t GROUP BY {cols}, _bucketname")
+                f"FROM {table}) t GROUP BY {grp}, _bucketname")
         self.spark.sql(
             f"INSERT OVERWRITE TABLE {idx['index_table']} {body}")
 

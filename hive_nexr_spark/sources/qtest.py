@@ -926,7 +926,10 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     if "srcpart" in text.lower():
         make_srcpart(spark, as_table=has_views or bool(re.search(
             r"(SHOW\s+PARTITIONS|ALTER\s+TABLE|ANALYZE\s+TABLE|LIKE)"
-            r"\s+(?:default\.)?srcpart|\bdefault\s*\.\s*srcpart\b",
+            r"\s+(?:default\.)?srcpart|\bdefault\s*\.\s*srcpart\b"
+            # CREATE INDEX needs the real partitioned table so the index
+            # schema can carry the base partition columns (index_compact.q)
+            r"|ON\s+TABLE\s+(?:default\.)?srcpart\b",
             text, re.IGNORECASE)))
     if re.search(r"\bsrc1\b", text, re.IGNORECASE):
         make_src1(spark, as_table=has_views or bool(re.search(
@@ -1021,6 +1024,12 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                   lambda m: m.group(1) + m.group(2).replace("\\", "\\\\\\\\")
                   + m.group(3),
                   text, flags=re.IGNORECASE)
+    # `set k=v` lines WITHOUT a terminating ';' (udaf_percentile_approx.q
+    # et al — Hive's SetProcessor is line-oriented, so its corpus gets
+    # away with it); terminate them so the ';' split can't glue the set
+    # onto the following SELECT
+    text = re.sub(r"(?mi)^(\s*set\s+[\w.:]+\s*=\s*[^;\n]*?)\s*$", r"\1;",
+                  text)
     # Hive charset string literals `_UTF-8 0x<hex>` (`Hive.g`
     # charSetStringLiteral, inputddl5.q/udf_reverse.q i18n tests): decode
     # the hex bytes in the declared charset to a plain string literal
@@ -1149,6 +1158,13 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     ), key=len, reverse=True)
     for name in dest_names:
         text = re.sub(rf"\b{name}\b", prefix + name, text, flags=re.IGNORECASE)
+        # Hive auto-names index tables `<db>__<base>_<index>__`
+        # (`MetaStoreUtils` getIndexTableName); the base-table segment has
+        # no word boundary there, so rename it explicitly to keep the
+        # literal consistent with the index the facade will create on the
+        # PREFIXED base table (index_auto_empty.q, index_compact_2.q)
+        text = re.sub(rf"(?<=default__){name}(?=_)", prefix + name, text,
+                      flags=re.IGNORECASE)
 
     from ..hiveql import HiveQLSession
 
