@@ -618,6 +618,15 @@ class HiveQLSession:
         ptail = "".join(
             f", `{c}` {src_types.get(c, 'string')}" for c in pcols)
         self.spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+        # a stale table DIR from a previous process blocks CREATE even
+        # after the (per-process-metastore) DROP succeeded
+        import os as _os
+        import shutil as _shutil
+
+        warehouse = self.spark.conf.get(
+            "spark.sql.warehouse.dir").removeprefix("file:")
+        _shutil.rmtree(_os.path.join(warehouse, index_table.lower()),
+                       ignore_errors=True)
         self.spark.sql(
             f"CREATE TABLE {index_table} ({schema_cols}, {payload}{ptail}) "
             "USING parquet")

@@ -58,7 +58,7 @@ def main() -> None:
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for d in os.listdir(warehouse) if os.path.isdir(warehouse) else []:
-        if d.startswith("qt_") or d.endswith(".db"):
+        if d.startswith(("qt_", "default__")) or d.endswith(".db"):
             shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
 
     files = sorted(f for f in os.listdir(QFILE_DIR) if f.endswith(".q"))
