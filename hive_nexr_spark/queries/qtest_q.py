@@ -117,6 +117,21 @@ QUERIES = {
     # self-referencing INSERT OVERWRITE staged through a scratch table
     # (the reference stages via Context.getExternalScratchDir)
     "qfile_union22": partial(_qfile, "union22.q"),
+    # CASE with a never-taken reflect() ELSE (udf_case.q golden keeps it
+    # unevaluated); renamed: Spark auto-names the CASE expression
+    "qfile_udf_case": partial(_qfile_named, "udf_case.q", ["c"]),
+    # unparenthesized CLUSTER BY union branches (union3.q)
+    "qfile_union3": partial(_qfile, "union3.q"),
+    # compact index emulation end-to-end (index_compact.q; the final
+    # SELECT reads the base table after the index round-trip)
+    "qfile_index_compact": partial(_qfile, "index_compact.q"),
+    # TABLESAMPLE ON rand() with y=1 → whole-table sample (sample1.q)
+    "qfile_sample1": partial(_qfile_named, "sample1.q", ["cnt"]),
+    # GRANT/REVOKE tolerated as documented no-ops; the data queries
+    # between them are what the golden checks (authorization_1.q)
+    "qfile_authorization_1": partial(_qfile, "authorization_1.q"),
+    # column-path DESCRIBE navigation (describe_xpath.q)
+    "qfile_describe_xpath": partial(_qfile, "describe_xpath.q"),
     "qfile_udf_field": partial(
         _qfile_named, "udf_field.q",
         ["col1", "col2", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]),
@@ -223,6 +238,28 @@ ORACLE = {
           ) b ON a.k1 = b.k1
           WHERE CAST(a.k1 AS DOUBLE) > 20
         ) subq
+    """,
+    "qfile_udf_case": "SELECT 'yo' AS c",
+    # union3: four single-row branches with ids 1..4
+    "qfile_union3": "SELECT * FROM (VALUES (1),(2),(3),(4)) t(id)",
+    # index_compact final: key=100 over ALL 4 srcpart partitions
+    "qfile_index_compact": f"""{_W}
+        SELECT key, value FROM src CROSS JOIN range(4) WHERE key = '100'
+    """,
+    # sample1 final: count over the 2-file srcbucket fixture
+    "qfile_sample1": f"""
+        WITH {SRCBUCKET_SQL_DUCKDB}
+        SELECT count(1) AS cnt FROM srcbucket
+    """,
+    # authorization_1 final: first 20 keys in lexical order (ties at the
+    # cut are identical values → deterministic multiset)
+    "qfile_authorization_1": f"""{_W}
+        SELECT key FROM src ORDER BY key LIMIT 20
+    """,
+    # describe_xpath final: the resolved type of lintString.$elem$.myint
+    "qfile_describe_xpath": """
+        SELECT 'lintString.$elem$.myint' AS col_name, 'int' AS data_type,
+               'from deserializer' AS comment
     """,
     # dest_g1(key INT, value DOUBLE) ← SELECT key, sum(substr(value,5))
     "qfile_groupby1": f"""{_W}
