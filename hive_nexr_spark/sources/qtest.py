@@ -550,6 +550,88 @@ def _ensure_py3(path: str, base: str) -> str:
     return out
 
 
+_NGRAMS_STMT = re.compile(
+    r"^SELECT\s+(ngrams|context_ngrams)\s*\((.*)\)\s*(\.estfrequency)?"
+    r"\s+FROM\s+(\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a call's argument list at top-level commas."""
+    out, buf, depth = [], [], 0
+    for ch in argstr:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf).strip())
+    return out
+
+
+def _rewrite_ngrams_stmt(stmt: str) -> str:
+    """`SELECT [context_]ngrams(sentences(...), ...) [.estfrequency] FROM t`
+    (`udf/generic/GenericUDAFnGrams.java` / `GenericUDAFContextNGrams.java`,
+    udaf_ngrams.q): the estimator is an EXACT top-k n-gram frequency count
+    when the heap never overflows, so the call rewrites to a plain SQL
+    aggregation — explode each sentence's length-N windows, count, order
+    by frequency desc, keep k. The precision factor only bounds estimator
+    memory and is dropped (the exact computation subsumes it). A null in
+    the context array is a wildcard position (the returned gram); literal
+    tokens become equality filters."""
+    m = _NGRAMS_STMT.match(stmt)
+    if not m:
+        return stmt
+    fn, argstr, want_freq, table = m.groups()
+    args = _split_args(argstr)
+    if len(args) != 4:
+        return stmt
+    expr, second, k = args[0], args[1], args[2]
+    if fn.lower() == "ngrams":
+        if not second.isdigit():
+            return stmt
+        n = int(second)
+        ctx: list[str | None] = [None] * n
+    else:
+        cm = re.fullmatch(r"array\s*\((.*)\)", second,
+                          re.IGNORECASE | re.DOTALL)
+        if not cm:
+            return stmt
+        ctx = [None if c.strip().lower() == "null"
+               else c.strip().strip("'\"")
+               for c in _split_args(cm.group(1))]
+        n = len(ctx)
+    conds = " AND ".join(
+        f"element_at(win, {j + 1}) = '{t}'"
+        for j, t in enumerate(ctx) if t is not None) or "true"
+    gram = ("win" if all(t is None for t in ctx) else
+            "array(" + ", ".join(
+                f"element_at(win, {j + 1})"
+                for j, t in enumerate(ctx) if t is None) + ")")
+    out = ("collect_list(f)" if want_freq
+           else "collect_list(struct(gram AS ngram, f AS estfrequency))")
+    alias = "estfrequency" if want_freq else "ngrams_result"
+    return f"""
+        SELECT {out} AS {alias} FROM (
+          SELECT gram, CAST(count(*) AS DOUBLE) AS f FROM (
+            SELECT {gram} AS gram FROM (
+              SELECT explode(flatten(transform({expr}, sent ->
+                CASE WHEN size(sent) >= {n}
+                     THEN transform(sequence(0, size(sent) - {n}),
+                                    i -> slice(sent, i + 1, {n}))
+                     ELSE array() END))) AS win
+              FROM {table}
+            ) w WHERE {conds}
+          ) g GROUP BY gram ORDER BY f DESC LIMIT {k}
+        ) t
+    """.strip()
+
+
 def _strip_comments(text: str) -> str:
     return "\n".join(
         line for line in text.splitlines() if not line.lstrip().startswith("--")
@@ -1111,6 +1193,7 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     qvars: dict[str, str] = {}
     qvars_sys: dict[str, str] = {}
     subst_on = [True]
+    ignore_errors = [False]
 
     def set_conf(k: str, v: str) -> None:
         if k not in saved:
@@ -1243,6 +1326,9 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                     stmt = re.sub(r"\bBLOCK__OFFSET__INSIDE__FILE\b",
                                   "monotonically_increasing_id()", stmt,
                                   flags=re.IGNORECASE)
+            if re.search(r"\b(?:context_)?ngrams\s*\(", stmt,
+                         re.IGNORECASE):
+                stmt = _rewrite_ngrams_stmt(stmt)
             # Hive auto-aliases unaliased view output columns _c<N>
             # (`SemanticAnalyzer` genSelectPlan); Spark derives the name
             # from the expression TEXT, so create_big_view.q's repeated
@@ -1337,6 +1423,11 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                 k, v = m.group("k"), m.group("v").strip()
                 if k.lower() == "hive.variable.substitute":
                     subst_on[0] = v.lower() == "true"
+                if k.lower() == "hive.cli.errors.ignore":
+                    # CliDriver -i/ignore-errors mode (loadpart_err.q
+                    # exercises an intentionally failing script): keep
+                    # processing after a failed statement
+                    ignore_errors[0] = v.lower() == "true"
                 if ":" in k:
                     # namespaced vars (system:/hiveconf:) live in the
                     # substitution scope, not the Spark conf
@@ -1446,6 +1537,10 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                     # registration is metadata-only and skipped, so the
                     # listing is empty
                     df = spark.createDataFrame([], "partition string")
+                elif ignore_errors[0]:
+                    # hive.cli.errors.ignore=true (CliDriver's ignore
+                    # mode): the golden run proceeds past the failure
+                    df = None
                 else:
                     raise
             if df is None:
