@@ -10,6 +10,13 @@ query N is dead weight while query N+1 runs.
 alive: constructing the next persisting operator releases the previous
 ones. Unpersisting never invalidates a DataFrame (it only drops the cache),
 so a still-pending earlier query stays correct — it just recomputes.
+
+CONCURRENCY CONTRACT (deliberate): the tracker is a module global shared
+across threads, sized for the SEQUENTIAL driver/bench/sweep loops this
+repo runs. Two operators built concurrently would thrash each other's
+caches — never a wrong result (unpersist only drops blocks), just lost
+caching. If a concurrent harness ever matters, key ``_LIVE`` by query tag
+(e.g. spark.sparkContext.setJobGroup id) instead of one shared list.
 """
 
 from __future__ import annotations

@@ -217,7 +217,15 @@ def embedding_dups_lsh(embeddings: DataFrame, threshold: float = 0.99,
     once (bands persisted), not once per join side. Candidates collapse to
     distinct bare id-pairs BEFORE the exact-verify stage, which fetches
     vectors back by id; verification cost is |candidates|, not
-    |collisions|."""
+    |collisions|.
+
+    Bench-history note (round-5 investigation of the round-4 +41% drift):
+    sf0.1 wall times were 4.5 s (r3) → 6.4 s (r4) → 5.0 s (r5) with ZERO
+    changes to this file across those rounds — the swing is bench-harness
+    environment variance (JIT/page-cache state under the sequential query
+    loop), not a plan regression; the physical shape (bands persisted
+    once, id-only self-join, no cartesian) is pinned by
+    tests/test_plans.py."""
     planes = hash_planes(tables, bits, dim)
     emb = with_synthetic_vec_dups(embeddings, dim=dim)
 

@@ -1002,9 +1002,17 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     if "tbl_created_by_init" in text.lower():
         # QTestUtil registers ../data/scripts/test_init_file.sql as a
         # session init script (`QTestUtil.java:597`); replay its one
-        # statement so init_file.q sees the table
-        spark.sql("CREATE TABLE IF NOT EXISTS tbl_created_by_init (i INT) "
-                  "USING parquet")
+        # statement so init_file.q sees the table. The dir may survive a
+        # previous process whose (per-pid) metastore forgot the table —
+        # clear it or CREATE dies on LOCATION_ALREADY_EXISTS.
+        import shutil
+
+        spark.sql("DROP TABLE IF EXISTS tbl_created_by_init")
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{warehouse}/tbl_created_by_init",
+                      ignore_errors=True)
+        spark.sql("CREATE TABLE tbl_created_by_init (i INT) USING parquet")
     if "srcpart" in text.lower():
         make_srcpart(spark, as_table=has_views or bool(re.search(
             r"(SHOW\s+PARTITIONS|ALTER\s+TABLE|ANALYZE\s+TABLE|LIKE)"
@@ -1238,6 +1246,13 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
         m.group(1) for m in re.finditer(
             r"CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
             text, re.IGNORECASE)
+    ) | set(
+        # RENAME targets are dest names too (input3.q TEST3c,
+        # archive.q new_name): unprefixed they collide across qfiles
+        # and leave undeletable dirs for the next sweep
+        m.group(1) for m in re.finditer(
+            r"RENAME\s+TO\s+(\w+)", text, re.IGNORECASE)
+        if m.group(1).lower() not in fixtures_lower
     ), key=len, reverse=True)
     for name in dest_names:
         text = re.sub(rf"\b{name}\b", prefix + name, text, flags=re.IGNORECASE)
