@@ -418,7 +418,33 @@ def _emulate_load_data(spark: SparkSession, m: re.Match,
     delimiter scheme via `_hive_text_expr`."""
     from pyspark.sql import types as T
 
-    path = _resolve_fixture(m.group("path"), prefix)
+    raw = m.group("path")
+    if re.match(r"^(?:file:)?/", raw) and ("*" in raw or "?" in raw):
+        # non-LOCAL LOAD with a glob (load_fs.q): Hive moves the matched
+        # DATA FILES of another table's location. Under the parquet
+        # standardization those files are parquet parts, so the
+        # equivalent operation is read-dir-as-parquet + insert; plain
+        # .txt matches load as text.
+        import glob as _glob
+
+        matches = _glob.glob(raw.removeprefix("file:"))
+        dirs = sorted({p for p in matches if os.path.isdir(p)} |
+                      {os.path.dirname(p) for p in matches
+                       if not os.path.isdir(p) and not p.endswith(".txt")})
+        if not dirs and os.path.isdir(os.path.dirname(raw)):
+            # the glob names the ORIGINAL text files (kv*.txt) that the
+            # parquet standardization replaced with part files — the
+            # equivalent payload is the directory's parquet content
+            dirs = [os.path.dirname(raw)]
+        tbl = m.group("tbl")
+        schema = spark.table(tbl).schema
+        if not dirs:
+            raise ValueError(f"LOAD DATA: glob matched nothing: {raw}")
+        df = spark.read.schema(schema).parquet(*dirs)
+        df.select(*[f.name for f in schema.fields]).write.insertInto(
+            tbl, overwrite=bool(m.group("ow")))
+        return
+    path = _resolve_fixture(raw, prefix)
     if not os.path.exists(path) or not path.endswith((".txt", ".dat", ".log")):
         raise ValueError(f"LOAD DATA: unsupported fixture {m.group('path')}")
     tbl = m.group("tbl")
@@ -923,6 +949,9 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     # points at the fixture data tree
     text = text.replace("${system:test.src.data.dir}",
                         os.path.dirname(DATA_DIR))
+    # pfile:// is the reference test harness's ProxyLocalFileSystem
+    # scheme (`QTestUtil` sets fs.pfile.impl) — plain local fs here
+    text = text.replace("pfile://", "file://")
 
     # CLI `source <file>;` (CliDriver processCmd SOURCE branch): inline the
     # referenced script's statements
@@ -1456,6 +1485,16 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                 if not k.lower().startswith("fs."):
                     set_conf(k, v)
                 continue
+            # ALTER TABLE ... ADD PARTITION ... LOCATION under /tmp: the
+            # qfile prepared the dir with a `!mkdir` shell escape we do
+            # not execute (untrusted corpus) — create the dir directly
+            # (insertexternal1.q)
+            for lm in (re.finditer(
+                    r"ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION[^;]*?"
+                    r"LOCATION\s+'(?:file://)?(/tmp/[^']+)'", stmt,
+                    re.IGNORECASE) if upper.startswith("ALTER TABLE")
+                    else ()):
+                os.makedirs(lm.group(1), exist_ok=True)
             m = _LOAD_DATA.match(stmt)
             if m:
                 _emulate_load_data(spark, m, prefix)
