@@ -132,6 +132,12 @@ QUERIES = {
     "qfile_authorization_1": partial(_qfile, "authorization_1.q"),
     # column-path DESCRIBE navigation (describe_xpath.q)
     "qfile_describe_xpath": partial(_qfile, "describe_xpath.q"),
+    # auto-mapjoin conversion (`hive.auto.convert.join`,
+    # `optimizer/physical/CommonJoinResolver.java`): final value is
+    # SUM(HASH(key, value)) — pinned to the reference's own goldens,
+    # which also golden-verifies multi-arg hive_hash
+    "qfile_auto_join0": partial(_qfile_named, "auto_join0.q", ["hash_sum"]),
+    "qfile_auto_join1": partial(_qfile_named, "auto_join1.q", ["hash_sum"]),
     "qfile_udf_field": partial(
         _qfile_named, "udf_field.q",
         ["col1", "col2", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]),
@@ -146,6 +152,22 @@ QUERIES = {
     "qfile_groupby4_map": partial(_qfile, "groupby4_map.q"),
     "qfile_groupby5_map": partial(_qfile, "groupby5_map.q"),
     "qfile_groupby6_map": partial(_qfile, "groupby6_map.q"),
+    "qfile_groupby1_map_nomap": partial(_qfile, "groupby1_map_nomap.q"),
+    "qfile_groupby1_map_skew": partial(_qfile, "groupby1_map_skew.q"),
+    "qfile_groupby2_map_skew": partial(_qfile, "groupby2_map_skew.q"),
+    "qfile_groupby2_noskew": partial(_qfile, "groupby2_noskew.q"),
+    "qfile_groupby4_map_skew": partial(_qfile, "groupby4_map_skew.q"),
+    "qfile_groupby4_noskew": partial(_qfile, "groupby4_noskew.q"),
+    "qfile_groupby5_map_skew": partial(_qfile, "groupby5_map_skew.q"),
+    "qfile_groupby5_noskew": partial(_qfile, "groupby5_noskew.q"),
+    "qfile_groupby6_map_skew": partial(_qfile, "groupby6_map_skew.q"),
+    "qfile_groupby6_noskew": partial(_qfile, "groupby6_noskew.q"),
+    "qfile_groupby7_map": partial(_qfile, "groupby7_map.q"),
+    "qfile_groupby7_map_skew": partial(_qfile, "groupby7_map_skew.q"),
+    "qfile_groupby7_noskew": partial(_qfile, "groupby7_noskew.q"),
+    "qfile_groupby8_map": partial(_qfile, "groupby8_map.q"),
+    "qfile_groupby8_map_skew": partial(_qfile, "groupby8_map_skew.q"),
+    "qfile_groupby8_noskew": partial(_qfile, "groupby8_noskew.q"),
 }
 
 _W = f"WITH {SRC_SQL_DUCKDB}"
@@ -547,6 +569,11 @@ ORACLE = {
     "qfile_groupby5_map": f"""{_W}
         SELECT CAST(sum(CAST(key AS DOUBLE)) AS INT) AS key FROM src
     """,
+    # auto_join goldens (`results/clientpositive/auto_join{0,1}.q.out`):
+    # SUM of multi-arg Hive hashes — also golden-verifies hive_hash's
+    # combine rule end-to-end
+    "qfile_auto_join0": "SELECT CAST(34441656720 AS BIGINT) AS hash_sum",
+    "qfile_auto_join1": "SELECT CAST(101861029915 AS BIGINT) AS hash_sum",
 }
 
 # knob-variant files run the identical query as their base file, so they
@@ -555,3 +582,19 @@ ORACLE["qfile_groupby1_map"] = ORACLE["qfile_groupby1"]
 ORACLE["qfile_groupby1_noskew"] = ORACLE["qfile_groupby1"]
 ORACLE["qfile_groupby2_map"] = ORACLE["qfile_groupby2"]
 ORACLE["qfile_groupby6_map"] = ORACLE["qfile_groupby6"]
+ORACLE["qfile_groupby1_map_nomap"] = ORACLE["qfile_groupby1"]
+ORACLE["qfile_groupby1_map_skew"] = ORACLE["qfile_groupby1"]
+ORACLE["qfile_groupby2_map_skew"] = ORACLE["qfile_groupby2"]
+ORACLE["qfile_groupby2_noskew"] = ORACLE["qfile_groupby2"]
+ORACLE["qfile_groupby4_map_skew"] = ORACLE["qfile_groupby4_map"]
+ORACLE["qfile_groupby4_noskew"] = ORACLE["qfile_groupby4"]
+ORACLE["qfile_groupby5_map_skew"] = ORACLE["qfile_groupby5_map"]
+ORACLE["qfile_groupby5_noskew"] = ORACLE["qfile_groupby5"]
+ORACLE["qfile_groupby6_map_skew"] = ORACLE["qfile_groupby6"]
+ORACLE["qfile_groupby6_noskew"] = ORACLE["qfile_groupby6"]
+ORACLE["qfile_groupby7_map"] = ORACLE["qfile_groupby7"]
+ORACLE["qfile_groupby7_map_skew"] = ORACLE["qfile_groupby7"]
+ORACLE["qfile_groupby7_noskew"] = ORACLE["qfile_groupby7"]
+ORACLE["qfile_groupby8_map"] = ORACLE["qfile_groupby8"]
+ORACLE["qfile_groupby8_map_skew"] = ORACLE["qfile_groupby8"]
+ORACLE["qfile_groupby8_noskew"] = ORACLE["qfile_groupby8"]
