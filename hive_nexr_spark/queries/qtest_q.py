@@ -138,6 +138,11 @@ QUERIES = {
     # which also golden-verifies multi-arg hive_hash
     "qfile_auto_join0": partial(_qfile_named, "auto_join0.q", ["hash_sum"]),
     "qfile_auto_join1": partial(_qfile_named, "auto_join1.q", ["hash_sum"]),
+    # predicate-pushdown corpus (`ppd/OpProcFactory.java` — Catalyst's
+    # PushDownPredicates does this for free; the oracle checks results,
+    # tests/test_plans.py pins the pushdown itself)
+    "qfile_ppd_gby": partial(_qfile, "ppd_gby.q"),
+    "qfile_ppd_join": partial(_qfile, "ppd_join.q"),
     "qfile_udf_field": partial(
         _qfile_named, "udf_field.q",
         ["col1", "col2", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]),
@@ -574,6 +579,23 @@ ORACLE = {
     # combine rule end-to-end
     "qfile_auto_join0": "SELECT CAST(34441656720 AS BIGINT) AS hash_sum",
     "qfile_auto_join1": "SELECT CAST(101861029915 AS BIGINT) AS hash_sum",
+    # ppd_gby/ppd_join: string-vs-string predicates compare
+    # LEXICOGRAPHICALLY (same-type comparison — no double coercion)
+    "qfile_ppd_gby": f"""{_W}
+        SELECT c1 FROM (
+          SELECT value AS c1, count(key) AS c2 FROM src
+          WHERE value > 'val_10' GROUP BY value
+        ) s WHERE c1 > 'val_200' AND (c2 > 30 OR c1 < 'val_400')
+    """,
+    "qfile_ppd_join": f"""{_W}
+        SELECT src1.c1, src2.c4 FROM
+        (SELECT key AS c1, value AS c2 FROM src WHERE key > '1') src1
+        JOIN
+        (SELECT key AS c3, value AS c4 FROM src WHERE key > '2') src2
+        ON src1.c1 = src2.c3 AND src1.c1 < '400'
+        WHERE src1.c1 > '20' AND (src1.c2 < 'val_50' OR src1.c1 > '2')
+          AND (src2.c3 > '50' OR src1.c1 < '50') AND src2.c3 <> '4'
+    """,
 }
 
 # knob-variant files run the identical query as their base file, so they
