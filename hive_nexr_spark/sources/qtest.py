@@ -1300,17 +1300,18 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                      *SRCBUCKET_TABLES}
     last_select: DataFrame | None = None
     last_df: DataFrame | None = None
-    frozen: set[int] = set()
-
     def freeze(df: DataFrame | None) -> DataFrame | None:
         """Materialize a result BEFORE a later statement (qfiles commonly
         end with `DROP TABLE`) deletes the files its lazy plan reads.
         Driver-side rows are fine here: qfile results are golden-test
-        sized by construction."""
-        if df is None or id(df) in frozen:
+        sized by construction. Frozen frames are marked with an
+        attribute, NOT an id() set — a garbage-collected frozen frame's
+        id can be REUSED by a later lazy frame, which would then skip
+        materialization and blow up when cleanup drops its tables."""
+        if df is None or getattr(df, "_qt_frozen", False):
             return df
         out = spark.createDataFrame(df.collect(), df.schema)
-        frozen.add(id(out))
+        out._qt_frozen = True
         return out
 
     try:
@@ -1623,4 +1624,21 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
     result = last_select if last_select is not None else last_df
     if result is None:
         return spark.sql("SELECT '' AS result WHERE false")
+    # Materialize, then drop everything this qfile created (CliDriver
+    # gives each test a CLEAN metastore — `QTestUtil.cleanUp`). Without
+    # this, a persistent VIEW whose base table a file dropped survives
+    # as a BROKEN view in the shared session, and an unrelated later
+    # file's catalog-wide operation (SHOW/DESCRIBE/DROP resolution)
+    # trips over it — the order-dependent flake class seen across full
+    # sweeps. Materializing first keeps the returned rows independent
+    # of the cleanup.
+    result = freeze(result)
+    for name in dest_names:
+        for ddl in (f"DROP VIEW IF EXISTS {prefix}{name}",
+                    f"DROP TABLE IF EXISTS {prefix}{name}",
+                    f"DROP DATABASE IF EXISTS {prefix}{name} CASCADE"):
+            try:
+                spark.sql(ddl)
+            except Exception:
+                pass  # object is of another kind / db is current — fine
     return result
