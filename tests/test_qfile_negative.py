@@ -1,0 +1,31 @@
+"""Negative-corpus parity (SURVEY §5 item 2): the reference asserts that
+`clientnegative/*.q` files FAIL. A hand-picked must-raise set runs through
+the same runner as the positive corpus — each must surface an error, not
+silently succeed. (The full 285-file histogram incl. the documented
+tolerated class comes from tools/qfile_negative_sweep.py.)"""
+
+from __future__ import annotations
+
+import pytest
+
+NEG_DIR = "/root/reference/ql/src/test/queries/clientnegative"
+
+# error classes the engine must genuinely reject (no dialect tolerance
+# applies): unresolved/ambiguous columns, parse errors, bad aggregate
+# syntax, unknown UDF classes
+MUST_RAISE = [
+    "ambiguous_col.q",          # self-conflicting subquery alias
+    "invalid_create_tbl2.q",    # plain syntax garbage
+    "invalid_select_expression.q",
+    "invalid_avg_syntax.q",     # avg(*)
+    "create_unknown_genericudf.q",  # unloadable function class
+]
+
+
+@pytest.mark.parametrize("qf", MUST_RAISE)
+def test_negative_file_raises(spark, qf):
+    from hive_nexr_spark.sources.qtest import run_qfile
+
+    with pytest.raises(Exception):
+        df = run_qfile(spark, f"{NEG_DIR}/{qf}")
+        df.take(5)  # force execution for lazily-failing plans
