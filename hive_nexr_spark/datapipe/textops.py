@@ -123,6 +123,49 @@ def clean_corpus(documents: DataFrame, min_quality: float = 0.7) -> DataFrame:
     )
 
 
+def prepare_corpus(documents: DataFrame,
+                   min_quality: float = 0.7) -> DataFrame:
+    """The END-TO-END corpus-preparation pipeline a pre-training run
+    executes as one job: ingest (with the planted duplicates every dedup
+    op uses) → C4-style clean (quality threshold + language filter) →
+    exact dedup with keep-first decisions → per-kept-document token
+    accounting.
+
+    Shuffle discipline at 100 TB: quality, language, and token counts are
+    computed in ONE projection over ONE scan (no self-joins between
+    stages), and the only shuffle in the whole pipeline is the final
+    groupBy on the 16-byte md5 digest — document text never moves after
+    the scan projection, and the filter runs BEFORE the shuffle so
+    rejected documents (the majority, in a raw crawl) never hit the
+    network. Composing the standalone declared ops would re-scan the
+    corpus once per stage instead."""
+    from .dedup import with_synthetic_dups
+
+    corpus = with_synthetic_dups(documents)
+    n_toks, score = _quality_exprs()
+    pred = _lang_pred()
+    cleaned = corpus.select(
+        "doc_id",
+        F.col("text"),
+        n_toks.alias("n_tokens"),
+        F.round(score, 2).alias("quality"),
+        pred.alias("pred_lang"),
+    ).filter(
+        (F.col("quality") >= min_quality) & (F.col("pred_lang") == "en")
+    )
+    # exact dups share identical text, hence identical metrics — min()
+    # picks the keep-first row's values deterministically
+    return (
+        cleaned.groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            (F.count("*") - 1).alias("n_exact_dropped"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("quality").alias("quality"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set (portable across engines), plus a 16-hex-digit short key —

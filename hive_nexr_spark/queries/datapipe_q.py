@@ -47,6 +47,7 @@ QUERIES = {
     "similarity_bruteforce_topk": _bind(similarity.brute_force_topk, "embeddings"),
     "similarity_lsh_topk": _bind(similarity.lsh_topk, "embeddings"),
     "similarity_ivf_topk": _bind(similarity.ivf_topk, "embeddings"),
+    "corpus_prepare_pipeline": _bind(textops.prepare_corpus, "documents"),
     "text_token_counts": _bind(textops.token_counts, "documents"),
     "text_quality_scores": _bind(textops.quality_scores, "documents"),
     "text_language_id": _bind(textops.language_id, "documents"),
@@ -257,6 +258,39 @@ ORACLE = {
           ) v
         ) s
         WHERE round(q, 2) >= 0.7 AND pred_lang = 'en'
+    """,
+    # corpus_prepare_pipeline: the composed clean → exact-dedup pass over
+    # the planted-duplicate corpus; same quality/lang expressions as
+    # text_clean_corpus, same digest grouping as dedup_exact_decisions
+    "corpus_prepare_pipeline": _CORPUS + """
+        SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+               CAST(count(*) - 1 AS BIGINT) AS n_exact_dropped,
+               min(n_toks) AS n_tokens,
+               CAST(min(round(q, 2)) AS DOUBLE) AS quality
+        FROM (
+          SELECT doc_id, text, len(toks) AS n_toks,
+            (CASE WHEN len(toks) >= 20 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+                         BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN CAST(len(list_filter(toks, t -> t IN
+                   ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                   / len(toks) >= 0.05 THEN 0.3 ELSE 0.0 END) AS q,
+            CASE WHEN en >= de AND en >= fr THEN 'en'
+                 WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
+          FROM (
+            SELECT doc_id, text, toks,
+              len(list_filter(toks, t -> t IN
+                ('the','a','of','and','to','in','is','it','for','on'))) AS en,
+              len(list_filter(toks, t -> t IN
+                ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+              len(list_filter(toks, t -> t IN
+                ('le','la','les','et','est','un','une','pas'))) AS fr
+            FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+                  FROM corpus) t
+          ) v
+        ) s
+        WHERE round(q, 2) >= 0.7 AND pred_lang = 'en'
+        GROUP BY md5(text)
     """,
     "dedup_simhash": _simhash_sql(bounded=True),
     "dedup_simhash_banded": _simhash_sql(bounded=False),

@@ -177,3 +177,24 @@ def test_embedding_lsh_band_shuffle_carries_no_vectors(spark, dfs):
     assert band_exchanges, "band self-join should shuffle on bucket keys"
     for ex in band_exchanges:
         assert "v#" not in ex, f"vector payload in band shuffle: {ex}"
+
+
+def test_corpus_pipeline_single_exchange_no_text(dfs):
+    """prepare_corpus (clean → exact dedup → accounting) must run as ONE
+    scan pass + ONE digest shuffle: the quality/language filter sits
+    below the Union (rejected docs never reach the network), aggregation
+    is map-side partial, and the Exchange carries the md5 digest plus
+    small numeric columns — never the document text."""
+    from hive_nexr_spark.datapipe.textops import prepare_corpus
+
+    import re
+
+    plan = _formatted(prepare_corpus(dfs["documents"]))
+    # one Exchange NODE (each node appears once in the tree and once in
+    # the details section)
+    ex_nodes = re.findall(r"\((\d+)\) Exchange", plan)
+    assert len(set(ex_nodes)) == 1, ex_nodes
+    assert "partial_min" in plan or "partial_count" in plan
+    detail = plan.split(f"({ex_nodes[0]}) Exchange")[-1]
+    head = detail.splitlines()[:4]
+    assert not any("text#" in ln for ln in head), head
