@@ -791,8 +791,20 @@ class HiveQLSession:
         for k, v in self._parse_part_spec(part).items():
             df = df.filter(df[k] == v)
         if self.spark.catalog.tableExists(name):
-            # import into an existing (compatible-schema) table appends
-            # through the TABLE's own format/layout, whatever it is
+            # import into an existing table requires a COMPATIBLE schema
+            # (`ImportSemanticAnalyzer.checkTable`: column names and
+            # types must match — the exim_*_noncompat_* negative corpus
+            # asserts the rejection); insertInto alone is positional and
+            # would silently accept a same-arity different schema
+            existing = self.spark.table(name).schema
+            want = [(f.name.lower(), f.dataType.simpleString())
+                    for f in schema.fields]
+            have = [(f.name.lower(), f.dataType.simpleString())
+                    for f in existing.fields]
+            if want != have:
+                raise ValueError(
+                    f"IMPORT: table {name} exists with incompatible "
+                    f"schema: has {have}, import carries {want}")
             df.write.insertInto(name)
         else:
             writer = df.write.mode("append").format("parquet")
