@@ -19,6 +19,10 @@ MUST_RAISE = [
     "invalid_select_expression.q",
     "invalid_avg_syntax.q",     # avg(*)
     "create_unknown_genericudf.q",  # unloadable function class
+    # IMPORT into an existing table with an incompatible schema
+    # (`ImportSemanticAnalyzer.checkTable`; round-5 compat check)
+    "exim_03_nonpart_noncompat_colschema.q",
+    "exim_05_nonpart_noncompat_coltype.q",
 ]
 
 
