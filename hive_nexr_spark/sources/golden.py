@@ -1,0 +1,188 @@
+"""Golden-output parity: parse the reference's own `.q.out` expected
+files and diff this engine's SELECT results against them.
+
+The reference pins every clientpositive test to a golden transcript
+(`ql/src/test/results/clientpositive/<name>.q.out`) written by its CLI
+harness (`ql/src/test/templates/TestCliDriver.vm` drives `QTestUtil`,
+which diffs the CLI output against the golden file). Each executed
+statement appears as a PREHOOK/POSTHOOK metadata block; for result
+statements the data rows follow the block, tab-separated, one line per
+row — exactly Hive's LazySimpleSerDe text rendering (NULL for null,
+Java `Double.toString` for doubles, JSON-ish for complex types).
+
+This module re-uses those transcripts directly as an oracle: it parses
+a `.q.out` into ordered (query, rows) entries, selects the entries that
+are plain result queries (SELECT / FROM-first SELECT without INSERT —
+the same classification `run_qfile` uses for its capture hook), and
+compares our DataFrame rows against the golden rows as order-insensitive
+multisets with numeric canonicalization (Java and Python render the
+same double differently; values must agree, formatting need not).
+
+Non-goals, by design: EXPLAIN transcripts (the reference pins its own
+MapReduce plan text — this engine's plans are Catalyst's), DESCRIBE/SHOW
+formatting (metadata surface differs), and dfs/shell escape output.
+Files whose observable SELECT results disagree — or whose statements we
+rewrite into a different result shape — simply don't count as matched;
+the sweep (`tools/golden_diff.py`) reports the per-class histogram.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+
+
+def parse_qout(path: str) -> list[tuple[str, list[str]]]:
+    """Parse a golden `.q.out` into ordered (query_text, result_rows).
+
+    Grammar (QTestUtil transcript): a statement opens with
+    ``PREHOOK: query: <text...>`` (text runs until ``PREHOOK: type:``),
+    followed by PREHOOK/POSTHOOK metadata lines (Input/Output/Lineage/
+    type/query mirrors); every subsequent line up to the next
+    ``PREHOOK: query:`` is a result row of that statement.
+    """
+    entries: list[tuple[str, list[str]]] = []
+    query_lines: list[str] = []
+    rows: list[str] = []
+    state = None  # None | "query" | "rows"
+    with open(path, errors="replace") as fh:
+        for raw in fh:
+            line = raw.rstrip("\n")
+            if line.startswith("PREHOOK: query:"):
+                if state is not None:
+                    entries.append((" ".join(query_lines), rows))
+                query_lines = [line[len("PREHOOK: query:"):].strip()]
+                rows = []
+                state = "query"
+            elif state == "query":
+                if line.startswith(("PREHOOK:", "POSTHOOK:")):
+                    state = "rows"
+                else:
+                    query_lines.append(line.strip())
+            elif state == "rows":
+                if line.startswith(("PREHOOK:", "POSTHOOK:")):
+                    continue  # metadata mirror (POSTHOOK query/Lineage/...)
+                rows.append(line)
+    if state is not None:
+        entries.append((" ".join(query_lines), rows))
+    return entries
+
+
+def is_result_query(query_text: str) -> bool:
+    """The golden-side twin of run_qfile's capture rule: plain SELECTs
+    and Hive's FROM-first form with no INSERT target produce result rows
+    on the CLI; everything else (DDL, INSERT, EXPLAIN, LOAD, SHOW,
+    DESCRIBE) either prints nothing or prints a non-data transcript."""
+    q = " ".join(query_text.split()).lower()
+    if q.startswith("select"):
+        return True
+    return q.startswith("from") and " insert " not in f" {q} "
+
+
+def golden_selects(entries: list[tuple[str, list[str]]]) -> list[
+        tuple[str, list[str]]]:
+    return [(q, rows) for q, rows in entries if is_result_query(q)]
+
+
+# ---------------------------------------------------------------------------
+# row canonicalization
+
+
+def _canon_field(s: str) -> str:
+    """Canonicalize one tab-separated golden field: numbers to a
+    format-independent form (Java prints 200.0 where Python may print
+    200, 1.0E8 vs 1e+08), everything else verbatim."""
+    if s == "NULL":
+        return "NULL"
+    try:
+        v = float(s)
+    except ValueError:
+        return s
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Inf" if v > 0 else "-Inf"
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return format(v, ".10g")
+
+
+def _canon_cell(v) -> str:
+    """Render one DataFrame cell the way the golden file would, then
+    canonicalize numerics identically to `_canon_field`."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return format(v, ".10g")
+    if isinstance(v, (int,)):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict"):
+        return json.dumps(_plain(v), separators=(",", ":"),
+                          ensure_ascii=False)
+    return _canon_field(str(v))
+
+
+def _plain(v):
+    if hasattr(v, "asDict"):
+        return {k: _plain(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_plain(x) for x in v]
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+        return v  # json renders 2.0 as 2.0 — matches Hive complex output
+    return v
+
+
+def canon_golden_row(line: str) -> tuple[str, ...]:
+    return tuple(_canon_field(f) for f in line.split("\t"))
+
+
+def canon_df_row(row) -> tuple[str, ...]:
+    return tuple(_canon_cell(v) for v in row)
+
+
+def rows_equal(df_rows, golden_lines: list[str]) -> bool:
+    """Order-insensitive multiset equality between a collected DataFrame
+    and a golden result block (golden SELECT order is the reference's
+    MapReduce emission order — not a semantic guarantee)."""
+    ours = sorted(canon_df_row(r) for r in df_rows)
+    theirs = sorted(canon_golden_row(ln) for ln in golden_lines)
+    return ours == theirs
+
+
+def diff_file(captured, golden_path: str) -> dict:
+    """Compare run_qfile's captured SELECT results against the golden.
+
+    `captured` is the list `run_qfile(spark, qf, capture=...)` filled:
+    one materialized DataFrame per result statement, in execution order.
+    Returns a dict with `status` in {match, value_mismatch,
+    select_count_mismatch, no_selects} plus detail for the sweep."""
+    sel = golden_selects(parse_qout(golden_path))
+    if not sel and not captured:
+        return {"status": "no_selects", "selects": 0}
+    if len(sel) != len(captured):
+        return {"status": "select_count_mismatch",
+                "golden_selects": len(sel), "captured": len(captured)}
+    mismatches = []
+    for i, ((q, rows), df) in enumerate(zip(sel, captured)):
+        if not rows_equal(df.collect(), rows):
+            mismatches.append({"index": i, "query": q[:120],
+                               "golden_rows": len(rows),
+                               "our_rows": df.count()})
+    if mismatches:
+        return {"status": "value_mismatch", "selects": len(sel),
+                "mismatched": mismatches[:3],
+                "n_mismatched": len(mismatches)}
+    return {"status": "match", "selects": len(sel)}

@@ -924,8 +924,17 @@ def _rewrite_ddl(stmt: str) -> str:
     return stmt
 
 
-def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
+def run_qfile(spark: SparkSession, qfile: str,
+              capture: list | None = None) -> DataFrame:
     """Run one reference .q file; returns the last SELECT's DataFrame.
+
+    `capture`, when given, collects EVERY result statement's
+    materialized DataFrame in execution order (the statements whose rows
+    the reference's golden transcript records) — the feed for the
+    golden-output diff (`sources/golden.py`). Statements this runner
+    rewrites into a *different result shape* (INSERT OVERWRITE DIRECTORY
+    executed as a bare SELECT) are excluded so capture order stays
+    aligned with the golden file's result-query order.
 
     Conf hygiene (CliDriver resets its session per test —
     `ql/src/test/templates/TestCliDriver.vm`): every runtime conf a qfile's
@@ -1324,6 +1333,7 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                 if not ln.lstrip().startswith("--")).strip()
             if not stmt:
                 continue
+            uncapturable = False  # rewritten into a different result shape
             # Hive variable substitution (`parse/VariableSubstitution.java`,
             # set_processor_namespaces.q): expand ${hiveconf:}/${system:}/
             # ${env:} from the session's `set` state at EXECUTION time —
@@ -1511,6 +1521,7 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                 # becomes a plain SELECT whose rows ARE the golden output
                 stmt = _INSERT_DIR.sub("", stmt, count=1)
                 upper = stmt.upper()
+                uncapturable = True  # golden records no CLI rows for it
             elif _INSERT_DIR.search(stmt):
                 ndir = [0]
 
@@ -1607,6 +1618,9 @@ def run_qfile(spark: SparkSession, qfile: str) -> DataFrame:
                 upper.startswith("FROM") and "INSERT" not in upper
             ):
                 last_select = df
+                if capture is not None and not uncapturable:
+                    last_select = freeze(df)
+                    capture.append(last_select)
     finally:
         for k, prev in saved.items():
             try:
