@@ -29,12 +29,14 @@ def _process_line(hql, line: str, max_rows: int) -> None:
     Comment-only lines are stripped BEFORE splitting (same pass as the
     qfile runner's _strip_comments) — splitting first would leave a
     leading '--' line attached to the following SQL and silently drop
-    the whole statement."""
+    the whole statement. The split itself is quote-aware
+    (_split_statements), so a ';' inside a string literal
+    (`SELECT 'a;b'`) doesn't break the statement in two."""
     import re
 
-    from .sources.qtest import _strip_comments
+    from .sources.qtest import _split_statements, _strip_comments
 
-    for stmt in _strip_comments(line).split(";"):
+    for stmt in _split_statements(_strip_comments(line)):
         stmt = stmt.strip()
         if not stmt:
             continue

@@ -45,7 +45,7 @@ def parse_qout(path: str) -> list[tuple[str, list[str]]]:
     entries: list[tuple[str, list[str]]] = []
     query_lines: list[str] = []
     rows: list[str] = []
-    state = None  # None | "query" | "rows"
+    state = None  # None | "query" | "postquery" | "rows"
     with open(path, errors="replace") as fh:
         for raw in fh:
             line = raw.rstrip("\n")
@@ -56,14 +56,25 @@ def parse_qout(path: str) -> list[tuple[str, list[str]]]:
                 rows = []
                 state = "query"
             elif state == "query":
+                # query text runs until the PREHOOK: type: line
                 if line.startswith(("PREHOOK:", "POSTHOOK:")):
                     state = "rows"
                 else:
                     query_lines.append(line.strip())
-            elif state == "rows":
+            elif state == "postquery":
+                # the POSTHOOK: query: mirror repeats the (possibly
+                # multi-line) text — consume it, it is not result data
                 if line.startswith(("PREHOOK:", "POSTHOOK:")):
-                    continue  # metadata mirror (POSTHOOK query/Lineage/...)
-                rows.append(line)
+                    state = "rows"
+                else:
+                    continue
+            elif state == "rows":
+                if line.startswith("POSTHOOK: query:"):
+                    state = "postquery"
+                elif line.startswith(("PREHOOK:", "POSTHOOK:")):
+                    continue  # metadata (Input/Output/Lineage/type)
+                else:
+                    rows.append(line)
     if state is not None:
         entries.append((" ".join(query_lines), rows))
     return entries

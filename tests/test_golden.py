@@ -1,0 +1,87 @@
+"""Unit tests for the golden-transcript parser/differ (sources/golden.py)
+— pure Python, no SparkSession. The transcript grammar under test is the
+reference harness's own (`ql/src/test/templates/TestCliDriver.vm` via
+QTestUtil's golden diff); fixtures below are verbatim excerpts of real
+`.q.out` shapes."""
+
+import os
+
+from hive_nexr_spark.sources.golden import (
+    canon_df_row, canon_golden_row, golden_selects, is_result_query,
+    parse_qout, rows_equal)
+
+REF_GOLDEN = "/root/reference/ql/src/test/results/clientpositive"
+
+
+def test_parse_qout_blocks(tmp_path):
+    p = tmp_path / "x.q.out"
+    p.write_text(
+        "PREHOOK: query: CREATE TABLE t (a INT)\n"
+        "PREHOOK: type: CREATETABLE\n"
+        "POSTHOOK: query: CREATE TABLE t (a INT)\n"
+        "POSTHOOK: type: CREATETABLE\n"
+        "POSTHOOK: Output: default@t\n"
+        "PREHOOK: query: SELECT a\n"
+        "FROM t\n"
+        "PREHOOK: type: QUERY\n"
+        "PREHOOK: Input: default@t\n"
+        "POSTHOOK: query: SELECT a\n"
+        "FROM t\n"
+        "POSTHOOK: type: QUERY\n"
+        "POSTHOOK: Lineage: t.a SIMPLE []\n"
+        "1\t2\n"
+        "3\t4\n")
+    entries = parse_qout(str(p))
+    assert len(entries) == 2
+    assert entries[0] == ("CREATE TABLE t (a INT)", [])
+    # multi-line query text joins with spaces; rows exclude metadata lines
+    assert entries[1] == ("SELECT a FROM t", ["1\t2", "3\t4"])
+    sel = golden_selects(entries)
+    assert sel == [("SELECT a FROM t", ["1\t2", "3\t4"])]
+
+
+def test_is_result_query_classification():
+    assert is_result_query("SELECT * FROM src")
+    assert is_result_query("FROM src SELECT src.key")
+    assert not is_result_query("FROM src INSERT OVERWRITE TABLE d SELECT 1")
+    assert not is_result_query("EXPLAIN SELECT 1")
+    assert not is_result_query("INSERT OVERWRITE DIRECTORY 'x' SELECT 1")
+    assert not is_result_query("DESCRIBE src")
+    assert not is_result_query("SHOW TABLES")
+
+
+def test_numeric_canonicalization_java_vs_python():
+    # Java Double.toString writes 200.0 / 1.0E8; values must compare
+    # equal regardless of rendering
+    assert canon_golden_row("200.0\t1.0E8") == ("200", "100000000")
+    assert canon_df_row((200.0, 1e8)) == ("200", "100000000")
+    assert canon_golden_row("0.8333333333333334") == \
+        canon_df_row((0.8333333333333334,))
+    # strings stay verbatim, NULL maps to None
+    assert canon_golden_row("val_86\tNULL") == ("val_86", "NULL")
+    assert canon_df_row(("val_86", None)) == ("val_86", "NULL")
+    assert canon_df_row((True, False)) == ("true", "false")
+
+
+def test_rows_equal_is_order_insensitive():
+    assert rows_equal([(1, "a"), (2, "b")], ["2\tb", "1\ta"])
+    assert not rows_equal([(1, "a")], ["1\ta", "1\ta"])  # multiset
+
+
+def test_real_golden_groupby1():
+    # the reference's own groupby1.q.out: one result query, 309 groups
+    entries = parse_qout(os.path.join(REF_GOLDEN, "groupby1.q.out"))
+    sel = golden_selects(entries)
+    assert len(sel) == 1
+    q, rows = sel[0]
+    assert q.startswith("SELECT dest_g1.*")
+    assert len(rows) == 309
+    assert rows[0] == "0\t0.0"
+
+
+def test_real_golden_explain_excluded():
+    # groupby1.q.out's EXPLAIN block (MapReduce plan text) must not
+    # surface as a result query
+    entries = parse_qout(os.path.join(REF_GOLDEN, "groupby1.q.out"))
+    assert not any(q.lower().startswith("explain")
+                   for q, _ in golden_selects(entries))
