@@ -3,7 +3,7 @@ multimodal / text analysis) + DuckDB oracles where engine-portable."""
 
 from __future__ import annotations
 
-from ..datapipe import dedup, multimodal, similarity, textops
+from ..datapipe import dedup, multimodal, packing, similarity, textops
 from .base import ensure_views
 
 
@@ -55,6 +55,9 @@ QUERIES = {
     "multimodal_featurize": _bind(multimodal.featurize, "documents"),
     "multimodal_resize": _bind(multimodal.resize_payloads, "documents"),
     "multimodal_frame_sample": _bind(multimodal.sample_frames, "documents"),
+    "pack_sequences": _bind(packing.pack_sequences, "documents"),
+    "train_test_split_hash": _bind(packing.train_test_split, "documents"),
+    "text_pii_redact": _bind(packing.pii_redact, "documents"),
 }
 
 # Portable corpus CTE shared by the dedup oracles (mirrors
@@ -554,5 +557,55 @@ ORACLE = {
                        unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS fi
                 FROM documents) t
         ) f
+    """,
+    # streaming concat-and-chunk packing (datapipe/packing.py): running
+    # token count per 2-hex-char content bucket, cut every 512 tokens
+    "pack_sequences": """
+        SELECT doc_id, bucket, n_tokens,
+               CAST(floor(start / 512) AS BIGINT) AS seq_id,
+               CAST(start % 512 AS BIGINT) AS tok_offset
+        FROM (
+          SELECT doc_id, bucket, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+                   - n_tokens AS start
+          FROM (
+            SELECT doc_id, substr(md5(text), 1, 2) AS bucket,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                     AS n_tokens
+            FROM documents) b
+        ) s
+    """,
+    "train_test_split_hash": """
+        SELECT doc_id, substr(md5(text), 1, 2) AS hash_prefix,
+               CASE WHEN substr(md5(text), 1, 2) < '0d'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    """,
+    "text_pii_redact": f"""
+        WITH corpus AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' contact bob@example.com' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ' call 415-555-0199' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                    THEN ' seen from 10.17.3.201' ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '{packing.EMAIL_RE}', '<EMAIL>', 'g'),
+            '{packing.PHONE_RE}', '<PHONE>', 'g'),
+            '{packing.IP_RE}', '<IP>', 'g') AS text,
+          CAST(len(regexp_extract_all(text, '{packing.EMAIL_RE}'))
+             + len(regexp_extract_all(text, '{packing.PHONE_RE}'))
+             + len(regexp_extract_all(text, '{packing.IP_RE}'))
+             AS BIGINT) AS n_redactions,
+          CAST(len(regexp_extract_all(text, '{packing.EMAIL_RE}'))
+             AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '{packing.PHONE_RE}'))
+             AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(text, '{packing.IP_RE}'))
+             AS BIGINT) AS n_ips
+        FROM corpus
     """,
 }

@@ -156,3 +156,64 @@ def test_multimodal_resize_and_frames(dfs):
     assert all(1 <= r.frame_len <= 64 for r in fr)
     n_docs = dfs["documents"].count()
     assert len({r.doc_id for r in fr}) == n_docs
+
+
+def test_pack_sequences_invariants(dfs):
+    from hive_nexr_spark.datapipe import packing
+
+    rows = packing.pack_sequences(dfs["documents"], budget=512).collect()
+    assert len(rows) == dfs["documents"].count()
+    by_bucket: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.tok_offset < 512
+        assert r.seq_id >= 0
+        by_bucket.setdefault(r.bucket, []).append(r)
+    # within a bucket, documents tile the token stream contiguously:
+    # offsets reconstruct the running sum in doc_id order
+    for bucket, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.doc_id)
+        stream_pos = 0
+        for r in rs:
+            assert r.seq_id * 512 + r.tok_offset == stream_pos, bucket
+            stream_pos += r.n_tokens
+
+
+def test_pack_sequences_window_is_partitioned(dfs):
+    # the packing window must partition by bucket — a global (empty
+    # partition spec) window is the single-reducer scale-killer
+    from hive_nexr_spark.datapipe import packing
+
+    plan = packing.pack_sequences(dfs["documents"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" in plan
+    import re
+
+    for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "global window in pack_sequences plan"
+
+
+def test_train_test_split_fraction_and_determinism(dfs):
+    from hive_nexr_spark.datapipe import packing
+
+    rows = packing.train_test_split(dfs["documents"]).collect()
+    frac = sum(r.split == "test" for r in rows) / len(rows)
+    # 13/256 ≈ 5.1% expected; synthetic corpus is small, allow slack
+    assert 0.01 < frac < 0.12
+    again = {r.doc_id: r.split
+             for r in packing.train_test_split(dfs["documents"]).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_pii_redact_scrubs_planted_pii(dfs):
+    from hive_nexr_spark.datapipe import packing
+
+    rows = packing.pii_redact(dfs["documents"]).collect()
+    for r in rows:
+        assert "bob@example.com" not in r.text
+        assert "415-555-0199" not in r.text
+        assert "10.17.3.201" not in r.text
+        want = ((r.doc_id % 5 == 0) + (r.doc_id % 7 == 0)
+                + (r.doc_id % 11 == 0))
+        assert r.n_redactions == want, r.doc_id
+        if r.doc_id % 5 == 0:
+            assert "<EMAIL>" in r.text
