@@ -38,6 +38,10 @@ HEADLINE = [
     "text_quality_scores",
     "events_window_batch",
     "sessionize_events",
+    # added round 5: bucketed running-window physical shape (the one
+    # headline class not otherwise covered); same-set round-over-round
+    # comparisons use the intersection of query keys
+    "pack_sequences",
 ]
 
 

@@ -52,14 +52,18 @@ def parse_qout(path: str) -> list[tuple[str, list[str]]]:
             if line.startswith("PREHOOK: query:"):
                 if state is not None:
                     entries.append((" ".join(query_lines), rows))
-                query_lines = [line[len("PREHOOK: query:"):].strip()]
+                first = line[len("PREHOOK: query:"):].strip()
+                query_lines = [] if first.startswith("--") else [first]
                 rows = []
                 state = "query"
             elif state == "query":
-                # query text runs until the PREHOOK: type: line
+                # query text runs until the PREHOOK: type: line; `--`
+                # comment lines inside it (qfiles often open a statement
+                # with a comment) are not SQL — drop them so the joined
+                # text starts with the real verb
                 if line.startswith(("PREHOOK:", "POSTHOOK:")):
                     state = "rows"
-                else:
+                elif not line.strip().startswith("--"):
                     query_lines.append(line.strip())
             elif state == "postquery":
                 # the POSTHOOK: query: mirror repeats the (possibly
@@ -145,14 +149,21 @@ def _canon_cell(v) -> str:
 
 
 def _plain(v):
+    import datetime
+    import decimal
+
     if hasattr(v, "asDict"):
         return {k: _plain(x) for k, x in v.asDict().items()}
     if isinstance(v, dict):
         return {k: _plain(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_plain(x) for x in v]
-    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
-        return v  # json renders 2.0 as 2.0 — matches Hive complex output
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.decode("utf-8", errors="replace")
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)
     return v
 
 

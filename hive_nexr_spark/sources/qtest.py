@@ -43,13 +43,18 @@ DATA_DIR = "/root/reference/data/files"
 
 
 def _kv_csv(spark: SparkSession, path: str) -> DataFrame:
-    """Read a ^A-delimited (key, value) fixture file with Hive semantics:
-    empty fields are empty strings, never NULL."""
-    return (
-        spark.read.option("sep", "\x01")
-        .option("emptyValue", "")
-        .schema("key string, value string")
-        .csv(path)
+    """Read a ^A-delimited (key, value) fixture file with exact
+    LazySimpleSerDe field semantics (`serde2/lazy/LazyStruct.java`):
+    a present-but-empty field is an EMPTY STRING, a missing field
+    (fewer delimiters than columns) is NULL. Spark's CSV reader cannot
+    express that split — its `nullValue` default maps every unquoted
+    empty field to null (kv3.txt's empty keys broke the auto_join18
+    golden sum through exactly that) — so read lines and split."""
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), "\x01", -1)
+    return raw.select(
+        F.element_at(parts, 1).alias("key"),
+        F.when(F.size(parts) >= 2, F.element_at(parts, 2)).alias("value"),
     )
 
 
