@@ -425,7 +425,9 @@ class HiveQLSession:
         m = _IMPORT.match(stmt)
         if m:
             self._import_table(m.group("path"), m.group("table"),
-                               m.group("part"))
+                               m.group("part"),
+                               external=bool(m.group("ext")),
+                               location=m.group("loc"))
             return None
 
         return self.spark.sql(self._rewrite(stmt))
@@ -438,6 +440,16 @@ class HiveQLSession:
         # and `MSCK REPAIR TABLE` to Spark's native (idempotent) repair
         stmt = re.sub(r"^\s*MSCK\s+TABLE\s+", "MSCK REPAIR TABLE ", stmt,
                       flags=re.IGNORECASE)
+        # Hive resolves a RELATIVE `LOCATION 'p'` against the default
+        # filesystem; sandbox it under the scratch root with the SAME
+        # mapping EXPORT/IMPORT use, so DDL locations, import locations,
+        # and the runner's sandboxed `!rm -rf` all address one directory
+        stmt = re.sub(
+            r"(?i)(LOCATION\s+)(['\"])(?!\s*/|\s*file:|\s*hdfs:|\s*s3)"
+            r"([^'\"]+)\2",
+            lambda m: (m.group(1) + m.group(2)
+                       + self._export_location(m.group(3)) + m.group(2)),
+            stmt)
         stmt = _BUCKET_SAMPLE.sub(self._rewrite_bucket_sample, stmt)
         for name, builtin in self.fn_aliases.items():
             stmt = re.sub(rf"\b{name}\s*\(", f"{builtin}(", stmt,
@@ -769,14 +781,22 @@ class HiveQLSession:
             }, fh)
 
     def _import_table(self, path: str, table: str | None,
-                      part: str | None) -> None:
+                      part: str | None, external: bool = False,
+                      location: str | None = None) -> None:
         """IMPORT [[EXTERNAL] TABLE t [PARTITION (...)]] FROM 'path'
-        (`parse/ImportSemanticAnalyzer.java`): replays the exported
-        descriptor — creates the table in the CURRENT database if absent
-        (the reference checks schema compatibility when it exists, which
-        saveAsTable's append-mode schema check mirrors) and loads the data
-        copy. EXTERNAL/LOCATION degrade to a managed copy (documented:
-        the table CONTENT is identical; only file ownership differs)."""
+        [LOCATION 'loc'] (`parse/ImportSemanticAnalyzer.java`): replays
+        the exported descriptor — creates the table in the CURRENT
+        database if absent (the reference checks schema compatibility
+        when it exists, which the explicit name/type check below mirrors)
+        and places the data with the reference's location semantics:
+
+        * plain managed import — data COPIED into the table (warehouse);
+        * ``EXTERNAL`` without LOCATION — data stays IN PLACE in the
+          export directory (the exim_11/15/18 goldens observe exactly
+          this: deleting the export dir empties the table);
+        * ``LOCATION 'loc'`` (managed or external) — data copied to
+          `loc`, table/partition registered there (deleting `loc`
+          empties the table — exim_12/13/14/16/19/20 goldens)."""
         import json
         import os
 
@@ -787,6 +807,15 @@ class HiveQLSession:
             meta = json.load(fh)
         name = (table or meta["table"]).strip("`")
         schema = StructType.fromJson(json.loads(meta["schema"]))
+        pcols = meta.get("partition_cols") or []
+        want = self._parse_part_spec(part)
+        data_src = os.path.join(src, "data")
+
+        if external or location:
+            self._import_at_location(name, schema, meta, want,
+                                     data_src, location)
+            return
+
         df = self.spark.read.schema(schema).parquet(os.path.join(src, "data"))
         for k, v in self._parse_part_spec(part).items():
             df = df.filter(df[k] == v)
@@ -824,6 +853,112 @@ class HiveQLSession:
         # a dropped-and-reimported table of the same name may still have a
         # cached (stale) file listing in the shared session
         self.spark.sql(f"REFRESH TABLE {name}")
+
+    def _import_at_location(self, name: str, schema, meta: dict,
+                            want: dict[str, str], data_src: str,
+                            location: str | None) -> None:
+        """The EXTERNAL / LOCATION arms of IMPORT (see _import_table):
+        register the table (or add partitions to an existing one) with
+        its data AT a filesystem location instead of copying into the
+        warehouse — `ImportSemanticAnalyzer` tablesLocation handling."""
+        import os
+        import re as _re
+        import shutil
+
+        pcols = meta.get("partition_cols") or []
+        parts_all = meta.get("partitions", [])
+
+        def matches(pspec: str) -> bool:
+            kv = dict(seg.split("=", 1) for seg in pspec.split("/"))
+            return all(kv.get(k) == v for k, v in want.items())
+
+        parts_sel = [p for p in parts_all if matches(p)]
+
+        if location:
+            dest = self._export_location(location)
+            os.makedirs(dest, exist_ok=True)
+            if pcols:
+                for p in (parts_sel or parts_all):
+                    s, d = os.path.join(data_src, p), os.path.join(dest, p)
+                    if os.path.isdir(s):
+                        shutil.copytree(s, d, dirs_exist_ok=True)
+            else:
+                shutil.copytree(data_src, dest, dirs_exist_ok=True)
+            data_loc = dest
+        else:
+            data_loc = data_src  # EXTERNAL: export dir IS the table data
+
+        def add_partitions(target_provider_csv: bool) -> None:
+            for p in parts_sel or parts_all:
+                ploc = os.path.join(data_loc, p)
+                if target_provider_csv:
+                    self._parquet_dir_to_csv(ploc, schema, pcols)
+                spec = ", ".join(
+                    f"{k}='{v}'" for k, v in
+                    (seg.split("=", 1) for seg in p.split("/")))
+                self.spark.sql(
+                    f"ALTER TABLE {name} ADD IF NOT EXISTS PARTITION "
+                    f"({spec}) LOCATION '{ploc}'")
+
+        if self.spark.catalog.tableExists(name):
+            existing = self.spark.table(name).schema
+            w = [(f.name.lower(), f.dataType.simpleString())
+                 for f in schema.fields]
+            h = [(f.name.lower(), f.dataType.simpleString())
+                 for f in existing.fields]
+            if w != h:
+                raise ValueError(
+                    f"IMPORT: table {name} exists with incompatible "
+                    f"schema: has {h}, import carries {w}")
+            if pcols:
+                # the pre-existing table may be the runner's ^A-text
+                # external form — convert the parquet partition copy so
+                # the table's own reader parses it
+                ddl = self.spark.sql(
+                    f"SHOW CREATE TABLE {name}").first()[0]
+                add_partitions(bool(_re.search(r"USING\s+csv", ddl,
+                                               _re.IGNORECASE)))
+            else:
+                # when the import LOCATION is the existing table's own
+                # location (exim_14: managed-with-location over existing),
+                # the copy above already placed the files inside it —
+                # inserting again would double the rows
+                tloc = os.path.realpath(self._table_location(name))
+                if os.path.realpath(data_loc) != tloc:
+                    df = self.spark.read.schema(schema).parquet(data_loc)
+                    df.write.insertInto(name)
+        else:
+            datacols = [f for f in schema.fields if f.name not in pcols]
+            col_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in list(datacols) + [
+                    f for f in schema.fields if f.name in pcols])
+            create = (f"CREATE TABLE {name} ({col_ddl}) USING parquet ")
+            if pcols:
+                create += f"PARTITIONED BY ({', '.join(pcols)}) "
+            create += f"LOCATION '{data_loc}'"
+            self.spark.sql(create)
+            if pcols:
+                add_partitions(False)
+        self.spark.sql(f"REFRESH TABLE {name}")
+
+    def _parquet_dir_to_csv(self, d: str, schema, pcols: list[str]) -> None:
+        """Rewrite one exported parquet partition dir as ^A-text in place
+        (the LazySimpleSerDe layout the runner's external fixtures use)."""
+        import os
+        import shutil
+
+        if not os.path.isdir(d) or not any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            return
+        datacols = [f for f in schema.fields if f.name not in pcols]
+        tmp = d.rstrip("/") + "_csvconv"
+        (self.spark.read.schema(
+            type(schema)(datacols)).parquet(d)
+         .write.mode("overwrite").option("sep", "\x01")
+         .option("emptyValue", "").csv(tmp))
+        shutil.rmtree(d)
+        os.rename(tmp, d)
 
     def _concatenate(self, table: str, part: str | None = None) -> None:
         """ALTER TABLE [PARTITION(...)] CONCATENATE

@@ -110,6 +110,12 @@ def _canon_field(s: str) -> str:
     200, 1.0E8 vs 1e+08), everything else verbatim."""
     if s == "NULL":
         return "NULL"
+    if s == "null":
+        # Hive prints a NULL complex value as JSON null (SerDeUtils
+        # buildJSONString) but an atomic NULL as NULL; fold both (the
+        # cell side folds a literal "null" string identically, so the
+        # mapping stays symmetric)
+        return "NULL"
     try:
         v = float(s)
     except ValueError:
@@ -143,28 +149,64 @@ def _canon_cell(v) -> str:
     if isinstance(v, bytes):
         return v.decode("utf-8", errors="replace")
     if isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict"):
-        return json.dumps(_plain(v), separators=(",", ":"),
-                          ensure_ascii=False)
+        return _render_complex(v)
     return _canon_field(str(v))
 
 
-def _plain(v):
+def _render_complex(v) -> str:
+    """Hive's CLI JSON-ish rendering of complex values
+    (`serde2/SerDeUtils.java` buildJSONString): struct `{"name":v,...}`,
+    array `[...]`, map `{key:v,...}` (keys bare when numeric), null as
+    `null`, and the runner's uniontype struct encoding
+    (tag, field0..fieldN) printed back as Hive prints a union:
+    `{<tag>:<selected member>}`. Map entries compare key-sorted — the
+    parquet round-trip does not preserve Hive's insertion order."""
     import datetime
     import decimal
 
-    if hasattr(v, "asDict"):
-        return {k: _plain(x) for k, x in v.asDict().items()}
-    if isinstance(v, dict):
-        return {k: _plain(x) for k, x in v.items()}
-    if isinstance(v, (list, tuple)):
-        return [_plain(x) for x in v]
-    if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, (bytes, bytearray)):
-        return v.decode("utf-8", errors="replace")
-    if isinstance(v, (datetime.date, datetime.datetime)):
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int,)):
         return str(v)
-    return v
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return format(v, ".1f")  # json/Hive render 2.0, not 2
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        v = v.decode("utf-8", errors="replace")
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        v = str(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if hasattr(v, "asDict"):
+        d = v.asDict()
+        names = list(d)
+        if names and names[0] == "tag" and all(
+                n == f"field{i}" for i, n in enumerate(names[1:])):
+            tag = d["tag"]
+            sel = d.get(f"field{tag}") if tag is not None else None
+            return "{%s:%s}" % (tag, _render_complex(sel))
+        return ("{" + ",".join(
+            f"{json.dumps(k, ensure_ascii=False)}:{_render_complex(x)}"
+            for k, x in d.items()) + "}")
+    if isinstance(v, dict):
+        def key(k) -> str:
+            return (str(k) if isinstance(k, (int, float))
+                    else json.dumps(str(k), ensure_ascii=False))
+
+        return ("{" + ",".join(
+            f"{key(k)}:{_render_complex(x)}"
+            for k, x in sorted(v.items(), key=lambda kv: str(kv[0])))
+            + "}")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_render_complex(x) for x in v) + "]"
+    return str(v)
 
 
 def canon_golden_row(line: str) -> tuple[str, ...]:
@@ -178,10 +220,21 @@ def canon_df_row(row) -> tuple[str, ...]:
 def rows_equal(df_rows, golden_lines: list[str]) -> bool:
     """Order-insensitive multiset equality between a collected DataFrame
     and a golden result block (golden SELECT order is the reference's
-    MapReduce emission order — not a semantic guarantee)."""
+    MapReduce emission order — not a semantic guarantee). When a STRING
+    value contains a literal tab, the golden line is ambiguous (the CLI
+    prints columns tab-separated) — fall back to whole-line equality of
+    the tab-joined render, which is exactly what the reference's own
+    golden diff compares."""
     ours = sorted(canon_df_row(r) for r in df_rows)
     theirs = sorted(canon_golden_row(ln) for ln in golden_lines)
-    return ours == theirs
+    if ours == theirs:
+        return True
+    our_lines = sorted("\t".join(_canon_cell(v) for v in r)
+                       for r in df_rows)
+    their_lines = sorted(
+        "\t".join(_canon_field(f) for f in ln.split("\t"))
+        for ln in golden_lines)
+    return our_lines == their_lines
 
 
 def diff_file(captured, golden_path: str) -> dict:
