@@ -767,6 +767,43 @@ def _rewrite_ngrams_stmt(stmt: str) -> str:
     """.strip()
 
 
+def _double_literals(stmt: str) -> str:
+    """Hive 0.8 has NO DECIMAL type — a fractional literal is a DOUBLE
+    (`Hive.g` Number → TOK_DOUBLE via `SemanticAnalyzer` literal typing);
+    Spark parses `1.0` as DECIMAL(2,1), which changes arithmetic
+    semantics (`1.0/0.0` → decimal NULL where Hive returns Infinity,
+    udf_round.q golden). Suffix bare fractional literals with `D`
+    outside quoted strings."""
+    out: list[str] = []
+    i, n, quote = 0, len(stmt), None
+    seg: list[str] = []
+    pat = re.compile(r"(?<![\w.])(\d+\.\d+)(?![\w.dD])")
+
+    def flush() -> None:
+        out.append(pat.sub(r"\1D", "".join(seg)))
+        seg.clear()
+
+    while i < n:
+        ch = stmt[i]
+        if quote:
+            out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(stmt[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in "'\"`":
+            flush()
+            out.append(ch)
+            quote = ch
+        else:
+            seg.append(ch)
+        i += 1
+    flush()
+    return "".join(out)
+
+
 def _emulate_shell_rm(spark: SparkSession, path: str) -> None:
     """CliDriver `!rm -rf <dir>` parity, sandboxed: resolve the path with
     the same relative-path mapping EXPORT/IMPORT/LOCATION use, refuse
@@ -1376,6 +1413,12 @@ def run_qfile(spark: SparkSession, qfile: str,
     # the registered parity function. (\b won't match inside hive_hash —
     # '_' is a word char.)
     text = re.sub(r"\bhash\s*\(", "hive_hash(", text, flags=re.IGNORECASE)
+    # Hive's split() is Java String.split(regex) with the DEFAULT limit,
+    # which strips trailing empty strings (`udf/UDFSplit.java` — golden
+    # udf_split.q: split('one,two,three,', ',') has 3 elements and
+    # split('', ',') is empty); Spark keeps trailing empties. Route to a
+    # SQL UDF with the Java semantics.
+    text = re.sub(r"\bsplit\s*\(", "hive_split(", text, flags=re.IGNORECASE)
     # Hive 0.8's std/stddev/variance are POPULATION forms
     # (`exec/FunctionRegistry.java:349-355` registers std|stddev|stddev_pop
     # → GenericUDAFStd, variance|var_pop → GenericUDAFVariance); Spark's
@@ -1417,6 +1460,10 @@ def run_qfile(spark: SparkSession, qfile: str,
     # Spark defaults to positional resolution, so pin it off
     set_conf("spark.sql.groupByOrdinal", "false")
     set_conf("spark.sql.orderByOrdinal", "false")
+    # the reference's golden transcripts were generated on US-Pacific
+    # hosts; timestamp<->unix conversions (timestamp_udf.q family) only
+    # reproduce under that session zone
+    set_conf("spark.sql.session.timeZone", "America/Los_Angeles")
 
     # prefix every dest table AND database name so qfiles can't collide
     # with each other (CliDriver gives each test a clean metastore).
@@ -1456,6 +1503,12 @@ def run_qfile(spark: SparkSession, qfile: str,
 
     hql = HiveQLSession(spark)
     field_seps = _scan_field_seps(text)
+    if re.search(r"\bhive_split\s*\(", text):
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION hive_split"
+            "(s STRING, re STRING) RETURNS ARRAY<STRING> RETURN "
+            "slice(split(s, re, -1), 1, coalesce(array_max(transform("
+            "split(s, re, -1), (v, i) -> IF(v != '', i+1, 0))), 0))")
     fixture_names = {"src", "src1", "srcpart", "src_thrift",
                      *SRCBUCKET_TABLES}
     last_select: DataFrame | None = None
@@ -1659,6 +1712,9 @@ def run_qfile(spark: SparkSession, qfile: str,
                 if not k.lower().startswith("fs."):
                     set_conf(k, v)
                 continue
+            # Hive-0.8 literal typing: fractional literals are DOUBLE
+            stmt = _double_literals(stmt)
+            upper = stmt.upper()
             # ALTER TABLE ... ADD PARTITION ... LOCATION under /tmp: the
             # qfile prepared the dir with a `!mkdir` shell escape we do
             # not execute (untrusted corpus) — create the dir directly
