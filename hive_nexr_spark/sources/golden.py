@@ -110,12 +110,30 @@ def _canon_field(s: str) -> str:
     200, 1.0E8 vs 1e+08), everything else verbatim."""
     if s == "NULL":
         return "NULL"
+    if re.match(r"^(pfile|file|hdfs|s3[an]?):/", s):
+        # filesystem URIs embed the generating host's absolute paths
+        # (the index goldens carry pfile:/data/users/<user>/... from the
+        # 2011 run) — compare by final path segment only
+        return s.rstrip("/").rsplit("/", 1)[-1]
+    arr = re.fullmatch(r"\[([-\d.eE+, ]*)\]", s)
+    if arr is not None:
+        # a numeric array compares order-insensitively: Hive's collect
+        # order inside e.g. the compact index `_offsets` payload is MR
+        # shuffle order, ours is sort_array — sort both sides
+        elems = [e.strip() for e in arr.group(1).split(",") if e.strip()]
+        try:
+            elems.sort(key=float)
+        except ValueError:
+            pass
+        return "[" + ",".join(_canon_field(e) for e in elems) + "]"
     if s == "null":
         # Hive prints a NULL complex value as JSON null (SerDeUtils
         # buildJSONString) but an atomic NULL as NULL; fold both (the
         # cell side folds a literal "null" string identically, so the
         # mapping stays symmetric)
         return "NULL"
+    if "_" in s:
+        return s  # Python float() reads '000000_0' as 0 — not a number
     try:
         v = float(s)
     except ValueError:
@@ -149,7 +167,7 @@ def _canon_cell(v) -> str:
     if isinstance(v, bytes):
         return v.decode("utf-8", errors="replace")
     if isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict"):
-        return _render_complex(v)
+        return _canon_field(_render_complex(v))
     return _canon_field(str(v))
 
 

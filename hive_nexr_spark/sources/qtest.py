@@ -423,6 +423,64 @@ def _hive_text_expr(col, dtype, depth: int,
     return nn(col).cast(dtype)
 
 
+# table -> [(text file path, static partition spec)] for every LOAD DATA
+# the runner emulated; the index rebuild reads it to reproduce the
+# reference's PHYSICAL index payload (per-key byte offsets into the
+# original text file — `index/compact/CompactIndexHandler.java` stores
+# exactly these)
+TEXT_SOURCES: dict[str, list[tuple[str, dict[str, str]]]] = {}
+
+_FIXTURE_TEXT = {
+    "src": [(lambda: f"{DATA_DIR}/kv1.txt", {})],
+    "src1": [(lambda: f"{DATA_DIR}/kv3.txt", {})],
+    "srcpart": [
+        (lambda ds=ds, hr=hr: f"{DATA_DIR}/kv1.txt",
+         {"ds": ds, "hr": hr})
+        for ds in ("2008-04-08", "2008-04-09") for hr in ("11", "12")
+    ],
+}
+
+
+# table -> [(text file, partition spec)] for RCFILE tables populated by a
+# plain `INSERT OVERWRITE ... SELECT ... FROM <text-backed table>` copy
+# (index_compact_2/3, index_bitmap_rc): row ORDER is the source text
+# order, so the reference's per-key in-block row ordinals and the single
+# RCFile data block (offset 151 = header size) are reproducible
+RC_SOURCES: dict[str, list[tuple[str, dict[str, str]]]] = {}
+
+
+def text_sources_for(table: str) -> list[tuple[str, dict[str, str]]] | None:
+    """The ^A-text files (with partition spec) behind a table, if known:
+    LOAD DATA-tracked tables first, then the classic fixtures."""
+    t = table.split(".")[-1].strip("`").lower()
+    if t in TEXT_SOURCES:
+        return TEXT_SOURCES[t]
+    if t in _FIXTURE_TEXT:
+        return [(f(), dict(p)) for f, p in _FIXTURE_TEXT[t]]
+    return None
+
+
+def rc_sources_for(table: str) -> list[tuple[str, dict[str, str]]] | None:
+    return RC_SOURCES.get(table.split(".")[-1].strip("`").lower())
+
+
+def text_file_offsets(path: str, sep: str = "\x01") -> list[
+        tuple[list[str], int]]:
+    """(fields, byte offset of line start) for every line of a text
+    file — the physical payload the reference's index handlers store."""
+    out = []
+    data = open(path, "rb").read()
+    lines = data.split(b"\n")
+    if data.endswith(b"\n"):
+        lines = lines[:-1]
+    off = 0
+    for line in lines:
+        out.append(([f.decode("utf-8", "replace")
+                     for f in line.split(sep.encode())], off))
+        off += len(line) + 1
+    return out
+
+
 def _unescape_delim(s: str) -> str:
     """Decode a Hive delimiter spec to its single character
     (`serde2/lazy/LazySimpleSerDe.java` getByte + `Hive.g` string
@@ -582,6 +640,11 @@ def _emulate_load_data(spark: SparkSession, m: re.Match,
         df = df.withColumn(k, F.lit(v))
     df = df.select(*[f.name for f in schema.fields])
     df.write.insertInto(tbl, overwrite=bool(m.group("ow")))
+    key = tbl.split(".")[-1].lower()
+    if m.group("ow"):
+        TEXT_SOURCES[key] = [
+            e for e in TEXT_SOURCES.get(key, []) if part and e[1] != part]
+    TEXT_SOURCES.setdefault(key, []).append((path, part))
 
 
 _UNIQUEJOIN_STMT = re.compile(
@@ -1503,6 +1566,12 @@ def run_qfile(spark: SparkSession, qfile: str,
 
     hql = HiveQLSession(spark)
     field_seps = _scan_field_seps(text)
+    rc_tables = {
+        mm.group(1).lower()
+        for mm in re.finditer(
+            r"CREATE\s+TABLE\s+`?(\w+)`?[^;]*STORED\s+AS\s+RCFILE",
+            text, re.IGNORECASE)
+    }
     if re.search(r"\bhive_split\s*\(", text):
         spark.sql(
             "CREATE OR REPLACE TEMPORARY FUNCTION hive_split"
@@ -1715,6 +1784,39 @@ def run_qfile(spark: SparkSession, qfile: str,
             # Hive-0.8 literal typing: fractional literals are DOUBLE
             stmt = _double_literals(stmt)
             upper = stmt.upper()
+            # plain INSERT-copy into an RCFILE table from a text-backed
+            # source: track the lineage so an index REBUILD can emit the
+            # reference's physical RCFile payload (rc_sources_for)
+            im = re.match(
+                r"INSERT\s+OVERWRITE\s+TABLE\s+(?P<t>\w+)\s*"
+                r"(?:PARTITION\s*\((?P<part>[^)]*)\))?\s*"
+                r"SELECT\s+(?:\*|[\w.`\s,]+?)\s+FROM\s+(?P<s>\w+)"
+                r"(?:\s+WHERE\s+(?P<w>[^;]*?))?\s*$",
+                stmt, re.IGNORECASE | re.DOTALL)
+            if im and im.group("t").lower() in rc_tables:
+                srcs = text_sources_for(im.group("s"))
+                if srcs:
+                    want = {
+                        mm.group(1).lower(): mm.group(2)
+                        for mm in re.finditer(
+                            r"(\w+)\s*=\s*'?([\w-]+)'?",
+                            im.group("w") or "")
+                    }
+                    chosen = [
+                        (p, sp) for p, sp in srcs
+                        if all(sp.get(k) == v for k, v in want.items()
+                               if k in sp)
+                    ]
+                    dpart = {
+                        k.strip(): v.strip().strip("'\"")
+                        for k, v in (kv.split("=", 1)
+                                     for kv in (im.group("part") or "")
+                                     .split(",") if "=" in kv)
+                    }
+                    t = im.group("t").lower()
+                    RC_SOURCES[t] = [
+                        e for e in RC_SOURCES.get(t, []) if e[1] != dpart
+                    ] + [(p, dpart) for p, _sp in chosen]
             # ALTER TABLE ... ADD PARTITION ... LOCATION under /tmp: the
             # qfile prepared the dir with a `!mkdir` shell escape we do
             # not execute (untrusted corpus) — create the dir directly
