@@ -1783,6 +1783,23 @@ def run_qfile(spark: SparkSession, qfile: str,
                 continue
             # Hive-0.8 literal typing: fractional literals are DOUBLE
             stmt = _double_literals(stmt)
+            # GROUP BY ... LIMIT without ORDER BY: Hive's reducer emits
+            # groups in key-sort order (MR shuffle sort), so LIMIT takes
+            # the SMALLEST keys deterministically (groupby1_limit.q
+            # golden); Spark's limit is arbitrary — make the MR order
+            # explicit. SORT/ORDER/CLUSTER/DISTRIBUTE present → Hive's
+            # order is the declared one already.
+            gl = re.search(
+                r"GROUP\s+BY\s+(?P<cols>[^;]+?)\s+LIMIT\s+(?P<n>\d+)\s*$",
+                stmt, re.IGNORECASE | re.DOTALL)
+            if gl and not re.search(
+                    r"\b(ORDER|SORT|CLUSTER|DISTRIBUTE)\s+BY\b|\bHAVING\b"
+                    r"|\bUNION\b|\bJOIN\b",
+                    stmt, re.IGNORECASE):
+                stmt = (stmt[:gl.start()]
+                        + f"GROUP BY {gl.group('cols')} "
+                        + f"ORDER BY {gl.group('cols')} "
+                        + f"LIMIT {gl.group('n')}")
             upper = stmt.upper()
             # plain INSERT-copy into an RCFILE table from a text-backed
             # source: track the lineage so an index REBUILD can emit the
