@@ -65,6 +65,10 @@ def get_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- scale posture ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Hive-parity dynamic-partition overwrite: INSERT OVERWRITE with
+        # a partial partition spec replaces only the produced partitions
+        # (reference `Hive.loadDynamicPartitions`), not the whole table
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

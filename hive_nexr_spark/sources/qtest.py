@@ -481,6 +481,22 @@ def text_file_offsets(path: str, sep: str = "\x01") -> list[
     return out
 
 
+def make_src_voffsets(spark: SparkSession) -> None:
+    """`src` with its REAL virtual columns (`ql/metadata/
+    VirtualColumn.java`): INPUT__FILE__NAME and the physical
+    BLOCK__OFFSET__INSIDE__FILE byte offsets of kv1.txt lines — the
+    values the reference's virtual_column.q golden pins."""
+    rows = [
+        (f[0] if f else "", f[1] if len(f) > 1 else None,
+         f"file:{DATA_DIR}/kv1.txt", off)
+        for f, off in text_file_offsets(f"{DATA_DIR}/kv1.txt")
+    ]
+    spark.createDataFrame(
+        rows, "key string, value string, input__file__name string, "
+        "block__offset__inside__file bigint"
+    ).createOrReplaceTempView("src_voffsets")
+
+
 def _unescape_delim(s: str) -> str:
     """Decode a Hive delimiter spec to its single character
     (`serde2/lazy/LazySimpleSerDe.java` getByte + `Hive.g` string
@@ -1527,6 +1543,11 @@ def run_qfile(spark: SparkSession, qfile: str,
     # hosts; timestamp<->unix conversions (timestamp_udf.q family) only
     # reproduce under that session zone
     set_conf("spark.sql.session.timeZone", "America/Los_Angeles")
+    # Hive's INSERT OVERWRITE with dynamic partitions replaces ONLY the
+    # partitions the insert produces (`Hive.loadDynamicPartitions`);
+    # Spark's default STATIC mode truncates the whole table first
+    # (load_dyn_part4.q keeps its pre-existing static partition)
+    set_conf("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # prefix every dest table AND database name so qfiles can't collide
     # with each other (CliDriver gives each test a clean metastore).
@@ -1636,17 +1657,31 @@ def run_qfile(spark: SparkSession, qfile: str,
             # (a blanket wrap would widen `SELECT *` for inserts too).
             if re.search(r"\bINPUT__FILE__NAME\b|\bBLOCK__OFFSET"
                          r"__INSIDE__FILE\b", stmt, re.IGNORECASE):
-                if re.search(
+                if re.search(r"\b(FROM|JOIN)\s+src\b(?!\w)", stmt,
+                             re.IGNORECASE):
+                    # src: the PHYSICAL offsets are known (kv1.txt line
+                    # positions) — route through the offset-bearing
+                    # fixture view; the tokens resolve as its columns.
+                    # Hive's `*` EXCLUDES virtual columns
+                    # (`VirtualColumn.java` — they only appear when
+                    # named), so expand it to the real columns first.
+                    make_src_voffsets(spark)
+                    stmt = re.sub(r"(?i)^(select\s+)\*(\s+from\s+src\b)",
+                                  r"\1key, value\2", stmt)
+                    stmt = re.sub(r"\b(FROM|JOIN)\s+src\b(?!\w)",
+                                  r"\1 src_voffsets src", stmt,
+                                  flags=re.IGNORECASE)
+                elif re.search(
                         r"\b(?:count|collect_set|collect_list|min|max|sum)"
                         r"\s*\(\s*(?:DISTINCT\s+)?(?:INPUT__FILE__NAME|"
                         r"BLOCK__OFFSET__INSIDE__FILE)",
                         stmt, re.IGNORECASE):
                     stmt = re.sub(
-                        r"\b(FROM|JOIN)\s+src\b(?!\w)",
+                        r"\b(FROM|JOIN)\s+(\w+)\b(?!\w)",
                         r"\1 (SELECT *, input_file_name() AS "
                         "input__file__name, monotonically_increasing_id() "
-                        "AS block__offset__inside__file FROM src) src",
-                        stmt, flags=re.IGNORECASE)
+                        r"AS block__offset__inside__file FROM \2) \2",
+                        stmt, count=1, flags=re.IGNORECASE)
                 else:
                     stmt = re.sub(r"\bINPUT__FILE__NAME\b",
                                   "input_file_name()", stmt,
