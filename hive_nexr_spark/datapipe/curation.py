@@ -1,0 +1,236 @@
+"""Corpus-curation operators: benchmark decontamination, repetition-based
+quality filters, TF-IDF term scoring, domain mixing, and embedding
+quantization.
+
+These extend the LLM-data-pipeline family (dedup/textops/packing) with the
+curation passes a pre-training run performs between cleaning and packing:
+drop documents that leak evaluation data, drop degenerate/repetitive
+documents, weight the domain mixture deterministically, and compress the
+embedding sidecar. Every hash is an md5-hex slice and every float is
+rounded at emit, so an external SQL engine reproduces the outputs exactly
+(the declared-query oracles do).
+
+Scale notes (100 TB):
+* Decontamination broadcasts the BENCHMARK shingle set (evaluation suites
+  are tiny — MBs — regardless of corpus size); the corpus side streams
+  through one explode + one groupBy(doc_id). Shingles travel as 16-hex
+  md5 slices, never raw text.
+* Repetition filters explode 2-grams and map-side-combine the
+  (doc_id, gram) counts — per-partition hash aggregation bounds memory by
+  the partition's distinct-gram count, not document length. (A per-row
+  array-expression top-gram would be O(len²) per document — degenerate
+  exactly on the long, repetitive documents this filter exists to catch.)
+* TF-IDF's document-frequency table is vocabulary-sized (bounded, ≪
+  corpus) and is broadcast back onto the term-frequency stream; the only
+  corpus-sized shuffles are the two term aggregations.
+* Domain sampling is a pure projection + filter: the keep decision is a
+  deterministic function of the content hash, so a re-shard or re-ingest
+  keeps exactly the same rows (a rand() sample cannot), and no shuffle
+  happens at all.
+* Quantization is a linear projection over the vector column — no
+  shuffle, no Python, all `transform`/`aggregate` higher-order functions
+  inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import _tokens
+
+# Default per-language mixture rates for domain_mix_sample: the shape a
+# multilingual pre-training run uses (English-heavy, long-tail langs
+# subsampled). Deterministic, so the declared oracle pins them too.
+MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+
+
+def _shingles(text: Column, n: int = 5) -> Column:
+    """Distinct word n-gram shingles of `text`, each reduced to a 16-hex
+    md5 slice (64-bit key — collision-negligible, and 8× narrower than
+    raw 5-gram strings through the shuffle)."""
+    toks = _tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.substring(F.md5(F.array_join(F.slice(toks, i, n), " ")),
+                              1, 16),
+    )
+    return F.array_distinct(grams)
+
+
+def decontaminate(documents: DataFrame, n: int = 4,
+                  benchmark_mod: int = 13) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style n-gram overlap scrub): a
+    training document is contaminated if it shares any word n-gram with
+    the held-out evaluation set. Here the "benchmark" is the deterministic
+    doc_id % `benchmark_mod` == 0 slice of the same corpus — in production
+    it is the actual eval-suite text.
+
+    Returns one row per TRAINING document that hit the benchmark:
+    (doc_id, n_hits = distinct contaminated shingles). Flagged documents
+    are what a pipeline drops before packing.
+
+    Scale: the benchmark shingle set is broadcast (eval suites are
+    megabytes); the corpus side is one explode + one groupBy(doc_id) —
+    shingle keys are 16-hex md5 slices, never raw text."""
+    sh = documents.select("doc_id", F.explode(_shingles(F.col("text"), n))
+                          .alias("shingle"))
+    bench = (sh.filter(F.col("doc_id") % benchmark_mod == 0)
+             .select("shingle").distinct())
+    train = sh.filter(F.col("doc_id") % benchmark_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )
+
+
+def repetition_filters(documents: DataFrame) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText family):
+    duplicate-token fraction and the most-frequent-2-gram fraction. High
+    values mean boilerplate / degenerate generation loops — standard drop
+    criteria before training.
+
+    Per document: n_tokens, dup_token_frac = 1 - distinct/total tokens,
+    top_gram (lexicographically-smallest among the most frequent 2-grams,
+    for determinism), top_gram_count, and top_gram_frac = count /
+    (n_tokens - 1) (the number of 2-gram slots).
+
+    Scale: 2-grams are exploded and hash-aggregated on (doc_id, gram) with
+    map-side partial combine, then reduced to one row per doc via a
+    max_by struct — two narrow shuffles, no per-row O(len²) array scan,
+    memory bounded by distinct grams per partition."""
+    toks = _tokens(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        toks.alias("toks"),
+    )
+    grams = base.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                      F.element_at("toks", i + 1)),
+            )
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("doc_id", "n_tokens", "n_distinct", "gram").agg(
+        F.count("*").alias("cnt"))
+    # one row per doc: most frequent 2-gram, smallest gram on ties —
+    # min(struct(-cnt, gram)) is a single map-side-combinable aggregate
+    best = counted.groupBy("doc_id", "n_tokens", "n_distinct").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram")))
+        .alias("top"))
+    return best.select(
+        "doc_id",
+        "n_tokens",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6)
+        .alias("dup_token_frac"),
+        F.col("top.gram").alias("top_gram"),
+        (-F.col("top.neg")).alias("top_gram_count"),
+        F.round((-F.col("top.neg"))
+                / (F.col("n_tokens") - 1).cast("double"), 6)
+        .alias("top_gram_frac"),
+    )
+
+
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic relevance score a
+    curation pipeline uses for topic tagging / domain classification.
+
+    tf = term count within the document; idf = ln(N / df) with df = number
+    of documents containing the term; score = tf * idf, rounded at emit.
+    Top-k per document by (score desc, term asc) for determinism.
+
+    Scale: two corpus-sized aggregations — (doc_id, term) counts and the
+    per-term document frequency — both map-side combined. The df table is
+    vocabulary-sized (bounded and tiny next to the corpus) and is
+    BROADCAST back onto the tf stream, so the join adds no shuffle; the
+    final top-k window partitions by doc_id (narrow, already co-located
+    with the tf aggregation's partitioning)."""
+    n_docs = documents.select("doc_id").distinct().count()
+    terms = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id", "term", "tf", "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        .alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def _rate_threshold(rate: float) -> str:
+    """8-hex-char keep threshold for a sampling rate: a document is kept
+    when its md5 hash prefix sorts below floor(rate * 2^32) rendered as
+    hex. Hex-STRING comparison, not integer conversion, so any engine
+    with md5 reproduces the decision (same idiom as
+    packing.train_test_split)."""
+    return format(min(int(rate * 2 ** 32), 2 ** 32 - 1), "08x")
+
+
+def domain_mix_sample(documents: DataFrame,
+                      rates: dict[str, float] | None = None) -> DataFrame:
+    """Domain-mixture subsampling: keep each document with a per-language
+    rate (the pre-training mixture knob), decided by a deterministic
+    content-hash prefix rather than rand(). A re-shard, re-ingest, or
+    retry keeps EXACTLY the same rows — reproducible mixtures are a hard
+    requirement for training-run provenance — and exact duplicate
+    (doc_id, text) pairs always make the same keep/drop decision.
+
+    Pure projection + filter: no shuffle, no state, trivially linear at
+    any scale."""
+    rates = rates or MIX_RATES
+    threshold = F.coalesce(
+        *[F.when(F.col("lang") == lang, F.lit(_rate_threshold(r)))
+          for lang, r in sorted(rates.items())],
+        F.lit(_rate_threshold(1.0)),
+    )
+    prefix = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 8)
+    return (
+        documents.select(
+            "doc_id", "lang", "source",
+            prefix.alias("hash_prefix"),
+            threshold.alias("keep_threshold"),
+        )
+        .filter(F.col("hash_prefix") < F.col("keep_threshold"))
+    )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Scalar int8 quantization of the embedding sidecar: per-vector
+    min/max affine mapping onto 0..255 (the storage/serving compression
+    every large ANN deployment applies). Emits the quantization params, an
+    md5 checksum of the quantized codes (order-preserving, so any
+    cross-engine code mismatch surfaces), and the max absolute
+    reconstruction error.
+
+    Linear projection over the vector column — `transform`/`aggregate`
+    higher-order functions, no shuffle, no Python."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = (hi - lo) / F.lit(255.0)
+    q = F.transform(v, lambda x: F.floor((x - lo) / scale + F.lit(0.5))
+                    .cast("int"))
+    recon_err = F.aggregate(
+        F.zip_with(v, q, lambda x, c: F.abs(x - (lo + c * scale))),
+        F.lit(0.0), lambda acc, e: F.greatest(acc, e))
+    return embeddings.select(
+        F.col("vec_id"),
+        F.round(lo, 6).alias("q_min"),
+        F.round(hi, 6).alias("q_max"),
+        F.md5(F.array_join(q, ",")).alias("q_checksum"),
+        F.round(recon_err, 6).alias("max_abs_err"),
+    )

@@ -3,7 +3,8 @@ multimodal / text analysis) + DuckDB oracles where engine-portable."""
 
 from __future__ import annotations
 
-from ..datapipe import dedup, multimodal, packing, similarity, textops
+from ..datapipe import (curation, dedup, multimodal, packing, similarity,
+                        textops)
 from .base import ensure_views
 
 
@@ -58,6 +59,13 @@ QUERIES = {
     "pack_sequences": _bind(packing.pack_sequences, "documents"),
     "train_test_split_hash": _bind(packing.train_test_split, "documents"),
     "text_pii_redact": _bind(packing.pii_redact, "documents"),
+    "decontaminate_benchmark": _bind(curation.decontaminate, "documents"),
+    "text_repetition_filters": _bind(curation.repetition_filters,
+                                     "documents"),
+    "tfidf_topk_terms": _bind(curation.tfidf_topk, "documents"),
+    "domain_mix_sample": _bind(curation.domain_mix_sample, "documents"),
+    "quantize_embeddings_int8": _bind(curation.quantize_embeddings,
+                                      "embeddings"),
 }
 
 # Portable corpus CTE shared by the dedup oracles (mirrors
@@ -607,5 +615,123 @@ ORACLE = {
           CAST(len(regexp_extract_all(text, '{packing.IP_RE}'))
              AS BIGINT) AS n_ips
         FROM corpus
+    """,
+    # 4-gram shingle overlap vs the doc_id % 13 == 0 "benchmark" slice
+    # (datapipe/curation.py decontaminate) — shingles as 16-hex md5 slices
+    "decontaminate_benchmark": """
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct([
+                   substr(md5(array_to_string(l[i:i+3], ' ')), 1, 16)
+                   for i in range(1, greatest(len(l) - 3, 1) + 1)
+                 ])) AS shingle
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+                FROM documents) t
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0)
+        SELECT s.doc_id AS doc_id,
+               count(DISTINCT s.shingle) AS n_hits
+        FROM sh s JOIN bench b USING (shingle)
+        WHERE s.doc_id % 13 <> 0
+        GROUP BY s.doc_id
+    """,
+    # Gopher-style repetition stats (curation.repetition_filters): dup
+    # token fraction + most-frequent-2-gram share, smallest gram on ties
+    "text_repetition_filters": """
+        WITH base AS (
+          SELECT doc_id, l, len(l) AS n_tokens,
+                 len(list_distinct(l)) AS n_distinct
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+                FROM documents) t
+        ),
+        counted AS (
+          SELECT doc_id, n_tokens, n_distinct, gram, count(*) AS cnt
+          FROM (
+            SELECT doc_id, n_tokens, n_distinct,
+                   unnest([concat_ws(' ', l[i], l[i+1])
+                           for i in range(1, greatest(len(l) - 1, 1) + 1)])
+                     AS gram
+            FROM base) g
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               round(1.0 - n_distinct / n_tokens, 6) AS dup_token_frac,
+               gram AS top_gram, cnt AS top_gram_count,
+               round(cnt / CAST(n_tokens - 1 AS DOUBLE), 6)
+                 AS top_gram_frac
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+              FROM counted) r
+        WHERE rn = 1
+    """,
+    # per-doc top-3 TF-IDF terms (curation.tfidf_topk), ln-idf, ties by
+    # term; ordering uses the ROUNDED score in both engines
+    "tfidf_topk_terms": """
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                FROM documents) t
+          GROUP BY 1, 2
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+               FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+                 round(tf * ln((SELECT n FROM nd) / df), 6) AS tfidf
+          FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored) w
+        WHERE rank <= 3
+    """,
+    # deterministic per-language mixture sampling
+    # (curation.domain_mix_sample): md5-prefix hex-string threshold per
+    # MIX_RATES — same comparison idiom as train_test_split_hash
+    "domain_mix_sample": """
+        SELECT doc_id, lang, source, hash_prefix, keep_threshold
+        FROM (
+          SELECT doc_id, lang, source,
+                 substr(md5(concat_ws(':', doc_id, text)), 1, 8)
+                   AS hash_prefix,
+                 CASE lang WHEN 'de' THEN '80000000'
+                           WHEN 'en' THEN 'ffffffff'
+                           WHEN 'es' THEN '40000000'
+                           WHEN 'fr' THEN '80000000'
+                           WHEN 'zh' THEN '40000000'
+                           ELSE 'ffffffff' END AS keep_threshold
+          FROM documents) s
+        WHERE hash_prefix < keep_threshold
+    """,
+    # per-vector int8 scalar quantization (curation.quantize_embeddings):
+    # same double-precision expression order as the Spark side, codes
+    # checksummed as an md5 of the comma-joined ints
+    "quantize_embeddings_int8": """
+        WITH p AS (
+          SELECT vec_id, v,
+                 list_aggregate(v, 'min') AS lo,
+                 list_aggregate(v, 'max') AS hi,
+                 (list_aggregate(v, 'max') - list_aggregate(v, 'min'))
+                   / 255.0 AS scale
+          FROM (SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings) e
+        ),
+        q AS (
+          SELECT vec_id, v, lo, hi, scale,
+                 [CAST(floor((x - lo) / scale + 0.5) AS INT) for x in v]
+                   AS qc
+          FROM p
+        )
+        SELECT vec_id,
+               round(lo, 6) AS q_min,
+               round(hi, 6) AS q_max,
+               md5(array_to_string(qc, ',')) AS q_checksum,
+               round(list_aggregate(
+                 [abs(v[i] - (lo + qc[i] * scale))
+                  for i in range(1, len(v) + 1)], 'max'), 6) AS max_abs_err
+        FROM q
     """,
 }

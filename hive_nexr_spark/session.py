@@ -77,8 +77,16 @@ def get_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # the warehouse defaults to a PER-PROCESS dir for the same reason
+        # as the Derby home below: two concurrent runs (e.g. a sweep and a
+        # verify) sharing one warehouse race on managed-table rewrites —
+        # one process re-creates `src` while the other's scan still holds
+        # the old file list. Set SPARK_GRAFT_WAREHOUSE to a fixed path
+        # when cross-process table sharing is wanted (one writer at a
+        # time).
         .config("spark.sql.warehouse.dir", os.environ.get(
-            "SPARK_GRAFT_WAREHOUSE", "/tmp/hive_nexr_spark_warehouse"))
+            "SPARK_GRAFT_WAREHOUSE",
+            f"/tmp/hive_nexr_spark_warehouse_{os.getpid()}"))
         # embedded Derby is single-process, so the metastore home defaults
         # to a PER-PROCESS dir: a CLI/server/bench running alongside a
         # sweep would otherwise die on the Derby db.lck. Set

@@ -217,3 +217,95 @@ def test_pii_redact_scrubs_planted_pii(dfs):
         assert r.n_redactions == want, r.doc_id
         if r.doc_id % 5 == 0:
             assert "<EMAIL>" in r.text
+
+
+def test_decontaminate_excludes_benchmark_and_flags_overlap(dfs):
+    from hive_nexr_spark.datapipe import curation
+
+    rows = curation.decontaminate(dfs["documents"]).collect()
+    assert rows, "sf0.001+ corpora always have some 4-gram collisions"
+    assert all(r.doc_id % 13 != 0 for r in rows), "benchmark docs leaked out"
+    assert all(r.n_hits >= 1 for r in rows)
+    # a benchmark doc's exact copy in the training slice must be flagged:
+    # plant one by unioning a shifted copy of a benchmark doc
+    docs = dfs["documents"]
+    bench_copy = (docs.filter((F.col("doc_id") % 13 == 0))
+                  .limit(1)
+                  .select((F.col("doc_id") + 1000001).alias("doc_id"), "text",
+                          "lang", "source", "n_chars"))
+    planted = curation.decontaminate(docs.unionByName(bench_copy)).collect()
+    assert any(r.doc_id >= 1000001 for r in planted), "planted copy missed"
+
+
+def test_repetition_filters_on_planted_repetitive_doc(dfs):
+    from hive_nexr_spark.datapipe import curation
+
+    spark = dfs["documents"].sparkSession
+    tiny = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"), (2, "all words here differ now")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in curation.repetition_filters(tiny).collect()}
+    r1 = got[1]
+    assert r1.n_tokens == 5
+    assert r1.top_gram == "spam spam" and r1.top_gram_count == 3
+    assert abs(r1.dup_token_frac - 0.6) < 1e-9  # 1 - 2/5
+    assert abs(r1.top_gram_frac - 0.75) < 1e-9  # 3 / 4 slots
+    r2 = got[2]
+    assert r2.top_gram_count == 1 and r2.dup_token_frac == 0.0
+    # ties broken by lexicographically smallest gram
+    assert r2.top_gram == "all words"
+
+
+def test_tfidf_topk_invariants(dfs):
+    from hive_nexr_spark.datapipe import curation
+
+    rows = curation.tfidf_topk(dfs["documents"]).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_docs = dfs["documents"].count()
+    assert len(by_doc) == n_docs
+    for doc, rs in by_doc.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        scores = [x.tfidf for x in sorted(rs, key=lambda x: x.rank)]
+        assert scores == sorted(scores, reverse=True)
+        # a term present in EVERY document has idf ln(1)=0 — never top
+        # ranked above any positive-score term
+        for x in rs:
+            if x.df == n_docs:
+                assert x.tfidf == 0.0
+
+
+def test_domain_mix_sample_rates_and_determinism(dfs):
+    from hive_nexr_spark.datapipe import curation
+
+    docs = dfs["documents"]
+    kept = curation.domain_mix_sample(docs).collect()
+    assert all(r.hash_prefix < r.keep_threshold for r in kept)
+    totals = {r["lang"]: r["cnt"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    kept_by_lang: dict = {}
+    for r in kept:
+        kept_by_lang[r.lang] = kept_by_lang.get(r.lang, 0) + 1
+    # en rate 1.0 → keeps everything (minus the 2^-32 'ffffffff' corner)
+    assert kept_by_lang.get("en", 0) == totals.get("en", 0)
+    # zh rate 0.25 → wide slack on a small corpus, but far below 1.0
+    if totals.get("zh", 0) >= 20:
+        frac = kept_by_lang.get("zh", 0) / totals["zh"]
+        assert 0.05 < frac < 0.55, frac
+    again = curation.domain_mix_sample(docs).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in kept}
+
+
+def test_quantize_embeddings_error_bound(dfs):
+    from hive_nexr_spark.datapipe import curation
+
+    rows = curation.quantize_embeddings(dfs["embeddings"]).collect()
+    assert len(rows) == dfs["embeddings"].count()
+    for r in rows:
+        assert r.q_min <= r.q_max
+        half_step = (r.q_max - r.q_min) / 255.0 / 2.0
+        # rounding-to-nearest: reconstruction error ≤ half a code step
+        assert r.max_abs_err <= half_step + 1e-6, (r.vec_id, r.max_abs_err)
+        assert len(r.q_checksum) == 32

@@ -198,3 +198,35 @@ def test_corpus_pipeline_single_exchange_no_text(dfs):
     detail = plan.split(f"({ex_nodes[0]}) Exchange")[-1]
     head = detail.splitlines()[:4]
     assert not any("text#" in ln for ln in head), head
+
+
+def test_decontaminate_broadcasts_benchmark_side(dfs):
+    """The benchmark shingle set must be BROADCAST (eval suites are tiny
+    next to a 100 TB corpus) — a shuffled join here would move the full
+    corpus shingle stream a second time."""
+    from hive_nexr_spark.datapipe.curation import decontaminate
+
+    plan = _plan(decontaminate(dfs["documents"]))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mix_sample_has_no_shuffle(dfs):
+    """The mixture sample is a deterministic projection + filter: any
+    Exchange in this plan is a regression (at 100 TB it would shuffle the
+    whole corpus to make a per-row decision)."""
+    from hive_nexr_spark.datapipe.curation import domain_mix_sample
+
+    plan = _plan(domain_mix_sample(dfs["documents"]))
+    assert "Exchange" not in plan
+
+
+def test_tfidf_broadcasts_df_table_and_combines_map_side(dfs):
+    """The document-frequency table is vocabulary-sized and must be
+    broadcast back onto the term stream; both corpus-sized aggregations
+    must have map-side partial combine."""
+    from hive_nexr_spark.datapipe.curation import tfidf_topk
+
+    plan = _formatted(tfidf_topk(dfs["documents"]))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
