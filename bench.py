@@ -42,6 +42,15 @@ HEADLINE = [
     # headline class not otherwise covered); same-set round-over-round
     # comparisons use the intersection of query keys
     "pack_sequences",
+    # added round 5 (curation family): decontamination's broadcast shingle
+    # join, TF-IDF's two corpus aggregations, the repetition filters'
+    # 2-gram explode, the shuffle-free mixture sample, and the
+    # higher-order-function quantization projection
+    "decontaminate_benchmark",
+    "tfidf_topk_terms",
+    "text_repetition_filters",
+    "domain_mix_sample",
+    "quantize_embeddings_int8",
 ]
 
 
