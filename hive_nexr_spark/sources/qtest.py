@@ -555,6 +555,36 @@ def _scan_field_seps(text: str) -> dict[str, tuple[str, str | None]]:
     return seps
 
 
+def _load_symlink_manifest(spark: SparkSession, tbl: str, manifest: str,
+                           ref_root: str) -> None:
+    """SymlinkTextInputFormat semantics (`ql/io/SymlinkTextInputFormat
+    .java:154` getSplits → `:175` reads each "symlink" file in the table
+    dir, treating EVERY LINE as a target path whose content is the actual
+    data): the qfile `dfs -cp`s a manifest into the table location, so
+    copying ≡ appending the targets' text content to the table. Paths are
+    resolved against ql/ (QTestUtil's user.dir) and confined to the
+    reference tree — the corpus is untrusted input."""
+
+    def resolve(p: str) -> str:
+        p = p.strip().removeprefix("file:")
+        full = p if os.path.isabs(p) else os.path.normpath(
+            os.path.join(ref_root, "ql", p))
+        if not full.startswith(ref_root.rstrip("/") + "/"):
+            raise ValueError(f"symlink path escapes reference tree: {p}")
+        return full
+
+    with open(resolve(manifest)) as fh:
+        targets = [resolve(ln) for ln in fh if ln.strip()]
+    schema = spark.table(tbl).schema
+    fields = F.split(F.col("value"), "\x01", -1)
+    df = spark.read.text(targets).select(*[
+        F.when(F.size(fields) >= i + 1, F.element_at(fields, i + 1))
+        .cast(f.dataType).alias(f.name)
+        for i, f in enumerate(schema.fields)
+    ])
+    df.write.insertInto(tbl, overwrite=False)
+
+
 def _emulate_load_data(spark: SparkSession, m: re.Match,
                        prefix: str = "",
                        field_seps: dict[str, tuple[str, str | None]]
@@ -1601,6 +1631,12 @@ def run_qfile(spark: SparkSession, qfile: str,
             "split(s, re, -1), (v, i) -> IF(v != '', i+1, 0))), 0))")
     fixture_names = {"src", "src1", "srcpart", "src_thrift",
                      *SRCBUCKET_TABLES}
+    # tables created STORED AS INPUTFORMAT SymlinkTextInputFormat
+    # (`ql/io/SymlinkTextInputFormat.java`): their data files are
+    # SYMLINK MANIFESTS — each line is a target path whose CONTENT is
+    # the table's data. Populated when the CREATE runs; consumed by the
+    # `dfs -cp` branch below.
+    symlink_tables: set[str] = set()
     last_select: DataFrame | None = None
     last_df: DataFrame | None = None
     def freeze(df: DataFrame | None) -> DataFrame | None:
@@ -1715,13 +1751,29 @@ def run_qfile(spark: SparkSession, qfile: str,
                 ]
                 stmt = vm.group(1) + ", ".join(new_items) + vm.group(3)
             upper = stmt.upper()
+            if re.search(r"INPUTFORMAT\s+['\"]org\.apache\.hadoop\.hive"
+                         r"\.ql\.io\.SymlinkTextInputFormat['\"]",
+                         stmt, re.IGNORECASE):
+                cm = _CREATE_NAME.search(stmt)
+                if cm:
+                    symlink_tables.add(cm.group("name").lower())
             if upper.startswith("DFS ") or stmt.startswith("!"):
                 # filesystem / shell escapes (CliDriver executes these
-                # verbatim). The one with OBSERVABLE query semantics is
-                # `!rm -rf <dir>` deleting data an external/located table
-                # reads (the exim_11..20 goldens select 0 rows after it);
-                # emulate it sandboxed to the scratch root. Everything
-                # else stays skipped — untrusted corpus.
+                # verbatim). The observable ones are emulated: `!rm -rf`
+                # deleting data an external/located table reads (the
+                # exim_11..20 goldens select 0 rows after it), sandboxed
+                # to the scratch root, and `dfs -cp <manifest> <symlink
+                # table dir>` (symlink_text_input_format.q), which under
+                # SymlinkTextInputFormat semantics APPENDS the manifest's
+                # target files' content to the table. Everything else
+                # stays skipped — untrusted corpus.
+                m = re.match(r"(?i)dfs\s+-cp\s+(\S+)\s+(\S+)\s*$", stmt)
+                if m and "/warehouse/" in m.group(2):
+                    tbl = m.group(2).split("/warehouse/")[-1].split("/")[0]
+                    if tbl.lower() in symlink_tables:
+                        _load_symlink_manifest(
+                            spark, tbl, m.group(1), ref_root)
+                    continue
                 m = re.match(r"!\s*rm\s+(?:-\w+\s+)+(\S+)\s*$", stmt)
                 if m:
                     same = last_df is last_select
