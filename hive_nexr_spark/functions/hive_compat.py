@@ -230,6 +230,16 @@ def _py_hive_hash(*args) -> int:
     def h1(v) -> int:
         if v is None:
             return 0
+        if hasattr(v, "__fields__") and tuple(v.__fields__) == ("__f",):
+            # declared-FLOAT marker (the qfile runner wraps CAST(x AS
+            # FLOAT) hash args): Float.floatToIntBits, not the double
+            # fold (`ObjectInspectorUtils.hashCode` FLOAT branch)
+            import struct
+
+            if v[0] is None:
+                return 0
+            (bits,) = struct.unpack(">i", struct.pack(">f", v[0]))
+            return bits
         if isinstance(v, bool):
             return 1 if v else 0
         if isinstance(v, int):

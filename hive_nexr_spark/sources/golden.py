@@ -367,7 +367,29 @@ def rows_equal(df_rows, golden_lines: list[str],
     their_lines = sorted(
         "\t".join(_canon_field(f) for f in ln.split("\t"))
         for ln in golden_lines)
-    return our_lines == their_lines
+    if our_lines == their_lines:
+        return True
+    # a string value containing literal NEWLINES prints as multiple CLI
+    # display lines, which the golden records as separate "rows"
+    # (query_result_fileformat.q; the MR path additionally re-parses
+    # them as rows with NULL-padded trailing columns) — compare in
+    # display-line space with trailing NULL padding stripped
+    if not any(isinstance(v, str) and "\n" in v
+               for r in df_rows for v in r):
+        return False
+
+    def strip_pad(line: str) -> str:
+        return re.sub(r"(\tNULL)+$", "", line)
+
+    our_display = sorted(
+        strip_pad("\t".join(_canon_field(p) for p in dl.split("\t")))
+        for r in df_rows
+        for dl in "\t".join("NULL" if v is None else str(v)
+                            for v in r).split("\n"))
+    their_display = sorted(
+        strip_pad("\t".join(_canon_field(f) for f in ln.split("\t")))
+        for ln in golden_lines)
+    return our_display == their_display
 
 
 def diff_file(captured, golden_path: str) -> dict:

@@ -640,6 +640,57 @@ def make_testmode_src_view(spark: SparkSession, freq: int) -> str:
     return name
 
 
+def _jsonize_transform_args(spark: SparkSession, stmt: str) -> str:
+    """Hive serializes COMPLEX-typed TRANSFORM inputs to the script as
+    JSON (`serde2/SerDeUtils.buildJSONString` via LazySimpleSerDe's
+    script serialization — input5.q's golden shows '[0,0,0]' and
+    '[{"myint":0,...}]' from /bin/cat), while Spark's script transform
+    writes its own nested-delimiter form. Wrap each complex-typed arg in
+    to_json(), resolving types with a LIMIT-0 schema probe against the
+    statement's FROM relation."""
+    m = re.search(r"(?i)TRANSFORM\s*\(", stmt)
+    fm = re.search(r"(?i)\bFROM\s+(\w+)", stmt)
+    if not m or not fm:
+        return stmt
+    j = m.end()
+    depth = 1
+    args: list[str] = []
+    buf: list[str] = []
+    while j < len(stmt) and depth:
+        ch = stmt[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        if ch == "," and depth == 1:
+            args.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        j += 1
+    args.append("".join(buf))
+    new_args: list[str] = []
+    changed = False
+    for a in args:
+        try:
+            t = spark.sql(
+                f"SELECT {a} FROM {fm.group(1)} LIMIT 0"
+            ).schema[0].dataType.typeName()
+        except Exception:
+            t = ""
+        if t in ("array", "map", "struct"):
+            new_args.append(f"to_json({a.strip()})")
+            changed = True
+        else:
+            new_args.append(a)
+    if not changed:
+        return stmt
+    return stmt[:m.end()] + ", ".join(x.strip() for x in new_args) \
+        + stmt[j:]
+
+
 def _apply_test_mode(spark: SparkSession, stmt: str, qprefix: str) -> str:
     """`hive.test.mode=true` semantics (`parse/SemanticAnalyzer.java:6314`):
     INSERT destinations gain `hive.test.mode.prefix`, and source tables
@@ -730,6 +781,15 @@ def _scan_field_seps(text: str) -> dict[str, tuple[str, str | None]]:
                 r"'([^']*)'", body, re.IGNORECASE)
             seps[name] = (_unescape_delim(pm.group(1)) if pm else "\x02",
                           None, {})
+        elif re.search(r"TCTLSeparatedProtocol", body):
+            # DynamicSerDe + TCTLSeparatedProtocol (input19.q apache log):
+            # space-delimited with "..."/[...] quote groups and a custom
+            # null marker — parsed in Python by _emulate_load_data
+            fdm = re.search(r"'field\.delim'\s*=\s*'([^']*)'", body)
+            nfm = re.search(r"'serialization\.null\.format'\s*=\s*'([^']*)'",
+                            body)
+            seps[name] = (fdm.group(1) if fdm else " ", None,
+                          {"__tctl_null__": nfm.group(1) if nfm else "\\N"})
     return seps
 
 
@@ -861,6 +921,45 @@ def _emulate_load_data(spark: SparkSession, m: re.Match,
     cols = [f for f in schema.fields if f.name not in part]
     sep, esc, delims = (field_seps or {}).get(
         tbl.lower(), ("\x01", None, {}))
+
+    if "__tctl_null__" in delims:
+        # TCTLSeparatedProtocol (`serde2/thrift/TCTLSeparatedProtocol
+        # .java` quote handling): delimiter-split with "..." and [...]
+        # treated as single quoted fields, quotes stripped, custom null
+        nullfmt = delims["__tctl_null__"]
+
+        def parse_line(line: str) -> list:
+            fields: list[str | None] = []
+            i, n = 0, len(line)
+            while i < n:
+                if line[i] in '"[':
+                    close = '"' if line[i] == '"' else "]"
+                    j = line.find(close, i + 1)
+                    j = n if j < 0 else j
+                    fields.append(line[i + 1:j])
+                    i = j + 1
+                    if i < n and line[i:i + len(sep)] == sep:
+                        i += len(sep)
+                else:
+                    j = line.find(sep, i)
+                    j = n if j < 0 else j
+                    fields.append(line[i:j])
+                    i = j + len(sep)
+            return [None if f == nullfmt else f for f in fields]
+
+        with open(path) as fh:
+            data = [parse_line(ln) for ln in fh.read().splitlines()]
+        width = len(cols)
+        data = [(r + [None] * width)[:width] for r in data]
+        raw = spark.createDataFrame(
+            data, ", ".join(f"{f.name} string" for f in cols))
+        df = raw.select(*[
+            F.col(f.name).cast(f.dataType).alias(f.name) for f in cols])
+        for k, v in part.items():
+            df = df.withColumn(k, F.lit(v))
+        df.select(*[f.name for f in schema.fields]).write.insertInto(
+            tbl, overwrite=bool(m.group("ow")))
+        return
 
     def nullmark(c):
         # LazySimpleSerDe writes NULL as the two-byte marker \N
@@ -1667,6 +1766,10 @@ def run_qfile(spark: SparkSession, qfile: str,
                   lambda m: m.group(1) + m.group(2).replace("\\", "\\\\\\\\")
                   + m.group(3),
                   text, flags=re.IGNORECASE)
+    text = re.sub(r'(USING\s+")([^"]*\\[^"]*)(")',
+                  lambda m: m.group(1) + m.group(2).replace("\\", "\\\\\\\\")
+                  + m.group(3),
+                  text, flags=re.IGNORECASE)
     # `set k=v` lines WITHOUT a terminating ';' (udaf_percentile_approx.q
     # et al — Hive's SetProcessor is line-oriented, so its corpus gets
     # away with it); terminate them so the ';' split can't glue the set
@@ -1764,6 +1867,21 @@ def run_qfile(spark: SparkSession, qfile: str,
     text = re.sub(r"\blog\s*\(", "hive_log(", text, flags=re.IGNORECASE)
     # Hive sqrt (`udf/UDFSqrt.java`): negative input → NULL, not NaN
     text = re.sub(r"\bsqrt\s*\(", "hive_sqrt(", text, flags=re.IGNORECASE)
+    # Hive hour/minute/second (`udf/UDFHour.java` etc.) parse strings
+    # with "yyyy-MM-dd HH:mm:ss" then "HH:mm:ss" patterns and return
+    # NULL otherwise — a date-only string has no time part (udf_hour.q:
+    # hour('2009-08-07') = NULL, where Spark's date widening gives 0)
+    text = re.sub(r"\b(hour|minute|second)\s*\(", r"hive_\1(", text,
+                  flags=re.IGNORECASE)
+    # float-typed hash args must use Float.floatToIntBits, not the
+    # double fold (`ObjectInspectorUtils.hashCode` FLOAT branch;
+    # udf_hash.q) — a registered UDF sees only the VALUE, so smuggle the
+    # declared type through a single-field struct marker
+    if re.search(r"\bhive_hash\s*\(", text):
+        text = re.sub(
+            r"(?i)\bCAST\s*\(\s*([^()]+?)\s+AS\s+FLOAT\s*\)",
+            r"named_struct('__f', CAST(\1 AS FLOAT))",
+            text)
     # Hive numeric-narrowing casts are Java primitive casts — the value
     # WRAPS modulo 2^8/2^16 (`udf/UDFToByte.java` (byte) cast;
     # timestamp_1.q pins cast(ts AS TINYINT) = 77) — where Spark's
@@ -1921,6 +2039,19 @@ def run_qfile(spark: SparkSession, qfile: str,
             "CREATE OR REPLACE TEMPORARY FUNCTION hive_sqrt(x DOUBLE) "
             "RETURNS DOUBLE RETURN CASE WHEN x < 0 THEN "
             "CAST(NULL AS DOUBLE) ELSE sqrt(x) END")
+    for fn, builtin in (("hive_hour", "hour"), ("hive_minute", "minute"),
+                        ("hive_second", "second")):
+        if re.search(rf"\b{fn}\s*\(", text):
+            # `udf/UDFHour.java` family: a full timestamp-ish string or a
+            # bare HH:mm:ss parses; a date-only string → NULL
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {fn}(s STRING) "
+                "RETURNS INT RETURN CASE "
+                "WHEN s RLIKE '^\\\\d{1,2}:\\\\d{2}:\\\\d{2}' THEN "
+                f"{builtin}(CAST(concat('1970-01-01 ', s) AS TIMESTAMP)) "
+                "WHEN s RLIKE '\\\\d{2}:\\\\d{2}:\\\\d{2}' THEN "
+                f"{builtin}(CAST(s AS TIMESTAMP)) "
+                "ELSE CAST(NULL AS INT) END")
     fixture_names = {"src", "src1", "srcpart", "src_thrift",
                      *SRCBUCKET_TABLES}
     # tables created STORED AS INPUTFORMAT SymlinkTextInputFormat
@@ -2028,6 +2159,8 @@ def run_qfile(spark: SparkSession, qfile: str,
                 stmt = _rewrite_ngrams_stmt(stmt)
             if re.search(r"\brand\(\s*\d+\s*\)", stmt):
                 stmt = _rewrite_seeded_rand(spark, stmt)
+            if re.search(r"(?i)\bTRANSFORM\s*\(", stmt):
+                stmt = _jsonize_transform_args(spark, stmt)
             # TABLESAMPLE(n PERCENT) samples input SPLITS with a one-split
             # minimum (`parse/SplitSample.java`, CombineHiveInputFormat
             # sampling); every qfile fixture is a single small file = one
@@ -2224,6 +2357,19 @@ def run_qfile(spark: SparkSession, qfile: str,
                         + f"GROUP BY {gl.group('cols')} "
                         + f"ORDER BY {gl.group('cols')} "
                         + f"LIMIT {gl.group('n')}")
+            # SELECT DISTINCT col ... LIMIT runs as the same MR
+            # key-sorted reduce (global_limit.q golden: smallest keys)
+            dl = re.match(
+                r"SELECT\s+DISTINCT\s+(?P<cols>[\w.,\s]+?)\s+FROM\s+"
+                r"(?P<rest>[^;]+?)\s+LIMIT\s+(?P<n>\d+)\s*$",
+                stmt, re.IGNORECASE | re.DOTALL)
+            if dl and not re.search(
+                    r"\b(ORDER|SORT|CLUSTER|DISTRIBUTE)\s+BY\b"
+                    r"|\bUNION\b|\bJOIN\b",
+                    stmt, re.IGNORECASE):
+                stmt = (f"SELECT DISTINCT {dl.group('cols')} FROM "
+                        f"{dl.group('rest')} ORDER BY {dl.group('cols')} "
+                        f"LIMIT {dl.group('n')}")
             upper = stmt.upper()
             # plain INSERT-copy into an RCFILE table from a text-backed
             # source: track the lineage so an index REBUILD can emit the
@@ -2394,7 +2540,26 @@ def run_qfile(spark: SparkSession, qfile: str,
                 last_select = df
                 if capture is not None and not uncapturable:
                     last_select = freeze(df)
-                    capture.append(last_select)
+                    if (spark.conf.get("hive.cli.print.header", "false")
+                            .lower() == "true"):
+                        # CliDriver prints a header line before the rows
+                        # (print_header.q golden records it as a row)
+                        # Hive auto-names unaliased expressions _c<N>
+                        # (`SemanticAnalyzer` genSelectPlan); Spark uses
+                        # the expression text — fold those to Hive's form
+                        names = tuple(
+                            c if re.fullmatch(r"\w+", c) else f"_c{i}"
+                            for i, c in enumerate(last_select.columns))
+                        hdr = spark.createDataFrame(
+                            [names],
+                            ", ".join(f"c{i} string" for i in range(
+                                len(names))))
+                        body = last_select.select(*[
+                            F.col(c).cast("string").alias(f"c{i}")
+                            for i, c in enumerate(last_select.columns)])
+                        capture.append(freeze(hdr.unionAll(body)))
+                    else:
+                        capture.append(last_select)
     finally:
         for k, prev in saved.items():
             try:
