@@ -46,16 +46,33 @@ def parse_qout(path: str) -> list[tuple[str, list[str]]]:
     query_lines: list[str] = []
     rows: list[str] = []
     state = None  # None | "query" | "postquery" | "rows"
+    has_pre = False  # current entry opened by a PREHOOK line
+    mirror_seen = False  # current entry's POSTHOOK mirror already passed
     with open(path, errors="replace") as fh:
         for raw in fh:
             line = raw.rstrip("\n")
+            opener = None
             if line.startswith("PREHOOK: query:"):
+                opener = "PREHOOK: query:"
+            elif line.startswith("POSTHOOK: query:") and (
+                    state is None
+                    or (state == "rows"
+                        and (rows or not has_pre or mirror_seen))):
+                # with a custom pre-hook (no_hooks.q, hook_context_cs.q)
+                # the PREHOOK printer is off — a POSTHOOK line that
+                # cannot be the current entry's mirror (data already
+                # seen, no PREHOOK opened it, or the mirror has already
+                # passed) OPENS a statement
+                opener = "POSTHOOK: query:"
+            if opener:
                 if state is not None:
                     entries.append((" ".join(query_lines), rows))
-                first = line[len("PREHOOK: query:"):].strip()
+                first = line[len(opener):].strip()
                 query_lines = [] if first.startswith("--") else [first]
                 rows = []
                 state = "query"
+                has_pre = opener.startswith("PREHOOK")
+                mirror_seen = False
             elif state == "query":
                 # query text runs until the PREHOOK: type: line; `--`
                 # comment lines inside it (qfiles often open a statement
@@ -75,6 +92,7 @@ def parse_qout(path: str) -> list[tuple[str, list[str]]]:
             elif state == "rows":
                 if line.startswith("POSTHOOK: query:"):
                     state = "postquery"
+                    mirror_seen = True
                 elif line.startswith(("PREHOOK:", "POSTHOOK:")):
                     continue  # metadata (Input/Output/Lineage/type)
                 else:
@@ -402,6 +420,18 @@ def diff_file(captured, golden_path: str) -> dict:
     sel = golden_selects(parse_qout(golden_path))
     if not sel and not captured:
         return {"status": "no_selects", "selects": 0}
+    if len(captured) > len(sel):
+        # a SELECT with BOTH CLI printers hook-disabled AND an empty
+        # result leaves no trace in the golden at all
+        # (hook_context_cs.q's second select) — drop trailing empty
+        # frames to realign
+        captured = list(captured)
+        while len(captured) > len(sel) and any(
+                not df.take(1) for df in captured):
+            for i in range(len(captured) - 1, -1, -1):
+                if not captured[i].take(1):
+                    del captured[i]
+                    break
     if len(sel) != len(captured):
         return {"status": "select_count_mismatch",
                 "golden_selects": len(sel), "captured": len(captured)}

@@ -325,7 +325,7 @@ _CREATE_NAME = re.compile(
     r"(?P<qual>\w+\.)?(?P<name>\w+)",
     re.IGNORECASE)
 _SET_CMD = re.compile(r"^set\s+(?P<k>[\w.:]+)\s*=\s*(?P<v>.*)$",
-                      re.IGNORECASE)
+                      re.IGNORECASE | re.DOTALL)
 # INSERT OVERWRITE DIRECTORY '<path>' SELECT ... — the golden output is the
 # directory contents, i.e. exactly the SELECT's rows; rewrite to a plain
 # SELECT so the result is checkable without writing outside the repo.
@@ -1770,12 +1770,12 @@ def run_qfile(spark: SparkSession, qfile: str,
                   lambda m: m.group(1) + m.group(2).replace("\\", "\\\\\\\\")
                   + m.group(3),
                   text, flags=re.IGNORECASE)
-    # `set k=v` lines WITHOUT a terminating ';' (udaf_percentile_approx.q
-    # et al — Hive's SetProcessor is line-oriented, so its corpus gets
-    # away with it); terminate them so the ';' split can't glue the set
-    # onto the following SELECT
-    text = re.sub(r"(?mi)^(\s*set\s+[\w.:]+\s*=\s*[^;\n]*?)\s*$", r"\1;",
-                  text)
+    # `set k=v` lines WITHOUT a terminating ';' glue onto everything up
+    # to the next ';' — and the REFERENCE executed exactly that: one SET
+    # whose value swallows the following statement(s)
+    # (udaf_percentile_approx.q's golden records 11 of its 12 SELECTs —
+    # the first was eaten by `set hive.exec.reducers.max=4`). The glued
+    # fragment is matched as a multiline SET in the statement loop.
     # Hive charset string literals `_UTF-8 0x<hex>` (`Hive.g`
     # charSetStringLiteral, inputddl5.q/udf_reverse.q i18n tests): decode
     # the hex bytes in the declared charset to a plain string literal
@@ -2159,7 +2159,10 @@ def run_qfile(spark: SparkSession, qfile: str,
                 stmt = _rewrite_ngrams_stmt(stmt)
             if re.search(r"\brand\(\s*\d+\s*\)", stmt):
                 stmt = _rewrite_seeded_rand(spark, stmt)
-            if re.search(r"(?i)\bTRANSFORM\s*\(", stmt):
+            if re.search(r"(?i)\bSELECT\s+TRANSFORM\s*\(", stmt) \
+                    and re.search(r"(?i)\bUSING\b", stmt):
+                # SCRIPT transform only — `transform(arr, x -> ...)` the
+                # higher-order function must not match
                 stmt = _jsonize_transform_args(spark, stmt)
             # TABLESAMPLE(n PERCENT) samples input SPLITS with a one-split
             # minimum (`parse/SplitSample.java`, CombineHiveInputFormat
