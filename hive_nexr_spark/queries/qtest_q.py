@@ -344,11 +344,16 @@ ORACLE = {
     "qfile_groupby6": f"""{_W}
         SELECT DISTINCT substr(value, 5, 1) AS c1 FROM src
     """,
-    # INSERT OVERWRITE DIRECTORY result = the SELECT's rows; key 100 excluded
+    # union.q ends with `dfs -cat <dir>/*` over the INSERT OVERWRITE
+    # DIRECTORY sink — the runner replays the sink as raw ^A-joined text
+    # lines (LazySimpleSerDe file rendering), so the oracle mirrors that
+    # one-column shape; key 100 itself is excluded by both filters
     "qfile_union": f"""{_W}
-        SELECT key, value FROM src WHERE CAST(key AS DOUBLE) < 100
+        SELECT key || chr(1) || value AS line
+        FROM src WHERE CAST(key AS DOUBLE) < 100
         UNION ALL
-        SELECT key, value FROM src WHERE CAST(key AS DOUBLE) > 100
+        SELECT key || chr(1) || value AS line
+        FROM src WHERE CAST(key AS DOUBLE) > 100
     """,
     # TRANSFORM ... USING '/bin/cat' is an identity pipe; tkey < 100 is a
     # string-vs-int comparison → DOUBLE
