@@ -167,6 +167,14 @@ def _canon_field(s: str) -> str:
     200, 1.0E8 vs 1e+08), everything else verbatim."""
     if s == "NULL":
         return "NULL"
+    ts = re.fullmatch(
+        r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})\.(\d+)", s)
+    if ts:
+        # Hive renders timestamps with NANOsecond fractions; this engine
+        # (Spark) carries microseconds — truncate to 6 digits and strip
+        # trailing zeros so equal instants render identically
+        frac = ts.group(2)[:6].rstrip("0")
+        return ts.group(1) + (f".{frac}" if frac else "")
     if re.match(r"^(pfile|file|hdfs|s3[an]?):/", s):
         # filesystem URIs embed the generating host's absolute paths
         # (the index goldens carry pfile:/data/users/<user>/... from the

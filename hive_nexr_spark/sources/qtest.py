@@ -1873,6 +1873,19 @@ def run_qfile(spark: SparkSession, qfile: str,
     # hour('2009-08-07') = NULL, where Spark's date widening gives 0)
     text = re.sub(r"\b(hour|minute|second)\s*\(", r"hive_\1(", text,
                   flags=re.IGNORECASE)
+    # Hive 0.8's from/to_utc_timestamp DOUBLE-COUNT the millisecond part
+    # of the fraction (`udf/generic/GenericUDFFromUtcTimestamp.java`
+    # shifts Timestamp.getTime() — which includes millis — then restores
+    # the full nanos on top: timestamp_udf.q golden turns .1234567 into
+    # .2464567 = .1234567 + .123) — reproduce the bug for golden parity
+    text = re.sub(r"\b(from|to)_utc_timestamp\s*\(",
+                  r"hive_\1_utc_timestamp(", text, flags=re.IGNORECASE)
+    # 1-arg unix_timestamp over a fractional-seconds STRING: Hive's
+    # default parser accepts it (timestamp_udf.q golden = 1304690889);
+    # Spark's default format rejects the fraction — route through a
+    # timestamp cast (identity for timestamp inputs)
+    text = re.sub(r"(?i)\bunix_timestamp\s*\(\s*([^(),]+?)\s*\)",
+                  r"unix_timestamp(CAST(\1 AS TIMESTAMP))", text)
     # float-typed hash args must use Float.floatToIntBits, not the
     # double fold (`ObjectInspectorUtils.hashCode` FLOAT branch;
     # udf_hash.q) — a registered UDF sees only the VALUE, so smuggle the
@@ -2039,6 +2052,14 @@ def run_qfile(spark: SparkSession, qfile: str,
             "CREATE OR REPLACE TEMPORARY FUNCTION hive_sqrt(x DOUBLE) "
             "RETURNS DOUBLE RETURN CASE WHEN x < 0 THEN "
             "CAST(NULL AS DOUBLE) ELSE sqrt(x) END")
+    for d in ("from", "to"):
+        if re.search(rf"\bhive_{d}_utc_timestamp\s*\(", text):
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION "
+                f"hive_{d}_utc_timestamp(t TIMESTAMP, tz STRING) "
+                "RETURNS TIMESTAMP RETURN timestampadd(MICROSECOND, "
+                "CAST((unix_micros(t) % 1000000) DIV 1000 * 1000 AS INT), "
+                f"{d}_utc_timestamp(t, tz))")
     for fn, builtin in (("hive_hour", "hour"), ("hive_minute", "minute"),
                         ("hive_second", "second")):
         if re.search(rf"\b{fn}\s*\(", text):
@@ -2543,6 +2564,19 @@ def run_qfile(spark: SparkSession, qfile: str,
                 last_select = df
                 if capture is not None and not uncapturable:
                     last_select = freeze(df)
+                    if any(t in ("timestamp", "timestamp_ntz")
+                           for _, t in last_select.dtypes):
+                        # collect() converts timestamps with the PYTHON
+                        # process zone (UTC), but the golden was printed
+                        # in the SESSION zone (US-Pacific) — render
+                        # server-side so the wall clock matches
+                        cap_ts = last_select.select(*[
+                            F.col(c).cast("string").alias(c)
+                            if t in ("timestamp", "timestamp_ntz")
+                            else F.col(c)
+                            for c, t in last_select.dtypes])
+                        capture.append(freeze(cap_ts))
+                        continue
                     if (spark.conf.get("hive.cli.print.header", "false")
                             .lower() == "true"):
                         # CliDriver prints a header line before the rows
