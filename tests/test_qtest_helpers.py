@@ -64,3 +64,70 @@ def test_ngrams_rewrite_shapes():
     # non-matching statements pass through untouched
     passthrough = "SELECT ngrams FROM t WHERE x = 1"
     assert _rewrite_ngrams_stmt(passthrough) == passthrough
+
+
+def test_java_random_doubles_matches_jdk():
+    """First nextDouble() values of java.util.Random for known seeds
+    (JDK-documented LCG; seed 3's first double is the udf4.q golden)."""
+    from hive_nexr_spark.sources.qtest import _java_random_doubles
+
+    v3 = _java_random_doubles(3, 2)
+    assert abs(v3[0] - 0.731057369148862) < 1e-15
+    # sequence continues deterministically and stays in [0, 1)
+    v = _java_random_doubles(1, 1000)
+    assert all(0.0 <= x < 1.0 for x in v)
+    assert len(set(v)) == 1000
+
+
+def test_hive_struct_names_rewrite():
+    from hive_nexr_spark.sources.qtest import _hive_struct_names
+
+    out = _hive_struct_names(
+        "SELECT max(struct(CAST(key as INT), value)) FROM src")
+    assert ("named_struct('col1', CAST(key as INT), 'col2', value)"
+            in out)
+    # named_struct untouched; nested parens balanced
+    s2 = "SELECT named_struct('a', 1), struct(f(x, y), z) FROM t"
+    out2 = _hive_struct_names(s2)
+    assert "named_struct('a', 1)" in out2
+    assert "named_struct('col1', f(x, y), 'col2', z)" in out2
+
+
+def test_canon_timestamp_fraction_truncation():
+    from hive_nexr_spark.sources.golden import _canon_field
+
+    # Hive nanos vs Spark micros: equal instants canon identically
+    assert (_canon_field("2011-05-06 02:08:09.2464567")
+            == _canon_field("2011-05-06 02:08:09.246456"))
+    assert (_canon_field("2011-01-01 01:01:01.001000011")
+            == _canon_field("2011-01-01 01:01:01.001"))
+    # non-timestamp strings untouched
+    assert _canon_field("val_123") == "val_123"
+
+
+def test_split_dfs_cat_entries():
+    from hive_nexr_spark.sources.golden import parse_qout  # noqa: F401
+    from hive_nexr_spark.sources.golden import (_split_dfs_cat,
+                                                golden_selects)
+
+    entries = [
+        ("FROM src INSERT OVERWRITE DIRECTORY '/tmp/x' SELECT src.value",
+         ["v1", "v2"]),
+        ("SELECT dest3.* FROM dest3",
+         ["1\ta\tb", "2\tc\td", "line1", "line2"]),
+    ]
+    out = _split_dfs_cat(entries)
+    sel = golden_selects(out)
+    # IOD rows and the glued display lines become synthetic cat entries
+    assert ("dfs -cat", ["v1", "v2"]) in out
+    assert ("dfs -cat", ["line1", "line2"]) in out
+    assert ("SELECT dest3.* FROM dest3", ["1\ta\tb", "2\tc\td"]) in out
+    assert len(sel) == 3  # 2 cat entries + the select
+
+
+def test_canon_json_sorts_maps_and_arrays():
+    from hive_nexr_spark.sources.golden import _canon_field
+
+    assert (_canon_field('{"b":"2","c":"3","a":"1"}')
+            == _canon_field('{"a":"1","b":"2","c":"3"}'))
+    assert _canon_field('["b","a","c"]') == _canon_field('["a","b","c"]')
