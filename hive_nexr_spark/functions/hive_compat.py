@@ -147,9 +147,9 @@ def _make_ewah_bitmap_agg():
 
 def _py_field(*args) -> int:
     """field(x, a1, ...) → 1-based index of the first ai equal to x, 0 if
-    none; NULL never matches (`udf_field.q` golden behavior). Mixed-type
-    comparisons coerce to double, as Hive's common-comparison-type rule
-    does for string-vs-numeric pairs."""
+    none; NULL never matches, and STRING never equals a NUMBER — Hive's
+    GenericUDFField compares without string↔numeric coercion
+    (udf_field.q golden: field('86', 66, 88) = 0 on a string column)."""
     if not args or args[0] is None:
         return 0
     x = args[0]
@@ -159,10 +159,10 @@ def _py_field(*args) -> int:
             return False
         if type(a) is type(b):
             return a == b
-        try:
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+                and not isinstance(a, bool) and not isinstance(b, bool):
             return float(a) == float(b)
-        except (TypeError, ValueError):
-            return False
+        return False
 
     for i, a in enumerate(args[1:], 1):
         if eq(x, a):

@@ -1909,6 +1909,20 @@ def run_qfile(spark: SparkSession, qfile: str,
         r"CAST(pmod(CAST(\1 AS BIGINT) + 32768, 65536) - 32768 "
         r"AS SMALLINT)",
         text)
+    # Hive 0.8's sum() flips its `empty` flag BEFORE the numeric parse
+    # (`udf/generic/GenericUDAFSum.java` iterate catches the
+    # NumberFormatException after setting empty=false), so summing
+    # non-numeric strings yields 0, not NULL (udaf_number_format.q)
+    def _sum_nonnum(m: re.Match) -> str:
+        lit = m.group(1)
+        try:
+            float(lit)
+            return m.group(0)
+        except ValueError:
+            return (f"coalesce(sum(CAST('{lit}' AS DOUBLE)), "
+                    "CAST(0.0 AS DOUBLE))")
+
+    text = re.sub(r"(?i)\bsum\s*\(\s*'([^']*)'\s*\)", _sum_nonnum, text)
     # Hive covar_samp of a singleton group is 0, not NULL
     # (`udf/generic/GenericUDAFCovarianceSample.java:111` "the covariance
     # of a singleton set is always 0"); count((a)+(b)) counts exactly the
