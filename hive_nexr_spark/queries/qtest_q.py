@@ -143,6 +143,12 @@ QUERIES = {
     # tests/test_plans.py pins the pushdown itself)
     "qfile_ppd_gby": partial(_qfile, "ppd_gby.q"),
     "qfile_ppd_join": partial(_qfile, "ppd_join.q"),
+    # seeded rand() row pruning (Java-LCG per-mapper emulation) — oracle
+    # pinned to the reference's OWN golden row set
+    "qfile_rand_pruner1": partial(_qfile, "rand_partitionpruner1.q"),
+    # symlink manifest indirection (SymlinkTextInputFormat) — golden 16
+    "qfile_symlink_text": partial(
+        _qfile_named, "symlink_text_input_format.q", ["cnt"]),
     "qfile_udf_field": partial(
         _qfile_named, "udf_field.q",
         ["col1", "col2", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]),
@@ -602,6 +608,31 @@ ORACLE = {
           AND (src2.c3 > '50' OR src1.c1 < '50') AND src2.c3 <> '4'
     """,
 }
+
+def _golden_rows_oracle(qout: str, cols: list[str]) -> str:
+    """DuckDB oracle pinned VERBATIM to a reference golden transcript's
+    result rows — the strongest oracle form: the driver hash-checks our
+    engine against the reference's own 2011 output."""
+    import os
+
+    path = os.path.join(
+        "/root/reference/ql/src/test/results/clientpositive", qout)
+    rows = []
+    with open(path, errors="replace") as fh:
+        for ln in fh:
+            ln = ln.rstrip("\n")
+            if "\t" in ln and not ln.startswith(("PREHOOK", "POSTHOOK")):
+                vals = ln.split("\t")
+                rows.append("(" + ", ".join(
+                    "NULL" if v == "NULL" else "'" + v.replace("'", "''")
+                    + "'" for v in vals) + ")")
+    return (f"SELECT * FROM (VALUES {', '.join(rows)}) "
+            f"t({', '.join(cols)})")
+
+
+ORACLE["qfile_rand_pruner1"] = _golden_rows_oracle(
+    "rand_partitionpruner1.q.out", ["key", "value"])
+ORACLE["qfile_symlink_text"] = "SELECT CAST(16 AS BIGINT) AS cnt"
 
 # knob-variant files run the identical query as their base file, so they
 # share the base oracle verbatim
