@@ -330,9 +330,14 @@ _SET_CMD = re.compile(r"^set\s+(?P<k>[\w.:]+)\s*=\s*(?P<v>.*)$",
 # directory contents, i.e. exactly the SELECT's rows; rewrite to a plain
 # SELECT so the result is checkable without writing outside the repo.
 _INSERT_DIR = re.compile(
-    r"INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+'([^']*)'\s*",
+    r"INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+"
+    r"(?:'([^']*)'|\"([^\"]*)\")\s*",
     re.IGNORECASE,
 )
+
+
+def _insert_dir_path(m: re.Match) -> str:
+    return m.group(1) if m.group(1) is not None else m.group(2)
 _LOAD_DATA = re.compile(
     r"LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+(?P<q>['\"])(?P<path>.+?)(?P=q)\s+"
     r"(?P<ow>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<tbl>[\w.]+)"
@@ -563,6 +568,18 @@ def _rewrite_seeded_rand(spark: SparkSession, stmt: str) -> str:
     over any other source the only golden uses are single-row mappers
     (udf4.q's 1-row dest1), where rand(seed) IS the first Random value —
     inline it as a literal."""
+    # rand() under DISTRIBUTE/CLUSTER BY only spreads rows — its values
+    # are semantically invisible (mapreduce8.q) — keep the native rand
+    # there instead of threading the emulated column through a TRANSFORM
+    stmt = re.sub(
+        r"(?i)\b(DISTRIBUTE\s+BY|CLUSTER\s+BY)\s+rand\(\s*(\d+)\s*\)",
+        r"\1 __RANDDIST_\2__", stmt)
+
+    def _unmask(s: str) -> str:
+        return re.sub(r"__RANDDIST_(\d+)__", r"rand(\1)", s)
+
+    if not re.search(r"\brand\(\s*\d+\s*\)", stmt):
+        return _unmask(stmt)
     if re.search(r"(?i)\b(FROM|JOIN)\s+srcpart\b(?!\w)", stmt):
         # static partition pruning (ds/hr equality and LIKE predicates)
         # decides WHICH files one mapper scans — and therefore where in
@@ -610,7 +627,7 @@ def _rewrite_seeded_rand(spark: SparkSession, stmt: str) -> str:
             lambda m: "CAST(%r AS DOUBLE)" % _java_random_doubles(
                 int(m.group(1)), 1)[0],
             stmt)
-    return stmt
+    return _unmask(stmt)
 
 
 def make_testmode_src_view(spark: SparkSession, freq: int) -> str:
@@ -2467,7 +2484,7 @@ def run_qfile(spark: SparkSession, qfile: str,
                 # becomes a plain SELECT whose rows ARE the golden output
                 dm = _INSERT_DIR.search(stmt)
                 iod_pending[0] = os.path.basename(
-                    dm.group(1).rstrip("/"))
+                    _insert_dir_path(dm).rstrip("/"))
                 stmt = _INSERT_DIR.sub("", stmt, count=1)
                 upper = stmt.upper()
                 uncapturable = True  # golden records no CLI rows for it
@@ -2479,7 +2496,7 @@ def run_qfile(spark: SparkSession, qfile: str,
                     scratch = (f"/tmp/hive_nexr_spark_scratch/{prefix}"
                                f"dir{ndir[0]}")
                     iod_store[os.path.basename(
-                        _m.group(1).rstrip("/"))] = scratch
+                        _insert_dir_path(_m).rstrip("/"))] = scratch
                     return (f"INSERT OVERWRITE DIRECTORY '{scratch}' "
                             "USING parquet ")
 
