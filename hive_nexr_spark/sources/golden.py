@@ -426,6 +426,23 @@ def diff_file(captured, golden_path: str) -> dict:
     Returns a dict with `status` in {match, value_mismatch,
     select_count_mismatch, no_selects} plus detail for the sweep."""
     sel = golden_selects(parse_qout(golden_path))
+    qfile_path = golden_path.replace("/results/", "/queries/")
+    qfile_path = qfile_path[:-4] if qfile_path.endswith(".out") else ""
+    try:
+        import re as _re
+
+        with open(qfile_path, errors="replace") as fh:
+            has_bare_set = bool(_re.search(r"(?mi)^\s*set\s+[\w.:]+\s*;",
+                                           fh.read()))
+    except OSError:
+        has_bare_set = False
+    if has_bare_set:
+        # a bare `set key;` prints `key=value` with NO transcript block
+        # (set_processor_namespaces.q) — the echo line glues onto the
+        # previous result block; drop such lines from the golden side
+        sel = [(q, [r for r in rows
+                    if not _re.fullmatch(r"[\w.:]+=[^\t]*", r)])
+               for q, rows in sel]
     if not sel and not captured:
         return {"status": "no_selects", "selects": 0}
     if len(captured) > len(sel):

