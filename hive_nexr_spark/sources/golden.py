@@ -443,6 +443,12 @@ def diff_file(captured, golden_path: str) -> dict:
         sel = [(q, [r for r in rows
                     if not _re.fullmatch(r"[\w.:]+=[^\t]*", r)])
                for q, rows in sel]
+    # `dfs -rmr` prints "Deleted <path>" with no transcript block either
+    # (patterned_partition.q) — same gluing, same treatment
+    sel = [(q, [r for r in rows
+                if not r.startswith(("Deleted file:", "Deleted hdfs:",
+                                     "Deleted pfile:"))])
+           for q, rows in sel]
     if not sel and not captured:
         return {"status": "no_selects", "selects": 0}
     if len(captured) > len(sel):

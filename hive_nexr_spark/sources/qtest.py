@@ -725,6 +725,34 @@ def _jsonize_transform_args(spark: SparkSession, stmt: str) -> str:
         + stmt[j:]
 
 
+def _register_pattern_table(spark: SparkSession, pt: dict,
+                            name: str) -> None:
+    """(Re)build a patterned-location external table's view from the
+    files matching its glob under each ADDed partition."""
+    import glob as _glob
+
+    info = pt[name]
+    frames = []
+    for pval in info["parts"]:
+        pat = os.path.join(info["root"], f"{info['pcol']}={pval}",
+                           info["pattern"])
+        files = sorted(_glob.glob(pat, recursive=True))
+        if not files:
+            continue
+        df = (spark.read.option("sep", info["sep"])
+              .schema(info["schema"]).csv(files))
+        frames.append(df.withColumn(info["pcol"], F.lit(pval)))
+    if frames:
+        import functools
+
+        functools.reduce(DataFrame.unionAll,
+                         frames).createOrReplaceTempView(name)
+    else:
+        spark.createDataFrame(
+            [], info["schema"] + f", {info['pcol']} string"
+        ).createOrReplaceTempView(name)
+
+
 def _apply_test_mode(spark: SparkSession, stmt: str, qprefix: str) -> str:
     """`hive.test.mode=true` semantics (`parse/SemanticAnalyzer.java:6314`):
     INSERT destinations gain `hive.test.mode.prefix`, and source tables
@@ -1742,11 +1770,17 @@ def run_qfile(spark: SparkSession, qfile: str,
         names = [n.strip() for n in m.group(3).split(",")]
         outs = []
         for p, n in zip(parts, names):
-            if p.upper().startswith("QUERY:"):
+            # partnames are case-SENSITIVE (`GenericUDTFParseUrlTuple
+            # .java` matches the literal strings; udtf_parse_url_tuple.q
+            # golden: 'host'/'query' yield NULL)
+            if p.startswith("QUERY:"):
                 outs.append(
                     f"parse_url({url}, 'QUERY', '{p[6:]}') AS {n}")
+            elif p in ("HOST", "PATH", "QUERY", "REF", "PROTOCOL",
+                       "FILE", "AUTHORITY", "USERINFO"):
+                outs.append(f"parse_url({url}, '{p}') AS {n}")
             else:
-                outs.append(f"parse_url({url}, '{p.upper()}') AS {n}")
+                outs.append(f"CAST(NULL AS STRING) AS {n}")
         return ", ".join(outs)
 
     text = re.sub(
@@ -1764,10 +1798,13 @@ def run_qfile(spark: SparkSession, qfile: str,
             return m.group(0)
         exprs = []
         for p in parts:
-            if p.upper().startswith("QUERY:"):
+            if p.startswith("QUERY:"):
                 exprs.append(f"parse_url({url}, 'QUERY', '{p[6:]}')")
+            elif p in ("HOST", "PATH", "QUERY", "REF", "PROTOCOL",
+                       "FILE", "AUTHORITY", "USERINFO"):
+                exprs.append(f"parse_url({url}, '{p}')")
             else:
-                exprs.append(f"parse_url({url}, '{p.upper()}')")
+                exprs.append("CAST(NULL AS STRING)")
         return (f"inline(array(struct({', '.join(exprs)}))) "
                 f"{m.group(3)} AS {', '.join(names)}")
 
@@ -2159,6 +2196,13 @@ def run_qfile(spark: SparkSession, qfile: str,
     # the table's data. Populated when the CREATE runs; consumed by the
     # `dfs -cp` branch below.
     symlink_tables: set[str] = set()
+    # patterned-location external tables — a feature THIS fork adds
+    # (`exec/DDLTask.java:3329` splitPattern: location 'root{glob}'
+    # reads the files matching glob under each partition dir;
+    # patterned_partition.q). table -> {root, pattern, schema, pcol,
+    # sep, parts}
+    pattern_tables: dict[str, dict] = {}
+    dfs_root = f"/tmp/hive_nexr_spark_scratch/{prefix}dfs"
     # INSERT OVERWRITE DIRECTORY sinks, keyed by the golden path's
     # basename: either the frozen SELECT frame (standalone form) or the
     # scratch parquet dir (multi-insert arm). `dfs -cat <dir>/*` replays
@@ -2306,6 +2350,46 @@ def run_qfile(spark: SparkSession, qfile: str,
                 cm = _CREATE_NAME.search(stmt)
                 if cm:
                     symlink_tables.add(cm.group("name").lower())
+            pm = re.match(
+                r"(?is)create\s+external\s+table\s+(\w+)\s*"
+                r"\(([^)]*)\)\s*partitioned\s+by\s*\((\w+)\s+\w+\)"
+                r".*?fields\s+terminated\s+by\s+'([^']*)'"
+                r".*?location\s+'([^{']*)\{([^}]*)\}'",
+                stmt)
+            if pm:
+                # patterned location (fork feature, DDLTask.splitPattern)
+                name = pm.group(1).lower()
+                root = pm.group(5).rstrip("/")
+                pattern_tables[name] = {
+                    "root": os.path.join(dfs_root, root),
+                    "pattern": pm.group(6).lstrip("/"),
+                    "schema": ", ".join(
+                        " ".join(c.split()) for c in
+                        pm.group(2).split(",")),
+                    "pcol": pm.group(3).lower(),
+                    "sep": pm.group(4) or " ",
+                    "parts": [],
+                }
+                _register_pattern_table(spark, pattern_tables, name)
+                continue
+            pm = re.match(
+                r"(?i)ALTER\s+TABLE\s+(\w+)\s+ADD\s+PARTITION\s*"
+                r"\(\s*(\w+)\s*=\s*'([^']*)'\s*\)\s*$", stmt)
+            if pm and pm.group(1).lower() in pattern_tables:
+                info = pattern_tables[pm.group(1).lower()]
+                info["parts"].append(pm.group(3))
+                _register_pattern_table(spark, pattern_tables,
+                                        pm.group(1).lower())
+                continue
+            if re.match(r"(?i)DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)",
+                        stmt) and re.match(
+                    r"(?i)DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)",
+                    stmt).group(1).lower() in pattern_tables:
+                nm = re.match(r"(?i)DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)",
+                              stmt).group(1).lower()
+                pattern_tables.pop(nm, None)
+                spark.catalog.dropTempView(nm)
+                continue
             if upper.startswith("DFS ") or stmt.startswith("!"):
                 # filesystem / shell escapes (CliDriver executes these
                 # verbatim). The observable ones are emulated: `!rm -rf`
@@ -2316,6 +2400,27 @@ def run_qfile(spark: SparkSession, qfile: str,
                 # SymlinkTextInputFormat semantics APPENDS the manifest's
                 # target files' content to the table. Everything else
                 # stays skipped — untrusted corpus.
+                m = re.match(r"(?i)dfs\s+-(put|mkdir)\s+(\S+)(?:\s+(\S+))?"
+                             r"\s*$", stmt)
+                if m and not (m.group(1) == "put"
+                              and "/warehouse/" in (m.group(3) or "")):
+                    # sandboxed dfs escapes for the patterned-partition
+                    # feature: relative paths land under a per-qfile
+                    # scratch root; sources resolve in the reference tree
+                    import shutil
+
+                    if m.group(1) == "mkdir":
+                        os.makedirs(os.path.join(dfs_root, m.group(2)),
+                                    exist_ok=True)
+                    else:
+                        src = os.path.normpath(os.path.join(
+                            ref_root, "ql", m.group(2)))
+                        if src.startswith(ref_root) and os.path.isfile(src):
+                            dst = os.path.join(dfs_root, m.group(3))
+                            os.makedirs(os.path.dirname(dst),
+                                        exist_ok=True)
+                            shutil.copyfile(src, dst)
+                    continue
                 m = re.match(r"(?i)dfs\s+-cat\s+(\S+?)\s*$", stmt)
                 if m:
                     base = os.path.basename(
@@ -2578,6 +2683,12 @@ def run_qfile(spark: SparkSession, qfile: str,
                 or upper.startswith("CREATE EXTERNAL TABLE")) else None
             if cm:
                 name = (cm.group("qual") or "") + cm.group("name")
+                if re.search(r"(?i)\bIF\s+NOT\s+EXISTS\b", stmt) \
+                        and spark.catalog.tableExists(name):
+                    # the stale-dir pre-drop must not defeat IF NOT
+                    # EXISTS: Hive keeps the existing table untouched
+                    # (ctas.q's third CTAS is a no-op over nzhang_ctas3)
+                    continue
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
                 # a table dir left by a crashed previous process may be
                 # invisible to DROP but still block CREATE
