@@ -2203,6 +2203,11 @@ def run_qfile(spark: SparkSession, qfile: str,
     # sep, parts}
     pattern_tables: dict[str, dict] = {}
     dfs_root = f"/tmp/hive_nexr_spark_scratch/{prefix}dfs"
+    # tables written by DYNAMIC-partition inserts: Hive reads a NULL/''
+    # partition back as the literal '__HIVE_DEFAULT_PARTITION__'
+    # (load_dyn_part14.q); Spark folds the name back to NULL, so reads
+    # of these tables coalesce the dynamic partition columns
+    dp_default_tables: dict[str, list[str]] = {}
     # INSERT OVERWRITE DIRECTORY sinks, keyed by the golden path's
     # basename: either the frozen SELECT frame (standalone form) or the
     # scratch parquet dir (multi-insert arm). `dfs -cat <dir>/*` replays
@@ -2625,6 +2630,40 @@ def run_qfile(spark: SparkSession, qfile: str,
             if m:
                 _emulate_load_data(spark, m, prefix, field_seps)
                 continue
+            # dynamic-partition NULL/empty values: Hive writes the
+            # LITERAL '__HIVE_DEFAULT_PARTITION__' as the partition value
+            # and reads it back as that string (`Hive.
+            # loadDynamicPartitions` / hive.exec.default.partition.name;
+            # load_dyn_part14.q golden filters value <> 'a' and keeps
+            # them) — Spark writes the same directory but reads NULL, so
+            # bake the literal in at insert time
+            dpm = re.match(
+                r"(?is)INSERT\s+(?:OVERWRITE|INTO)\s+TABLE\s+([\w.]+)\s+"
+                r"PARTITION\s*\(([^)]*)\)\s*SELECT\b", stmt)
+            if dpm:
+                dyn = [c.strip().lower() for c in dpm.group(2).split(",")
+                       if "=" not in c]
+                if dyn:
+                    dp_default_tables[dpm.group(1).lower()] = dyn
+            for t, dyn in dp_default_tables.items():
+                if not re.match(r"(?i)\s*SELECT\b", stmt):
+                    continue
+                if not re.search(rf"(?i)\b(FROM|JOIN)\s+{re.escape(t)}"
+                                 r"\b(?!\w)", stmt):
+                    continue
+                try:
+                    cols = spark.table(t).columns
+                except Exception:
+                    continue
+                proj = ", ".join(
+                    f"coalesce(`{c}`, '__HIVE_DEFAULT_PARTITION__') "
+                    f"AS `{c}`" if c.lower() in dyn else f"`{c}`"
+                    for c in cols)
+                stmt = re.sub(
+                    rf"(?i)\b(FROM|JOIN)\s+{re.escape(t)}\b(?!\w)",
+                    rf"\1 (SELECT {proj} FROM {t}) {t.split('.')[-1]}",
+                    stmt)
+                upper = stmt.upper()
             # INSERT OVERWRITE DIRECTORY: standalone → rewrite to a bare
             # SELECT (the golden output IS the directory content, so the
             # result stays checkable); as an arm of a FROM-first
