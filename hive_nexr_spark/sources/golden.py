@@ -99,10 +99,18 @@ def parse_qout(path: str) -> list[tuple[str, list[str]]]:
                     rows.append(line)
     if state is not None:
         entries.append((" ".join(query_lines), rows))
-    return _split_dfs_cat(entries)
+    qfile = path.replace("/results/", "/queries/")
+    qfile = qfile[:-4] if qfile.endswith(".out") else ""
+    try:
+        with open(qfile, errors="replace") as fh:
+            has_cat = "dfs -cat" in fh.read()
+    except OSError:
+        has_cat = True  # unknown corpus layout — keep prior behavior
+    return _split_dfs_cat(entries, has_cat)
 
 
-def _split_dfs_cat(entries: list[tuple[str, list[str]]]
+def _split_dfs_cat(entries: list[tuple[str, list[str]]],
+                   has_cat: bool = True
                    ) -> list[tuple[str, list[str]]]:
     """`dfs -cat <dir>/*` output has NO transcript block of its own — the
     CLI prints the file contents directly, so the lines glue onto the
@@ -111,8 +119,12 @@ def _split_dfs_cat(entries: list[tuple[str, list[str]]]
     Split them back out as synthetic ("dfs -cat", rows) entries, keyed on
     the arity drop to the 1-field raw lines. Only applies to files that
     actually INSERT OVERWRITE DIRECTORY."""
-    if not any("overwrite" in q.lower() and "directory" in q.lower()
-               for q, _ in entries):
+    if not has_cat or not any(
+            "overwrite" in q.lower() and "directory" in q.lower()
+            for q, _ in entries):
+        # without a `dfs -cat` in the source qfile, rows inside an IOD
+        # block are the harness's own echo (multi_insert.q's local-dir
+        # arms), not directory dumps to pair with captured frames
         return entries
     out: list[tuple[str, list[str]]] = []
     for q, rows in entries:

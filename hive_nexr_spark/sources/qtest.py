@@ -250,15 +250,17 @@ def _rewrite_bucket_sample(m: re.Match) -> str:
     # FOUR srcbucket2 files) — does NOT prune the LOAD DATA'd files,
     # whose names defeat SamplePruner's bucket-file matching
     col = (m.group("col") or "key").lower()
-    if files:
-        # srcbucket/srcbucket2 key is INT: Java hashCode = the value
-        h = f"cast({col} as bigint)"
-    else:
-        # src/srcpart key is STRING: seed-0 byte fold (String.hashCode
+    if tbl.lower() in ("src", "srcpart", "src1") and col in ("key",
+                                                            "value"):
+        # src-family keys are STRING: seed-0 byte fold (String.hashCode
         # for ASCII), same expression as hiveql._java_hash_sql
         h = (f"aggregate(filter(split({col}, ''), ch -> ch != ''), "
              "cast(0 as bigint), "
              "(acc, ch) -> pmod(acc * 31 + ascii(ch), 4294967296))")
+    else:
+        # srcbucket/srcbucket2 and the qfile-created bucketed tables
+        # (bucket2.q etc.) sample on INT keys: Java hashCode = the value
+        h = f"cast({col} as bigint)"
     return (f"(SELECT * FROM {tbl} WHERE "
             f"pmod(({h}) & 2147483647, {y}) = {x - 1})")
 
@@ -1878,7 +1880,14 @@ def run_qfile(spark: SparkSession, qfile: str,
     # extras like the reference.
     text = re.sub(
         r"(?i)(USING\s+'[^']*'\s+AS\s+"
-        r"(?:\([^)]*\)|[a-zA-Z_]\w*(?:\s*,\s*[a-zA-Z_]\w*)*))",
+        # paren list without complex types (those need the Hive serde's
+        # nested-delimiter parsing — transform1.q array<int>), or a bare
+        # name list followed by a clause keyword (not `AS name TYPE
+        # ROW FORMAT ...` — binary_output_format.q)
+        r"(?:\([^)<]*\)|[a-zA-Z_]\w*(?:\s*,\s*[a-zA-Z_]\w*)*"
+        r"(?=\s*(?:FROM|CLUSTER|SORT|DISTRIBUTE|ORDER|GROUP|LIMIT|"
+        r"WHERE|UNION|\)|;|$))))"
+        r"(?!\s*ROW\s+FORMAT)(?!\s*,)",
         "\\1 ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\\\t'",
         text)
     # optimizer hints between SELECT and TRANSFORM
