@@ -2239,6 +2239,12 @@ def run_qfile(spark: SparkSession, qfile: str,
         out._qt_frozen = True
         return out
 
+    # LOAD-lineage maps are module-global; a file that LOADs into a
+    # shared fixture name (srcpart) must not shadow the fixture's text
+    # sources for LATER files' index rebuilds (CliDriver gives each test
+    # a clean metastore) — snapshot and restore
+    _ts_snap = {k: list(v) for k, v in TEXT_SOURCES.items()}
+    _rc_snap = {k: list(v) for k, v in RC_SOURCES.items()}
     try:
         for stmt in _split_statements(text):
             # a trailing `stmt; -- note` line keeps its comment attached
@@ -2835,6 +2841,10 @@ def run_qfile(spark: SparkSession, qfile: str,
                     else:
                         capture.append(last_select)
     finally:
+        TEXT_SOURCES.clear()
+        TEXT_SOURCES.update(_ts_snap)
+        RC_SOURCES.clear()
+        RC_SOURCES.update(_rc_snap)
         for k, prev in saved.items():
             try:
                 if prev is None:
