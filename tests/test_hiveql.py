@@ -248,10 +248,13 @@ def test_server_query_roundtrip(spark, dfs):
 
 
 def test_srcbucket_sample_pruning_semantics(spark):
-    """TABLESAMPLE(BUCKET x OUT OF y) over the file-per-bucket fixtures
-    follows Hive SamplePruner: y == nbuckets prunes to one file with no
-    filter; y a multiple adds the hash filter; y coprime filters the whole
-    table (`ql/parse/SamplePruner.java`)."""
+    """TABLESAMPLE(BUCKET x OUT OF y) over the file-per-bucket fixtures:
+    the NO-ON form is positional INPUT PRUNING
+    (`ql/parse/TableSample.java` setInputPruning; sample2.q golden = the
+    bucket file's content), while an EXPLICIT ON col applies the
+    sampling FILTER over all files without pruning — sample6.q's golden
+    over srcbucket2 is the residue class across all four files, because
+    SamplePruner can't match the LOAD DATA'd file names to buckets."""
     from hive_nexr_spark.sources.qtest import (
         _BUCKET_SAMPLE, _rewrite_bucket_sample, make_srcbucket)
 
@@ -259,14 +262,19 @@ def test_srcbucket_sample_pruning_semantics(spark):
         return _BUCKET_SAMPLE.sub(_rewrite_bucket_sample, s)
 
     assert rw("srcbucket TABLESAMPLE (BUCKET 1 OUT OF 2) s") == "srcbucket_b0 s"
-    assert rw("srcbucket TABLESAMPLE (BUCKET 2 OUT OF 2 on key) s") == "srcbucket_b1 s"
-    assert rw("srcbucket TABLESAMPLE (BUCKET 1 OUT OF 4 on key) s") == (
+    assert rw("srcbucket TABLESAMPLE (BUCKET 2 OUT OF 2 on key) s") == (
+        "(SELECT * FROM srcbucket WHERE "
+        "pmod((cast(key as bigint)) & 2147483647, 2) = 1) s")
+    assert rw("srcbucket TABLESAMPLE (BUCKET 1 OUT OF 4) s") == (
         "(SELECT * FROM srcbucket_b0 WHERE pmod(key, 4) = 0) s")
-    assert rw("srcbucket TABLESAMPLE (BUCKET 1 OUT OF 5 on key) s") == (
-        "(SELECT * FROM srcbucket WHERE pmod(key, 5) = 0) s")
-    # generic table → pure hash filter
+    assert rw("srcbucket TABLESAMPLE (BUCKET 1 OUT OF 3) s") == (
+        "(SELECT * FROM srcbucket WHERE pmod(key, 3) = 0) s")
+    # src-family tables hash their STRING key with the Java byte fold
+    assert "ascii" in rw("srcpart TABLESAMPLE (BUCKET 1 OUT OF 10 ON key) t")
+    # generic table → int-value hash filter
     assert rw("other TABLESAMPLE (BUCKET 3 OUT OF 8 ON k) t") == (
-        "(SELECT * FROM other WHERE pmod(k, 8) = 2) t")
+        "(SELECT * FROM other WHERE "
+        "pmod((cast(k as bigint)) & 2147483647, 8) = 2) t")
 
     # the bucket files really partition the table by pmod(key, 2)
     make_srcbucket(spark)
