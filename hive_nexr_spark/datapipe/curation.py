@@ -70,14 +70,21 @@ def decontaminate(documents: DataFrame, n: int = 4,
     (doc_id, n_hits = distinct contaminated shingles). Flagged documents
     are what a pipeline drops before packing.
 
-    Scale: the benchmark shingle set is broadcast (eval suites are
+    Scale: each side filters BEFORE shingling, so the expensive
+    explode runs once per side over only its own documents (the
+    benchmark side touches 1/mod of the corpus) — shingling first and
+    filtering twice would re-run the full-corpus explode for both
+    branches. The benchmark shingle set is broadcast (eval suites are
     megabytes); the corpus side is one explode + one groupBy(doc_id) —
     shingle keys are 16-hex md5 slices, never raw text."""
-    sh = documents.select("doc_id", F.explode(_shingles(F.col("text"), n))
-                          .alias("shingle"))
-    bench = (sh.filter(F.col("doc_id") % benchmark_mod == 0)
+    def side(pred) -> DataFrame:
+        return documents.filter(pred).select(
+            "doc_id", F.explode(_shingles(F.col("text"), n))
+            .alias("shingle"))
+
+    bench = (side(F.col("doc_id") % benchmark_mod == 0)
              .select("shingle").distinct())
-    train = sh.filter(F.col("doc_id") % benchmark_mod != 0)
+    train = side(F.col("doc_id") % benchmark_mod != 0)
     return (
         train.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
