@@ -727,6 +727,34 @@ def _jsonize_transform_args(spark: SparkSession, stmt: str) -> str:
         + stmt[j:]
 
 
+_PATH_ESCAPE_CHARS = set(chr(c) for c in range(0x20)) | set(
+    '"#%\'*/:=?\\{[]') | {"\x7f"}
+
+
+def _register_path_escape_udfs(spark: SparkSession) -> None:
+    """Hive's partition-path escaping (`common/FileUtils.java:131`
+    charToEscape / escapePathName): control and reserved chars become
+    %XX in the stored partition VALUE, unescaped on read."""
+
+    def esc(s):
+        if s is None:
+            return None
+        return "".join(
+            f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS else ch
+            for ch in s)
+
+    def unesc(s):
+        if s is None:
+            return None
+        import re as _re
+
+        return _re.sub("%([0-9A-Fa-f]{2})",
+                       lambda m: chr(int(m.group(1), 16)), s)
+
+    spark.udf.register("hive_escape_path", esc, "string")
+    spark.udf.register("hive_unescape_path", unesc, "string")
+
+
 def _register_pattern_table(spark: SparkSession, pt: dict,
                             name: str) -> None:
     """(Re)build a patterned-location external table's view from the
@@ -2653,13 +2681,35 @@ def run_qfile(spark: SparkSession, qfile: str,
             # them) — Spark writes the same directory but reads NULL, so
             # bake the literal in at insert time
             dpm = re.match(
-                r"(?is)INSERT\s+(?:OVERWRITE|INTO)\s+TABLE\s+([\w.]+)\s+"
-                r"PARTITION\s*\(([^)]*)\)\s*SELECT\b", stmt)
+                r"(?is)(INSERT\s+(?:OVERWRITE|INTO)\s+TABLE\s+([\w.]+)\s+"
+                r"PARTITION\s*\(([^)]*)\)\s*)(SELECT\b.*)$", stmt)
             if dpm:
-                dyn = [c.strip().lower() for c in dpm.group(2).split(",")
+                dyn = [c.strip().lower() for c in dpm.group(3).split(",")
                        if "=" not in c]
                 if dyn:
-                    dp_default_tables[dpm.group(1).lower()] = dyn
+                    dp_default_tables[dpm.group(2).lower()] = dyn
+                    _register_path_escape_udfs(spark)
+                    try:
+                        cols = spark.sql(
+                            "SELECT * FROM ( "
+                            + hql._rewrite(dpm.group(4))
+                            + " ) __dp LIMIT 0").columns
+                    except Exception:
+                        cols = []
+                    if len(cols) >= len(dyn):
+                        # Hive escapes control/reserved chars in the
+                        # partition PATH (`common/FileUtils.java:131`
+                        # charToEscape; escape1.q writes \x00..\x1f
+                        # values) — local FS rejects raw control chars,
+                        # so write the escaped form and unescape on read
+                        keep = [f"`{c}`" for c in cols[:-len(dyn)]]
+                        proj = keep + [
+                            f"hive_escape_path(nullif(`{c}`, '')) "
+                            f"AS `{c}`" for c in cols[-len(dyn):]]
+                        stmt = (dpm.group(1) + "SELECT "
+                                + ", ".join(proj) + " FROM ( "
+                                + dpm.group(4) + " ) __dp")
+                        upper = stmt.upper()
             for t, dyn in dp_default_tables.items():
                 if not re.match(r"(?i)\s*SELECT\b", stmt):
                     continue
@@ -2670,8 +2720,10 @@ def run_qfile(spark: SparkSession, qfile: str,
                     cols = spark.table(t).columns
                 except Exception:
                     continue
+                _register_path_escape_udfs(spark)
                 proj = ", ".join(
-                    f"coalesce(`{c}`, '__HIVE_DEFAULT_PARTITION__') "
+                    f"coalesce(hive_unescape_path(`{c}`), "
+                    "'__HIVE_DEFAULT_PARTITION__') "
                     f"AS `{c}`" if c.lower() in dyn else f"`{c}`"
                     for c in cols)
                 stmt = re.sub(
