@@ -138,8 +138,12 @@ def repetition_filters(documents: DataFrame) -> DataFrame:
         .alias("dup_token_frac"),
         F.col("top.gram").alias("top_gram"),
         (-F.col("top.neg")).alias("top_gram_count"),
+        # greatest(n-1, 1): a 1-token doc has one (degenerate) 2-gram
+        # slot — plain n-1 would divide by zero (Infinity in Spark, NULL
+        # in SQL engines), breaking oracle parity
         F.round((-F.col("top.neg"))
-                / (F.col("n_tokens") - 1).cast("double"), 6)
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1))
+                .cast("double"), 6)
         .alias("top_gram_frac"),
     )
 
@@ -158,14 +162,20 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
     BROADCAST back onto the tf stream, so the join adds no shuffle; the
     final top-k window partitions by doc_id (narrow, already co-located
     with the tf aggregation's partitioning)."""
-    n_docs = documents.select("doc_id").distinct().count()
+    # N stays IN the plan: a broadcast 1-row countDistinct aggregate
+    # cross-joined onto the scored stream — no eager driver-side
+    # .count() job (which at 100 TB would be an extra full corpus scan
+    # at plan-build time) and the operator remains fully lazy
+    nd = documents.agg(
+        F.count_distinct("doc_id").cast("double").alias("_n_docs"))
     terms = documents.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
+    scored = tf.join(F.broadcast(df_tbl), "term").crossJoin(
+        F.broadcast(nd)).select(
         "doc_id", "term", "tf", "df",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6)
         .alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -228,11 +238,17 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     lo = F.array_min(v)
     hi = F.array_max(v)
-    scale = (hi - lo) / F.lit(255.0)
-    q = F.transform(v, lambda x: F.floor((x - lo) / scale + F.lit(0.5))
-                    .cast("int"))
+    # nullif guards the degenerate constant-vector case (hi == lo):
+    # scale 0 would make every code NaN→NULL and silently corrupt the
+    # checksum; instead codes collapse to 0 and the error to 0.0, and
+    # the oracle mirrors the same expressions
+    scale = F.nullif(hi - lo, F.lit(0.0)) / F.lit(255.0)
+    q = F.transform(
+        v, lambda x: F.coalesce(
+            F.floor((x - lo) / scale + F.lit(0.5)).cast("int"), F.lit(0)))
     recon_err = F.aggregate(
-        F.zip_with(v, q, lambda x, c: F.abs(x - (lo + c * scale))),
+        F.zip_with(v, q, lambda x, c: F.coalesce(
+            F.abs(x - (lo + c * scale)), F.lit(0.0))),
         F.lit(0.0), lambda acc, e: F.greatest(acc, e))
     return embeddings.select(
         F.col("vec_id"),

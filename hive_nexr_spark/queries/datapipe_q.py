@@ -656,7 +656,7 @@ ORACLE = {
         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
                round(1.0 - n_distinct / n_tokens, 6) AS dup_token_frac,
                gram AS top_gram, cnt AS top_gram_count,
-               round(cnt / CAST(n_tokens - 1 AS DOUBLE), 6)
+               round(cnt / CAST(greatest(n_tokens - 1, 1) AS DOUBLE), 6)
                  AS top_gram_frac
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
@@ -712,7 +712,8 @@ ORACLE = {
           SELECT vec_id, v,
                  list_aggregate(v, 'min') AS lo,
                  list_aggregate(v, 'max') AS hi,
-                 (list_aggregate(v, 'max') - list_aggregate(v, 'min'))
+                 nullif(list_aggregate(v, 'max')
+                      - list_aggregate(v, 'min'), 0.0)
                    / 255.0 AS scale
           FROM (SELECT vec_id,
                        list_transform(embedding,
@@ -721,8 +722,8 @@ ORACLE = {
         ),
         q AS (
           SELECT vec_id, v, lo, hi, scale,
-                 [CAST(floor((x - lo) / scale + 0.5) AS INT) for x in v]
-                   AS qc
+                 [coalesce(CAST(floor((x - lo) / scale + 0.5) AS INT), 0)
+                  for x in v] AS qc
           FROM p
         )
         SELECT vec_id,
@@ -730,7 +731,7 @@ ORACLE = {
                round(hi, 6) AS q_max,
                md5(array_to_string(qc, ',')) AS q_checksum,
                round(list_aggregate(
-                 [abs(v[i] - (lo + qc[i] * scale))
+                 [coalesce(abs(v[i] - (lo + qc[i] * scale)), 0.0)
                   for i in range(1, len(v) + 1)], 'max'), 6) AS max_abs_err
         FROM q
     """,

@@ -12,11 +12,38 @@ partitions default to the core count locally (driver sets SPARK_GRAFT_CPUS).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _warehouse_dir() -> str:
+    """Warehouse path: SPARK_GRAFT_WAREHOUSE if set (persistent, never
+    auto-removed — cross-invocation table sharing, one writer at a time),
+    else a per-PID /tmp dir that is removed at process exit so repeated
+    runs don't accumulate."""
+    env = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if env:
+        return env
+    path = f"/tmp/hive_nexr_spark_warehouse_{os.getpid()}"
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def _derby_home() -> str:
+    """Derby metastore home: SPARK_GRAFT_DERBY if set (persistent), else
+    a per-PID /tmp dir removed at process exit (embedded Derby is
+    single-process; see the builder comment)."""
+    env = os.environ.get("SPARK_GRAFT_DERBY")
+    if env:
+        return env
+    path = f"/tmp/hive_nexr_spark_derby_{os.getpid()}"
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def get_session(
@@ -83,20 +110,16 @@ def get_session(
         # one process re-creates `src` while the other's scan still holds
         # the old file list. Set SPARK_GRAFT_WAREHOUSE to a fixed path
         # when cross-process table sharing is wanted (one writer at a
-        # time).
-        .config("spark.sql.warehouse.dir", os.environ.get(
-            "SPARK_GRAFT_WAREHOUSE",
-            f"/tmp/hive_nexr_spark_warehouse_{os.getpid()}"))
+        # time). Per-PID defaults are removed at exit (_cleanup_at_exit);
+        # an explicit SPARK_GRAFT_WAREHOUSE persists.
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
         # embedded Derby is single-process, so the metastore home defaults
         # to a PER-PROCESS dir: a CLI/server/bench running alongside a
         # sweep would otherwise die on the Derby db.lck. Set
         # SPARK_GRAFT_DERBY to a fixed path when cross-process DDL
         # persistence is wanted (and only one JVM runs at a time).
         .config("spark.driver.extraJavaOptions",
-                "-Dderby.system.home="
-                + os.environ.get(
-                    "SPARK_GRAFT_DERBY",
-                    f"/tmp/hive_nexr_spark_derby_{os.getpid()}"))
+                "-Dderby.system.home=" + _derby_home())
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -920,8 +920,11 @@ def _hive_struct_names(text: str) -> str:
                 buf.append(ch)
             j += 1
         args.append("".join(buf))
+        # recurse into each argument so nested struct(...) calls are
+        # rewritten too — the outer scan resumes past the closing paren
         named = ", ".join(
-            f"'col{k + 1}', {a.strip()}" for k, a in enumerate(args))
+            f"'col{k + 1}', {_hive_struct_names(a.strip())}"
+            for k, a in enumerate(args))
         out.append(f"named_struct({named})")
         i = j + 1
 
@@ -2457,14 +2460,30 @@ def run_qfile(spark: SparkSession, qfile: str,
                     # scratch root; sources resolve in the reference tree
                     import shutil
 
+                    # confine BOTH path args: absolute qfile paths must
+                    # not escape dfs_root (os.path.join discards the
+                    # prefix for absolute operands, and ".." could climb
+                    # out), and the source prefix check needs a trailing
+                    # slash so ref_root+"_x" siblings don't qualify —
+                    # same containment as _load_symlink_manifest.resolve
+                    dfs_pfx = dfs_root.rstrip("/") + "/"
+                    ref_pfx = ref_root.rstrip("/") + "/"
+
+                    def _confined(rel: str) -> str | None:
+                        p = os.path.normpath(
+                            os.path.join(dfs_root, rel.lstrip("/")))
+                        return p if p.startswith(dfs_pfx) else None
+
                     if m.group(1) == "mkdir":
-                        os.makedirs(os.path.join(dfs_root, m.group(2)),
-                                    exist_ok=True)
+                        tgt = _confined(m.group(2))
+                        if tgt is not None:
+                            os.makedirs(tgt, exist_ok=True)
                     else:
                         src = os.path.normpath(os.path.join(
                             ref_root, "ql", m.group(2)))
-                        if src.startswith(ref_root) and os.path.isfile(src):
-                            dst = os.path.join(dfs_root, m.group(3))
+                        dst = _confined(m.group(3))
+                        if (src.startswith(ref_pfx) and os.path.isfile(src)
+                                and dst is not None):
                             os.makedirs(os.path.dirname(dst),
                                         exist_ok=True)
                             shutil.copyfile(src, dst)
