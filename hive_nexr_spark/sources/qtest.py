@@ -739,6 +739,9 @@ def _register_path_escape_udfs(spark: SparkSession) -> None:
     def esc(s):
         if s is None:
             return None
+        # dynamic-partition values may be non-string (e.g. PMOD(HASH(k),100)
+        # in rcfile_merge1.q); Hive stringifies before escaping
+        s = str(s)
         return "".join(
             f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS else ch
             for ch in s)
