@@ -43,6 +43,18 @@ def _qfile_named(qname: str, names: list[str], spark, sf_dir):
     return _qfile(qname, spark, sf_dir).toDF(*names)
 
 
+def _qfile_rounded(qname: str, names: list[str], nd: int, spark, sf_dir):
+    """Hash-checkable twin of a rows-only qfile whose doubles differ from
+    any oracle in the last ulps (streaming variance/stddev): round every
+    column to `nd` decimals at emit, same pattern as agg_stats."""
+    from pyspark.sql import functions as F
+
+    df = _qfile(qname, spark, sf_dir)
+    return df.select(*[
+        F.round(F.col(c), nd).alias(n)
+        for c, n in zip(df.columns, names)])
+
+
 QUERIES = {
     "qfile_groupby1": partial(_qfile, "groupby1.q"),
     "qfile_groupby2": partial(_qfile, "groupby2.q"),
@@ -153,6 +165,45 @@ QUERIES = {
         _qfile_named, "udf_field.q",
         ["col1", "col2", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]),
     "qfile_udf_bitmap_or": partial(_qfile_named, "udf_bitmap_or.q", ["bm"]),
+    # sort-merge-bucket mapjoin family (`exec/SMBMapJoinOperator.java:51`,
+    # hive.optimize.bucketmapjoin.sortedmerge): final statement is the
+    # FULL OUTER mapjoin(b) of the two 1-bucket RCFile tables — Spark
+    # plans this as a sorted-bucket join without a shuffle Exchange
+    # (tests/test_plans.py pins the no-Exchange property for the SMB
+    # shape); renamed, the qfile's SELECT * duplicates key/value names
+    "qfile_smb_mapjoin_1": partial(
+        _qfile_named, "smb_mapjoin_1.q", ["k1", "v1", "k2", "v2"]),
+    # bucket mapjoin (`optimizer/BucketMapJoinOptimizer.java:69`): the
+    # file stores sum(hive_hash) fingerprints of the SAME join run with
+    # mapjoin ON and OFF, and the final SELECT is their difference —
+    # golden asserts (0, 0, 0), i.e. the mapjoin path is value-identical
+    # to the shuffle-join path (reference golden
+    # results/clientpositive/bucketmapjoin1.q.out final row)
+    "qfile_bucketmapjoin1": partial(
+        _qfile_named, "bucketmapjoin1.q", ["d_key", "d_value1", "d_value2"]),
+    # join_filters.q final statement under STANDARD outer-join semantics
+    # (ON-clause single-side filters restrict the match, unmatched rows
+    # null-pad). Hive 0.8's CommonJoinOperator filter-tag padding bug
+    # (JoinOperator.java) makes the reference's golden drop rows on OTHER
+    # statements in this file (documented divergence class, SURVEY §5);
+    # the final RIGHT OUTER statement is standard-consistent and the
+    # DuckDB oracle asserts the standard answer our engine gives
+    "qfile_join_filters": partial(
+        _qfile_named, "join_filters.q",
+        ["a_key", "a_value", "b_key", "b_value"]),
+    # ColumnarSerDe/RCFile null round-trip (`serde2/columnar/
+    # ColumnarSerDe.java`): right-outer join with null-padded left side
+    # written INTO an RCFile table and read back — nulls must survive the
+    # columnar write+read
+    "qfile_rcfile_null_value": partial(_qfile, "rcfile_null_value.q"),
+    # hash-checked twin of the rows-only qfile_groupby3 (same pattern as
+    # agg_stats): the std/var family's streaming algorithms agree across
+    # engines to ~1e-13 relative but not bit-exactly, so the raw file is
+    # rows-only; this twin rounds every dest column to 6 decimals at emit,
+    # making the full 9-aggregate row exactly hashable
+    "qfile_groupby3_rounded": partial(
+        _qfile_rounded, "groupby3.q",
+        ["c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8", "c9"], 6),
     # execution-knob variants of the groupby files (hive.map.aggr /
     # hive.groupby.skewindata): identical queries, identical expected
     # results — they assert the engine is insensitive to the reference's
@@ -606,6 +657,77 @@ ORACLE = {
         ON src1.c1 = src2.c3 AND src1.c1 < '400'
         WHERE src1.c1 > '20' AND (src1.c2 < 'val_50' OR src1.c1 > '2')
           AND (src2.c3 > '50' OR src1.c1 < '50') AND src2.c3 <> '4'
+    """,
+    # smb_mapjoin_1.q final statement: FULL OUTER mapjoin(b) of the two
+    # 1-bucket tables; fixtures resolve to the .txt twins of the .rc files
+    # (storage standardization, SURVEY §2.2)
+    "qfile_smb_mapjoin_1": f"""
+        WITH s1 AS (SELECT * FROM read_csv(
+               '{DATA_DIR}/smbbucket_1.txt', delim='\x01', header=false,
+               columns={{'key': 'INT', 'value': 'VARCHAR'}},
+               force_not_null=['value'])),
+             s2 AS (SELECT * FROM read_csv(
+               '{DATA_DIR}/smbbucket_2.txt', delim='\x01', header=false,
+               columns={{'key': 'INT', 'value': 'VARCHAR'}},
+               force_not_null=['value']))
+        SELECT a.key AS k1, a.value AS v1, b.key AS k2, b.value AS v2
+        FROM s1 a FULL OUTER JOIN s2 b ON a.key = b.key
+    """,
+    # bucketmapjoin1.q final statement: difference of the sum(hash(...))
+    # fingerprints of the mapjoin-ON vs mapjoin-OFF runs — the reference's
+    # own golden asserts (0, 0, 0) (results/clientpositive/
+    # bucketmapjoin1.q.out), i.e. both physical join paths agree
+    "qfile_bucketmapjoin1": """
+        SELECT CAST(0 AS BIGINT) AS d_key, CAST(0 AS BIGINT) AS d_value1,
+               CAST(0 AS BIGINT) AS d_value2
+    """,
+    # join_filters.q final statement, STANDARD outer-join semantics:
+    # ON-clause filters restrict matches, every right row survives
+    # null-padded. smb_input2 = in1.txt ∪ in2.txt (key int, value int).
+    "qfile_join_filters": f"""
+        WITH si AS (
+          SELECT * FROM read_csv('{DATA_DIR}/in1.txt', delim='\x01',
+            header=false, columns={{'key': 'INT', 'value': 'INT'}})
+          UNION ALL
+          SELECT * FROM read_csv('{DATA_DIR}/in2.txt', delim='\x01',
+            header=false, columns={{'key': 'INT', 'value': 'INT'}})
+        )
+        SELECT a.key AS a_key, a.value AS a_value,
+               b.key AS b_key, b.value AS b_value
+        FROM si a RIGHT OUTER JOIN si b
+          ON a.value = b.value AND a.key > 40 AND a.value > 50
+             AND a.key = a.value AND b.key > 40 AND b.value > 50
+             AND b.key = b.value
+    """,
+    # rcfile_null_value.q final statement: dest1_rc contents = right-outer
+    # join of two src range slices (string-vs-int ranges compare as
+    # DOUBLE), null-padded left side, c1/c3 cast to INT by the dest schema
+    "qfile_rcfile_null_value": f"""{_W}
+        SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
+               CAST(b.c3 AS INT) AS c3, b.c4 AS c4
+        FROM (SELECT key AS c1, value AS c2 FROM src
+              WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20) a
+        RIGHT OUTER JOIN
+             (SELECT key AS c3, value AS c4 FROM src
+              WHERE CAST(key AS DOUBLE) > 15 AND CAST(key AS DOUBLE) < 25) b
+          ON a.c1 = b.c3
+    """,
+    # groupby3.q aggregates (sum/avg/avg-distinct/max/min/std/stddev_samp/
+    # variance/var_samp of substr(value,5) as DOUBLE), rounded to 6
+    # decimals on both sides; Hive std/variance are the POPULATION forms
+    "qfile_groupby3_rounded": f"""{_W},
+        v AS (SELECT substr(value, 5) AS s,
+                     CAST(substr(value, 5) AS DOUBLE) AS x FROM src)
+        SELECT round(sum(x), 6) AS c1,
+               round(avg(x), 6) AS c2,
+               round(avg(DISTINCT x), 6) AS c3,
+               round(CAST(max(s) AS DOUBLE), 6) AS c4,
+               round(CAST(min(s) AS DOUBLE), 6) AS c5,
+               round(stddev_pop(x), 6) AS c6,
+               round(stddev_samp(x), 6) AS c7,
+               round(var_pop(x), 6) AS c8,
+               round(var_samp(x), 6) AS c9
+        FROM v
     """,
 }
 
