@@ -113,7 +113,19 @@ def ivf_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     one row per corpus vector, never the |corpus|×|centroids| cross product.
     Probing broadcasts `n_queries × nprobe` rows; the rerank join touches
     only vectors in probed cells. Per-query ranking windows partition by
-    query_id (bounded query set)."""
+    query_id (bounded query set).
+
+    Bench-history note (round-6 profiling of the round-5 2.38→3.40 s
+    drift, zero code change): in one JVM at sf0.1 the FIRST execution of
+    this query costs 4.6 s and every subsequent execution 2.0-2.6 s — the
+    premium is whole-stage-codegen/JIT compilation of this operator's
+    higher-order-function expressions, and bench.py times each query's
+    single (first) execution, so the wall time swings by how much of that
+    compilation was already absorbed by whichever queries ran earlier in
+    the loop. Same variance class as the dedup_embedding_lsh_full r4
+    drift (see note below); the physical shape (broadcast centroids,
+    map-side-combined argmax, probe-bounded rerank) is pinned by
+    tests/test_plans.py:126 and is steady-state ~2.2 s."""
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
