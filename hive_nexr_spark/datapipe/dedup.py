@@ -333,3 +333,84 @@ def simhash_pairs_banded(documents: DataFrame, max_hamming: int = 3,
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_clusters(documents: DataFrame, jaccard_threshold: float = 0.5,
+                       max_doc_id: int = 200, max_iter: int = 10) -> DataFrame:
+    """Duplicate CLUSTERS: connected components of the MinHash-LSH pair
+    graph, each labeled by its smallest member doc_id — the decision table
+    for "keep one representative per duplicate group" when near-dup pairs
+    chain (A~B, B~C ⇒ {A,B,C} is one group even if A~C was never emitted).
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    list — each round every node takes min(own label, neighbors' labels),
+    stopping when a round changes nothing (converges in diameter rounds;
+    the synthetic dup components are stars, so 1-2 rounds). Each round is
+    ONE shuffle keyed on doc_id over the edge list — never materializes
+    the transitive closure. The convergence check is a per-round count
+    action: the standard driver-side loop of an iterative graph algorithm
+    (GraphX/GraphFrames do the same under the hood). At 100 TB with
+    pathological chain-shaped components you'd switch to the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log n) rounds with the
+    same per-round shuffle structure.
+
+    Output: (doc_id, cluster_id, cluster_size) for every document that
+    appears in at least one near-dup pair. The cluster_size window
+    partitions by cluster_id — bounded by the largest duplicate group."""
+    pairs = minhash_lsh_pairs(documents, jaccard_threshold, max_doc_id)
+    edges = tracked_persist(
+        pairs.select("doc_a", "doc_b").union(
+            pairs.select(F.col("doc_b").alias("doc_a"),
+                         F.col("doc_a").alias("doc_b"))))
+    labels = tracked_persist(
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id")))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(edges["doc_a"].alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min")))
+        new_labels = tracked_persist(
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", "cluster_id")).alias("cluster_id")))
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id",
+        F.count("*").over(w).alias("cluster_size"))
+
+
+def incremental_dedup(documents: DataFrame) -> DataFrame:
+    """Cross-snapshot (incremental) dedup: drop documents from a NEW crawl
+    batch whose exact text already exists in the EXISTING corpus — the
+    standard "dedup tonight's crawl against everything ingested so far"
+    op, distinct from self-dedup. The synthetic corpus maps onto the
+    scenario directly: originals (doc_id < 100000) are the existing
+    corpus, the +100000 exact copies and +200000 near-dups are the new
+    batch; the anti-join drops every exact copy and keeps every near-dup
+    (digests differ), whose survival is precisely why the MinHash pass
+    exists downstream.
+
+    100 TB shape: LEFT ANTI join on 16-byte md5 digests — the existing
+    side reduces to its DISTINCT digest set (columns pruned to one), the
+    shuffle carries digests only, never text. With a small daily delta on
+    the left, AQE broadcast-converts the batch side automatically."""
+    corpus = with_synthetic_dups(documents)
+    existing = (corpus.filter(F.col("doc_id") < 100000)
+                .select(F.md5("text").alias("digest")).distinct())
+    new_batch = corpus.filter(F.col("doc_id") >= 100000).select(
+        "doc_id", F.md5("text").alias("digest"))
+    return new_batch.join(existing, "digest", "left_anti").select(
+        "doc_id", "digest")

@@ -66,6 +66,9 @@ QUERIES = {
     "domain_mix_sample": _bind(curation.domain_mix_sample, "documents"),
     "quantize_embeddings_int8": _bind(curation.quantize_embeddings,
                                       "embeddings"),
+    "dedup_connected_components": _bind(dedup.duplicate_clusters,
+                                        "documents"),
+    "dedup_incremental": _bind(dedup.incremental_dedup, "documents"),
 }
 
 # Portable corpus CTE shared by the dedup oracles (mirrors
@@ -736,3 +739,39 @@ ORACLE = {
         FROM q
     """,
 }
+
+# Duplicate-cluster connected components: transitive closure of the SAME
+# pair relation the dedup_minhash_lsh oracle computes (nested verbatim as
+# the `pairs` CTE), min-reachable-id label per node via a recursive CTE —
+# an exact, engine-independent oracle for the iterative Spark propagation.
+ORACLE["dedup_connected_components"] = (
+    "WITH RECURSIVE pairs AS (\n"
+    + ORACLE["dedup_minhash_lsh"]
+    + """
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    reach(doc_id, lab) AS (
+      SELECT DISTINCT doc_a, doc_a FROM edges
+      UNION
+      SELECT e.doc_a, r.lab FROM edges e JOIN reach r ON r.doc_id = e.doc_b
+    ),
+    labels AS (
+      SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labels
+    """)
+
+ORACLE["dedup_incremental"] = _CORPUS + """
+    SELECT n.doc_id, md5(n.text) AS digest
+    FROM corpus n
+    WHERE n.doc_id >= 100000
+      AND NOT EXISTS (
+        SELECT 1 FROM corpus e
+        WHERE e.doc_id < 100000 AND md5(e.text) = md5(n.text))
+"""

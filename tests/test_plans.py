@@ -230,3 +230,42 @@ def test_tfidf_broadcasts_df_table_and_combines_map_side(dfs):
     plan = _formatted(tfidf_topk(dfs["documents"]))
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
+
+
+def test_incremental_dedup_shuffles_digests_not_text(spark, dfs):
+    """The cross-snapshot anti-join must move 16-byte digests, never
+    document text: column pruning should strip `text` before both sides'
+    exchanges. Broadcast is disabled so the tiny test corpus takes the
+    same exchange path a 100 TB snapshot pair would."""
+    import re
+
+    from hive_nexr_spark.datapipe.dedup import incremental_dedup
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted(incremental_dedup(dfs["documents"]))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "LeftAnti" in plan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", plan):
+        assert "text#" not in ex, f"document text in dedup shuffle: {ex}"
+
+
+def test_duplicate_clusters_iterations_shuffle_ids_only(dfs):
+    """Each label-propagation round must shuffle (doc_id, cluster_id)
+    pairs only — no text, no shingle arrays — and never degenerate to a
+    cartesian join; the edge list is persisted so the MinHash pipeline
+    runs once, not once per round."""
+    import re
+
+    from hive_nexr_spark.datapipe.dedup import duplicate_clusters
+
+    df = duplicate_clusters(dfs["documents"])
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    fplan = _formatted(df)
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex and "sh#" not in ex, (
+            f"corpus payload in propagation shuffle: {ex}")
