@@ -101,6 +101,61 @@ _TEMP_FUNCTION = re.compile(
     re.IGNORECASE,
 )
 
+# authorization DDL (`parse/DDLSemanticAnalyzer.java` analyzeGrant/
+# analyzeRevoke/analyzeShowGrant/analyzeGrantRevokeRole)
+_GRANT_ROLE = re.compile(
+    r"^\s*GRANT\s+ROLE\s+(?P<role>\w+)\s+TO\s+USER\s+(?P<user>\w+)\s*$",
+    re.IGNORECASE)
+# privList: `drop, select(key), select(value)` (`Hive.g` privilegeList)
+_PRIV_LIST = r"(?P<privs>\w+\s*(?:\([^)]*\))?(?:\s*,\s*\w+\s*(?:\([^)]*\))?)*)"
+_GRANT_PRIV = re.compile(
+    r"^\s*GRANT\s+" + _PRIV_LIST + r"\s+ON\s+"
+    r"(?:TABLE\s+(?P<tbl>[\w.`]+)|DATABASE\s+(?P<db>[\w`]+))"
+    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?"
+    r"\s+TO\s+(?P<ptype>USER|GROUP|ROLE)\s+(?P<pname>\w+)\s*$",
+    re.IGNORECASE)
+_REVOKE_PRIV = re.compile(
+    r"^\s*REVOKE\s+" + _PRIV_LIST + r"\s+ON\s+"
+    r"(?:TABLE\s+(?P<tbl>[\w.`]+)|DATABASE\s+(?P<db>[\w`]+))"
+    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?"
+    r"\s+FROM\s+(?P<ptype>USER|GROUP|ROLE)\s+(?P<pname>\w+)\s*$",
+    re.IGNORECASE)
+_PRIV_ITEM = re.compile(r"(\w+)\s*(?:\(([^)]*)\))?")
+_SHOW_GRANT = re.compile(
+    r"^\s*SHOW\s+GRANT\s+(?P<ptype>USER|GROUP|ROLE)\s+(?P<pname>\w+)\s+ON\s+"
+    r"(?:TABLE\s+(?P<tbl>[\w.`]+)\s*(?:\((?P<col>[^)]*)\))?"
+    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?"
+    r"|DATABASE\s+(?P<db>[\w`]+))\s*$",
+    re.IGNORECASE)
+_SHOW_ROLE_GRANT = re.compile(
+    r"^\s*SHOW\s+ROLE\s+GRANT\s+(?:USER|GROUP)\s+(?P<pname>\w+)\s*$",
+    re.IGNORECASE)
+_CREATE_DROP_ROLE = re.compile(
+    r"^\s*(?P<verb>CREATE|DROP)\s+ROLE\s+(?P<role>\w+)\s*$", re.IGNORECASE)
+_PLP_PROP = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+SET\s+TBLPROPERTIES\s*\(\s*"
+    r"['\"]PARTITION_LEVEL_PRIVILEGE['\"]\s*=\s*['\"](?P<val>\w+)['\"]",
+    re.IGNORECASE)
+_PART_LIFECYCLE = re.compile(
+    r"^\s*(?:ALTER\s+TABLE\s+(?P<tbl>[\w.`]+)\s+"
+    r"(?P<verb>ADD|DROP)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?PARTITION\s*"
+    r"\((?P<spec>[^)]*)\)"
+    r"|INSERT\s+(?:OVERWRITE|INTO)\s+TABLE\s+(?P<itbl>[\w.`]+)\s+"
+    r"PARTITION\s*\((?P<ispec>[^)]*)\))",
+    re.IGNORECASE)
+
+
+def _part_name(spec: str) -> str | None:
+    """'ds='2010', hr='12'' → 'ds=2010/hr=12' (Hive partition name);
+    None for dynamic specs (no literal value)."""
+    parts = []
+    for kv in spec.split(","):
+        if "=" not in kv:
+            return None
+        k, v = kv.split("=", 1)
+        parts.append(f"{k.strip().lower()}={v.strip().strip(chr(39) + chr(34))}")
+    return "/".join(parts)
+
 _ADD_RESOURCE = re.compile(
     r"^\s*(?P<verb>ADD|LIST|DELETE)\s+(?P<kind>FILE|JAR|ARCHIVE)S?\b(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -291,9 +346,11 @@ class HiveQLSession:
     """
 
     def __init__(self, spark: SparkSession):
+        from .authorization import AuthRegistry
         from .functions.hive_compat import register_all
 
         self.spark = spark
+        self.auth = AuthRegistry(spark)
         self.resources: list[tuple[str, str]] = []
         self.fn_aliases: dict[str, str] = {}  # temp-function name → builtin
         # (table, index_name) → {cols, kind, index_table} — session-scoped
@@ -310,6 +367,13 @@ class HiveQLSession:
         """Run one HiveQL statement; returns a DataFrame for queries,
         None for session commands handled locally."""
         stmt = statement.strip().rstrip(";")
+
+        handled = self._auth_statement(stmt)
+        if handled is not NotImplemented:
+            return handled
+        # statement-time privilege checks (Driver.doAuthorization);
+        # LOAD/EXPORT/IMPORT check inside their handlers below
+        self.auth.enforce(stmt)
 
         m = _TEMP_FUNCTION.match(stmt)
         if m:
@@ -430,7 +494,79 @@ class HiveQLSession:
                                location=m.group("loc"))
             return None
 
-        return self.spark.sql(self._rewrite(stmt))
+        df = self.spark.sql(self._rewrite(stmt))
+        self._auth_after(stmt)
+        return df
+
+    # -- authorization -------------------------------------------------
+
+    def _auth_statement(self, stmt: str):
+        """Handle authorization DDL (GRANT/REVOKE/ROLE/SHOW GRANT);
+        returns NotImplemented when `stmt` is not one."""
+        m = _GRANT_ROLE.match(stmt)
+        if m:
+            self.auth.grant_role(m.group("role"), m.group("user"))
+            return None
+        m = _CREATE_DROP_ROLE.match(stmt)
+        if m:
+            if m.group("verb").upper() == "CREATE":
+                self.auth.create_role(m.group("role"))
+            else:
+                self.auth.drop_role(m.group("role"))
+            return None
+        for rx, op in ((_GRANT_PRIV, "grant"), (_REVOKE_PRIV, "revoke")):
+            m = rx.match(stmt)
+            if not m:
+                continue
+            part = _part_name(m.group("part")) if m.group("part") else None
+            for pm in _PRIV_ITEM.finditer(m.group("privs")):
+                cols = [c.strip() for c in (pm.group(2) or "").split(",")
+                        if c.strip()] or None
+                getattr(self.auth, op)(
+                    pm.group(1), cols, m.group("db"), m.group("tbl"),
+                    part, m.group("ptype"), m.group("pname"))
+            return None
+        m = _SHOW_GRANT.match(stmt)
+        if m:
+            part = _part_name(m.group("part")) if m.group("part") else None
+            col = (m.group("col") or "").strip() or None
+            rows = self.auth.show_grant(
+                m.group("ptype"), m.group("pname"), m.group("db"),
+                m.group("tbl"), part, col)
+            return self.spark.createDataFrame(
+                rows, "property string, value string")
+        m = _SHOW_ROLE_GRANT.match(stmt)
+        if m:
+            rows = [("role name", r) for r, _ in
+                    self.auth.role_grants(m.group("pname"))]
+            return self.spark.createDataFrame(
+                rows, "property string, value string")
+        return NotImplemented
+
+    def _auth_after(self, stmt: str) -> None:
+        """Post-execution metadata tracking: PARTITION_LEVEL_PRIVILEGE
+        flag, the partition grant-snapshot lifecycle, and grant purge on
+        DROP TABLE."""
+        m = re.match(r"(?i)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+                     r"([\w.`]+)", stmt)
+        if m:
+            self.auth.table_dropped(m.group(1))
+            return
+        m = _PLP_PROP.match(stmt)
+        if m:
+            self.auth.set_plp(m.group("tbl"),
+                              m.group("val").upper() == "TRUE")
+            return
+        m = _PART_LIFECYCLE.match(stmt)
+        if m:
+            tbl = m.group("tbl") or m.group("itbl")
+            pname = _part_name(m.group("spec") or m.group("ispec") or "")
+            if not pname:
+                return
+            if (m.group("verb") or "ADD").upper() == "DROP":
+                self.auth.partition_dropped(tbl, pname)
+            else:
+                self.auth.partition_created(tbl, pname)
 
     # -- rewrites ------------------------------------------------------
 
@@ -562,6 +698,10 @@ class HiveQLSession:
         first, as the reference does. The loaded files must match the
         table's storage format — same contract as Hive."""
         import os
+
+        if self.auth.enabled():
+            # LOAD outputs need Update (load_nonpart_authfail.q.out)
+            self.auth.require_table("Update", "outputs", table)
         import shutil
         import uuid
 
@@ -835,6 +975,10 @@ class HiveQLSession:
         IMPORT replays. Here: a parquet copy (partition layout preserved)
         plus a JSON descriptor carrying the replayable schema."""
         import json
+
+        if self.auth.enabled():
+            # EXPORT inputs need Select (exim_22_export_authfail.q.out)
+            self.auth.require_table("Select", "inputs", table)
         import os
         import shutil
 
@@ -902,6 +1046,15 @@ class HiveQLSession:
         with open(os.path.join(src, "_metadata.json")) as fh:
             meta = json.load(fh)
         name = (table or meta["table"]).strip("`")
+        if self.auth.enabled():
+            # IMPORT into an existing table needs Alter then Update on
+            # it; creating the target needs Create on the database
+            # (exim_23/24/25_*_authfail.q.out)
+            if self.spark.catalog.tableExists(name):
+                self.auth.require_table("Alter", "outputs", name)
+                self.auth.require_table("Update", "outputs", name)
+            else:
+                self.auth.require_db("Create", "outputs")
         schema = StructType.fromJson(json.loads(meta["schema"]))
         pcols = meta.get("partition_cols") or []
         want = self._parse_part_spec(part)

@@ -1432,11 +1432,9 @@ _CLUSTERED = re.compile(
 # * ARCHIVE/UNARCHIVE — a HAR re-packaging of partition files
 #   (`exec/DDLTask.java` archive); query results over archived partitions
 #   are IDENTICAL by contract, so the storage move is a no-op here;
-# * GRANT/REVOKE/ROLE/SHOW GRANT — the authorization layer
-#   (`parse/DDLSemanticAnalyzer.java` analyzeGrant*, SURVEY §2.13) is
-#   documented out-of-scope for a single-user engine; tolerating the
-#   statements lets the authorization_*.q / *_authsuccess.q corpus run
-#   its actual queries.
+# GRANT/REVOKE/ROLE/SHOW GRANT are REAL since round 6: they route to
+# HiveQLSession's AuthRegistry (hive_nexr_spark/authorization.py), which
+# enforces privileges when hive.security.authorization.enabled=true.
 _SKIP_STMT = re.compile(
     r"^\s*(?:"
     r"ALTER\s+TABLE\s+\w+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
@@ -1452,8 +1450,6 @@ _SKIP_STMT = re.compile(
     r"|ALTER\s+VIEW\s+\w+\s+(?:ADD|DROP)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
     r"PARTITION"
     r"|LOCK\s+TABLE|UNLOCK\s+TABLE|SHOW\s+LOCKS"
-    r"|GRANT\b|REVOKE\b|SHOW\s+GRANT\b"
-    r"|CREATE\s+ROLE\b|DROP\s+ROLE\b|SHOW\s+ROLE\w*\b"
     r")",
     re.IGNORECASE,
 )
@@ -2693,6 +2689,10 @@ def run_qfile(spark: SparkSession, qfile: str,
                 os.makedirs(lm.group(1), exist_ok=True)
             m = _LOAD_DATA.match(stmt)
             if m:
+                if hql.auth.enabled():
+                    # LOAD outputs need Update (load_*_authfail.q.out)
+                    hql.auth.require_table("Update", "outputs",
+                                           m.group("tbl"))
                 _emulate_load_data(spark, m, prefix, field_seps)
                 continue
             # dynamic-partition NULL/empty values: Hive writes the
