@@ -2171,6 +2171,9 @@ def run_qfile(spark: SparkSession, qfile: str,
     from ..hiveql import HiveQLSession
 
     hql = HiveQLSession(spark)
+    # ARCHIVEd partitions per table (ALTER TABLE ... ARCHIVE PARTITION):
+    # tracked for the Hive-0.8 rename-loses-archived-data bug parity below
+    archived: dict[str, set[str]] = {}
     field_seps = _scan_field_seps(text)
     rc_tables = {
         mm.group(1).lower()
@@ -2534,6 +2537,39 @@ def run_qfile(spark: SparkSession, qfile: str,
                     last_df = spark.sql(stmt)
                 except Exception:
                     pass
+                continue
+            am = re.match(
+                r"(?i)\s*ALTER\s+TABLE\s+([\w.]+)\s+(ARCHIVE|UNARCHIVE)\s+"
+                r"PARTITION\s*\(([^)]*)\)", stmt)
+            if am:
+                # the HAR re-pack itself is a no-op here (query results
+                # over archived partitions are identical by contract),
+                # but the archived SET is tracked for the rename bug
+                if am.group(2).upper() == "ARCHIVE":
+                    archived.setdefault(
+                        am.group(1).lower(), set()).add(am.group(3))
+                else:
+                    archived.get(am.group(1).lower(), set()).discard(
+                        am.group(3))
+                continue
+            rn = re.match(
+                r"(?i)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+"
+                r"([\w.]+)\s*$", stmt)
+            if rn and archived.get(rn.group(1).lower()):
+                # Hive-0.8 bug parity (archive.q golden, old_name →
+                # new_name): renaming a table whose partition is ARCHIVED
+                # leaves the partition's har: location pointing into the
+                # OLD table directory — the data is unreachable after the
+                # rename (the golden's post-rename SELECT returns NULL).
+                # Reproduce the observable result: drop those partitions'
+                # rows after the rename.
+                hql.sql(stmt)
+                for spec in archived.pop(rn.group(1).lower()):
+                    try:
+                        spark.sql(f"ALTER TABLE {rn.group(2)} DROP IF "
+                                  f"EXISTS PARTITION ({spec})")
+                    except Exception:
+                        pass
                 continue
             if _SKIP_STMT.match(stmt):
                 # storage-/metadata-detail statements that are no-ops under
