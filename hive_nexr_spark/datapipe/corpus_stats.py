@@ -1,0 +1,144 @@
+"""Corpus-level statistics and sampling operators: global heavy-hitter
+tokens, unigram-LM perplexity scoring, and exact-quota stratified
+sampling.
+
+All three are two-level aggregations (map-side combine first) plus, where
+a corpus-wide constant is needed (total token count, vocabulary size,
+stratum sizes), a broadcast 1-row/one-row-per-stratum aggregate folded
+into the plan — no driver-side `.count()`, every operator stays lazy and
+single-pass over the corpus.
+
+Reference parity note: the reference engine exposes these shapes as ad-hoc
+HiveQL (GROUP BY + ORDER BY LIMIT, join against an aggregated subquery);
+here they are first-class pipeline operators with the 100 TB physical
+shape pinned by tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import _tokens
+
+
+def token_heavy_hitters(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Exact global top-k tokens with corpus share.
+
+    Output: (token, n_occurrences, share, rank) — rank 1..k by count desc,
+    token asc for determinism.
+
+    100 TB shape: explode + groupBy(token) is map-side combined (one row
+    per distinct token per partition through the shuffle); the top-k is
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver —
+    never a global sort); the corpus total rides in as a broadcast 1-row
+    aggregate, not a second scan (the count re-aggregates the token
+    table, which is vocabulary-sized, not corpus-sized).
+    """
+    terms = documents.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    counts = terms.groupBy("token").agg(F.count("*").alias("n_occurrences"))
+    total = counts.agg(
+        F.sum("n_occurrences").cast("double").alias("_total"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    topk = (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("_total"), 6).alias("share"),
+        )
+    )
+    # rank over the k-row result — the window input is already ≤ k rows,
+    # so the single-partition window is bounded by construction
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def perplexity_unigram(documents: DataFrame,
+                       flag_bits: float = 10.0) -> DataFrame:
+    """Per-document bits-per-token under an add-one-smoothed corpus
+    unigram language model: score(d) = -avg_t log2 p(t), with
+    p(t) = (count(t) + 1) / (total_tokens + vocab_size).
+
+    The classic cheap quality signal (CCNet-style perplexity bucketing,
+    with the corpus itself as the LM): documents whose tokens are globally
+    rare score high and get flagged.
+
+    Output: (doc_id, n_tokens, bits_per_token, high_ppl).
+
+    100 TB shape: TWO token-level shuffles total — (doc_id, token) tf
+    aggregation and token → global count — then the vocabulary-sized LM
+    table joins back BROADCAST (vocabulary grows ~log of corpus, it fits),
+    and (total, V) is a broadcast 1-row aggregate over the LM table. The
+    final per-doc aggregation shuffles one row per (doc, distinct token).
+    No driver-side counts; the whole operator is one lazy plan.
+    """
+    terms = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    lm = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    totals = lm.agg(
+        F.sum("cnt").cast("double").alias("_total"),
+        F.count("*").cast("double").alias("_vocab"),
+    )
+    scored = (
+        tf.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id", "tf",
+            (-F.log2((F.col("cnt") + 1.0)
+                     / (F.col("_total") + F.col("_vocab")))).alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("tf") * F.col("bits")) / F.sum("tf"), 6
+        ).alias("bits_per_token"),
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "bits_per_token",
+        (F.col("bits_per_token") > flag_bits).alias("high_ppl"),
+    )
+
+
+def stratified_sample(documents: DataFrame, quota: int = 10,
+                      oversample: float = 4.0) -> DataFrame:
+    """Exact-quota stratified sample: deterministically pick `quota`
+    documents per `source` stratum, ordered by a content-independent hash
+    (md5 of source:doc_id) so the sample is stable across runs and
+    re-ingests.
+
+    Output: (source, doc_id, pick) with pick = 1..quota per source.
+
+    100 TB shape: a naive per-stratum row_number() sorts EVERY row of the
+    largest stratum through one partition. Instead: (1) per-stratum counts
+    via map-side-combined groupBy, broadcast back; (2) a hash-threshold
+    PRE-FILTER keeps ~oversample×quota expected rows per stratum (each row
+    compares its hash against quota*oversample/stratum_count — pure
+    map-side, no shuffle); (3) the exact row_number window runs on the
+    surviving ~40 rows per stratum. Deterministic because the threshold
+    depends only on the exact counts and the hash is content-derived.
+    oversample=4 makes a short stratum (< quota survivors) vanishingly
+    unlikely; correctness for SMALL strata is preserved exactly because
+    the threshold formula degenerates to "keep all" when
+    quota*oversample >= stratum_count.
+    """
+    # 64-bit uniform in [0, 1): first 15 hex chars of md5 (60 bits)
+    u = (F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.col("source"), F.col("doc_id"))), 1, 15),
+        16, 10).cast("double") / F.lit(float(1 << 60)))
+    sized = documents.select("source", "doc_id", u.alias("u"))
+    counts = sized.groupBy("source").agg(F.count("*").alias("n_stratum"))
+    survivors = (
+        sized.join(F.broadcast(counts), "source")
+        .filter(F.col("u") * F.col("n_stratum")
+                < F.lit(float(quota) * oversample))
+    )
+    w = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        survivors.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= quota)
+        .select("source", "doc_id", "pick")
+    )

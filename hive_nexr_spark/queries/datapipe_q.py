@@ -3,8 +3,8 @@ multimodal / text analysis) + DuckDB oracles where engine-portable."""
 
 from __future__ import annotations
 
-from ..datapipe import (curation, dedup, multimodal, packing, similarity,
-                        textops)
+from ..datapipe import (chunking, corpus_stats, curation, dedup, multimodal,
+                        packing, similarity, textops)
 from .base import ensure_views
 
 
@@ -69,6 +69,13 @@ QUERIES = {
     "dedup_connected_components": _bind(dedup.duplicate_clusters,
                                         "documents"),
     "dedup_incremental": _bind(dedup.incremental_dedup, "documents"),
+    "chunk_documents": _bind(chunking.chunk_documents, "documents"),
+    "chunk_dedup_exact": _bind(chunking.chunk_dedup_decisions, "documents"),
+    "token_heavy_hitters": _bind(corpus_stats.token_heavy_hitters,
+                                 "documents"),
+    "perplexity_unigram": _bind(corpus_stats.perplexity_unigram, "documents"),
+    "stratified_sample_sources": _bind(corpus_stats.stratified_sample,
+                                       "documents"),
 }
 
 # Portable corpus CTE shared by the dedup oracles (mirrors
@@ -774,4 +781,121 @@ ORACLE["dedup_incremental"] = _CORPUS + """
       AND NOT EXISTS (
         SELECT 1 FROM corpus e
         WHERE e.doc_id < 100000 AND md5(e.text) = md5(n.text))
+"""
+
+# Chunking family: starts = 0, stride, 2*stride … while start < n_tokens
+# (chunk_idx = start // stride because the start list IS the stride grid).
+_CHUNK_STARTS = """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 1, 0) + 1, {stride}))
+               AS start_tok
+      FROM t
+    )
+"""
+
+ORACLE["chunk_documents"] = _CHUNK_STARTS.format(stride=48) + """
+    SELECT doc_id,
+           CAST(start_tok // 48 AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(least(64, len(toks) - start_tok) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[start_tok + 1 : start_tok + 64], ' ')
+             AS chunk_text
+    FROM s
+"""
+
+ORACLE["chunk_dedup_exact"] = _CHUNK_STARTS.format(stride=32) + """
+    , ch AS (
+      SELECT doc_id,
+             CAST(start_tok // 32 AS INT) AS chunk_idx,
+             md5(array_to_string(toks[start_tok + 1 : start_tok + 32], ' '))
+               AS digest
+      FROM s
+    ),
+    ranked AS (
+      SELECT digest, doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY digest
+                                ORDER BY doc_id, chunk_idx) AS rn,
+             count(*) OVER (PARTITION BY digest) AS n_copies
+      FROM ch
+    )
+    SELECT digest, doc_id AS keep_doc, chunk_idx AS keep_idx,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1 AND n_copies > 1
+"""
+
+ORACLE["token_heavy_hitters"] = """
+    WITH terms AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS n_occurrences FROM terms GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(sum(n_occurrences) AS DOUBLE) AS total FROM counts
+    ),
+    topk AS (
+      SELECT token, n_occurrences FROM counts
+      ORDER BY n_occurrences DESC, token LIMIT 20
+    )
+    SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           round(n_occurrences / total, 6) AS share,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                AS INT) AS rank
+    FROM topk, tot
+"""
+
+ORACLE["perplexity_unigram"] = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM terms GROUP BY doc_id, token
+    ),
+    lm AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY token),
+    tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS vocab
+      FROM lm
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             round(sum(tf * -log2((cnt + 1.0) / (total + vocab)))
+                   / sum(tf), 6) AS bits_per_token
+      FROM tf JOIN lm USING (token), tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, bits_per_token,
+           bits_per_token > 10.0 AS high_ppl
+    FROM per_doc
+"""
+
+# u = first 60 bits of md5(source:doc_id) as a uniform double in [0,1) —
+# both engines round the SAME 60-bit integer to nearest-double, so the
+# hash-threshold pre-filter and the row_number order are bit-identical.
+ORACLE["stratified_sample_sources"] = """
+    WITH s AS (
+      SELECT source, doc_id,
+             CAST(('0x' || substr(md5(source || ':' || doc_id), 1, 15))
+                  ::BIGINT AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    c AS (SELECT source, count(*) AS n_stratum FROM s GROUP BY source),
+    surv AS (
+      SELECT s.source, s.doc_id, s.u
+      FROM s JOIN c USING (source)
+      WHERE s.u * c.n_stratum < 40.0
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY u, doc_id) AS INT) AS pick
+      FROM surv
+    )
+    SELECT source, doc_id, pick FROM ranked WHERE pick <= 10
 """

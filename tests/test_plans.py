@@ -269,3 +269,64 @@ def test_duplicate_clusters_iterations_shuffle_ids_only(dfs):
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "text#" not in ex and "sh#" not in ex, (
             f"corpus payload in propagation shuffle: {ex}")
+
+
+def test_chunking_is_pure_narrow_scan(dfs):
+    """Chunking is projection + explode: zero Exchange (at 100 TB a
+    shuffle here would move the entire tokenized corpus for no reason)."""
+    from hive_nexr_spark.datapipe.chunking import chunk_documents
+
+    plan = _plan(chunk_documents(dfs["documents"]))
+    assert "Exchange" not in plan
+
+
+def test_chunk_dedup_shuffles_digests_not_chunk_text(dfs):
+    """Chunk dedup's one shuffle must carry md5 digests only — chunk text
+    must be reduced away map-side (partial aggregation) before the
+    Exchange."""
+    import re
+
+    from hive_nexr_spark.datapipe.chunking import chunk_dedup_decisions
+
+    fplan = _formatted(chunk_dedup_decisions(dfs["documents"]))
+    assert "partial_min" in fplan or "partial_count" in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "chunk_text#" not in ex and "text#" not in ex, (
+            f"chunk text in dedup shuffle: {ex}")
+
+
+def test_heavy_hitters_topk_never_global_sort(dfs):
+    """Top-k tokens must be TakeOrderedAndProject (per-partition heaps),
+    never a global Sort of the vocabulary, and the token aggregation must
+    partially combine map-side."""
+    from hive_nexr_spark.datapipe.corpus_stats import token_heavy_hitters
+
+    fplan = _formatted(token_heavy_hitters(dfs["documents"]))
+    assert "TakeOrderedAndProject" in fplan
+    assert "partial_count" in fplan
+
+
+def test_perplexity_broadcasts_lm_table(dfs):
+    """The unigram LM join must be broadcast (vocabulary-sized build
+    side); the corpus-sized tf aggregation must partially combine."""
+    from hive_nexr_spark.datapipe.corpus_stats import perplexity_unigram
+
+    fplan = _formatted(perplexity_unigram(dfs["documents"]))
+    assert "BroadcastHashJoin" in fplan
+    assert "partial_count" in fplan
+
+
+def test_stratified_sample_prefilters_before_window(dfs):
+    """The stratum-size join must be broadcast, and the hash-threshold
+    pre-filter must sit BELOW the row_number window so the per-stratum
+    sort sees ~oversample*quota survivors, not the whole stratum."""
+    from hive_nexr_spark.datapipe.corpus_stats import stratified_sample
+
+    fplan = _formatted(stratified_sample(dfs["documents"]))
+    assert "BroadcastHashJoin" in fplan
+    # Catalyst folds the threshold filter INTO the broadcast-join
+    # condition (runs during the join probe, before any shuffle) …
+    assert "Join condition: ((u#" in fplan and "< 40.0" in fplan
+    # … and pushes a rank-limit (WindowGroupLimit) below the window's
+    # Exchange, so each map task keeps only its per-stratum top rows
+    assert "WindowGroupLimit" in fplan
