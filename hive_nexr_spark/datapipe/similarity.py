@@ -311,3 +311,60 @@ def embedding_cosine_dups(embeddings: DataFrame, threshold: float = 0.99,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def kmeans_clusters(embeddings: DataFrame, k: int = 8, iters: int = 2,
+                    dim: int = 64) -> DataFrame:
+    """Lloyd's k-means over the embedding column, expressed as an
+    iterative DataFrame loop (the pattern for any fixed-point algorithm on
+    Spark: the driver unrolls the iteration count into one lazy plan, no
+    driver-side data movement).
+
+    Deterministic spec (so the oracle is exact SQL): init centroids are
+    the vectors with vec_id < k; each round assigns EVERY vector to the
+    nearest centroid by squared euclidean distance (ties break on the
+    lower cluster id) and recomputes centroids as the element-wise mean.
+    Output after `iters` rounds: (cluster, n_members, centroid_checksum)
+    with the checksum = round(sum of centroid components, 6).
+
+    100 TB shape, per iteration: assignment = corpus × broadcast(k
+    centroids) then a map-side-combined min(struct) groupBy — exactly one
+    corpus-row per vector through the shuffle; recompute = groupBy cluster
+    with `dim` partial sums (k rows per map partition through the
+    shuffle). The trained centroids drop into `ivf_topk`'s broadcast
+    centroid slot as the trained-quantizer IVF variant.
+    """
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv"))
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+    assigned = None
+    for _ in range(iters):
+        assigned = (
+            emb.join(F.broadcast(cents))
+            .select("vec_id", "v", d2.alias("d2"), "cluster")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster", "v")).alias("m"))
+            .select(F.col("m.cluster").alias("cluster"),
+                    F.col("m.v").alias("v"))
+        )
+        cents = assigned.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
+        ).select(
+            "cluster", "n",
+            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dim)]
+                    ).alias("cv"),
+        )
+
+    return cents.select(
+        "cluster",
+        F.col("n").alias("n_members"),
+        F.round(
+            F.aggregate(F.col("cv"), F.lit(0.0).cast("double"),
+                        lambda acc, x: acc + x), 6).alias("centroid_checksum"),
+    )

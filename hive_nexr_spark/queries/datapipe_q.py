@@ -899,3 +899,51 @@ ORACLE["stratified_sample_sources"] = """
     )
     SELECT source, doc_id, pick FROM ranked WHERE pick <= 10
 """
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Chained-CTE DuckDB oracle for `similarity.kmeans_clusters`: one
+    (assign, per-dim mean, rebuild) CTE triple per Lloyd iteration —
+    the same deterministic spec (init = vec_id < k, squared-euclidean
+    argmin with lower-cluster tie-break, element-wise mean update)."""
+    d2 = (f"list_aggregate([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) "
+          f"for i in range(1, {dim} + 1) ], 'sum')")
+    parts = [f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(vec_id AS INT) AS cluster, v AS cv
+      FROM emb WHERE vec_id < {k}
+    )"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+    , a{it} AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cluster) AS rn
+        FROM emb e CROSS JOIN c{it - 1} c
+      ) r WHERE rn = 1
+    )
+    , p{it} AS (
+      SELECT cluster, t.i AS i, sum(v[t.i]) / count(*) AS m
+      FROM a{it} CROSS JOIN range(1, {dim} + 1) AS t(i)
+      GROUP BY cluster, t.i
+    )
+    , c{it} AS (
+      SELECT p.cluster, n.n AS n, list(p.m ORDER BY p.i) AS cv
+      FROM p{it} p
+      JOIN (SELECT cluster, count(*) AS n FROM a{it} GROUP BY cluster) n
+        USING (cluster)
+      GROUP BY p.cluster, n.n
+    )""")
+    parts.append(f"""
+    SELECT cluster, CAST(n AS BIGINT) AS n_members,
+           round(list_aggregate(cv, 'sum'), 6) AS centroid_checksum
+    FROM c{iters}""")
+    return "".join(parts)
+
+
+QUERIES["kmeans_embeddings"] = _bind(similarity.kmeans_clusters, "embeddings")
+ORACLE["kmeans_embeddings"] = _kmeans_sql()

@@ -330,3 +330,18 @@ def test_stratified_sample_prefilters_before_window(dfs):
     # … and pushes a rank-limit (WindowGroupLimit) below the window's
     # Exchange, so each map task keeps only its per-stratum top rows
     assert "WindowGroupLimit" in fplan
+
+
+def test_kmeans_iterations_broadcast_centroids(dfs):
+    """Every Lloyd iteration must join corpus × centroids BROADCAST (k
+    rows) — never a shuffled join or cartesian against the corpus — and
+    the argmin must partially aggregate map-side (one row per vector
+    through the shuffle)."""
+    from hive_nexr_spark.datapipe.similarity import kmeans_clusters
+
+    plan = _plan(kmeans_clusters(dfs["embeddings"]))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # k-row build side,
+    # no equi-key: Spark picks BNLJ with the tiny centroid side broadcast
+    fplan = _formatted(kmeans_clusters(dfs["embeddings"]))
+    assert "partial_min" in fplan
