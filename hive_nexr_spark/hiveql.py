@@ -156,6 +156,19 @@ def _part_name(spec: str) -> str | None:
         parts.append(f"{k.strip().lower()}={v.strip().strip(chr(39) + chr(34))}")
     return "/".join(parts)
 
+_LOCK_TABLE = re.compile(
+    r"^LOCK\s+TABLE\s+`?(?P<tbl>[\w.]+)`?\s*"
+    r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?"
+    r"(?P<mode>SHARED|EXCLUSIVE)\s*$", re.IGNORECASE)
+_UNLOCK_TABLE = re.compile(
+    r"^UNLOCK\s+TABLE\s+`?(?P<tbl>[\w.]+)`?\s*"
+    r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?$", re.IGNORECASE)
+_SHOW_LOCKS = re.compile(
+    r"^SHOW\s+LOCKS"
+    r"(?:\s+`?(?P<tbl>[\w.]+)`?"
+    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?)?"
+    r"(?:\s+(?P<ext>EXTENDED))?\s*$", re.IGNORECASE)
+
 _ADD_RESOURCE = re.compile(
     r"^\s*(?P<verb>ADD|LIST|DELETE)\s+(?P<kind>FILE|JAR|ARCHIVE)S?\b(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -349,8 +362,11 @@ class HiveQLSession:
         from .authorization import AuthRegistry
         from .functions.hive_compat import register_all
 
+        from .lockmgr import LockManager
+
         self.spark = spark
         self.auth = AuthRegistry(spark)
+        self.locks = LockManager()
         self.resources: list[tuple[str, str]] = []
         self.fn_aliases: dict[str, str] = {}  # temp-function name → builtin
         # (table, index_name) → {cols, kind, index_table} — session-scoped
@@ -374,6 +390,10 @@ class HiveQLSession:
         # statement-time privilege checks (Driver.doAuthorization);
         # LOAD/EXPORT/IMPORT check inside their handlers below
         self.auth.enforce(stmt)
+
+        handled = self._lock_statement(stmt)
+        if handled is not NotImplemented:
+            return handled
 
         m = _TEMP_FUNCTION.match(stmt)
         if m:
@@ -497,6 +517,57 @@ class HiveQLSession:
         df = self.spark.sql(self._rewrite(stmt))
         self._auth_after(stmt)
         return df
+
+    # -- locking -------------------------------------------------------
+
+    def _lock_object(self, tbl: str, part: str | None,
+                     check_exists: bool = True) -> str:
+        """Resolve a LOCK/SHOW LOCKS target to its display object name,
+        enforcing the reference's existence errors (lockneg4/5.q)."""
+        from .lockmgr import LockError, object_name
+
+        if check_exists and not self.spark.catalog.tableExists(tbl):
+            raise LockError(f"Table {tbl} not found ")
+        if not part:
+            return object_name(tbl)
+        pname = _part_name(part)
+        if check_exists:
+            existing = {r[0] for r in
+                        self.spark.sql(f"SHOW PARTITIONS {tbl}").collect()}
+            if pname not in existing:
+                spec = "{" + ", ".join(pname.split("/")) + "}"
+                raise LockError(f"Partition {spec} for table {tbl} "
+                                "does not exist")
+        return object_name(tbl) + "@" + pname
+
+    def _lock_statement(self, stmt: str):
+        """LOCK TABLE / UNLOCK TABLE / SHOW LOCKS (`exec/DDLTask.java`
+        lockTable/unlockTable/showLocks; semantics in lockmgr.py).
+        Returns NotImplemented when `stmt` is none of them."""
+        m = _LOCK_TABLE.match(stmt)
+        if m:
+            obj = self._lock_object(m.group("tbl"), m.group("part"))
+            self.locks.lock(obj, m.group("mode"))
+            return None
+        m = _UNLOCK_TABLE.match(stmt)
+        if m:
+            obj = self._lock_object(m.group("tbl"), m.group("part"),
+                                    check_exists=False)
+            self.locks.unlock(obj, m.group("tbl"))
+            return None
+        m = _SHOW_LOCKS.match(stmt)
+        if m:
+            tbl, ext = m.group("tbl"), bool(m.group("ext"))
+            if tbl and tbl.upper() == "EXTENDED" and not m.group("part"):
+                # `SHOW LOCKS extended` — the bare-keyword form parses
+                # into the table slot
+                tbl, ext = None, True
+            obj = (self._lock_object(tbl, m.group("part"))
+                   if tbl else None)
+            rows = self.locks.show(obj, extended=ext)
+            return self.spark.createDataFrame(
+                rows, "tab_name string, mode string")
+        return NotImplemented
 
     # -- authorization -------------------------------------------------
 

@@ -161,6 +161,10 @@ def is_result_query(query_text: str) -> bool:
     if q.startswith("dfs -cat"):
         # synthetic entry from _split_dfs_cat: raw directory-dump lines
         return True
+    if q.startswith("show locks"):
+        # the lock manager is real (lockmgr.py): SHOW LOCKS prints lock
+        # rows the goldens record (lock1-4.q)
+        return True
     return q.startswith("from") and " insert " not in f" {q} "
 
 
@@ -187,6 +191,12 @@ def _canon_field(s: str) -> str:
         # trailing zeros so equal instants render identically
         frac = ts.group(2)[:6].rstrip("0")
         return ts.group(1) + (f".{frac}" if frac else "")
+    if s.startswith("LOCK_QUERYID:"):
+        # SHOW LOCKS extended detail line: the query id embeds the
+        # generating user/timestamp/uuid and LOCK_TIME the acquisition
+        # epoch — both run-dependent; the stable content is the mode
+        return re.sub(r"LOCK_QUERYID:\S+ LOCK_TIME:\d+",
+                      "LOCK_QUERYID:<id> LOCK_TIME:<t>", s)
     if re.match(r"^(pfile|file|hdfs|s3[an]?):/", s):
         # filesystem URIs embed the generating host's absolute paths
         # (the index goldens carry pfile:/data/users/<user>/... from the

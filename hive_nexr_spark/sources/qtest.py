@@ -1424,8 +1424,10 @@ _CLUSTERED = re.compile(
 #   §2.2), so SET SERDE / SET SERDEPROPERTIES / SET FILEFORMAT have
 #   nothing to change (`parse/DDLSemanticAnalyzer.java` alterTableSerde);
 # * TOUCH — metadata-timestamp-only in the reference (`DDLTask.touch`);
-# * ENABLE/DISABLE NO_DROP|OFFLINE protect mode, LOCK/UNLOCK/SHOW LOCKS —
-#   single-session test runs never observe them (SURVEY §2.13);
+# * ENABLE/DISABLE NO_DROP|OFFLINE protect mode — single-session test
+#   runs never observe it (SURVEY §2.13); LOCK/UNLOCK/SHOW LOCKS are
+#   REAL since round 6 (hive_nexr_spark/lockmgr.py — explicit lock
+#   table with the reference's conflict rules and display rows);
 # * CREATE/DROP/ALTER INDEX, SHOW INDEXES — compact/bitmap indexes are an
 #   access-path optimization subsumed by parquet min/max stats (SURVEY
 #   §2.4); queries over indexed tables return identical rows without them;
@@ -1449,7 +1451,6 @@ _SKIP_STMT = re.compile(
     # reference (view rows are unaffected — SemanticAnalyzer:7278)
     r"|ALTER\s+VIEW\s+\w+\s+(?:ADD|DROP)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
     r"PARTITION"
-    r"|LOCK\s+TABLE|UNLOCK\s+TABLE|SHOW\s+LOCKS"
     r")",
     re.IGNORECASE,
 )
@@ -2903,6 +2904,11 @@ def run_qfile(spark: SparkSession, qfile: str,
             if df is None:
                 iod_pending[0] = None
                 continue
+            if upper.startswith("SHOW LOCKS"):
+                # lock objects display the qfile-prefixed physical table
+                # name — strip the prefix so rows match the golden's
+                df = df.withColumn("tab_name", F.regexp_replace(
+                    "tab_name", re.escape("@" + prefix), "@"))
             last_df = df
             if iod_pending[0]:
                 # standalone INSERT OVERWRITE DIRECTORY, executed as a
@@ -2913,7 +2919,7 @@ def run_qfile(spark: SparkSession, qfile: str,
             # (`FROM t SELECT ...`) when it carries no INSERT target
             if upper.startswith("SELECT") or (
                 upper.startswith("FROM") and "INSERT" not in upper
-            ):
+            ) or upper.startswith("SHOW LOCKS"):
                 last_select = df
                 if capture is not None and not uncapturable:
                     last_select = freeze(df)
@@ -2951,6 +2957,9 @@ def run_qfile(spark: SparkSession, qfile: str,
                     else:
                         capture.append(last_select)
     finally:
+        # QTestUtil.cleanUp parity: a file that errors mid-run (negative
+        # corpus) must not leak its explicit locks into later files
+        hql.locks.clear()
         TEXT_SOURCES.clear()
         TEXT_SOURCES.update(_ts_snap)
         RC_SOURCES.clear()
