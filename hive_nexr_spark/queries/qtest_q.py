@@ -778,3 +778,40 @@ ORACLE["qfile_groupby7_noskew"] = ORACLE["qfile_groupby7"]
 ORACLE["qfile_groupby8_map"] = ORACLE["qfile_groupby8"]
 ORACLE["qfile_groupby8_map_skew"] = ORACLE["qfile_groupby8"]
 ORACLE["qfile_groupby8_noskew"] = ORACLE["qfile_groupby8"]
+
+
+def _qfile_lock_capture(qname: str, spark, sf_dir):
+    """Run a lock qfile and return the UNION of every SHOW LOCKS
+    statement's rows (lockmgr.py replay): the multiset equals the
+    reference golden's lock rows, so the oracle pins the full
+    lock/unlock/show sequence, not just the (empty) final listing.
+    The run-dependent LOCK_QUERYID/LOCK_TIME detail fields are masked to
+    the same placeholder the golden differ uses."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    ensure_runtime_compat(spark)
+    cap: list = []
+    run_qfile(spark, qname, capture=cap)
+    union = reduce(lambda a, b: a.unionAll(b), cap)
+    return union.select(
+        F.regexp_replace(
+            "tab_name", r"LOCK_QUERYID:\S+ LOCK_TIME:\d+",
+            "LOCK_QUERYID:<id> LOCK_TIME:<t>").alias("tab_name"),
+        "mode")
+
+
+QUERIES["qfile_lock2"] = partial(_qfile_lock_capture, "lock2.q")
+# expected multiset hand-derived from lock2.q's statement sequence and
+# value-matched against the reference's own lock2.q.out transcript
+# (golden_diff: match) — 13 SHOW LOCKS statements over the lifecycle of
+# a table SHARED, another table SHARED, and a partition EXCLUSIVE lock
+ORACLE["qfile_lock2"] = (
+    "SELECT * FROM (VALUES "
+    + "('default@tstsrc', 'SHARED'), "
+    + ", ".join(["('default@tstsrcpart', 'SHARED')"] * 4) + ", "
+    + ", ".join(
+        ["('default@tstsrcpart@ds=2008-04-08/hr=11', 'EXCLUSIVE')"] * 7)
+    + ", ('LOCK_QUERYID:<id> LOCK_TIME:<t> LOCK_MODE:EXPLICIT ', ' ')"
+    + ") t(tab_name, mode)")
