@@ -137,6 +137,8 @@ QUERIES = {
     "events_stream_static_enrich": _stream_static_enrich,
     "events_stream_dedup": lambda spark, sf_dir: ev.stream_dedup(spark, sf_dir),
     "events_sessionize_stream": lambda spark, sf_dir: ev.sessionize_stream(spark, sf_dir),
+    "events_stream_interval_join": lambda spark, sf_dir:
+        ev.click_purchase_interval_join_stream(spark, sf_dir),
 }
 
 _WINDOW_SQL = """
@@ -222,3 +224,16 @@ ORACLE = {
         GROUP BY o_orderstatus
     """,
 }
+
+ORACLE["events_stream_interval_join"] = """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT)
+             AS gap_seconds
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""

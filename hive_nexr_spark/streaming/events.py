@@ -261,3 +261,60 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def click_purchase_interval_join_stream(
+        spark: SparkSession, sf_dir: str,
+        window_minutes: int = 30) -> DataFrame:
+    """STREAM-STREAM inner interval join: for every click, the purchases
+    by the same user within the following `window_minutes`.
+
+    The one Structured-Streaming join class the engine didn't yet cover:
+    both sides are unbounded streams, so Spark keeps join state for each
+    side and needs (a) a watermark on both event-time columns and (b) a
+    time-range join condition — together they bound the state store
+    (click state older than watermark + interval is evicted, purchase
+    state older than watermark likewise; Spark derives the eviction
+    horizon from the range predicate). Output mode append: a match is
+    final once emitted.
+
+    100 TB shape: state and shuffle both key on user_id; per-key state is
+    O(events inside the watermark horizon), independent of stream length.
+    """
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr(
+               f"INTERVAL {window_minutes} MINUTES")),
+        "inner",
+    ).select(
+        "click_id", "purchase_id", "user_id",
+        (F.unix_timestamp("purchase_ts")
+         - F.unix_timestamp("click_ts")).alias("gap_seconds"),
+    )
+    q = (
+        joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
