@@ -51,6 +51,18 @@ HEADLINE = [
     "text_repetition_filters",
     "domain_mix_sample",
     "quantize_embeddings_int8",
+    # added round 6: the chunking/corpus-stats family (explode-heavy
+    # narrow scans + two-level aggregations) and the iterative k-means
+    # loop. Streaming queries (incl. the round-6 stream-stream interval
+    # join) stay out of the headline set as before — micro-batch
+    # machinery, not operator throughput. Same-set round-over-round
+    # comparisons use the intersection of query keys (BENCH_NOTES.md).
+    "chunk_documents",
+    "chunk_dedup_exact",
+    "token_heavy_hitters",
+    "perplexity_unigram",
+    "stratified_sample_sources",
+    "kmeans_embeddings",
 ]
 
 
