@@ -156,6 +156,18 @@ def _part_name(spec: str) -> str | None:
         parts.append(f"{k.strip().lower()}={v.strip().strip(chr(39) + chr(34))}")
     return "/".join(parts)
 
+_PROTECT_MODE = re.compile(
+    r"^ALTER\s+TABLE\s+`?(?P<tbl>[\w.]+)`?\s*"
+    r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?"
+    r"(?P<verb>ENABLE|DISABLE)\s+(?P<mode>NO_DROP|OFFLINE)\s*$",
+    re.IGNORECASE)
+_DROP_TABLE_STMT = re.compile(
+    r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(?P<tbl>[\w.]+)`?\s*$",
+    re.IGNORECASE)
+_DROP_PARTITION_STMT = re.compile(
+    r"^ALTER\s+TABLE\s+`?(?P<tbl>[\w.]+)`?\s+DROP\s+"
+    r"(?:IF\s+EXISTS\s+)?PARTITION\s*\((?P<part>[^)]*)\)", re.IGNORECASE)
+
 _LOCK_TABLE = re.compile(
     r"^LOCK\s+TABLE\s+`?(?P<tbl>[\w.]+)`?\s*"
     r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?"
@@ -367,6 +379,10 @@ class HiveQLSession:
         self.spark = spark
         self.auth = AuthRegistry(spark)
         self.locks = LockManager()
+        # (table, partition_name|None) -> {"NO_DROP", "OFFLINE"} —
+        # Hive protect mode (`ql/metadata/Table.java` ProtectMode;
+        # semantics pinned by protectmode.q + protectmode_*.q negatives)
+        self.protect: dict[tuple[str, str | None], set[str]] = {}
         self.resources: list[tuple[str, str]] = []
         self.fn_aliases: dict[str, str] = {}  # temp-function name → builtin
         # (table, index_name) → {cols, kind, index_table} — session-scoped
@@ -394,6 +410,11 @@ class HiveQLSession:
         handled = self._lock_statement(stmt)
         if handled is not NotImplemented:
             return handled
+
+        handled = self._protect_statement(stmt)
+        if handled is not NotImplemented:
+            return handled
+        self._protect_check(stmt)
 
         m = _TEMP_FUNCTION.match(stmt)
         if m:
@@ -569,6 +590,99 @@ class HiveQLSession:
                 rows, "tab_name string, mode string")
         return NotImplemented
 
+    # -- protect mode --------------------------------------------------
+
+    def _protect_statement(self, stmt: str):
+        """ALTER TABLE ... [PARTITION] ENABLE|DISABLE NO_DROP|OFFLINE
+        (`parse/DDLSemanticAnalyzer.java` alterTableProtectMode →
+        `ql/metadata/Table.java` ProtectMode). Returns NotImplemented
+        when `stmt` is not a protect-mode change."""
+        m = _PROTECT_MODE.match(stmt)
+        if m is None:
+            return NotImplemented
+        key = (m.group("tbl").lower(),
+               _part_name(m.group("part")) if m.group("part") else None)
+        mode = m.group("mode").upper()
+        if m.group("verb").upper() == "ENABLE":
+            self.protect.setdefault(key, set()).add(mode)
+        else:
+            modes = self.protect.get(key)
+            if modes:
+                modes.discard(mode)
+                if not modes:
+                    del self.protect[key]
+        return None
+
+    def _protect_check(self, stmt: str) -> None:
+        """Enforce protect mode (Hive checks this on EVERY query/drop,
+        not behind a conf — Driver compile path + DDLTask drops):
+
+        * NO_DROP blocks dropping exactly the protected OBJECT: a
+          table-level NO_DROP does NOT block partition drops
+          (protectmode.q drops p3 under table no_drop) and vice versa;
+        * OFFLINE blocks queries (SELECT/INSERT/LOAD) that touch the
+          object — a table-level OFFLINE blocks any reference, even with
+          a non-matching partition predicate (protectmode_tbl4.q); a
+          partition-level OFFLINE blocks only statements whose partition
+          predicates include that partition (protectmode_part.q reads
+          p2 while p1 is offline); DDL (ALTER/DESC/DROP) is never
+          blocked by OFFLINE (protectmode.q drops p3 while the table is
+          offline)."""
+        from .protectmode_errors import ProtectModeError
+
+        if not self.protect:
+            return
+        sl = " ".join(stmt.split()).lower()
+        m = _DROP_TABLE_STMT.match(stmt)
+        if m:
+            t = m.group("tbl").lower()
+            if "NO_DROP" in self.protect.get((t, None), ()):
+                raise ProtectModeError(
+                    f"Table {t} is protected from being dropped")
+            return
+        m = _DROP_PARTITION_STMT.match(stmt)
+        if m:
+            t = m.group("tbl").lower()
+            pname = _part_name(m.group("part"))
+            if "NO_DROP" in self.protect.get((t, pname), ()):
+                raise ProtectModeError(
+                    f"Table {t} Partition {pname} is protected from "
+                    "being dropped")
+            return
+        is_load = sl.startswith("load ")
+        if not (sl.startswith(("select", "from", "insert")) or is_load):
+            return
+        tables = {n.strip("`") for n in
+                  re.findall(r"\b(?:from|join|table)\s+([\w.`]+)", sl)}
+        for (t, pname), modes in self.protect.items():
+            if "OFFLINE" not in modes or t not in tables:
+                continue
+            if pname is None:
+                raise ProtectModeError(
+                    f"Query against an offline table or partition "
+                    f"Table {t}")
+            # partition offline: blocked unless every partition-key
+            # predicate in the statement prunes it away
+            hit = True
+            for kv in pname.split("/"):
+                k, v = kv.split("=", 1)
+                if (re.search(rf"\b{re.escape(k)}\s*=\s*'", sl)
+                        and not re.search(
+                            rf"\b{re.escape(k)}\s*=\s*'{re.escape(v)}'",
+                            sl)):
+                    hit = False
+                    break
+            if hit:
+                if is_load:
+                    # LoadSemanticAnalyzer wraps the check —
+                    # protectmode_part2.q pins the `tbl:part` rendering
+                    raise ProtectModeError(
+                        f"Query against an offline table or partition "
+                        f"{t}:{pname}")
+                raise ProtectModeError(
+                    f"Query against an offline table or partition "
+                    f"Table {t} Partition {pname}")
+
     # -- authorization -------------------------------------------------
 
     def _auth_statement(self, stmt: str):
@@ -622,6 +736,9 @@ class HiveQLSession:
                      r"([\w.`]+)", stmt)
         if m:
             self.auth.table_dropped(m.group(1))
+            t = m.group(1).strip("`").lower()
+            for key in [k for k in self.protect if k[0] == t]:
+                del self.protect[key]
             return
         m = _PLP_PROP.match(stmt)
         if m:

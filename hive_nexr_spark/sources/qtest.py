@@ -1424,10 +1424,10 @@ _CLUSTERED = re.compile(
 #   §2.2), so SET SERDE / SET SERDEPROPERTIES / SET FILEFORMAT have
 #   nothing to change (`parse/DDLSemanticAnalyzer.java` alterTableSerde);
 # * TOUCH — metadata-timestamp-only in the reference (`DDLTask.touch`);
-# * ENABLE/DISABLE NO_DROP|OFFLINE protect mode — single-session test
-#   runs never observe it (SURVEY §2.13); LOCK/UNLOCK/SHOW LOCKS are
-#   REAL since round 6 (hive_nexr_spark/lockmgr.py — explicit lock
-#   table with the reference's conflict rules and display rows);
+# * LOCK/UNLOCK/SHOW LOCKS and ENABLE/DISABLE NO_DROP|OFFLINE protect
+#   mode are REAL since round 6 (hive_nexr_spark/lockmgr.py and
+#   HiveQLSession._protect_check — reference conflict rules, display
+#   rows, and error texts; no longer skipped here);
 # * CREATE/DROP/ALTER INDEX, SHOW INDEXES — compact/bitmap indexes are an
 #   access-path optimization subsumed by parquet min/max stats (SURVEY
 #   §2.4); queries over indexed tables return identical rows without them;
@@ -1441,7 +1441,7 @@ _SKIP_STMT = re.compile(
     r"^\s*(?:"
     r"ALTER\s+TABLE\s+\w+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
     r"(?:SET\s+(?:SERDE|SERDEPROPERTIES|FILEFORMAT)\b|TOUCH\b"
-    r"|ENABLE\b|DISABLE\b|ARCHIVE\b|UNARCHIVE\b"
+    r"|ARCHIVE\b|UNARCHIVE\b"
     # bucketing metadata on existing tables (alter4.q, bucket_groupby.q):
     # Hive only records the clause for FUTURE writes (`DDLTask`
     # alterTable NOT CLUSTERED / CLUSTERED BY); rows are untouched
@@ -2730,6 +2730,9 @@ def run_qfile(spark: SparkSession, qfile: str,
                     # LOAD outputs need Update (load_*_authfail.q.out)
                     hql.auth.require_table("Update", "outputs",
                                            m.group("tbl"))
+                # offline-partition check (protectmode_part2.q) — this
+                # branch bypasses hql.sql, so enforce here
+                hql._protect_check(stmt)
                 _emulate_load_data(spark, m, prefix, field_seps)
                 continue
             # dynamic-partition NULL/empty values: Hive writes the
