@@ -96,3 +96,49 @@ def chunk_dedup_decisions(documents: DataFrame,
             "n_copies",
         )
     )
+
+
+def remove_boilerplate(documents: DataFrame,
+                       chunk_tokens: int = 32) -> DataFrame:
+    """End-to-end boilerplate removal: apply `chunk_dedup_decisions` to
+    the corpus — every duplicated chunk instance EXCEPT its first
+    occurrence is dropped, and each document is re-assembled from its
+    surviving chunks (the corpus rewrite step after chunk-level dedup).
+
+    Output: (doc_id, n_chunks, n_dropped, clean_digest) — the digest of
+    the re-assembled text, so the result stays row-sized while still
+    pinning the exact rebuilt content.
+
+    100 TB shape: the duplicated-digest decision table (tiny relative to
+    the corpus: only digests with >1 occurrence) joins BROADCAST onto the
+    chunk stream, so chunk text never shuffles for the keep/drop verdict;
+    the one text-bearing Exchange is the per-document re-assembly
+    groupBy — inherent to a corpus-rewrite operator (each doc's chunks
+    must meet once) and keyed by doc_id, which is uniform by
+    construction.
+    """
+    chunks = chunk_documents(documents, chunk_tokens=chunk_tokens,
+                             stride=chunk_tokens).withColumn(
+        "digest", F.md5(F.col("chunk_text")))
+    decisions = chunk_dedup_decisions(documents, chunk_tokens=chunk_tokens)
+    marked = chunks.join(
+        F.broadcast(decisions), "digest", "left").select(
+        "doc_id", "chunk_idx", "chunk_text",
+        (F.col("keep_doc").isNull()
+         | ((F.col("keep_doc") == F.col("doc_id"))
+            & (F.col("keep_idx") == F.col("chunk_idx")))).alias("keep"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("keep"),
+                               F.struct("chunk_idx", "chunk_text")))),
+                    lambda x: x.chunk_text),
+                " ")).alias("clean_digest"),
+        )
+    )

@@ -947,3 +947,29 @@ def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
 
 QUERIES["kmeans_embeddings"] = _bind(similarity.kmeans_clusters, "embeddings")
 ORACLE["kmeans_embeddings"] = _kmeans_sql()
+
+QUERIES["chunk_remove_boilerplate"] = _bind(chunking.remove_boilerplate,
+                                            "documents")
+ORACLE["chunk_remove_boilerplate"] = _CHUNK_STARTS.format(stride=32) + """
+    , ch AS (
+      SELECT doc_id,
+             CAST(start_tok // 32 AS INT) AS chunk_idx,
+             array_to_string(toks[start_tok + 1 : start_tok + 32], ' ')
+               AS chunk_text
+      FROM s
+    ),
+    marked AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             (count(*) OVER (PARTITION BY chunk_text) = 1
+              OR row_number() OVER (PARTITION BY chunk_text
+                                    ORDER BY doc_id, chunk_idx) = 1)
+               AS keep
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                        FILTER (WHERE keep), '')) AS clean_digest
+    FROM marked GROUP BY doc_id
+"""

@@ -345,3 +345,20 @@ def test_kmeans_iterations_broadcast_centroids(dfs):
     # no equi-key: Spark picks BNLJ with the tiny centroid side broadcast
     fplan = _formatted(kmeans_clusters(dfs["embeddings"]))
     assert "partial_min" in fplan
+
+
+def test_remove_boilerplate_broadcasts_decisions(dfs):
+    """The keep/drop verdict must come from a BROADCAST join against the
+    duplicated-digest decision table — chunk text must not shuffle to be
+    judged; the only text-bearing Exchange is the per-doc re-assembly."""
+    import re
+
+    from hive_nexr_spark.datapipe.chunking import remove_boilerplate
+
+    fplan = _formatted(remove_boilerplate(dfs["documents"]))
+    assert "BroadcastHashJoin" in fplan
+    exchanges = re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan)
+    text_bearing = [e for e in exchanges if "chunk_text" in e]
+    # re-assembly shuffle keys on doc_id, never on digest/chunk_text
+    for e in text_bearing:
+        assert e.startswith("Arguments: hashpartitioning(doc_id"), e
