@@ -45,3 +45,28 @@ def test_stream_dedup_removes_planted_duplicates(spark, sf_dir, dfs):
     )
     stream = ev.stream_dedup(spark, sf_dir).collect()
     assert _key(batch) == _key(stream)
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir, dfs):
+    """Stream-stream interval join result must equal the batch interval
+    join (every click-purchase pair within 30 min, same user)."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.streaming import events as ev
+
+    e = dfs["events"]
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("cts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    batch = c.join(p, (F.col("user_id") == F.col("pu"))
+                   & (F.col("pts") >= F.col("cts"))
+                   & (F.col("pts") <= F.col("cts")
+                      + F.expr("INTERVAL 30 MINUTES"))).select(
+        "click_id", "purchase_id").collect()
+    stream = ev.click_purchase_interval_join_stream(spark, sf_dir).select(
+        "click_id", "purchase_id").collect()
+    assert _key(batch) == _key(stream)
+    assert stream  # non-degenerate: the fixture has in-window pairs
