@@ -156,6 +156,10 @@ def _part_name(spec: str) -> str | None:
         parts.append(f"{k.strip().lower()}={v.strip().strip(chr(39) + chr(34))}")
     return "/".join(parts)
 
+_TOUCH = re.compile(
+    r"^ALTER\s+TABLE\s+`?(?P<tbl>[\w.]+)`?\s+TOUCH\s*"
+    r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?$", re.IGNORECASE)
+
 _PROTECT_MODE = re.compile(
     r"^ALTER\s+TABLE\s+`?(?P<tbl>[\w.]+)`?\s*"
     r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?"
@@ -416,6 +420,11 @@ class HiveQLSession:
             return handled
         self._protect_check(stmt)
 
+        m = _TOUCH.match(stmt)
+        if m:
+            self._touch(m.group("tbl"), m.group("part"))
+            return None
+
         m = _TEMP_FUNCTION.match(stmt)
         if m:
             self._create_temp_function(m.group("name"), m.group("cls"))
@@ -589,6 +598,28 @@ class HiveQLSession:
             return self.spark.createDataFrame(
                 rows, "tab_name string, mode string")
         return NotImplemented
+
+    def _touch(self, tbl: str, part: str | None) -> None:
+        """ALTER TABLE ... TOUCH [PARTITION]: metadata-timestamp-only in
+        the reference (`exec/DDLTask.java` touch — fires pre/post hooks,
+        rewrites nothing), so the data effect is a no-op; the METADATA
+        validation is real (touch1/touch2.q error parity)."""
+        if not part:
+            return
+        try:
+            cols = self.spark.catalog.listColumns(tbl)
+        except Exception:
+            cols = []
+        if not any(c.isPartition for c in cols):
+            pname = _part_name(part)
+            spec = "{" + ", ".join(pname.split("/")) + "}"
+            raise ValueError("table is not partitioned but partition "
+                             f"spec exists: {spec}")
+        pname = _part_name(part)
+        existing = {r[0] for r in
+                    self.spark.sql(f"SHOW PARTITIONS {tbl}").collect()}
+        if pname not in existing:
+            raise ValueError("Specified partition does not exist")
 
     # -- protect mode --------------------------------------------------
 

@@ -1423,7 +1423,8 @@ _CLUSTERED = re.compile(
 # * serde/fileformat DDL — all storage standardizes on parquet (SURVEY
 #   §2.2), so SET SERDE / SET SERDEPROPERTIES / SET FILEFORMAT have
 #   nothing to change (`parse/DDLSemanticAnalyzer.java` alterTableSerde);
-# * TOUCH — metadata-timestamp-only in the reference (`DDLTask.touch`);
+# * TOUCH — handled by HiveQLSession._touch since round 6 (metadata
+#   no-op with real partition-spec validation, touch1/touch2 parity);
 # * LOCK/UNLOCK/SHOW LOCKS and ENABLE/DISABLE NO_DROP|OFFLINE protect
 #   mode are REAL since round 6 (hive_nexr_spark/lockmgr.py and
 #   HiveQLSession._protect_check — reference conflict rules, display
@@ -1440,7 +1441,7 @@ _CLUSTERED = re.compile(
 _SKIP_STMT = re.compile(
     r"^\s*(?:"
     r"ALTER\s+TABLE\s+\w+\s+(?:PARTITION\s*\([^)]*\)\s+)?"
-    r"(?:SET\s+(?:SERDE|SERDEPROPERTIES|FILEFORMAT)\b|TOUCH\b"
+    r"(?:SET\s+(?:SERDE|SERDEPROPERTIES|FILEFORMAT)\b"
     r"|ARCHIVE\b|UNARCHIVE\b"
     # bucketing metadata on existing tables (alter4.q, bucket_groupby.q):
     # Hive only records the clause for FUTURE writes (`DDLTask`
