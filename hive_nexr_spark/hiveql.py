@@ -425,6 +425,8 @@ class HiveQLSession:
             self._touch(m.group("tbl"), m.group("part"))
             return None
 
+        self._check_duplicate_outputs(stmt)
+
         m = _TEMP_FUNCTION.match(stmt)
         if m:
             self._create_temp_function(m.group("name"), m.group("cls"))
@@ -598,6 +600,34 @@ class HiveQLSession:
             return self.spark.createDataFrame(
                 rows, "tab_name string, mode string")
         return NotImplemented
+
+    def _check_duplicate_outputs(self, stmt: str) -> None:
+        """Multi-insert semantic check (`parse/SemanticAnalyzer.java`
+        validate — duplicate_insert1-3.q): the same table, partition, or
+        directory may appear as an INSERT target only once per
+        statement. Spark executes duplicate arms sequentially (last
+        write wins), silently losing Hive's error."""
+        sl = " ".join(stmt.split()).lower()
+        if not sl.startswith("from") or sl.count(" insert ") < 1:
+            return
+        outs: list[str] = []
+        for m in re.finditer(
+                r"insert\s+(?:overwrite|into)\s+table\s+([\w.`]+)"
+                r"(?:\s+partition\s*\(([^)]*)\))?", sl):
+            t = m.group(1).strip("`")
+            pname = _part_name(m.group(2)) if m.group(2) else None
+            outs.append(f"{t}@{pname}" if pname else t)
+        for m in re.finditer(
+                r"insert\s+overwrite\s+(?:local\s+)?directory\s+"
+                r"'([^']+)'", sl):
+            outs.append(m.group(1))
+        seen: set[str] = set()
+        for o in outs:
+            if o in seen:
+                raise ValueError(
+                    "The same output cannot be present multiple "
+                    f"times:  {o}")
+            seen.add(o)
 
     def _touch(self, tbl: str, part: str | None) -> None:
         """ALTER TABLE ... TOUCH [PARTITION]: metadata-timestamp-only in

@@ -2799,6 +2799,9 @@ def run_qfile(spark: SparkSession, qfile: str,
             # result stays checkable); as an arm of a FROM-first
             # multi-insert (input13.q) a bare SELECT is invalid, so route
             # that arm to a scratch directory sink instead
+            # duplicate-output check must see the ORIGINAL directory
+            # paths (the multi-arm rewrite below makes them unique)
+            hql._check_duplicate_outputs(stmt)
             if _INSERT_DIR.search(stmt) and len(
                     re.findall(r"\bINSERT\b", stmt, re.IGNORECASE)) == 1:
                 # sole sink (standalone or FROM-first single-insert):
