@@ -1469,6 +1469,23 @@ class HiveQLSession:
         import os
         import shutil
 
+        # merge_negative_1/2.q semantic checks (`parse/
+        # DDLSemanticAnalyzer.java` analyzeAlterTablePartMergeFiles):
+        # indexed tables can't merge, and a partitioned table needs an
+        # explicit partition desc
+        t = table.split(".")[-1].lower()
+        if any(k[0].lower() == t for k in self.indexes):
+            raise ValueError("can not do merge because source table "
+                             f"{table} is indexed.")
+        if not part:
+            try:
+                cols = self.spark.catalog.listColumns(table)
+            except Exception:
+                cols = []
+            if any(c.isPartition for c in cols):
+                raise ValueError(f"source table {table} is partitioned "
+                                 "but no partition desc found.")
+
         loc = self._table_location(table)
         if part:
             # partition spec → the hive-style partition subdirectory
