@@ -2765,10 +2765,28 @@ def run_qfile(spark: SparkSession, qfile: str,
                         # charToEscape; escape1.q writes \x00..\x1f
                         # values) — local FS rejects raw control chars,
                         # so write the escaped form and unescape on read
-                        keep = [f"`{c}`" for c in cols[:-len(dyn)]]
+                        # quotedRegexColumnNames=true makes backticked
+                        # idents REGEXES: an auto-generated column name
+                        # like `CAST((hr * 2) AS INT)` would expand to
+                        # ZERO columns (its parens/star are regex
+                        # metachars), silently dropping the argument —
+                        # escape the metachars so the regex matches the
+                        # literal name, and alias to safe names (the
+                        # INSERT maps by position)
+                        def _rx(c: str) -> str:
+                            return re.sub(r"([\\^$.|?*+()\[\]{}])",
+                                          r"\\\1", c)
+
+                        # keep columns stay UNALIASED: aliasing a bare
+                        # regex-column expansion is invalid
+                        # (INVALID_USAGE_OF_STAR_OR_REGEX); inside a
+                        # function call (the dyn projection) an alias is
+                        # fine
+                        keep = [f"`{_rx(c)}`" for c in cols[:-len(dyn)]]
                         proj = keep + [
-                            f"hive_escape_path(nullif(`{c}`, '')) "
-                            f"AS `{c}`" for c in cols[-len(dyn):]]
+                            f"hive_escape_path(nullif(`{_rx(c)}`, '')) "
+                            f"AS __dpd{i}"
+                            for i, c in enumerate(cols[-len(dyn):])]
                         stmt = (dpm.group(1) + "SELECT "
                                 + ", ".join(proj) + " FROM ( "
                                 + dpm.group(4) + " ) __dp")
