@@ -1448,10 +1448,6 @@ _SKIP_STMT = re.compile(
     # alterTable NOT CLUSTERED / CLUSTERED BY); rows are untouched
     r"|NOT\s+CLUSTERED\b|CLUSTERED\s+BY\b)"
     r"|ALTER\s+TABLE\s+\w+\s+SET\s+TBLPROPERTIES\s*\(\s*['\"]EXTERNAL"
-    # partitioned-view partition registration: metadata-only in the
-    # reference (view rows are unaffected — SemanticAnalyzer:7278)
-    r"|ALTER\s+VIEW\s+\w+\s+(?:ADD|DROP)\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
-    r"PARTITION"
     r")",
     re.IGNORECASE,
 )
@@ -1632,6 +1628,90 @@ def _rewrite_ddl(stmt: str) -> str:
     if cluster:
         stmt = stmt.rstrip() + " " + cluster.group(0)
     return stmt
+
+
+def _select_output_names(body: str) -> list[str | None] | None:
+    """Top-level output column names of ``SELECT <list> FROM ...`` —
+    alias if given, else the bare identifier's last segment; None for an
+    unaliased expression (Hive auto-names those _cN). Returns None when
+    the list can't be derived statically (``*``, no FROM)."""
+    m = re.match(r"(?is)\s*SELECT\s+(?:DISTINCT\s+)?(.*?)\s+FROM\s", body)
+    if not m:
+        return None
+    items, depth, cur = [], 0, ""
+    for ch in m.group(1):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    items.append(cur)
+    names: list[str | None] = []
+    for it in items:
+        it = it.strip()
+        if not it or it == "*" or it.endswith(".*"):
+            return None
+        am = re.search(r"(?i)\s+as\s+`?(\w+)`?\s*$", it)
+        if am:
+            names.append(am.group(1).lower())
+        elif re.fullmatch(r"[\w.`]+", it):
+            names.append(it.strip("`").split(".")[-1].lower())
+        else:
+            names.append(None)
+    return names
+
+
+def _validate_view_ddl(stmt: str,
+                       view_partcols: dict[str, list[str]]) -> str:
+    """CREATE VIEW semantic checks the reference performs in
+    `parse/SemanticAnalyzer.java` (createViewDesc validation,
+    create_view_failure5-9.q): duplicate derived output names and
+    PARTITIONED ON discipline (partition columns must be exactly the
+    RIGHTMOST view outputs, leaving at least one data column). Returns
+    the statement with PARTITIONED ON stripped (metadata-only for Spark)
+    and records the partition columns for ALTER VIEW checks."""
+    vm = re.match(
+        r"(?is)^(CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?P<name>[\w.]+)\s*"
+        r"(?:\((?P<cols>[^)]*)\))?)\s*"
+        r"(?:PARTITIONED\s+ON\s*\((?P<pcols>[^)]*)\)\s*)?"
+        r"(?P<rest>(?:COMMENT\s+'[^']*'\s*)?(?:TBLPROPERTIES\s*"
+        r"\([^)]*\)\s*)?AS\s+(?P<body>.*))$", stmt)
+    if vm is None:
+        return stmt
+    derived = _select_output_names(vm.group("body"))
+    if derived:
+        seen: set[str] = set()
+        for n in derived:
+            if n is None:
+                continue
+            if n in seen:
+                raise ValueError(f"Duplicate column name: {n}")
+            seen.add(n)
+    if not vm.group("pcols"):
+        return stmt
+    pcols = [c.strip().strip("`").lower()
+             for c in vm.group("pcols").split(",") if c.strip()]
+    explicit = [c.strip().strip("`").split()[0].lower()
+                for c in (vm.group("cols") or "").split(",") if c.strip()]
+    names = explicit or derived
+    if names:
+        if len(pcols) >= len(names):
+            # every output partitioned -> nothing left to select
+            if [*map(str.lower, map(str, names))] == pcols:
+                raise ValueError("At least one non-partitioning column "
+                                 "must be present in view")
+            raise ValueError("Rightmost columns in view output do not "
+                             "match PARTITIONED ON clause")
+        tail = [str(n).lower() if n else None for n in names[-len(pcols):]]
+        if tail != pcols:
+            raise ValueError("Rightmost columns in view output do not "
+                             "match PARTITIONED ON clause")
+    view_partcols[vm.group("name").lower()] = pcols
+    return vm.group(1) + " " + vm.group("rest")
 
 
 def run_qfile(spark: SparkSession, qfile: str,
@@ -2176,6 +2256,17 @@ def run_qfile(spark: SparkSession, qfile: str,
     # ARCHIVEd partitions per table (ALTER TABLE ... ARCHIVE PARTITION):
     # tracked for the Hive-0.8 rename-loses-archived-data bug parity below
     archived: dict[str, set[str]] = {}
+    # partitioned-view metadata (CREATE VIEW ... PARTITIONED ON is
+    # stripped for Spark but its column list is validated and recorded so
+    # ALTER VIEW ADD PARTITION specs can be checked — alter_view_failure*)
+    view_partcols: dict[str, list[str]] = {}
+    # hive.exec.drop.ignorenonexistent (default true) gates the IF EXISTS
+    # injection below (drop_view_failure2.q sets it false and expects the
+    # missing-view DROP to fail)
+    drop_ignore = [True]
+    # a malformed fs.default.name poisons every later command
+    # (fs_default_name1/2.q: Hive dies with IllegalArgumentException)
+    fs_poison = [False]
     field_seps = _scan_field_seps(text)
     rc_tables = {
         mm.group(1).lower()
@@ -2290,6 +2381,13 @@ def run_qfile(spark: SparkSession, qfile: str,
                 if not ln.lstrip().startswith("--")).strip()
             if not stmt:
                 continue
+            if fs_poison[0] and not _SET_CMD.match(stmt):
+                # fs.default.name holds a non-URI value: every command
+                # dies in FileSystem.get (fs_default_name1/2.q); a
+                # corrective `set` may still run
+                raise ValueError(
+                    "Hive Internal Error: "
+                    "java.lang.IllegalArgumentException(null)")
             uncapturable = False  # rewritten into a different result shape
             # Hive variable substitution (`parse/VariableSubstitution.java`,
             # set_processor_namespaces.q): expand ${hiveconf:}/${system:}/
@@ -2535,9 +2633,22 @@ def run_qfile(spark: SparkSession, qfile: str,
                 # plan TEXT is Catalyst's, by design); the inner DML is
                 # planned, not executed. Unsupported EXPLAIN targets
                 # (DDL) are skipped like before.
+                # backquoted idents are column REGEXES
+                # (quotedRegexColumnNames); an uncompilable one fails in
+                # the reference ("Dangling meta character", regex_col_1.q)
+                # but Spark's EXPLAIN swallows it into an error-text plan
+                for tok in re.findall(r"`([^`]+)`", stmt):
+                    try:
+                        re.compile(tok)
+                    except re.error as rexc:
+                        raise ValueError(
+                            f"Invalid column reference '`{tok}`': "
+                            f"{rexc}") from rexc
                 try:
                     last_df = spark.sql(stmt)
                 except Exception:
+                    # unsupported EXPLAIN target (Hive dialect the raw
+                    # path can't analyze) — skipped
                     pass
                 continue
             am = re.match(
@@ -2573,6 +2684,48 @@ def run_qfile(spark: SparkSession, qfile: str,
                     except Exception:
                         pass
                 continue
+            avm = re.match(
+                r"(?is)^ALTER\s+VIEW\s+(?P<name>[\w.]+)\s+(?:ADD|DROP)\s+"
+                r"(?:IF\s+(?:NOT\s+)?EXISTS\s+)?PARTITION\s*"
+                r"\((?P<spec>[^)]*)\)(?P<rest>.*)$", stmt)
+            if avm:
+                # partitioned-view partition registration is metadata-only
+                # (SemanticAnalyzer:7278) but its VALIDATION is real
+                # (alter_view_failure3/4/5/7.q)
+                vname = avm.group("name").lower()
+                try:
+                    ttype = spark.catalog.getTable(vname).tableType
+                except Exception:
+                    ttype = None
+                if vname in fixture_names or ttype in ("MANAGED",
+                                                       "EXTERNAL"):
+                    raise ValueError(
+                        "Cannot alter a base table with ALTER VIEW")
+                if re.search(r"(?i)\bLOCATION\b", avm.group("rest")):
+                    raise ValueError(
+                        "LOCATION clause illegal for view partition")
+                pairs = []
+                for kv in avm.group("spec").split(","):
+                    if "=" in kv:
+                        k, v = kv.split("=", 1)
+                        pairs.append((k.strip().strip("`").lower(),
+                                      v.strip().strip("'\"")))
+                render = "{" + ", ".join(f"{k}={v}" for k, v in pairs) \
+                    + "}"
+                pcols = view_partcols.get(vname)
+                if pcols:
+                    if len(pairs) != len(pcols):
+                        raise ValueError(
+                            "table is partitioned but partition spec is "
+                            "not specified or does not fully match table "
+                            f"partitioning: {render}")
+                    keys = {k for k, _ in pairs}
+                    for p in pcols:
+                        if p not in keys:
+                            raise ValueError(
+                                f"{p} not found in table's partition "
+                                f"spec: {render}")
+                continue
             if _SKIP_STMT.match(stmt):
                 # storage-/metadata-detail statements that are no-ops under
                 # the parquet standardization (SET SERDE/FILEFORMAT,
@@ -2586,11 +2739,12 @@ def run_qfile(spark: SparkSession, qfile: str,
                 continue
             # Hive partitioned views (`parse/SemanticAnalyzer.java:7278`
             # saveViewDefinition PARTITIONED ON) are metadata-only — the
-            # view's rows are identical; Spark has no equivalent clause
-            stmt = re.sub(
-                r"^(CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+\w+\s*(?:\([^)]*\))?)"
-                r"\s*PARTITIONED\s+ON\s*\([^)]*\)",
-                r"\1", stmt, flags=re.IGNORECASE)
+            # view's rows are identical; validate the clause like the
+            # reference (create_view_failure5-9.q), record the partition
+            # columns, then strip it (Spark has no equivalent clause)
+            if re.match(r"(?i)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\b", stmt):
+                stmt = _validate_view_ddl(stmt, view_partcols)
+                upper = stmt.upper()
             m = re.match(r"CREATE\s+(?:DATABASE|SCHEMA)\s+(?!IF\s)(\w+)",
                          stmt, re.IGNORECASE)
             if m:
@@ -2620,12 +2774,23 @@ def run_qfile(spark: SparkSession, qfile: str,
             # (hive.exec.drop.ignorenonexistent defaults true,
             # `conf/HiveConf.java` DROPIGNORESNONEXISTENT); Spark requires
             # an explicit IF EXISTS
-            stmt = re.sub(r"\bDROP\s+PARTITION\b", "DROP IF EXISTS PARTITION",
-                          stmt, flags=re.IGNORECASE)
-            stmt = re.sub(r"^DROP\s+TABLE\s+(?!IF\s)",
-                          "DROP TABLE IF EXISTS ", stmt, flags=re.IGNORECASE)
-            stmt = re.sub(r"^DROP\s+VIEW\s+(?!IF\s)",
-                          "DROP VIEW IF EXISTS ", stmt, flags=re.IGNORECASE)
+            # user-written IF EXISTS (vs the injection below) also
+            # suppresses the wrong-object-type error: `DROP VIEW IF
+            # EXISTS <table>` "should ignore a matching table name"
+            # (create_view.q:210) while plain `DROP VIEW <table>` errors
+            # (drop_view_failure1.q)
+            dv_user_ifexists = bool(re.match(
+                r"(?i)^DROP\s+VIEW\s+IF\s+EXISTS\b", stmt))
+            if drop_ignore[0]:
+                stmt = re.sub(r"\bDROP\s+PARTITION\b",
+                              "DROP IF EXISTS PARTITION",
+                              stmt, flags=re.IGNORECASE)
+                stmt = re.sub(r"^DROP\s+TABLE\s+(?!IF\s)",
+                              "DROP TABLE IF EXISTS ", stmt,
+                              flags=re.IGNORECASE)
+                stmt = re.sub(r"^DROP\s+VIEW\s+(?!IF\s)",
+                              "DROP VIEW IF EXISTS ", stmt,
+                              flags=re.IGNORECASE)
             m = _SET_CMD.match(stmt)
             if m:
                 k, v = m.group("k"), m.group("v").strip()
@@ -2636,6 +2801,25 @@ def run_qfile(spark: SparkSession, qfile: str,
                     # exercises an intentionally failing script): keep
                     # processing after a failed statement
                     ignore_errors[0] = v.lower() == "true"
+                if k.lower() == "hive.exec.drop.ignorenonexistent":
+                    # gates the IF EXISTS injection (drop_view_failure2.q)
+                    drop_ignore[0] = v.lower() != "false"
+                if k.lower() == "fs.default.name":
+                    # a value that is not a parseable URI (the negative
+                    # corpus uses a leading quote) kills every subsequent
+                    # Hive command with IllegalArgumentException
+                    # (fs_default_name1/2.q); a well-formed URI with an
+                    # unknown scheme only fails on actual FS access
+                    # (groupby1.q sets invalidscheme:/// and proceeds).
+                    # The negative files' unterminated quote swallows the
+                    # rest of the file into this statement, so fail HERE
+                    # as well as poisoning any statements that follow
+                    fs_poison[0] = not re.match(
+                        r"^[A-Za-z][\w+.-]*:", v.strip())
+                    if fs_poison[0]:
+                        raise ValueError(
+                            "Hive Internal Error: "
+                            "java.lang.IllegalArgumentException(null)")
                 if ":" in k:
                     # namespaced vars (system:/hiveconf:) live in the
                     # substitution scope, not the Spark conf
@@ -2907,12 +3091,24 @@ def run_qfile(spark: SparkSession, qfile: str,
                 df = hql.sql(stmt)
             except Exception as exc:
                 if ("WRONG_COMMAND_FOR_OBJECT_TYPE" in str(exc)
-                        and re.match(r"DROP\s+(TABLE|VIEW)\b", stmt,
+                        and re.match(r"DROP\s+TABLE\b", stmt,
                                      re.IGNORECASE)):
-                    # Hive 0.8: DROP TABLE naming a VIEW (and vice versa)
-                    # is a silent no-op (`create_view.q:207` golden keeps
-                    # the view alive); Spark raises instead
+                    # Hive 0.8: DROP TABLE naming a VIEW is a silent
+                    # no-op (`create_view.q:207` golden keeps the view
+                    # alive); Spark raises instead
                     df = None
+                elif ("WRONG_COMMAND_FOR_OBJECT_TYPE" in str(exc)
+                      and re.match(r"DROP\s+VIEW\b", stmt,
+                                   re.IGNORECASE)):
+                    # …but the REVERSE direction errors in the reference
+                    # (drop_view_failure1.q) UNLESS the qfile itself
+                    # wrote IF EXISTS (create_view.q:210)
+                    if dv_user_ifexists:
+                        df = None
+                    else:
+                        raise ValueError(
+                            "Cannot drop a base table with DROP VIEW"
+                        ) from exc
                 elif ("EXPECT_TABLE_NOT_VIEW" in str(exc)
                       and re.match(r"SHOW\s+(PARTITIONS|TABLE\s+EXTENDED)\b",
                                    stmt, re.IGNORECASE)):
