@@ -615,8 +615,17 @@ class HiveQLSession:
                 r"insert\s+(?:overwrite|into)\s+table\s+([\w.`]+)"
                 r"(?:\s+partition\s*\(([^)]*)\))?", sl):
             t = m.group(1).strip("`")
-            pname = _part_name(m.group(2)) if m.group(2) else None
-            outs.append(f"{t}@{pname}" if pname else t)
+            if m.group(2):
+                pname = _part_name(m.group(2))
+                if pname is None:
+                    # dynamic-partition arm: the output entity resolves
+                    # at runtime, so Hive's duplicate check skips it
+                    # (load_dyn_part8.q targets one table twice with
+                    # dynamic specs)
+                    continue
+                outs.append(f"{t}@{pname}")
+            else:
+                outs.append(t)
         for m in re.finditer(
                 r"insert\s+overwrite\s+(?:local\s+)?directory\s+"
                 r"'([^']+)'", sl):
@@ -1474,7 +1483,10 @@ class HiveQLSession:
         # indexed tables can't merge, and a partitioned table needs an
         # explicit partition desc
         t = table.split(".")[-1].lower()
-        if any(k[0].lower() == t for k in self.indexes):
+        check_idx = str(self.spark.conf.get(
+            "hive.exec.concatenate.check.index", "true")).strip().lower()
+        if check_idx != "false" and any(
+                k[0].lower() == t for k in self.indexes):
             raise ValueError("can not do merge because source table "
                              f"{table} is indexed.")
         if not part:

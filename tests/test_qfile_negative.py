@@ -23,6 +23,16 @@ MUST_RAISE = [
     # (`ImportSemanticAnalyzer.checkTable`; round-5 compat check)
     "exim_03_nonpart_noncompat_colschema.q",
     "exim_05_nonpart_noncompat_coltype.q",
+    # round-6 real-semantics classes (one representative each)
+    "lockneg1.q",               # EXCLUSIVE over held SHARED lock
+    "protectmode_tbl_no_drop.q",  # NO_DROP blocks DROP TABLE
+    "touch2.q",                 # TOUCH spec on unpartitioned table
+    "duplicate_insert1.q",      # same multi-insert output twice
+    "merge_negative_2.q",       # CONCATENATE needs a partition desc
+    "create_view_failure7.q",   # all view outputs partitioned
+    "drop_view_failure1.q",     # DROP VIEW on a base table
+    "fs_default_name1.q",       # malformed fs.default.name
+    "regex_col_1.q",            # uncompilable regex column ref
 ]
 
 
