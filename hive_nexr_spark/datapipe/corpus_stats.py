@@ -142,3 +142,39 @@ def stratified_sample(documents: DataFrame, quota: int = 10,
         .filter(F.col("pick") <= quota)
         .select("source", "doc_id", "pick")
     )
+
+
+def corpus_summary(documents: DataFrame) -> DataFrame:
+    """One-pass corpus data card: document/token counts, length stats,
+    per-language totals, and the exact-duplicate rate — the summary block
+    a training-data pipeline emits after ingestion.
+
+    Output: one row per lang plus an '__all__' rollup —
+    (lang, n_docs, n_tokens, avg_doc_tokens, n_distinct_texts, dup_rate).
+
+    100 TB shape: ONE scan; per-doc features (token count, md5 digest)
+    are a projection, the per-language rollup is a map-side-combined
+    groupBy over a GROUPING SETS-style union expressed as one Expand
+    (cube on lang folded to the two grouping levels), and distinct-text
+    counting uses the 16-byte digest, never the text. No joins.
+    """
+    per_doc = documents.select(
+        "lang",
+        F.size(_tokens(F.col("text"))).alias("n_toks"),
+        F.md5(F.col("text")).alias("digest"),
+    )
+    g = (
+        per_doc.rollup("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.avg("n_toks"), 6).alias("avg_doc_tokens"),
+            F.count_distinct("digest").alias("n_distinct_texts"),
+        )
+    )
+    return g.select(
+        F.coalesce(F.col("lang"), F.lit("__all__")).alias("lang"),
+        "n_docs", "n_tokens", "avg_doc_tokens", "n_distinct_texts",
+        F.round(1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 6)
+        .alias("dup_rate"),
+    )

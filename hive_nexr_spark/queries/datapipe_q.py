@@ -973,3 +973,26 @@ ORACLE["chunk_remove_boilerplate"] = _CHUNK_STARTS.format(stride=32) + """
                         FILTER (WHERE keep), '')) AS clean_digest
     FROM marked GROUP BY doc_id
 """
+
+QUERIES["corpus_summary"] = _bind(corpus_stats.corpus_summary, "documents")
+ORACLE["corpus_summary"] = """
+    WITH per_doc AS (
+      SELECT lang, len(string_split(lower(text), ' ')) AS n_toks,
+             md5(text) AS digest
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+             round(avg(n_toks), 6) AS avg_doc_tokens,
+             count(DISTINCT digest) AS n_distinct_texts
+      FROM per_doc GROUP BY ROLLUP (lang)
+    )
+    SELECT coalesce(lang, '__all__') AS lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           avg_doc_tokens,
+           CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+           round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 6)
+             AS dup_rate
+    FROM g
+"""
