@@ -476,6 +476,11 @@ class HiveQLSession:
             idx = self.indexes.pop(key, None)
             if idx:
                 self.spark.sql(f"DROP TABLE IF EXISTS {idx['index_table']}")
+            elif self.spark.conf.get("hive.exec.drop.ignorenonexistent",
+                                     "true").lower() == "false":
+                # `DDLTask.dropIndex` honors the conf
+                # (drop_index_failure.q)
+                raise ValueError(f"Invalid index {m.group('name')}")
             return None
 
         m = _SHOW_INDEX.match(stmt)
@@ -491,6 +496,19 @@ class HiveQLSession:
         m = _REPLACE_COLS.match(stmt)
         if m:
             cols = _split_cols(m.group("cols"))
+            try:
+                tpcols = {c.name.lower() for c in
+                          self.spark.catalog.listColumns(m.group("table"))
+                          if c.isPartition}
+            except Exception:
+                tpcols = set()
+            clash = [n for n, _ in cols if n.lower() in tpcols]
+            if clash:
+                # `DDLTask.alterTable` REPLACECOLS rejects data columns
+                # that duplicate partition columns (altern1.q)
+                raise ValueError(
+                    f"Partition column name {clash[0]} conflicts with "
+                    "table columns")
             src = self.spark.table(m.group("table"))
             old = src.columns
             exprs = []
@@ -1007,6 +1025,13 @@ class HiveQLSession:
         tbl = table.strip("`").lower()
         kindname = kind.rsplit(".", 1)[-1].lower()
         is_bitmap = "bitmap" in kindname
+        # `HiveUtils.getIndexHandler` Class.forName's the AS clause:
+        # 'COMPACT'/'BITMAP' map to the built-in handlers, anything else
+        # must be a loadable handler class (bad_indextype.q)
+        if kindname not in ("compact", "bitmap") and not (
+                "." in kind and kind.startswith("org.apache.")):
+            raise ValueError(
+                "class name provided for index handler not found.")
         m = re.search(r"\bIN\s+TABLE\s+([\w.`]+)", rest, re.IGNORECASE)
         index_table = (m.group(1).strip("`") if m
                        else f"default__{tbl.split('.')[-1]}_{name.lower()}__")
@@ -1058,6 +1083,12 @@ class HiveQLSession:
         idx = self.indexes.get((tbl, name.lower()))
         if idx is None:
             raise ValueError(f"index {name} on {table} does not exist")
+        if idx["kind"] == "bitmap" and self.spark.conf.get(
+                "hive.map.aggr", "true").lower() == "false":
+            # `index/bitmap/BitmapIndexHandler.java` getIndexBuilderMapRedTask
+            # requires map-side aggregation (index_bitmap_no_map_aggr.q)
+            raise ValueError(
+                "Cannot construct index without map-side aggregation")
         if self._rebuild_index_physical(table, idx):
             return
         cols = idx["cols"]
@@ -1237,6 +1268,13 @@ class HiveQLSession:
         if self.auth.enabled():
             # EXPORT inputs need Select (exim_22_export_authfail.q.out)
             self.auth.require_table("Select", "inputs", table)
+        sch = re.match(r"^([A-Za-z][\w+.-]*)://", path.strip())
+        if sch and sch.group(1).lower() not in ("file", "pfile", "hdfs"):
+            # `ExportSemanticAnalyzer` URI validation
+            # (exim_00_unsupported_schema.q)
+            raise ValueError(
+                "Invalid path only the following file systems accepted "
+                "for export/import : hdfs,pfile")
         import os
         import shutil
 
@@ -1318,6 +1356,21 @@ class HiveQLSession:
         want = self._parse_part_spec(part)
         data_src = os.path.join(src, "data")
 
+        if want:
+            # the import's PARTITION spec must name every partition
+            # column and match a partition present in the dump
+            # (`ImportSemanticAnalyzer` — exim_17_part_spec_underspec.q,
+            # exim_18_part_spec_missing.q)
+            dump_parts = [
+                dict(seg.split("=", 1) for seg in p.split("/"))
+                for p in meta.get("partitions", [])]
+            if {k.lower() for k in want} != {p.lower() for p in pcols} \
+                    or not any(all(kv.get(k) == v for k, v in want.items())
+                               for kv in dump_parts):
+                raise ValueError(
+                    "Partition not found  - Specified partition not "
+                    "found in import directory")
+
         if external or location:
             self._import_at_location(name, schema, meta, want,
                                      data_src, location)
@@ -1341,6 +1394,30 @@ class HiveQLSession:
                 raise ValueError(
                     f"IMPORT: table {name} exists with incompatible "
                     f"schema: has {have}, import carries {want}")
+            if not pcols and self.spark.table(name).limit(1).count() > 0:
+                # managed nonpartitioned import over a table that already
+                # holds data (`ImportSemanticAnalyzer.checkTable` —
+                # exim_01_nonpart_over_loaded.q; an existing EMPTY table
+                # is fine, exim_03_nonpart_over_compat.q)
+                raise ValueError("Table exists and contains data files")
+            if pcols:
+                # only partitions ABSENT from the target are importable
+                # (exim_02_all_part_over_overlap.q vs the nonoverlap
+                # positive exim_07)
+                existing_parts = {
+                    r[0] for r in self.spark.sql(
+                        f"SHOW PARTITIONS {name}").collect()}
+                pw = self._parse_part_spec(part)
+                sel = [p for p in meta.get("partitions", [])
+                       if not pw or all(
+                           dict(seg.split("=", 1)
+                                for seg in p.split("/")).get(k) == v
+                           for k, v in pw.items())]
+                for p in sel:
+                    if p in existing_parts:
+                        raise ValueError(
+                            "Partition already exists "
+                            + p.replace("/", ","))
             df.write.insertInto(name)
         else:
             writer = df.write.mode("append").format("parquet")
@@ -1417,6 +1494,28 @@ class HiveQLSession:
                 raise ValueError(
                     f"IMPORT: table {name} exists with incompatible "
                     f"schema: has {h}, import carries {w}")
+            # `ImportSemanticAnalyzer.checkTable` compatibility rules:
+            # an EXTERNAL import may not take over an existing MANAGED
+            # table (exim_19/exim_21 negatives; over an existing
+            # EXTERNAL table it just adds partitions — exim_15/18
+            # positives), and a LOCATION import must match the existing
+            # table's registered location (exim_20 negative vs the
+            # same-location positive exim_14/16)
+            try:
+                ttype = self.spark.catalog.getTable(name).tableType
+            except Exception:
+                ttype = None
+            if location:
+                tloc = os.path.realpath(self._table_location(name))
+                if os.path.realpath(data_loc) != tloc:
+                    raise ValueError(
+                        "The existing table is not compatible with the "
+                        "import spec.   Location does not match")
+            elif ttype == "MANAGED":
+                raise ValueError(
+                    "The existing table is not compatible with the "
+                    "import spec.   External table cannot overwrite "
+                    "existing table. Drop existing table first.")
             if pcols:
                 # the pre-existing table may be the runner's ^A-text
                 # external form — convert the parquet partition copy so

