@@ -821,6 +821,33 @@ def _apply_test_mode(spark: SparkSession, stmt: str, qprefix: str) -> str:
     return stmt
 
 
+def _unescape_sql_string(s: str) -> str:
+    """Hive's parse-time unescaping for a quote-stripped string literal
+    (`parse/BaseSemanticAnalyzer.java` unescapeSQLString): octal \\NNN
+    (first digit 0-1), then single-char escapes \\0 \\' \\" \\b \\n \\r
+    \\t \\Z \\\\ (MySQL-style \\% and \\_ stay escaped), any other
+    escaped char maps to itself."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 3 < n and s[i + 1] in "01" \
+                and s[i + 2] in "01234567" and s[i + 3] in "01234567":
+            out.append(chr(int(s[i + 1:i + 4], 8)))
+            i += 4
+            continue
+        if c == "\\" and i + 1 < n:
+            nx = s[i + 1]
+            out.append({"0": "\0", "'": "'", '"': '"', "b": "\b",
+                        "n": "\n", "r": "\r", "t": "\t", "Z": "\x1a",
+                        "\\": "\\", "%": "\\%", "_": "\\_"}.get(nx, nx))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _unescape_delim(s: str) -> str:
     """Decode a Hive delimiter spec to its single character
     (`serde2/lazy/LazySimpleSerDe.java` getByte + `Hive.g` string
@@ -2742,12 +2769,16 @@ def run_qfile(spark: SparkSession, qfile: str,
                         "Argument type mismatch: The arguments of "
                         "function FIELD are expected to a primitive "
                         "type, but list is found")
-                # LazySimpleSerDe only supports newline row terminators
-                # (`parse/SemanticAnalyzer.java` analyzeRowFormat;
-                # line_terminator.q)
+                # LazySimpleSerDe only supports newline row terminators.
+                # Hive unescapes the literal FIRST and then accepts "\n"
+                # or the literal "10" (`parse/SemanticAnalyzer.java:1681-
+                # 1683` unescapeSQLString then equals("\n")||equals("10");
+                # positive: ctas.q '\012', input_lazyserde.q '10';
+                # negative: line_terminator.q '\t')
                 lt = re.search(r"(?i)LINES\s+TERMINATED\s+BY\s+"
                                r"'([^']*)'", stmt)
-                if lt and lt.group(1) not in ("\\n", "\n"):
+                if lt and _unescape_sql_string(lt.group(1)) \
+                        not in ("\n", "10"):
                     raise ValueError(
                         "LINES TERMINATED BY only supports newline "
                         "'\\n' right now")

@@ -33,6 +33,7 @@ MUST_RAISE = [
     "drop_view_failure1.q",     # DROP VIEW on a base table
     "fs_default_name1.q",       # malformed fs.default.name
     "regex_col_1.q",            # uncompilable regex column ref
+    "line_terminator.q",        # LINES TERMINATED BY ',' (non-newline)
 ]
 
 

@@ -131,3 +131,24 @@ def test_canon_json_sorts_maps_and_arrays():
     assert (_canon_field('{"b":"2","c":"3","a":"1"}')
             == _canon_field('{"a":"1","b":"2","c":"3"}'))
     assert _canon_field('["b","a","c"]') == _canon_field('["a","b","c"]')
+
+
+def test_unescape_sql_string_line_delims():
+    """`parse/BaseSemanticAnalyzer.java` unescapeSQLString semantics:
+    '\\012' (octal) IS newline (ctas.q:46,51), '10' stays literal and is
+    accepted by the line-delim check (input_lazyserde.q), '\\t' and ','
+    are rejected (line_terminator.q)."""
+    from hive_nexr_spark.sources.qtest import _unescape_sql_string
+
+    assert _unescape_sql_string("\\012") == "\n"
+    assert _unescape_sql_string("\\n") == "\n"
+    assert _unescape_sql_string("10") == "10"
+    assert _unescape_sql_string("\\t") == "\t"
+    assert _unescape_sql_string(",") == ","
+    assert _unescape_sql_string("\\001") == "\x01"
+    assert _unescape_sql_string("a\\'b") == "a'b"
+    ok = {"\n", "10"}
+    assert _unescape_sql_string("\\012") in ok
+    assert _unescape_sql_string("10") in ok
+    assert _unescape_sql_string("\\t") not in ok
+    assert _unescape_sql_string(",") not in ok
