@@ -313,6 +313,42 @@ def embedding_cosine_dups(embeddings: DataFrame, threshold: float = 0.99,
     )
 
 
+def _kmeans_centroids(emb: DataFrame, k: int, iters: int,
+                      dim: int) -> DataFrame:
+    """Lloyd training loop shared by `kmeans_clusters` (reporting) and
+    `ivf_kmeans_topk` (trained-quantizer IVF): returns (cluster, n, cv)
+    after `iters` rounds, one lazy unrolled plan. Per iteration:
+    assignment = corpus × broadcast(k centroids) then a map-side-combined
+    min(struct) groupBy; recompute = groupBy cluster with `dim` partial
+    sums. Init centroids are the vectors with vec_id < k; squared
+    euclidean, ties to the lower cluster id."""
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv"))
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+    for _ in range(iters):
+        assigned = (
+            emb.join(F.broadcast(cents))
+            .select("vec_id", "v", d2.alias("d2"), "cluster")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster", "v")).alias("m"))
+            .select(F.col("m.cluster").alias("cluster"),
+                    F.col("m.v").alias("v"))
+        )
+        cents = assigned.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
+        ).select(
+            "cluster", "n",
+            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dim)]
+                    ).alias("cv"),
+        )
+    return cents
+
+
 def kmeans_clusters(embeddings: DataFrame, k: int = 8, iters: int = 2,
                     dim: int = 64) -> DataFrame:
     """Lloyd's k-means over the embedding column, expressed as an
@@ -335,36 +371,74 @@ def kmeans_clusters(embeddings: DataFrame, k: int = 8, iters: int = 2,
     centroid slot as the trained-quantizer IVF variant.
     """
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv"))
-
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
-
-    assigned = None
-    for _ in range(iters):
-        assigned = (
-            emb.join(F.broadcast(cents))
-            .select("vec_id", "v", d2.alias("d2"), "cluster")
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cluster", "v")).alias("m"))
-            .select(F.col("m.cluster").alias("cluster"),
-                    F.col("m.v").alias("v"))
-        )
-        cents = assigned.groupBy("cluster").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
-        ).select(
-            "cluster", "n",
-            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dim)]
-                    ).alias("cv"),
-        )
-
+    cents = _kmeans_centroids(emb, k, iters, dim)
     return cents.select(
         "cluster",
         F.col("n").alias("n_members"),
         F.round(
             F.aggregate(F.col("cv"), F.lit(0.0).cast("double"),
                         lambda acc, x: acc + x), 6).alias("centroid_checksum"),
+    )
+
+
+def ivf_kmeans_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
+                    n_cells: int = 8, iters: int = 2, dim: int = 64,
+                    nprobe: int = 2) -> DataFrame:
+    """IVF top-k with a TRAINED quantizer: the `kmeans_clusters` training
+    loop's centroids drop into `ivf_topk`'s broadcast-centroid slot (the
+    composition `kmeans_clusters` promised). Cell assignment and probing
+    use the SAME metric the quantizer was trained with (squared
+    euclidean, ties to the lower cluster id); the in-cell rerank is exact
+    cosine like the other ANN variants.
+
+    100 TB shape: training = `iters` × (corpus × broadcast(k centroids) →
+    map-side-combined min(struct) → k-row recompute) in ONE lazy plan;
+    assignment reuses the same broadcast pattern; probing broadcasts
+    n_queries × nprobe rows; the rerank join touches only vectors in
+    probed cells. The k-row centroid table is always broadcast — nothing
+    driver-side, no cross product through a shuffle."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _kmeans_centroids(emb, n_cells, iters, dim).select(
+        "cluster", "cv")
+
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+
+    d2c = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .select("vec_id", "v", d2c.alias("d2"), "cluster")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster", "v")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"),
+                F.col("m.v").alias("v"))
+    )
+
+    d2q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    wq = Window.partitionBy("query_id").orderBy("d2", "cluster")
+    probes = (
+        queries.join(F.broadcast(cents))
+        .select("query_id", "qv", d2q.alias("d2"), "cluster")
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cluster").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v"))
+         / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
     )

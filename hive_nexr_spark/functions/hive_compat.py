@@ -109,6 +109,22 @@ def register_all(spark: SparkSession) -> None:
     """
     from . import ewah
 
+    # Serialize these UDFs BY VALUE: plain registration pickles module
+    # functions by reference, which makes every executor re-import
+    # `hive_nexr_spark` — fine when the Python workers start in the repo
+    # root, but a harness launching from any other cwd (driver replays,
+    # scratch-dir tests) dies with ModuleNotFoundError on the first
+    # UDF-bearing task.
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(ewah)
+        import sys as _sys
+
+        cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle — by-reference still works from repo cwd
+
     spark.udf.register(
         "hive_hash_str",
         lambda s: _py_text_hash(s),

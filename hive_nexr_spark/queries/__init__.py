@@ -53,6 +53,24 @@ def _latest_driver_status() -> dict[str, tuple[bool, str | None]]:
     return status
 
 
+def _next_round_no() -> int:
+    """The upcoming driver round number (latest committed
+    ``CORRECTNESS_r*.json`` + 1) — drives the tier-2 green-rotation offset
+    so the rotation advances exactly once per round."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p)))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
 def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Assemble the inventory, never-driver-verified queries first.
 
@@ -108,9 +126,23 @@ def collect_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
+    rot = _next_round_no()
     for t in (0, 1, 2, 3):
-        iters = [iter([(k, fn) for k, fn in q.items() if tier(k) == t])
-                 for q, _ in per_mod]
+        mod_lists = [[(k, fn) for k, fn in q.items() if tier(k) == t]
+                     for q, _ in per_mod]
+        if t == 2 and rot:
+            # green-rotation: with ~200 declared keys and a 50-slot driver
+            # window, a long-green query after the window would NEVER be
+            # re-sampled — a silent-regression blind spot (the r6
+            # insert_into failures were caught only because those keys had
+            # never been sampled). Rotating each module's green list by
+            # the round number cycles every green key through the window
+            # every ~len/visible rounds; tiers 0/1 stay strictly ahead,
+            # so no regression or coverage slot is ever lost.
+            mod_lists = [
+                lst[rot % len(lst):] + lst[:rot % len(lst)] if lst else lst
+                for lst in mod_lists]
+        iters = [iter(lst) for lst in mod_lists]
         by_mod_oracle = [orc for _, orc in per_mod]
         while iters:
             nxt = []

@@ -901,11 +901,13 @@ ORACLE["stratified_sample_sources"] = """
 """
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Chained-CTE DuckDB oracle for `similarity.kmeans_clusters`: one
-    (assign, per-dim mean, rebuild) CTE triple per Lloyd iteration —
-    the same deterministic spec (init = vec_id < k, squared-euclidean
-    argmin with lower-cluster tie-break, element-wise mean update)."""
+def _kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Chained-CTE Lloyd training prefix shared by the kmeans and
+    trained-IVF oracles: one (assign, per-dim mean, rebuild) CTE triple
+    per iteration — the same deterministic spec as
+    `similarity._kmeans_centroids` (init = vec_id < k, squared-euclidean
+    argmin with lower-cluster tie-break, element-wise mean update). Ends
+    with CTE ``c{{iters}}`` = (cluster, n, cv)."""
     d2 = (f"list_aggregate([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) "
           f"for i in range(1, {dim} + 1) ], 'sum')")
     parts = [f"""
@@ -938,15 +940,67 @@ def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         USING (cluster)
       GROUP BY p.cluster, n.n
     )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB oracle for `similarity.kmeans_clusters`."""
+    return _kmeans_cte(k, iters, dim) + f"""
     SELECT cluster, CAST(n AS BIGINT) AS n_members,
            round(list_aggregate(cv, 'sum'), 6) AS centroid_checksum
-    FROM c{iters}""")
-    return "".join(parts)
+    FROM c{iters}"""
+
+
+def _ivf_kmeans_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
+                    iters: int = 2, dim: int = 64, nprobe: int = 2) -> str:
+    """DuckDB oracle for `similarity.ivf_kmeans_topk`: the Lloyd training
+    prefix feeds IVF assignment/probing by the SAME squared-euclidean
+    metric, then an exact-cosine in-cell rerank."""
+    def d2(l: str, r: str) -> str:
+        return (f"list_aggregate([ ({l}.{'qv' if l == 'q' else 'v'}[i] - "
+                f"{r}.cv[i]) * ({l}.{'qv' if l == 'q' else 'v'}[i] - "
+                f"{r}.cv[i]) for i in range(1, {dim} + 1) ], 'sum')")
+
+    return _kmeans_cte(n_cells, iters, dim) + f"""
+    , q AS (
+      SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {n_queries}
+    )
+    , corpus AS (SELECT * FROM emb WHERE vec_id >= {n_queries})
+    , assigned AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2('e', 'c')}, c.cluster) AS rn
+        FROM corpus e CROSS JOIN c{iters} c
+      ) r WHERE rn = 1
+    )
+    , probes AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT q.query_id, q.qv, c.cluster,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {d2('q', 'c')}, c.cluster) AS rn
+        FROM q CROSS JOIN c{iters} c
+      ) r WHERE rn <= {nprobe}
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_dot_product(p.qv, a.v)
+                        / (sqrt(list_dot_product(p.qv, p.qv))
+                           * sqrt(list_dot_product(a.v, a.v))) DESC,
+                        a.vec_id
+             ) AS rank
+      FROM assigned a JOIN probes p USING (cluster)
+    ) t WHERE rank <= {k}"""
 
 
 QUERIES["kmeans_embeddings"] = _bind(similarity.kmeans_clusters, "embeddings")
 ORACLE["kmeans_embeddings"] = _kmeans_sql()
+
+QUERIES["similarity_ivf_kmeans_topk"] = _bind(
+    similarity.ivf_kmeans_topk, "embeddings")
+ORACLE["similarity_ivf_kmeans_topk"] = _ivf_kmeans_sql()
 
 QUERIES["chunk_remove_boilerplate"] = _bind(chunking.remove_boilerplate,
                                             "documents")

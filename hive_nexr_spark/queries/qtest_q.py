@@ -43,6 +43,23 @@ def _qfile_named(qname: str, names: list[str], spark, sf_dir):
     return _qfile(qname, spark, sf_dir).toDF(*names)
 
 
+def _qfile_stringify_arrays(qname: str, names: list[str], spark, sf_dir):
+    """Like _qfile_named, but emits array columns as comma-joined strings:
+    the driver's canonicalizer sorts result cells with pandas, which
+    cannot order array values (r6: qfile_udf_bitmap_or crashed its canon
+    step) — arrays must travel as strings on BOTH the Spark and oracle
+    side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType
+
+    df = _qfile(qname, spark, sf_dir)
+    return df.select(*[
+        (F.concat_ws(",", F.col(c).cast("array<string>"))
+         if isinstance(f.dataType, ArrayType) else F.col(c)).alias(n)
+        for (c, f), n in zip(
+            ((fld.name, fld) for fld in df.schema.fields), names)])
+
+
 def _qfile_rounded(qname: str, names: list[str], nd: int, spark, sf_dir):
     """Hash-checkable twin of a rows-only qfile whose doubles differ from
     any oracle in the last ulps (streaming variance/stddev): round every
@@ -164,7 +181,11 @@ QUERIES = {
     "qfile_udf_field": partial(
         _qfile_named, "udf_field.q",
         ["col1", "col2", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]),
-    "qfile_udf_bitmap_or": partial(_qfile_named, "udf_bitmap_or.q", ["bm"]),
+    # bitmap array stringified at emit: the driver's canonicalizer
+    # (pandas sort_values) cannot sort array cells — arrays travel as
+    # comma-joined strings, matching the oracle (r6 driver-canon crash)
+    "qfile_udf_bitmap_or": partial(
+        _qfile_stringify_arrays, "udf_bitmap_or.q", ["bm"]),
     # sort-merge-bucket mapjoin family (`exec/SMBMapJoinOperator.java:51`,
     # hive.optimize.bucketmapjoin.sortedmerge): final statement is the
     # FULL OUTER mapjoin(b) of the two 1-bucket RCFile tables — Spark
@@ -269,7 +290,7 @@ ORACLE = {
     # javaewah-serialized OR of the two fixture bitmaps, once per the 10
     # inserted rows; functions/ewah.py reproduces the encoding exactly.
     "qfile_udf_bitmap_or": """
-        SELECT [13, 2, 4, 8589934592, 4224, 0]::BIGINT[] AS bm
+        SELECT '13,2,4,8589934592,4224,0' AS bm
         FROM range(10)
     """,
     # insert_into*.q: literal final values from the reference's own golden

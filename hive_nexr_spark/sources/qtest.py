@@ -2107,6 +2107,21 @@ def run_qfile(spark: SparkSession, qfile: str,
     text = re.sub(
         r"\b(?:MAP|REDUCE)\s+([\w.`]+(?:\s*,\s*[\w.`]+)*)\s+(USING\s+')",
         r"SELECT TRANSFORM(\1) \2", text, flags=re.IGNORECASE)
+    # Hive's script INPUT defaults to TAB-delimited fields
+    # (`exec/ScriptOperator` + LazySimpleSerDe script defaults, tested by
+    # every no-row-format TRANSFORM golden). Spark only matches that
+    # default on a Hive-enabled session; a stock (non-Hive) session's
+    # no-serde writer joins input fields with \x01, so the driver's
+    # vanilla SparkSession fed `cat`/`tr` key\x01value and broke every
+    # downstream parse (qfile_input14 returned 0 rows and the
+    # insert_into1-6 hash sums diverged under the driver in rounds 5-6
+    # while passing locally). Pin the input row format explicitly so the
+    # plan is identical on ANY session.
+    text = re.sub(
+        r"(?i)(TRANSFORM\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+        r"\s*(?=USING\s)",
+        "\\1 ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\\\t' ",
+        text)
     # TRANSFORM output spec RECORDREADER/RECORDWRITER '<class>'
     # (`Hive.g` recordReader — binary_output_format.q): the byte-stream
     # framing class is a storage detail with no Spark grammar slot; the

@@ -109,3 +109,24 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
         assert isinstance(df, pyspark.sql.DataFrame), name
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_green_rotation_varies_by_round(monkeypatch):
+    """Tier-2 (green) ordering rotates with the round number so every
+    long-green key cycles through the driver's 50-slot window instead of
+    hiding behind it forever; tiers 0/1 must stay ahead of tier 2 at any
+    rotation offset (policy: queries/__init__.py collect_all)."""
+    import hive_nexr_spark.queries as q
+
+    status = q._latest_driver_status()
+    greens = [k for k, (ok, _) in status.items() if ok]
+    if len(greens) < 4:
+        return  # fresh clone: nothing to rotate
+
+    orders = {}
+    for rnd in (7, 8):
+        monkeypatch.setattr(q, "_next_round_no", lambda r=rnd: r)
+        keys, _ = q.collect_all()
+        orders[rnd] = [k for k in keys if k in set(greens)]
+    assert orders[7] != orders[8], "tier-2 order must vary by round"
+    assert sorted(orders[7]) == sorted(orders[8])  # same membership

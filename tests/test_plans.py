@@ -362,3 +362,21 @@ def test_remove_boilerplate_broadcasts_decisions(dfs):
     # re-assembly shuffle keys on doc_id, never on digest/chunk_text
     for e in text_bearing:
         assert e.startswith("Arguments: hashpartitioning(doc_id"), e
+
+
+def test_ivf_kmeans_trained_quantizer_broadcasts(dfs):
+    """The trained-quantizer IVF must keep the kmeans physical contract
+    end-to-end: every corpus x centroids contact (training iterations,
+    cell assignment, query probing) broadcasts the k-row centroid side,
+    argmin/argmax partially aggregate map-side, and nothing degenerates
+    to a CartesianProduct."""
+    from hive_nexr_spark.datapipe.similarity import ivf_kmeans_topk
+
+    plan = _plan(ivf_kmeans_topk(dfs["embeddings"]))
+    assert "CartesianProduct" not in plan
+    # 2 training iterations + corpus assignment + query probing all hit
+    # the no-equi-key broadcast join shape; the probe->rerank join is a
+    # broadcast hash join on the cell key
+    assert plan.count("BroadcastNestedLoopJoin") >= 4
+    fplan = _formatted(ivf_kmeans_topk(dfs["embeddings"]))
+    assert "partial_min" in fplan
