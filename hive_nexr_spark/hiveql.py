@@ -738,7 +738,14 @@ class HiveQLSession:
                     "being dropped")
             return
         is_load = sl.startswith("load ")
-        if not (sl.startswith(("select", "from", "insert")) or is_load):
+        # CTAS / CREATE VIEW ... AS SELECT read their source tables at
+        # compile time like any query — Hive checks ReadEntity inputs for
+        # every compiled statement, not just SELECT-led ones
+        is_ctas = bool(re.match(
+            r"create\s+(?:external\s+)?(?:table|view)\b.*\bas\s+select\b",
+            sl))
+        if not (sl.startswith(("select", "from", "insert")) or is_load
+                or is_ctas):
             return
         tables = {n.strip("`") for n in
                   re.findall(r"\b(?:from|join|table)\s+([\w.`]+)", sl)}

@@ -61,18 +61,23 @@ class LockManager:
         # object name -> stack of held modes: a repeated SHARED acquire
         # creates a SECOND lock (ZooKeeperHiveLockManager sequential
         # nodes — lock1.q's golden shows two rows after two LOCK SHARED)
-        self._locks: dict[str, list[str]] = {}
+        # stack entries are (mode, seq): the sequence number is assigned
+        # at ACQUISITION time (ZooKeeper sequential-node semantics) so
+        # show() is a pure read — repeated SHOW LOCKS EXTENDED must not
+        # mutate state or renumber rows
+        self._locks: dict[str, list[tuple[str, int]]] = {}
         self._seq = 0
 
     def lock(self, obj: str, mode: str) -> None:
         mode = mode.upper()
-        held = self._locks.get(obj, [])
+        held = [m for m, _ in self._locks.get(obj, [])]
         if (mode == EXCLUSIVE and held) or EXCLUSIVE in held:
             # exclusive conflicts with anything held; anything conflicts
             # with a held exclusive (lockneg1.q)
             raise LockError(
                 f"conflicting lock present for {obj} mode {mode}")
-        self._locks.setdefault(obj, []).append(mode)
+        self._seq += 1
+        self._locks.setdefault(obj, []).append((mode, self._seq))
 
     def unlock(self, obj: str, table: str) -> None:
         if obj not in self._locks:
@@ -96,12 +101,11 @@ class LockManager:
             items = [(obj, self._locks[obj])] if obj in self._locks else []
         rows: list[tuple[str, str]] = []
         for name, modes in items:
-            for mode in modes:
+            for mode, seq in modes:
                 rows.append((name, mode))
                 if extended:
-                    self._seq += 1
                     rows.append((
-                        f"LOCK_QUERYID:engine_{self._seq:020d} LOCK_TIME:0 "
+                        f"LOCK_QUERYID:engine_{seq:020d} LOCK_TIME:0 "
                         f"LOCK_MODE:EXPLICIT ", " "))
         return rows
 

@@ -84,3 +84,19 @@ def test_hiveql_lock_statements(spark, sf_dir):
     finally:
         hql.locks.clear()
         spark.sql("DROP TABLE IF EXISTS _lock_t")
+
+
+def test_show_extended_is_a_pure_read():
+    """SHOW LOCKS EXTENDED must not mutate lock state: sequence ids are
+    assigned at acquisition, so repeated calls return identical rows
+    (round-7 advice fix — show() used to bump the sequence counter)."""
+    from hive_nexr_spark.lockmgr import LockManager
+
+    lm = LockManager()
+    lm.lock("default@t1", "SHARED")
+    lm.lock("default@t1", "SHARED")
+    first = lm.show(extended=True)
+    assert first == lm.show(extended=True) == lm.show(extended=True)
+    # detail rows carry distinct per-lock ids
+    details = [r for r in first if r[0].startswith("LOCK_QUERYID")]
+    assert len(details) == 2 and details[0] != details[1]

@@ -59,3 +59,17 @@ def test_no_drop_scopes_to_exact_object(hql):
     # ... and partition-level NO_DROP does not block the table drop
     hql.sql("DROP TABLE _pm_t")
     assert not hql.protect  # registry purged with the table
+
+
+def test_offline_blocks_ctas_and_create_view_reads(hql):
+    """CTAS / CREATE VIEW AS SELECT compile a read of their source table
+    — Hive's offline check covers every compiled query's ReadEntity
+    inputs, not just SELECT-led statements (round-7 advice fix)."""
+    hql.sql("ALTER TABLE _pm_t ENABLE OFFLINE")
+    with pytest.raises(ProtectModeError, match="offline"):
+        hql.sql("CREATE TABLE _pm_ctas AS SELECT * FROM _pm_t")
+    with pytest.raises(ProtectModeError, match="offline"):
+        hql.sql("CREATE VIEW _pm_v AS SELECT * FROM _pm_t")
+    hql.sql("ALTER TABLE _pm_t DISABLE OFFLINE")
+    hql.sql("CREATE TABLE _pm_ctas AS SELECT * FROM _pm_t")
+    hql.spark.sql("DROP TABLE IF EXISTS _pm_ctas")
