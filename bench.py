@@ -63,6 +63,12 @@ HEADLINE = [
     "perplexity_unigram",
     "stratified_sample_sources",
     "kmeans_embeddings",
+    # added round 7: the trained-quantizer ANN variant (kmeans → IVF
+    # composition), SemDedup-style semantic dedup (cluster-bounded pair
+    # search), and the UNION-WINDOW as-of join (single keyed exchange)
+    "similarity_ivf_kmeans_topk",
+    "dedup_semantic_kmeans",
+    "events_asof_join",
 ]
 
 

@@ -381,6 +381,64 @@ def kmeans_clusters(embeddings: DataFrame, k: int = 8, iters: int = 2,
     )
 
 
+def semdedup(embeddings: DataFrame, n_clusters: int = 8, iters: int = 2,
+             dim: int = 64, threshold: float = 0.99) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): k-means-cluster the embedding corpus, then search
+    near-duplicates only WITHIN each cluster — the trained quantizer
+    turns the quadratic all-pairs problem into per-cell blocks, which is
+    the published method's scale trick and composes the engine's kmeans
+    trainer with its pairwise-cosine dedup.
+
+    Deterministic spec (exact SQL oracle): corpus = originals ∪ planted
+    near-dups (`with_synthetic_vec_dups` — the testdata has no natural
+    near-dups); train `n_clusters` centroids with the shared Lloyd loop;
+    assign every vector to its nearest centroid (squared euclidean, ties
+    to the lower cluster id); a vector is a duplicate iff a SMALLER-id
+    member of the same cluster has cosine ≥ threshold (keep-lowest-id
+    policy). Output: (vec_id, cluster, is_dup) per vector.
+
+    100 TB shape: training/assignment broadcast the k-row centroid table
+    (map-side-combined argmin, one corpus row per vector through the
+    shuffle); the dup search self-joins ON THE CLUSTER KEY ONLY — cost is
+    Σ|cell|², bounded by choosing k ∝ corpus size (SemDedup's own
+    posture), never a corpus-wide cartesian; the distinct dup-id set
+    left-joins back as a boolean mark (ids only, no vector payload)."""
+    emb = with_synthetic_vec_dups(embeddings, dim=dim)
+    cents = _kmeans_centroids(emb, n_clusters, iters, dim).select(
+        "cluster", "cv")
+
+    d2c = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "v", d2c.alias("d2"), "cluster")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster", "v")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"),
+                F.col("m.v").alias("v"))
+    )
+    assigned = tracked_persist(assigned)
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = (_dot(F.col("a.v"), F.col("b.v"))
+           / (_norm(F.col("a.v")) * _norm(F.col("b.v"))))
+    dup_ids = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("b.vec_id") < F.col("a.vec_id")))
+        .filter(cos >= threshold)
+        .select(F.col("a.vec_id").alias("vec_id"))
+    )
+    marks = dup_ids.distinct().withColumn("d", F.lit(True))
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(marks, "vec_id", "left")
+        .select("vec_id", "cluster",
+                F.coalesce("d", F.lit(False)).alias("is_dup"))
+    )
+
+
 def ivf_kmeans_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
                     n_cells: int = 8, iters: int = 2, dim: int = 64,
                     nprobe: int = 2) -> DataFrame:

@@ -901,19 +901,22 @@ ORACLE["stratified_sample_sources"] = """
 """
 
 
-def _kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64,
+                emb_sql: str | None = None) -> str:
     """Chained-CTE Lloyd training prefix shared by the kmeans and
     trained-IVF oracles: one (assign, per-dim mean, rebuild) CTE triple
     per iteration — the same deterministic spec as
     `similarity._kmeans_centroids` (init = vec_id < k, squared-euclidean
     argmin with lower-cluster tie-break, element-wise mean update). Ends
-    with CTE ``c{{iters}}`` = (cluster, n, cv)."""
+    with CTE ``c{{iters}}`` = (cluster, n, cv). ``emb_sql`` overrides the
+    corpus CTE body (semdedup trains over the synthetic-dup corpus)."""
     d2 = (f"list_aggregate([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) "
           f"for i in range(1, {dim} + 1) ], 'sum')")
-    parts = [f"""
-    WITH emb AS (
+    emb = emb_sql or """emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
+    )"""
+    parts = [f"""
+    WITH {emb},
     c0 AS (
       SELECT CAST(vec_id AS INT) AS cluster, v AS cv
       FROM emb WHERE vec_id < {k}
@@ -1001,6 +1004,41 @@ ORACLE["kmeans_embeddings"] = _kmeans_sql()
 QUERIES["similarity_ivf_kmeans_topk"] = _bind(
     similarity.ivf_kmeans_topk, "embeddings")
 ORACLE["similarity_ivf_kmeans_topk"] = _ivf_kmeans_sql()
+
+
+def _semdedup_sql(n_clusters: int = 8, iters: int = 2, dim: int = 64,
+                  threshold: float = 0.99) -> str:
+    """DuckDB oracle for `similarity.semdedup`: Lloyd training over the
+    synthetic-dup corpus, nearest-centroid assignment by the training
+    metric, then within-cluster cosine pairs mark every vector that has
+    a smaller-id near-duplicate in its cell."""
+    d2 = (f"list_aggregate([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) "
+          f"for i in range(1, {dim} + 1) ], 'sum')")
+    return _kmeans_cte(n_clusters, iters, dim,
+                       emb_sql=_vec_corpus_sql(dim)) + f"""
+    , assigned AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cluster) AS rn
+        FROM emb e CROSS JOIN c{iters} c
+      ) r WHERE rn = 1
+    )
+    , dups AS (
+      SELECT DISTINCT a.vec_id FROM assigned a
+      JOIN assigned b
+        ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+    )
+    SELECT s.vec_id, s.cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id"""
+
+
+QUERIES["dedup_semantic_kmeans"] = _bind(similarity.semdedup, "embeddings")
+ORACLE["dedup_semantic_kmeans"] = _semdedup_sql()
 
 QUERIES["chunk_remove_boilerplate"] = _bind(chunking.remove_boilerplate,
                                             "documents")

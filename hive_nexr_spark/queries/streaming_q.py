@@ -126,6 +126,11 @@ def _stream_static_enrich(spark, sf_dir):
     return ev.stream_static_enrich(spark, sf_dir)
 
 
+def _asof_join(spark, sf_dir):
+    dfs = ensure_views(spark, sf_dir)
+    return ev.asof_enrich_batch(dfs["events"])
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -139,6 +144,7 @@ QUERIES = {
     "events_sessionize_stream": lambda spark, sf_dir: ev.sessionize_stream(spark, sf_dir),
     "events_stream_interval_join": lambda spark, sf_dir:
         ev.click_purchase_interval_join_stream(spark, sf_dir),
+    "events_asof_join": _asof_join,
 }
 
 _WINDOW_SQL = """
@@ -200,6 +206,27 @@ ORACLE = {
           ) m
         ) s
         GROUP BY user_id, session_id
+    """,
+    # as-of join, window emulation (same UNION-WINDOW spec as the engine:
+    # right side sorts before left at equal ts via the side marker, so a
+    # simultaneous click IS visible to the purchase; integer microsecond
+    # gaps are exact)
+    "events_asof_join": """
+        SELECT event_id, user_id, asof_event_id, gap_us FROM (
+          SELECT event_id, user_id, side,
+                 last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                   OVER w AS asof_event_id,
+                 epoch_us(ts) - last_value(
+                     CASE WHEN side = 0 THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER w AS gap_us
+          FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+            FROM events WHERE event_type IN ('click', 'purchase')
+          ) m
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ) t WHERE side = 1
     """,
     "dynamic_partition_roundtrip": """
         SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty

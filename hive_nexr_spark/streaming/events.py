@@ -206,6 +206,47 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def asof_enrich_batch(events: DataFrame, left_type: str = "purchase",
+                      right_type: str = "click") -> DataFrame:
+    """As-of join: attach to every `left_type` event the LATEST
+    `right_type` event by the same user at or before its timestamp — the
+    classic trade↔quote operator (an extension family op: the reference
+    has no analogue; Hive 0.8 could only express it as an n² theta join
+    plus a per-pair max).
+
+    Spark-first shape — the UNION-WINDOW as-of plan: both sides carry a
+    side marker (right=0 sorts before left=1 at equal timestamps, so an
+    exactly-simultaneous right event is visible), ONE shuffle on user_id,
+    one per-user sort by (ts, side, event_id), and
+    ``last(..., ignorenulls=True)`` carries the most recent right-side
+    payload forward onto each left row. At 100 TB this is the
+    minimal-movement plan: no range-join row blowup, no per-key driver
+    loop — cost is one keyed exchange + sort regardless of how many
+    right events precede each left event. Output: one row per left
+    event, with the matched right event_id and the microsecond gap
+    (NULL when no right event precedes)."""
+    marked = events.filter(
+        F.col("event_type").isin(left_type, right_type)).select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == right_type, 0).otherwise(1)
+        .alias("side"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r_payload = F.when(
+        F.col("side") == 0,
+        F.struct(F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")))
+    enriched = marked.withColumn(
+        "last_r", F.last(r_payload, ignorenulls=True).over(w))
+    return (
+        enriched.filter(F.col("side") == 1)
+        .select(
+            "event_id", "user_id",
+            F.col("last_r.r_id").alias("asof_event_id"),
+            (F.unix_micros("ts") - F.unix_micros("last_r.r_ts"))
+            .alias("gap_us"))
+    )
+
+
 def sessionize_stream(spark: SparkSession, sf_dir: str,
                       gap_minutes: int = 30) -> DataFrame:
     """Streaming sessionization via session_window (native stateful op)."""

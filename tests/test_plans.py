@@ -380,3 +380,38 @@ def test_ivf_kmeans_trained_quantizer_broadcasts(dfs):
     assert plan.count("BroadcastNestedLoopJoin") >= 4
     fplan = _formatted(ivf_kmeans_topk(dfs["embeddings"]))
     assert "partial_min" in fplan
+
+
+def test_asof_join_single_exchange_no_join(dfs):
+    """The UNION-WINDOW as-of join must be ONE hash exchange on user_id
+    plus a per-user sort — no join operator at all (a range/theta join
+    here would blow up row counts at 100 TB; the window plan's cost is
+    one keyed shuffle regardless of match multiplicity)."""
+    from hive_nexr_spark.streaming.events import asof_enrich_batch
+
+    plan = _plan(asof_enrich_batch(dfs["events"]))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_semdedup_clusters_bound_the_pair_join(dfs):
+    """SemDedup's near-dup search must self-join on the CLUSTER key
+    (equi-join with the id inequality as a residual condition) — never a
+    corpus-wide cartesian; centroid contacts (2 training iterations + 1
+    assignment) broadcast the k-row side."""
+    from hive_nexr_spark.datapipe.similarity import semdedup
+
+    plan = _plan(semdedup(dfs["embeddings"]))
+    assert "CartesianProduct" not in plan
+    # centroid contacts broadcast the k-row side (the persisted
+    # assignment subtree prints per consumer, so count is a floor)
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
+    # the pair search is an EQUI-join on the cluster key with the cosine
+    # threshold as a residual condition — the plan line that proves the
+    # search is cell-bounded, not corpus-wide
+    import re
+
+    assert re.search(r"SortMergeJoin \[cluster#\d+\], \[cluster#\d+\]",
+                     plan) or "ShuffledHashJoin [cluster" in plan
