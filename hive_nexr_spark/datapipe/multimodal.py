@@ -48,29 +48,35 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
     raise NotImplementedError("wire PIL decode here")
 
 
-def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic byte-level 'features' — the stub decode path. Arrow
-    batches in, Arrow batches out; no per-row Python calls into the JVM."""
-    for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len).astype("int32"),
-                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1
-                                           ).astype("int32"),
-                "head_sum": payloads.map(lambda b: int(sum(b[:16]) % 256)
-                                         ).astype("int32"),
-                "modality": pdf["mime"],
-            }
-        )
-
-
 def featurize(documents: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over the binary payload column."""
+    """mapInPandas feature extraction over the binary payload column.
+
+    The batch function is a CLOSURE (like its resize/frame siblings), not
+    a module-level function: cloudpickle serializes closures by value, so
+    executors never need to import this package — a module-level function
+    pickles by reference and dies with ModuleNotFoundError when the
+    Python workers start outside the repo root (driver replays)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # deterministic byte-level 'features' — the stub decode path;
+        # Arrow batches in/out, no per-row Python calls into the JVM
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "head_sum": payloads.map(
+                        lambda b: int(sum(b[:16]) % 256)).astype("int32"),
+                    "modality": pdf["mime"],
+                }
+            )
+
     payloads = to_binary_payloads(documents).select(
         "doc_id", "payload", F.col("meta.mime").alias("mime"))
-    return payloads.mapInPandas(_featurize_batches, schema=FEATURE_SCHEMA)
+    return payloads.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = "doc_id long, orig_len int, out_len int, out_sum int"

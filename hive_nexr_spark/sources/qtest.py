@@ -2784,6 +2784,21 @@ def run_qfile(spark: SparkSession, qfile: str,
                         "Argument type mismatch: The arguments of "
                         "function FIELD are expected to a primitive "
                         "type, but list is found")
+                # duplicate output alias in a TRANSFORM AS list
+                # (`parse/SemanticAnalyzer.java` genScriptPlan →
+                # ErrorMsg COLUMN_ALIAS_ALREADY_EXISTS;
+                # duplicate_alias_in_transform[_schema].q — Spark
+                # tolerates duplicate output names, Hive does not)
+                tal = re.search(r"(?i)\bUSING\s+(?:'[^']*'|\"[^\"]*\")\s+"
+                                r"AS\s*\(([^)]*)\)", stmt)
+                if tal:
+                    names = [
+                        p.strip().split()[0].strip("`").lower()
+                        for p in tal.group(1).split(",") if p.strip()]
+                    for nm in names:
+                        if names.count(nm) > 1:
+                            raise ValueError(
+                                f"Column alias already exists: {nm}")
                 # LazySimpleSerDe only supports newline row terminators.
                 # Hive unescapes the literal FIRST and then accepts "\n"
                 # or the literal "10" (`parse/SemanticAnalyzer.java:1681-
@@ -2865,6 +2880,40 @@ def run_qfile(spark: SparkSession, qfile: str,
                         raise ValueError(
                             f"Invalid column reference '`{tok}`': "
                             f"{rexc}") from rexc
+                # EXPLAIN compiles the body through semantic analysis in
+                # the reference (Driver.compile — clientnegative pins
+                # nonkey_groupby.q, regex_col_2.q, clustern1/2.q on
+                # EXPLAIN-only statements). Spark's own EXPLAIN swallows
+                # analysis errors into an error-text plan, so probe pure
+                # SELECT bodies explicitly and propagate exactly the
+                # semantic-analysis error classes Hive raises; everything
+                # else (Hive-dialect constructs the facade only rewrites
+                # at exec time) stays skipped as before.
+                ebody = re.sub(r"(?is)^\s*EXPLAIN\s+(EXTENDED\s+)?", "",
+                               stmt)
+                probe_select = bool(
+                    re.match(r"(?is)^\s*SELECT\b", ebody)
+                    and not re.search(r"(?i)\bTRANSFORM\s*\(", ebody))
+                if probe_select:
+                    try:
+                        pdf = spark.sql(hql._rewrite(ebody))
+                        if not pdf.columns:
+                            # a regex projection matching ZERO columns
+                            # (`genColListRegex`; regex_col_2.q)
+                            raise ValueError(
+                                "Invalid column reference: the column "
+                                "regex matches no columns")
+                        del pdf
+                    except Exception as pexc:
+                        if any(t in str(pexc) for t in (
+                                "UNRESOLVED_COLUMN",
+                                "AMBIGUOUS_REFERENCE",
+                                "MISSING_GROUP_BY",
+                                "MISSING_AGGREGATION",
+                                "Invalid column reference")):
+                            raise
+                        # other classes: Hive-dialect expression the raw
+                        # probe can't analyze — not a semantic error
                 try:
                     last_df = spark.sql(stmt)
                 except Exception:
