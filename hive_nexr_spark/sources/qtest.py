@@ -35,6 +35,9 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .negative_checks import (_check_split_sample, check_statement,
+                              check_statement_catalog)
+
 QFILE_DIR = "/root/reference/ql/src/test/queries/clientpositive"
 # The reference's actual fixture data files (read-only): `src` IS kv1.txt,
 # `src1` IS kv3.txt — the same bytes QTestUtil.createSources loads — so
@@ -2359,10 +2362,24 @@ def run_qfile(spark: SparkSession, qfile: str,
     # ARCHIVEd partitions per table (ALTER TABLE ... ARCHIVE PARTITION):
     # tracked for the Hive-0.8 rename-loses-archived-data bug parity below
     archived: dict[str, set[str]] = {}
+    # tables created CLUSTERED ... SORTED BY in this run: sort-merge-
+    # bucket joins over them are exempt from the MAPJOIN-with-OUTER
+    # restriction (negative_checks._check_mapjoin_outer)
+    sorted_tables: set[str] = set()
+    # declared STORED AS format per table created in this run — LOAD
+    # DATA validates the file's container format against it
+    # (`ql/metadata/Hive.checkPaths` fileformat check;
+    # load_wrong_fileformat*.q; gated on hive.fileformat.check like
+    # disable_file_format_check.q)
+    stored_as: dict[str, str] = {}
     # partitioned-view metadata (CREATE VIEW ... PARTITIONED ON is
     # stripped for Spark but its column list is validated and recorded so
     # ALTER VIEW ADD PARTITION specs can be checked — alter_view_failure*)
     view_partcols: dict[str, list[str]] = {}
+    # registered view partitions (ALTER VIEW ... ADD PARTITION): CREATE
+    # OR REPLACE VIEW may not change partition columns while any exist
+    # (`exec/DDLTask.java` createView; create_or_replace_view1/2.q)
+    view_partitions: dict[str, set[str]] = {}
     # hive.exec.drop.ignorenonexistent (default true) gates the IF EXISTS
     # injection below (drop_view_failure2.q sets it false and expects the
     # missing-view DROP to fail)
@@ -2586,6 +2603,9 @@ def run_qfile(spark: SparkSession, qfile: str,
             # one exception — it deliberately forces multi-split tables
             # with a tiny mapred.max.split.size, a physical text-file
             # layout this parquet-backed engine does not reproduce.
+            # validate BEFORE the strip (split_sample_out_of_range.q /
+            # split_sample_wrong_format.q error parity)
+            _check_split_sample(stmt, qvars)
             stmt = re.sub(r"(?i)\bTABLESAMPLE\s*\(\s*[\d.]+\s+PERCENT\s*\)",
                           " ", stmt)
             if (spark.conf.get("hive.test.mode", "false").lower()
@@ -2760,6 +2780,22 @@ def run_qfile(spark: SparkSession, qfile: str,
                         "org.apache.hadoop.hive.ql.exec.MapRedTask")
                 if qvars.get("hive.mapred.mode", "").lower() == "strict":
                     _strict_mode_check(stmt)
+                cm = re.match(
+                    r"(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
+                    r"(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?", stmt)
+                if cm:
+                    if re.search(r"(?i)\bSORTED\s+BY\b", stmt):
+                        sorted_tables.add(
+                            cm.group(1).split(".")[-1].lower())
+                    sm = re.search(r"(?i)\bSTORED\s+AS\s+(\w+)", stmt)
+                    if sm:
+                        stored_as[cm.group(1).split(".")[-1].lower()] = \
+                            sm.group(1).lower()
+                # statement-level Hive-0.8 validations (clientnegative
+                # error parity — see sources/negative_checks.py)
+                check_statement(stmt, qvars, sorted_tables)
+                check_statement_catalog(stmt, qvars, spark,
+                                        hql.resources)
                 # UDAFPercentile has no (double, ...) overload — the
                 # value column must be integral (no_matching_udf.q)
                 if re.search(r"(?i)\bpercentile\s*\(\s*-?\d+\.\d+\s*,",
@@ -2927,13 +2963,22 @@ def run_qfile(spark: SparkSession, qfile: str,
             if am:
                 # the HAR re-pack itself is a no-op here (query results
                 # over archived partitions are identical by contract),
-                # but the archived SET is tracked for the rename bug
+                # but the archived SET is tracked for the rename bug and
+                # for double-archive/unarchive-unarchived error parity
+                # (`exec/DDLTask.java` archive/unarchive; archive1.q,
+                # archive2.q)
+                tkey = am.group(1).lower()
+                spec = re.sub(r"\s+", "", am.group(3))
                 if am.group(2).upper() == "ARCHIVE":
-                    archived.setdefault(
-                        am.group(1).lower(), set()).add(am.group(3))
+                    if spec in archived.get(tkey, set()):
+                        raise ValueError(
+                            "Specified partition is already archived")
+                    archived.setdefault(tkey, set()).add(spec)
                 else:
-                    archived.get(am.group(1).lower(), set()).discard(
-                        am.group(3))
+                    if spec not in archived.get(tkey, set()):
+                        raise ValueError(
+                            "Specified partition is not archived")
+                    archived[tkey].discard(spec)
                 continue
             rn = re.match(
                 r"(?i)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+"
@@ -2955,7 +3000,7 @@ def run_qfile(spark: SparkSession, qfile: str,
                         pass
                 continue
             avm = re.match(
-                r"(?is)^ALTER\s+VIEW\s+(?P<name>[\w.]+)\s+(?:ADD|DROP)\s+"
+                r"(?is)^ALTER\s+VIEW\s+(?P<name>[\w.]+)\s+(?P<verb>ADD|DROP)\s+"
                 r"(?:IF\s+(?:NOT\s+)?EXISTS\s+)?PARTITION\s*"
                 r"\((?P<spec>[^)]*)\)(?P<rest>.*)$", stmt)
             if avm:
@@ -2995,6 +3040,14 @@ def run_qfile(spark: SparkSession, qfile: str,
                             raise ValueError(
                                 f"{p} not found in table's partition "
                                 f"spec: {render}")
+                # record registered view partitions so CREATE OR REPLACE
+                # VIEW can enforce the partition-columns-frozen rule
+                # (create_or_replace_view1/2.q)
+                spec_key = ",".join(f"{k}={v}" for k, v in pairs)
+                if avm.group("verb").upper() == "ADD":
+                    view_partitions.setdefault(vname, set()).add(spec_key)
+                else:
+                    view_partitions.get(vname, set()).discard(spec_key)
                 continue
             if _SKIP_STMT.match(stmt):
                 # storage-/metadata-detail statements that are no-ops under
@@ -3037,6 +3090,25 @@ def run_qfile(spark: SparkSession, qfile: str,
             # reference (create_view_failure5-9.q), record the partition
             # columns, then strip it (Spark has no equivalent clause)
             if re.match(r"(?i)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\b", stmt):
+                corv = re.match(
+                    r"(?is)^CREATE\s+OR\s+REPLACE\s+VIEW\s+"
+                    r"`?([\w.]+)`?", stmt)
+                if corv and view_partitions.get(corv.group(1).lower()):
+                    # partition columns are frozen while view partitions
+                    # exist (`exec/DDLTask.java` createView replace path;
+                    # create_or_replace_view1/2.q — replacing with the
+                    # SAME column list is fine, create_or_replace_view.q)
+                    pon = re.search(
+                        r"(?i)\bPARTITIONED\s+ON\s*\(([^)]*)\)", stmt)
+                    newcols = [c.strip().strip("`").lower()
+                               for c in pon.group(1).split(",")
+                               ] if pon else []
+                    if newcols != view_partcols.get(
+                            corv.group(1).lower(), []):
+                        raise ValueError(
+                            "Cannot add or drop partition columns with "
+                            "CREATE OR REPLACE VIEW if partitions "
+                            "currently exist")
                 stmt = _validate_view_ddl(stmt, view_partcols)
                 upper = stmt.upper()
             m = re.match(r"CREATE\s+(?:DATABASE|SCHEMA)\s+(?!IF\s)(\w+)",
@@ -3087,6 +3159,14 @@ def run_qfile(spark: SparkSession, qfile: str,
             # (drop_view_failure1.q)
             dv_user_ifexists = bool(re.match(
                 r"(?i)^DROP\s+VIEW\s+IF\s+EXISTS\b", stmt))
+            dvm = re.match(r"(?i)^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?"
+                           r"`?([\w.]+)`?", stmt)
+            if dvm:
+                # dropping a view clears its partition metadata so a
+                # recreate starts clean (create_or_replace_view.q drops
+                # and redefines v repeatedly)
+                view_partitions.pop(dvm.group(1).lower(), None)
+                view_partcols.pop(dvm.group(1).lower(), None)
             if drop_ignore[0]:
                 stmt = re.sub(r"\bDROP\s+PARTITION\b",
                               "DROP IF EXISTS PARTITION",
@@ -3246,6 +3326,44 @@ def run_qfile(spark: SparkSession, qfile: str,
                 # offline-partition check (protectmode_part2.q) — this
                 # branch bypasses hql.sql, so enforce here
                 hql._protect_check(stmt)
+                # partition-spec validation
+                # (`parse/LoadSemanticAnalyzer.java` analyzeInternal →
+                # ErrorMsg NEED_PARTITION_ERROR / NO_PARTITION;
+                # nopart_load.q, load_part_nospec.q,
+                # load_wrong_noof_part.q)
+                try:
+                    lp_cols = [c.name for c in spark.catalog.listColumns(
+                        m.group("tbl")) if c.isPartition]
+                except Exception:
+                    lp_cols = []
+                if lp_cols:
+                    if not m.group("part"):
+                        raise ValueError(
+                            "Need to specify partition columns because "
+                            "the destination table is partitioned")
+                    kvs = [kv for kv in m.group("part").split(",")
+                           if kv.strip()]
+                    if len(kvs) != len(lp_cols):
+                        v0 = kvs[0].split("=", 1)[1].strip()
+                        raise ValueError(f"Partition not found '{v0}'")
+                # container-format validation against the table's
+                # declared STORED AS (`ql/metadata/Hive.checkPaths`;
+                # load_wrong_fileformat*.q — hive.fileformat.check=false
+                # disables it, disable_file_format_check.q)
+                if qvars.get("hive.fileformat.check",
+                             "true").strip().lower() != "false":
+                    lfmt = stored_as.get(
+                        m.group("tbl").split(".")[-1].lower(), "textfile")
+                    lext = os.path.splitext(m.group("path"))[1].lower()
+                    want = {"sequencefile": ".seq", "rcfile": ".rc"}.get(
+                        lfmt)
+                    got = lext if lext in (".seq", ".rc") else None
+                    if want != got:
+                        raise ValueError(
+                            "Wrong file format. Please check the file's "
+                            "format. (Execution Error, return code 1 "
+                            "from org.apache.hadoop.hive.ql.exec."
+                            "MoveTask)")
                 _emulate_load_data(spark, m, prefix, field_seps)
                 continue
             # dynamic-partition NULL/empty values: Hive writes the

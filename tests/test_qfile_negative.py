@@ -34,6 +34,34 @@ MUST_RAISE = [
     "fs_default_name1.q",       # malformed fs.default.name
     "regex_col_1.q",            # uncompilable regex column ref
     "line_terminator.q",        # LINES TERMINATED BY ',' (non-newline)
+    # round-7 statement-level validations (sources/negative_checks.py —
+    # one representative per class)
+    "invalid_t_create1.q",      # DATE column type (0.8 has none)
+    "ctas.q",                   # CTAS cannot create EXTERNAL
+    "subq_insert.q",            # INSERT inside a subquery
+    "join2.q",                  # MAPJOIN hashes the preserved side
+    "union.q",                  # top-level UNION needs a subquery
+    "union3.q",                 # union branch column order mismatch
+    "udtf_not_supported1.q",    # UDTF + second select expression
+    "udtf_not_supported2.q",    # UDTF without AS clause
+    "udtf_explode_not_supported1.q",  # UDTF with GROUP BY
+    "split_sample_out_of_range.q",    # 105 PERCENT
+    "groupby2_multi_distinct.q",      # multi-distinct with skewindata
+    "uniquejoin3.q",            # UNIQUEJOIN mixed with JOIN
+    "clustern3.q",              # CLUSTER BY column aliased away
+    "default_partition_name.q",  # reserved partition substring
+    "archive1.q",               # double ARCHIVE
+    "archive2.q",               # UNARCHIVE of unarchived partition
+    "archive4.q",               # ARCHIVE multiple partitions
+    "dyn_part_merge.q",         # dyn-part merge needs CombineHIF
+    "genericFileFormat.q",      # STORED AS foo
+    "fileformat_void_output.q",  # non-Hive OutputFormat class
+    "udf_case_type_wrong2.q",   # CASE THEN branch type mismatch
+    "udf_when_type_wrong3.q",   # CASE ELSE branch type mismatch
+    "create_or_replace_view1.q",  # partition cols frozen w/ partitions
+    "nopart_load.q",            # LOAD without partition spec
+    "load_wrong_noof_part.q",   # LOAD with underspecified spec
+    "load_wrong_fileformat.q",  # text file into SEQUENCEFILE table
 ]
 
 
