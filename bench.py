@@ -69,6 +69,9 @@ HEADLINE = [
     "similarity_ivf_kmeans_topk",
     "dedup_semantic_kmeans",
     "events_asof_join",
+    # added round 7: DSIR importance resampling (one token-level shuffle
+    # + broadcast LLR table + TakeOrderedAndProject top-k)
+    "dsir_select_topk",
 ]
 
 

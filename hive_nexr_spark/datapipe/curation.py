@@ -225,6 +225,92 @@ def domain_mix_sample(documents: DataFrame,
     )
 
 
+def dsir_select(documents: DataFrame, n_buckets: int = 256,
+                target_mod: int = 13, k: int = 50) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling",
+    public arXiv 2302.03169): score every RAW document by how much more
+    likely its hashed-n-gram features are under a TARGET distribution
+    than under the raw-pool distribution, then keep the top-k.
+
+    Deterministic spec (so the DuckDB oracle is exact):
+    * features = whitespace-lowercase unigrams AND bigrams, hashed into
+      `n_buckets` buckets via the first 8 hex chars of md5(gram) mod B;
+    * the "target" corpus is the doc_id % `target_mod` == 0 slice (in
+      production: the high-quality seed set, e.g. curated reference
+      text), the raw pool is everything else;
+    * bucket distributions are add-one smoothed:
+      p[b] = (target_cnt[b] + 1) / (target_total + B), q[b] likewise
+      over the raw pool;
+    * log importance weight of a raw document =
+      sum_b count_doc[b] * (ln p[b] - ln q[b]), rounded at emit;
+    * output = top-k raw docs by (log_weight desc, doc_id asc):
+      (doc_id, n_feats, log_weight, rank).
+
+    100 TB shape: ONE corpus-sized token shuffle — the (doc_id, bucket)
+    count aggregation, map-side combined, keys are 8-byte ints never
+    text. The two bucket distributions aggregate that stream down to
+    B <= a few thousand rows, so the log-likelihood-ratio table is
+    broadcast back onto the per-doc stream (no second corpus shuffle for
+    the join), and the totals are a broadcast 1-row aggregate — the
+    whole operator is one lazy plan with no driver-side counts. Top-k
+    compiles to TakeOrderedAndProject (never a global sort). This is
+    exactly why DSIR scales where classifier-based selection does not:
+    the "model" is a B-row table, invariant to corpus size."""
+    toks = _tokens(F.col("text"))
+    base = documents.select("doc_id", toks.alias("toks"))
+    grams = base.select(
+        "doc_id",
+        F.explode(F.concat(
+            F.col("toks"),
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.size("toks") - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                      F.element_at("toks", i + 1)),
+            ),
+        )).alias("gram"),
+    )
+    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+              .cast("long") % n_buckets)
+    db = (grams.select("doc_id", bucket.alias("bucket"))
+          .groupBy("doc_id", "bucket").agg(F.count("*").alias("c")))
+
+    is_target = F.col("doc_id") % target_mod == 0
+    dist = db.groupBy("bucket").agg(
+        F.coalesce(F.sum(F.when(is_target, F.col("c"))), F.lit(0))
+        .alias("tc"),
+        F.coalesce(F.sum(F.when(~is_target, F.col("c"))), F.lit(0))
+        .alias("rc"),
+    )
+    totals = dist.agg(
+        F.sum("tc").cast("double").alias("_tt"),
+        F.sum("rc").cast("double").alias("_rt"),
+    )
+    llr_tbl = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (F.log((F.col("tc") + 1.0) / (F.col("_tt") + float(n_buckets)))
+         - F.log((F.col("rc") + 1.0) / (F.col("_rt") + float(n_buckets)))
+         ).alias("llr"),
+    )
+    per_doc = (
+        db.filter(~is_target)
+        .join(F.broadcast(llr_tbl), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("llr")), 6)
+            .alias("log_weight"),
+        )
+    )
+    w = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+    return (
+        per_doc.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     """Scalar int8 quantization of the embedding sidecar: per-vector
     min/max affine mapping onto 0..255 (the storage/serving compression

@@ -1088,3 +1088,49 @@ ORACLE["corpus_summary"] = """
              AS dup_rate
     FROM g
 """
+
+QUERIES["dsir_select_topk"] = _bind(curation.dsir_select, "documents")
+# DSIR importance resampling (curation.dsir_select): hashed
+# unigram+bigram buckets, add-one-smoothed target/raw distributions,
+# per-doc log-likelihood-ratio weights, top-k. Bucket = first 8 md5 hex
+# chars mod 256 — both engines hash the identical gram strings.
+ORACLE["dsir_select_topk"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(
+        l || [concat_ws(' ', l[i], l[i+1])
+              for i in range(1, greatest(len(l) - 1, 1) + 1)]
+      ) AS gram FROM toks
+    ),
+    db AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT % 256 AS bucket,
+             count(*) AS c
+      FROM grams GROUP BY doc_id, bucket
+    ),
+    dist AS (
+      SELECT bucket,
+             coalesce(sum(CASE WHEN doc_id % 13 = 0 THEN c END), 0) AS tc,
+             coalesce(sum(CASE WHEN doc_id % 13 <> 0 THEN c END), 0) AS rc
+      FROM db GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt,
+                   CAST(sum(rc) AS DOUBLE) AS rt FROM dist),
+    llr AS (
+      SELECT bucket, ln((tc + 1.0) / (tt + 256.0))
+                   - ln((rc + 1.0) / (rt + 256.0)) AS llr
+      FROM dist, tot
+    ),
+    wt AS (
+      SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
+             round(sum(d.c * l.llr), 6) AS log_weight
+      FROM db d JOIN llr l USING (bucket)
+      WHERE d.doc_id % 13 <> 0 GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_feats, log_weight,
+           CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id)
+                AS INT) AS rank
+    FROM wt ORDER BY log_weight DESC, doc_id LIMIT 50
+"""

@@ -415,3 +415,22 @@ def test_semdedup_clusters_bound_the_pair_join(dfs):
 
     assert re.search(r"SortMergeJoin \[cluster#\d+\], \[cluster#\d+\]",
                      plan) or "ShuffledHashJoin [cluster" in plan
+
+
+def test_dsir_broadcasts_llr_table_and_takes_ordered(dfs):
+    """DSIR importance weights: the B-row log-likelihood-ratio table must
+    join back BROADCAST (no second corpus shuffle), the (doc, bucket)
+    count aggregation must partially combine map-side, shuffles must
+    carry bucket ids never gram text, and the top-k must compile to
+    TakeOrderedAndProject, never a global sort."""
+    import re
+
+    from hive_nexr_spark.datapipe.curation import dsir_select
+
+    fplan = _formatted(dsir_select(dfs["documents"]))
+    assert "BroadcastHashJoin" in fplan
+    assert "partial_count" in fplan
+    assert "TakeOrderedAndProject" in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "gram#" not in ex and "text#" not in ex, (
+            f"gram text in DSIR shuffle: {ex}")
