@@ -392,6 +392,46 @@ def duplicate_clusters(documents: DataFrame, jaccard_threshold: float = 0.5,
         F.count("*").over(w).alias("cluster_size"))
 
 
+def cluster_representatives(documents: DataFrame,
+                            jaccard_threshold: float = 0.5,
+                            max_doc_id: int = 200) -> DataFrame:
+    """Keep-one-per-duplicate-cluster: the canonical document of every
+    near-dup cluster, chosen quality-aware — most tokens wins, ties go
+    to the smallest doc_id (deterministic re-runs). This is the decision
+    table the dedup stage actually emits to the packing stage: everything
+    not a representative is dropped.
+
+    Output: (cluster_id, cluster_size, rep_doc_id, rep_n_tokens).
+
+    100 TB shape: the cluster labels (only documents that appear in a
+    near-dup pair) join the corpus on doc_id — one keyed equi-join, the
+    corpus side pruned to (doc_id, token count) before the shuffle so no
+    text moves — and the representative election is ONE map-side-
+    combinable max(struct(n_tokens, -doc_id)) per cluster, never a
+    per-cluster sort. Composes `duplicate_clusters` (min-label
+    propagation) with the quality signal; swap `n_tokens` for any scalar
+    quality score without changing the shape."""
+    labels = duplicate_clusters(documents, jaccard_threshold, max_doc_id)
+    corpus = with_synthetic_dups(documents).select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"))
+    scored = labels.join(corpus, "doc_id")
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max(F.struct(F.col("n_tokens"),
+                           (-F.col("doc_id")).alias("neg_id")))
+            .alias("best"),
+        )
+        .select(
+            "cluster_id", "cluster_size",
+            (-F.col("best.neg_id")).alias("rep_doc_id"),
+            F.col("best.n_tokens").alias("rep_n_tokens"),
+        )
+    )
+
+
 def incremental_dedup(documents: DataFrame) -> DataFrame:
     """Cross-snapshot (incremental) dedup: drop documents from a NEW crawl
     batch whose exact text already exists in the EXISTING corpus — the

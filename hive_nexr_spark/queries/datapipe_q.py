@@ -774,6 +774,56 @@ ORACLE["dedup_connected_components"] = (
     FROM labels
     """)
 
+QUERIES["dedup_cluster_representatives"] = _bind(
+    dedup.cluster_representatives, "documents")
+# quality-aware keep-one-per-cluster (dedup.cluster_representatives):
+# the CC labels (same recursive closure as above) joined to corpus token
+# counts; representative = most tokens, ties to smallest doc_id
+ORACLE["dedup_cluster_representatives"] = (
+    "WITH RECURSIVE pairs AS (\n"
+    + ORACLE["dedup_minhash_lsh"]
+    + """
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    reach(doc_id, lab) AS (
+      SELECT DISTINCT doc_a, doc_a FROM edges
+      UNION
+      SELECT e.doc_a, r.lab FROM edges e JOIN reach r ON r.doc_id = e.doc_b
+    ),
+    labels AS (
+      SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    corpus2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, 'zzz ' || text AS text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    scored AS (
+      SELECT l.cluster_id, l.doc_id,
+             CAST(len(string_split(lower(c.text), ' ')) AS INT)
+               AS n_tokens
+      FROM labels l JOIN corpus2 c USING (doc_id)
+    )
+    SELECT cluster_id, cluster_size,
+           doc_id AS rep_doc_id, n_tokens AS rep_n_tokens
+    FROM (
+      SELECT cluster_id, doc_id, n_tokens,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM scored) t
+    WHERE rn = 1
+    """)
+
 ORACLE["dedup_incremental"] = _CORPUS + """
     SELECT n.doc_id, md5(n.text) AS digest
     FROM corpus n

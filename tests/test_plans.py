@@ -417,6 +417,22 @@ def test_semdedup_clusters_bound_the_pair_join(dfs):
                      plan) or "ShuffledHashJoin [cluster" in plan
 
 
+def test_cluster_representatives_elect_via_partial_max(dfs):
+    """The per-cluster representative election must be a map-side-
+    combinable max(struct) aggregation (partial_max in the plan), the
+    corpus side must be pruned to (doc_id, n_tokens) before its shuffle
+    (no text column in any exchange), and no cartesian anywhere."""
+    import re
+
+    from hive_nexr_spark.datapipe.dedup import cluster_representatives
+
+    fplan = _formatted(cluster_representatives(dfs["documents"]))
+    assert "partial_max" in fplan
+    assert "CartesianProduct" not in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex, f"text in representative shuffle: {ex}"
+
+
 def test_dsir_broadcasts_llr_table_and_takes_ordered(dfs):
     """DSIR importance weights: the B-row log-likelihood-ratio table must
     join back BROADCAST (no second corpus shuffle), the (doc, bucket)
