@@ -583,6 +583,75 @@ def _check_serde_jar(stmt: str, resources) -> None:
             f"return code 1 from org.apache.hadoop.hive.ql.exec.DDLTask)")
 
 
+_STORED_AS_IOF = {
+    "textfile": ("org.apache.hadoop.mapred.TextInputFormat",
+                 "org.apache.hadoop.hive.ql.io."
+                 "HiveIgnoreKeyTextOutputFormat"),
+    "sequencefile": ("org.apache.hadoop.mapred.SequenceFileInputFormat",
+                     "org.apache.hadoop.hive.ql.io."
+                     "HiveSequenceFileOutputFormat"),
+    "rcfile": ("org.apache.hadoop.hive.ql.io.RCFileInputFormat",
+               "org.apache.hadoop.hive.ql.io.RCFileOutputFormat"),
+}
+
+
+def storage_fingerprint(create_stmt: str | None) -> dict:
+    """Canonical storage descriptor of a CREATE TABLE statement — the
+    fields `parse/ImportSemanticAnalyzer.java` checkTable compares when
+    IMPORT targets an existing table (exim_06-11 negatives). Defaults
+    mirror Hive 0.8: textfile container, LazySimpleSerDe (ColumnarSerDe
+    under RCFILE), serialization.format '1', no bucketing/sorting."""
+    s = create_stmt or ""
+    mio = re.search(r"(?i)\bINPUTFORMAT\s+['\"]([^'\"]*)['\"]\s+"
+                    r"OUTPUTFORMAT\s+['\"]([^'\"]*)['\"]", s)
+    sa = re.search(r"(?i)\bSTORED\s+AS\s+(\w+)", s)
+    fmt = (sa.group(1).lower() if sa else "textfile")
+    iof = (mio.group(1), mio.group(2)) if mio else \
+        _STORED_AS_IOF.get(fmt, _STORED_AS_IOF["textfile"])
+    sd = re.search(r"(?i)\bROW\s+FORMAT\s+SERDE\s+['\"]([^'\"]*)['\"]", s)
+    serde = sd.group(1) if sd else (
+        "org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe"
+        if fmt == "rcfile"
+        else "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+    props = {"serialization.format": "1"}
+    sp = re.search(r"(?i)\bWITH\s+SERDEPROPERTIES\s*\(([^)]*)\)", s)
+    if sp:
+        for kv in sp.group(1).split(","):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+    cb = re.search(r"(?i)\bCLUSTERED\s+BY\s*\(([^)]*)\).*?"
+                   r"INTO\s+(\d+)\s+BUCKETS", s, re.S)
+    buckets = (tuple(c.strip().lower() for c in cb.group(1).split(",")),
+               int(cb.group(2))) if cb else None
+    sb = re.search(r"(?i)\bSORTED\s+BY\s*\(([^)]*)\)", s)
+    sort = tuple(" ".join(c.split()).lower()
+                 for c in sb.group(1).split(",")) if sb else None
+    return {"iof": iof, "serde": serde,
+            "format": props.get("serialization.format", "1"),
+            "buckets": buckets, "sort": sort}
+
+
+def check_import_compat(existing: dict, dump: dict) -> None:
+    """IMPORT over an existing table: storage descriptors must match
+    (`parse/ImportSemanticAnalyzer.java` checkTable, in its check
+    order; exim_06-11 negative corpus)."""
+    def err(detail: str):
+        raise ValueError(
+            "The existing table is not compatible with the import "
+            f"spec.   {detail}")
+    if existing["iof"] != dump["iof"]:
+        err("Table inputformat/outputformats do not match")
+    if existing["serde"] != dump["serde"]:
+        err("Table Serde class does not match")
+    if existing["format"] != dump["format"]:
+        err("Table Serde format does not match")
+    if existing["buckets"] != dump["buckets"]:
+        err("Table bucketing spec does not match")
+    if existing["sort"] != dump["sort"]:
+        err("Table sorting spec does not match")
+
+
 def check_statement_catalog(stmt: str, qvars: dict[str, str], spark,
                             resources=()) -> None:
     """Catalog-/state-dependent Hive-0.8 validations (complement of
@@ -592,6 +661,25 @@ def check_statement_catalog(stmt: str, qvars: dict[str, str], spark,
     _check_location_scheme(stmt)
     _check_max_created_files(stmt, qvars, spark)
     _check_serde_jar(stmt, resources)
+
+
+def _check_reflect_targets(stmt: str) -> None:
+    """reflect() with a nonexistent class/method fails the MR task
+    (`udf/generic/GenericUDFReflect.java` evaluate; udf_reflect_neg.q).
+    The UDF itself stays NULL-on-unknown because Spark eagerly evaluates
+    untaken CASE branches (udf_case.q ELSE reflect bogus), so the
+    validation is a pre-flight on statements with NO CASE."""
+    if re.search(r"(?i)\bCASE\b", stmt):
+        return
+    from ..functions.hive_compat import _REFLECT_METHODS
+    for m in re.finditer(r"(?i)\breflect\s*\(\s*['\"]([\w.]+)['\"]\s*,"
+                         r"\s*['\"](\w+)['\"]", stmt):
+        if (m.group(1), m.group(2)) not in _REFLECT_METHODS:
+            raise ValueError(
+                "UDFReflect evaluate: "
+                f"{m.group(1)}.{m.group(2)} not found (Execution Error, "
+                "return code 2 from "
+                "org.apache.hadoop.hive.ql.exec.MapRedTask)")
 
 
 def check_statement(stmt: str, qvars: dict[str, str],
@@ -615,3 +703,4 @@ def check_statement(stmt: str, qvars: dict[str, str],
     _check_dyn_part_merge(stmt, qvars)
     _check_file_formats(stmt)
     _check_case_types(stmt)
+    _check_reflect_targets(stmt)

@@ -35,8 +35,9 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .negative_checks import (_check_split_sample, check_statement,
-                              check_statement_catalog)
+from .negative_checks import (_check_split_sample, check_import_compat,
+                              check_statement, check_statement_catalog,
+                              storage_fingerprint)
 
 QFILE_DIR = "/root/reference/ql/src/test/queries/clientpositive"
 # The reference's actual fixture data files (read-only): `src` IS kv1.txt,
@@ -2372,6 +2373,10 @@ def run_qfile(spark: SparkSession, qfile: str,
     # load_wrong_fileformat*.q; gated on hive.fileformat.check like
     # disable_file_format_check.q)
     stored_as: dict[str, str] = {}
+    # full CREATE TABLE text per table + exported storage fingerprints
+    # (IMPORT-over-existing compat, exim_06-10 negatives)
+    create_text: dict[str, str] = {}
+    export_storage: dict[str, dict] = {}
     # partitioned-view metadata (CREATE VIEW ... PARTITIONED ON is
     # stripped for Spark but its column list is validated and recorded so
     # ALTER VIEW ADD PARTITION specs can be checked — alter_view_failure*)
@@ -2380,6 +2385,11 @@ def run_qfile(spark: SparkSession, qfile: str,
     # OR REPLACE VIEW may not change partition columns while any exist
     # (`exec/DDLTask.java` createView; create_or_replace_view1/2.q)
     view_partitions: dict[str, set[str]] = {}
+    # view definition text — ALTER VIEW ADD PARTITION under strict mode
+    # re-compiles the view query, which fails partition pruning when the
+    # definition scans srcpart unpredicated (alter_view_failure6.q; the
+    # positive twin create_view_partitioned.q alters under nonstrict)
+    view_def_text: dict[str, str] = {}
     # hive.exec.drop.ignorenonexistent (default true) gates the IF EXISTS
     # injection below (drop_view_failure2.q sets it false and expects the
     # missing-view DROP to fail)
@@ -2791,6 +2801,33 @@ def run_qfile(spark: SparkSession, qfile: str,
                     if sm:
                         stored_as[cm.group(1).split(".")[-1].lower()] = \
                             sm.group(1).lower()
+                    create_text[cm.group(1).split(".")[-1].lower()] = stmt
+                # EXPORT records the source table's storage fingerprint;
+                # IMPORT over an EXISTING table must match it
+                # (`ImportSemanticAnalyzer.checkTable`; exim_06-10)
+                exm = re.match(r"(?i)^\s*EXPORT\s+TABLE\s+`?([\w.]+)`?"
+                               r".*?\bTO\s+['\"]([^'\"]+)['\"]", stmt)
+                if exm:
+                    export_storage[
+                        os.path.basename(exm.group(2).rstrip("/"))] = \
+                        storage_fingerprint(create_text.get(
+                            exm.group(1).split(".")[-1].lower()))
+                imm = re.match(r"(?i)^\s*IMPORT\s+(?:(?:EXTERNAL\s+)?"
+                               r"TABLE\s+`?([\w.]+)`?\s+)?(?:PARTITION"
+                               r"\s*\([^)]*\)\s+)?FROM\s+"
+                               r"['\"]([^'\"]+)['\"]", stmt)
+                if imm:
+                    dump_key = os.path.basename(imm.group(2).rstrip("/"))
+                    tgt = (imm.group(1) or dump_key).split(".")[-1].lower()
+                    dump_fp = export_storage.get(dump_key)
+                    try:
+                        exists = spark.catalog.tableExists(tgt)
+                    except Exception:
+                        exists = False
+                    if dump_fp and exists and tgt in create_text:
+                        check_import_compat(
+                            storage_fingerprint(create_text[tgt]),
+                            dump_fp)
                 # statement-level Hive-0.8 validations (clientnegative
                 # error parity — see sources/negative_checks.py)
                 check_statement(stmt, qvars, sorted_tables)
@@ -2928,7 +2965,9 @@ def run_qfile(spark: SparkSession, qfile: str,
                 ebody = re.sub(r"(?is)^\s*EXPLAIN\s+(EXTENDED\s+)?", "",
                                stmt)
                 probe_select = bool(
-                    re.match(r"(?is)^\s*SELECT\b", ebody)
+                    (re.match(r"(?is)^\s*SELECT\b", ebody)
+                     or (re.match(r"(?is)^\s*FROM\b", ebody)
+                         and not re.search(r"(?i)\bINSERT\b", ebody)))
                     and not re.search(r"(?i)\bTRANSFORM\s*\(", ebody))
                 if probe_select:
                     try:
@@ -2946,6 +2985,10 @@ def run_qfile(spark: SparkSession, qfile: str,
                                 "AMBIGUOUS_REFERENCE",
                                 "MISSING_GROUP_BY",
                                 "MISSING_AGGREGATION",
+                                # union branch type incompatibility is a
+                                # semantic error in Hive 0.8 too
+                                # (genUnionPlan; union2.q negative)
+                                "INCOMPATIBLE_COLUMN_TYPE",
                                 "Invalid column reference")):
                             raise
                         # other classes: Hive-dialect expression the raw
@@ -3019,6 +3062,18 @@ def run_qfile(spark: SparkSession, qfile: str,
                 if re.search(r"(?i)\bLOCATION\b", avm.group("rest")):
                     raise ValueError(
                         "LOCATION clause illegal for view partition")
+                vdef = view_def_text.get(vname, "")
+                if (qvars.get("hive.mapred.mode", "").lower() == "strict"
+                        and re.search(r"(?i)\b(?:FROM|JOIN)\s+srcpart\b",
+                                      vdef)
+                        and not re.search(
+                            r"(?is)\bWHERE\b.*\b(ds|hr)\b", vdef)):
+                    # the ADD re-compiles the view body, which strict
+                    # mode rejects without a partition predicate
+                    # (alter_view_failure6.q)
+                    raise ValueError(
+                        f'No partition predicate found for Alias '
+                        f'"{vname}:srcpart" Table "srcpart"')
                 pairs = []
                 for kv in avm.group("spec").split(","):
                     if "=" in kv:
@@ -3111,6 +3166,12 @@ def run_qfile(spark: SparkSession, qfile: str,
                             "currently exist")
                 stmt = _validate_view_ddl(stmt, view_partcols)
                 upper = stmt.upper()
+                vnm = re.match(r"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?"
+                               r"VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                               r"`?([\w.]+)`?", stmt)
+                if vnm:
+                    view_def_text[vnm.group(1).split(".")[-1].lower()] \
+                        = stmt
             m = re.match(r"CREATE\s+(?:DATABASE|SCHEMA)\s+(?!IF\s)(\w+)",
                          stmt, re.IGNORECASE)
             if m:
