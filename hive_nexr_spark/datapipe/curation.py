@@ -92,6 +92,84 @@ def decontaminate(documents: DataFrame, n: int = 4,
     )
 
 
+def decontaminate_fuzzy(documents: DataFrame, benchmark_mod: int = 13,
+                        jaccard_threshold: float = 0.5,
+                        max_doc_id: int = 200) -> DataFrame:
+    """FUZZY benchmark decontamination: MinHash-LSH between the training
+    corpus and the benchmark slice — flags training documents whose
+    shingle set is a near-duplicate of ANY benchmark document. This is
+    the scrub that catches paraphrased / reformatted / prefix-mangled
+    eval leaks the exact n-gram overlap (`decontaminate`) misses; the
+    GPT-3/PaLM contamination appendices describe exactly this
+    escalation.
+
+    Corpus: the synthetic-dup corpus; benchmark = original documents
+    with doc_id % `benchmark_mod` == 0, training pool = everything else
+    (so the planted +100000 copies and +200000 near-dups of benchmark
+    docs are the observable leaks).
+
+    Output: (doc_id, n_bench_hits, max_jaccard) per contaminated
+    training document.
+
+    100 TB shape: identical to `dedup.minhash_lsh_pairs` — shingles
+    persist once, signatures are split-k slices of ONE md5, the
+    candidate join keys on (band, bucket) carrying doc ids only, and
+    verification touches candidates, not |train|x|bench|. The benchmark
+    side is tiny (an eval suite), so AQE broadcast-converts its band
+    table; the train side streams. Distinct-before-verify bounds the
+    shingle fetch-back to unique candidate pairs."""
+    from .dedup import (MINHASH_BANDS, MINHASH_H, ROWS_PER_BAND,
+                        _with_shingles, with_synthetic_dups)
+    from ._cache import tracked_persist
+
+    corpus = with_synthetic_dups(documents).filter(
+        (F.col("doc_id") % 100000) < max_doc_id)
+    is_bench = (F.col("doc_id") < 100000) & \
+        (F.col("doc_id") % benchmark_mod == 0)
+    toks = tracked_persist(_with_shingles(corpus).select("doc_id", "sh"))
+    sh = toks.select("doc_id", F.explode("sh").alias("shingle"))
+    hashed = sh.select("doc_id", F.md5("shingle").alias("d"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(F.substring("d", h * 5 + 1, 5)).alias(f"mh{h}")
+          for h in range(MINHASH_H)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                           for r in range(ROWS_PER_BAND)]).alias("bucket"),
+            ) for b in range(MINHASH_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    train_b = bands.filter(~is_bench).alias("t")
+    bench_b = bands.filter(is_bench).alias("e")
+    cand = (
+        train_b.join(bench_b,
+                     (F.col("t.band") == F.col("e.band"))
+                     & (F.col("t.bucket") == F.col("e.bucket")))
+        .select(F.col("t.doc_id").alias("train_id"),
+                F.col("e.doc_id").alias("bench_id"))
+        .distinct()
+    )
+    verified = (
+        cand.join(toks.alias("tt"), F.col("train_id") == F.col("tt.doc_id"))
+        .join(toks.alias("te"), F.col("bench_id") == F.col("te.doc_id"))
+        .select(
+            "train_id", "bench_id",
+            F.round(
+                F.size(F.array_intersect(F.col("tt.sh"), F.col("te.sh")))
+                / F.size(F.array_union(F.col("tt.sh"), F.col("te.sh"))),
+                6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified.groupBy(F.col("train_id").alias("doc_id")).agg(
+        F.count("*").alias("n_bench_hits"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
 def repetition_filters(documents: DataFrame) -> DataFrame:
     """Repetition-based quality signals (the Gopher/MassiveText family):
     duplicate-token fraction and the most-frequent-2-gram fraction. High

@@ -774,6 +774,63 @@ ORACLE["dedup_connected_components"] = (
     FROM labels
     """)
 
+QUERIES["decontaminate_fuzzy"] = _bind(
+    curation.decontaminate_fuzzy, "documents")
+# MinHash-LSH cross-corpus decontamination (curation.decontaminate_fuzzy):
+# the dedup_minhash_lsh signature/band machinery with the candidate join
+# restricted to train x benchmark, aggregated per training doc
+ORACLE["decontaminate_fuzzy"] = _CORPUS + f"""
+    , subset AS (SELECT * FROM corpus WHERE doc_id % 100000 < 200)
+    , shingled AS (
+      SELECT doc_id, unnest(list_distinct([
+               array_to_string(l[i:i+2], ' ')
+               for i in range(1, greatest(len(l) - 2, 1) + 1)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM subset) t
+    )
+    , sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(substr(md5(shingle), {h * 5 + 1}, 5)) AS mh{h}" for h in range(6))}
+      FROM shingled GROUP BY doc_id
+    )
+    , bands AS (
+      SELECT doc_id, 0 AS band, mh0 || mh1 AS bucket FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+    )
+    , cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS bench_id
+      FROM bands t JOIN bands e
+        ON t.band = e.band AND t.bucket = e.bucket
+      WHERE NOT (t.doc_id < 100000 AND t.doc_id % 13 = 0)
+        AND (e.doc_id < 100000 AND e.doc_id % 13 = 0)
+    )
+    , toks AS (
+      SELECT doc_id, list_distinct([
+               array_to_string(l[i:i+2], ' ')
+               for i in range(1, greatest(len(l) - 2, 1) + 1)
+             ]) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM corpus) t
+    )
+    , verified AS (
+      SELECT * FROM (
+        SELECT train_id, bench_id,
+               round(CAST(len(list_intersect(tt.sh, te.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(tt.sh, te.sh))), 6)
+                 AS jaccard
+        FROM cand
+        JOIN toks tt ON cand.train_id = tt.doc_id
+        JOIN toks te ON cand.bench_id = te.doc_id
+      ) v WHERE jaccard >= 0.5
+    )
+    SELECT train_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bench_hits,
+           max(jaccard) AS max_jaccard
+    FROM verified GROUP BY train_id
+"""
+
 QUERIES["dedup_cluster_representatives"] = _bind(
     dedup.cluster_representatives, "documents")
 # quality-aware keep-one-per-cluster (dedup.cluster_representatives):

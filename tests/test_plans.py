@@ -417,6 +417,23 @@ def test_semdedup_clusters_bound_the_pair_join(dfs):
                      plan) or "ShuffledHashJoin [cluster" in plan
 
 
+def test_fuzzy_decontaminate_band_join_carries_ids_only(dfs):
+    """The train x benchmark candidate join must key on (band, bucket)
+    — never a cartesian — and no band/bucket exchange may carry the
+    shingle arrays or text (ids + 10-char buckets only)."""
+    import re
+
+    from hive_nexr_spark.datapipe.curation import decontaminate_fuzzy
+
+    plan = _plan(decontaminate_fuzzy(dfs["documents"]))
+    assert "CartesianProduct" not in plan
+    fplan = _formatted(decontaminate_fuzzy(dfs["documents"]))
+    for ex in re.findall(
+            r"Arguments: hashpartitioning\(band[^\n]*", fplan):
+        assert "sh#" not in ex and "text#" not in ex, (
+            f"shingles in band shuffle: {ex}")
+
+
 def test_cluster_representatives_elect_via_partial_max(dfs):
     """The per-cluster representative election must be a map-side-
     combinable max(struct) aggregation (partial_max in the plan), the
