@@ -144,6 +144,42 @@ def stratified_sample(documents: DataFrame, quota: int = 10,
     )
 
 
+def bpe_top_pairs(documents: DataFrame, k: int = 20) -> DataFrame:
+    """The first BPE merge statistic (Sennrich et al. 2016, public arXiv
+    1508.07909): the corpus-wide frequency of every adjacent character
+    pair inside words — the pair a byte-pair-encoding tokenizer trainer
+    merges first. Output: (pair, n_occurrences, rank) for the top `k`
+    by (count desc, pair asc).
+
+    100 TB shape — the detail that makes BPE training feasible at
+    corpus scale: pairs are counted over the VOCABULARY (distinct words
+    with their corpus counts), not over the raw token stream. One
+    corpus-sized map-side-combined word count, then the pair explode
+    runs over vocab-sized input (grows ~log corpus) weighted by the
+    counts; the pair aggregation and top-k
+    (TakeOrderedAndProject) are vocabulary-bounded. Iterating merges
+    re-runs this over a re-segmented vocab — the per-iteration shape is
+    identical."""
+    words = documents.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    vocab = (words.filter(F.length("w") >= 2)
+             .groupBy("w").agg(F.count("*").alias("n")))
+    pairs = vocab.select(
+        "n",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        )).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("n").alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        agg.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def corpus_summary(documents: DataFrame) -> DataFrame:
     """One-pass corpus data card: document/token counts, length stats,
     per-language totals, and the exact-duplicate rate — the summary block

@@ -774,6 +774,30 @@ ORACLE["dedup_connected_components"] = (
     FROM labels
     """)
 
+QUERIES["bpe_top_pairs"] = _bind(corpus_stats.bpe_top_pairs, "documents")
+# first BPE merge statistic (corpus_stats.bpe_top_pairs): adjacent char
+# pairs counted over the weighted vocabulary, top-20
+ORACLE["bpe_top_pairs"] = """
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w, count(*) AS n FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, n
+      FROM (SELECT w, n, unnest(range(1, length(w))) AS i FROM vocab) t
+    ),
+    agg AS (
+      SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+                AS INT) AS rank
+    FROM agg ORDER BY n_occurrences DESC, pair LIMIT 20
+"""
+
 QUERIES["decontaminate_fuzzy"] = _bind(
     curation.decontaminate_fuzzy, "documents")
 # MinHash-LSH cross-corpus decontamination (curation.decontaminate_fuzzy):

@@ -417,6 +417,18 @@ def test_semdedup_clusters_bound_the_pair_join(dfs):
                      plan) or "ShuffledHashJoin [cluster" in plan
 
 
+def test_bpe_pairs_count_over_vocabulary(dfs):
+    """The pair explode must run over the aggregated VOCABULARY (word
+    counts first — partial_count in the plan below the explode), and the
+    top-k must be TakeOrderedAndProject, never a global sort."""
+    from hive_nexr_spark.datapipe.corpus_stats import bpe_top_pairs
+
+    fplan = _formatted(bpe_top_pairs(dfs["documents"]))
+    assert "TakeOrderedAndProject" in fplan
+    assert "partial_count" in fplan
+    assert "partial_sum" in fplan
+
+
 def test_fuzzy_decontaminate_band_join_carries_ids_only(dfs):
     """The train x benchmark candidate join must key on (band, bucket)
     — never a cartesian — and no band/bucket exchange may carry the
