@@ -246,7 +246,7 @@ _ALTER_INDEX_PROPS = re.compile(
     re.IGNORECASE,
 )
 _DROP_INDEX = re.compile(
-    r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s+ON\s+"
+    r"^\s*DROP\s+INDEX\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s+ON\s+"
     r"(?P<table>[\w.`]+)\s*$",
     re.IGNORECASE,
 )
@@ -476,10 +476,13 @@ class HiveQLSession:
             idx = self.indexes.pop(key, None)
             if idx:
                 self.spark.sql(f"DROP TABLE IF EXISTS {idx['index_table']}")
-            elif self.spark.conf.get("hive.exec.drop.ignorenonexistent",
-                                     "true").lower() == "false":
-                # `DDLTask.dropIndex` honors the conf
-                # (drop_index_failure.q)
+            elif not m.group("ifex") and self.spark.conf.get(
+                    "hive.exec.drop.ignorenonexistent",
+                    "true").lower() == "false":
+                # `DDLTask.dropIndex` honors the conf only without an
+                # explicit IF EXISTS (drop_index_failure.q negative vs
+                # the drop_index.q positive, which sets the conf false
+                # and still expects IF EXISTS to suppress the error)
                 raise ValueError(f"Invalid index {m.group('name')}")
             return None
 
@@ -1512,13 +1515,24 @@ class HiveQLSession:
                 ttype = self.spark.catalog.getTable(name).tableType
             except Exception:
                 ttype = None
-            if location:
+            if location and not want:
+                # whole-TABLE location import must match the registered
+                # table location (exim_20_managed_location_over_existing
+                # negative); a PARTITION-level import sets the PARTITION
+                # location and the table location may differ
+                # (exim_16_part_external / exim_17_part_managed
+                # positives: table at tablestore2, partition imported at
+                # tablestore)
                 tloc = os.path.realpath(self._table_location(name))
                 if os.path.realpath(data_loc) != tloc:
                     raise ValueError(
                         "The existing table is not compatible with the "
                         "import spec.   Location does not match")
-            elif ttype == "MANAGED":
+            elif not location and ttype == "MANAGED":
+                # EXTERNAL (no-location) import over a MANAGED table
+                # (exim_19/21 negatives); a LOCATION partition import
+                # into a managed table is fine (exim_17_part_managed
+                # positive)
                 raise ValueError(
                     "The existing table is not compatible with the "
                     "import spec.   External table cannot overwrite "

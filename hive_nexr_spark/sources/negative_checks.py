@@ -316,19 +316,28 @@ def _check_cluster_by_refs(body: str) -> None:
             raise ValueError(f"Invalid column reference '{bare}'")
 
 
-def _check_reserved_partition_value(stmt: str) -> None:
+def _check_reserved_partition_value(stmt: str,
+                                    qvars: dict[str, str]) -> None:
     """Reserved substrings in static partition values
     (`ql/exec/DDLTask.java` addPartition → ArchiveUtils
     conflictingArchiveNameOrNull + the metastore default-partition-name
-    guard; default_partition_name.q, archive5.q)."""
+    guard; default_partition_name.q negative vs its POSITIVE twin, which
+    sets hive.exec.default.partition.name to a custom value first — the
+    default-name substring is only reserved while it IS the configured
+    default)."""
     m = re.search(r"(?i)\bADD\s+PARTITION\s*\(([^)]*)\)", stmt)
     if not m:
         return
+    reserved = list(RESERVED_PART_SUBSTRINGS)
+    if qvars.get("hive.exec.default.partition.name",
+                 "__HIVE_DEFAULT_PARTITION__").strip("'\"") \
+            != "__HIVE_DEFAULT_PARTITION__":
+        reserved.remove("__HIVE_DEFAULT_PARTITION__")
     for kv in m.group(1).split(","):
         if "=" not in kv:
             continue
         v = kv.split("=", 1)[1].strip().strip("'\"")
-        for r in RESERVED_PART_SUBSTRINGS:
+        for r in reserved:
             if r in v:
                 raise ValueError(
                     f"Partition value contains a reserved substring "
@@ -362,7 +371,13 @@ def _check_dyn_part_merge(stmt: str, qvars: dict[str, str]) -> None:
         return
     fmt = qvars.get("hive.input.format", "")
     if qvars.get("hive.merge.mapfiles", "").strip().lower() == "true" \
+            and qvars.get("hive.mergejob.maponly",
+                          "true").strip().lower() == "false" \
             and fmt and not fmt.endswith("CombineHiveInputFormat"):
+        # with hive.mergejob.maponly (default true) a map-only merge
+        # works under any input format — merge3.q / merge_dynamic_
+        # partition3.q run this combination positively; only the
+        # maponly=false negative (dyn_part_merge.q) fails
         raise ValueError(
             "Dynamic partition does not support merging using "
             "non-CombineHiveInputFormatPlease check your "
@@ -698,7 +713,7 @@ def check_statement(stmt: str, qvars: dict[str, str],
     _check_multi_distinct_skew(body, qvars)
     _check_uniquejoin_mixed(stmt)
     _check_cluster_by_refs(body)
-    _check_reserved_partition_value(stmt)
+    _check_reserved_partition_value(stmt, qvars)
     _check_archive_form(stmt)
     _check_dyn_part_merge(stmt, qvars)
     _check_file_formats(stmt)

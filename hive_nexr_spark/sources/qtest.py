@@ -3283,7 +3283,11 @@ def run_qfile(spark: SparkSession, qfile: str,
                     hook_poison[0] = None
                     for cls in filter(None,
                                       (c.strip() for c in v.split(","))):
-                        rel = cls.replace(".", "/") + ".java"
+                        # inner classes ($PreExec) live in the OUTER
+                        # class's source file (sample10.q,
+                        # updateAccessTime.q: UpdateInputAccessTimeHook
+                        # $PreExec)
+                        rel = cls.split("$")[0].replace(".", "/") + ".java"
                         if not any(os.path.isfile(os.path.join(
                                 ref_root, sub, rel)) for sub in
                                 ("ql/src/java", "ql/src/test",
