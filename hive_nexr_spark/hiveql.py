@@ -46,6 +46,7 @@ Catalyst's parse→analyze→optimize pipeline replaces Driver.compile
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -220,8 +221,11 @@ _IMPORT = re.compile(
 )
 
 # Hive exports address warehouse-relative paths (the exim qfiles use
-# 'ql/test/data/exports/...'); relative paths sandbox under a scratch root
-EXPORT_ROOT = "/tmp/hive_nexr_spark_scratch/exports"
+# 'ql/test/data/exports/...'); relative paths sandbox under a scratch root.
+# Per-PROCESS so concurrent runs (two sweeps, driver + local verify)
+# never race on the same export dump: one process's `!rm -rf` replay or
+# pre-export rmtree must not clobber another's dump mid-import.
+EXPORT_ROOT = f"/tmp/hive_nexr_spark_scratch/exports_{os.getpid()}"
 
 _DESC_FUNCTION = re.compile(
     r"^\s*DESC(?:RIBE)?\s+FUNCTION\s+(?P<ext>EXTENDED\s+)?"
