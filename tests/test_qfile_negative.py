@@ -62,6 +62,17 @@ MUST_RAISE = [
     "nopart_load.q",            # LOAD without partition spec
     "load_wrong_noof_part.q",   # LOAD with underspecified spec
     "load_wrong_fileformat.q",  # text file into SEQUENCEFILE table
+    "exim_06_nonpart_noncompat_storage.q",  # IMPORT storage mismatch
+    "exim_10_nonpart_noncompat_bucketing.q",  # IMPORT bucketing mismatch
+    "udf_reflect_neg.q",        # reflect() of a nonexistent class
+    "union2.q",                 # union branch type incompatibility
+    "alter_view_failure6.q",    # strict-mode view partition predicate
+    "joinneg.q",                # invalid table alias in ON clause
+    "external1.q",              # unknown LOCATION filesystem scheme
+    "deletejar.q",              # serde jar deleted before CREATE
+    "ddltime.q",                # HOLD_DDLTIME on nonexistent partition
+    "dyn_part3.q",              # exceeds hive.exec.max.created.files
+    "column_rename4.q",         # CHANGE ... AFTER nonexistent column
 ]
 
 
