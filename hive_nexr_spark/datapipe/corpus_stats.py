@@ -144,6 +144,47 @@ def stratified_sample(documents: DataFrame, quota: int = 10,
     )
 
 
+def curriculum_shards(documents: DataFrame, n_shards: int = 4) -> DataFrame:
+    """Curriculum sharding: assign every document to a difficulty shard
+    by its unigram-LM bits-per-token (easy→hard training order, the
+    standard curriculum/annealing data layout). Equal scores always land
+    in the same shard, so the assignment is deterministic and stable
+    across re-runs.
+
+    Output: (doc_id, score, shard) with score = bits_per_token rounded
+    to 2 decimals and shard in [0, n_shards).
+
+    100 TB shape — exact quantiles WITHOUT a global sort: a corpus-wide
+    ntile() would sort every row through one partition, the classic
+    scale-killer. Instead the ROUNDED score (2 decimals → a few hundred
+    distinct values, bounded regardless of corpus size) is histogrammed
+    with a map-side-combined groupBy; the cumulative-count window and
+    shard boundaries run on that TINY table (single-partition window
+    over ~10^2 rows, bounded by construction); and the boundary table
+    broadcasts back onto the per-doc stream. Score computation reuses
+    the `perplexity_unigram` pipeline (two token shuffles + broadcast
+    LM)."""
+    per_doc = perplexity_unigram(documents).select(
+        "doc_id", F.round("bits_per_token", 2).alias("score"))
+    hist = per_doc.groupBy("score").agg(F.count("*").alias("cnt"))
+    wcum = (Window.orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = hist.agg(F.sum("cnt").cast("double").alias("_n"))
+    bounds = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "score",
+            F.least(
+                F.floor((F.col("cum") - F.col("cnt"))
+                        * n_shards / F.col("_n")),
+                F.lit(n_shards - 1)).cast("int").alias("shard"),
+        )
+    )
+    return per_doc.join(F.broadcast(bounds), "score").select(
+        "doc_id", "score", "shard")
+
+
 def bpe_top_pairs(documents: DataFrame, k: int = 20) -> DataFrame:
     """The first BPE merge statistic (Sennrich et al. 2016, public arXiv
     1508.07909): the corpus-wide frequency of every adjacent character

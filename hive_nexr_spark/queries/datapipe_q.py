@@ -774,6 +774,46 @@ ORACLE["dedup_connected_components"] = (
     FROM labels
     """)
 
+QUERIES["curriculum_shards"] = _bind(
+    corpus_stats.curriculum_shards, "documents")
+# curriculum sharding (corpus_stats.curriculum_shards): exact quantiles
+# of the rounded bits-per-token score via a bounded value histogram —
+# the perplexity CTEs reused verbatim
+ORACLE["curriculum_shards"] = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM terms GROUP BY doc_id, token
+    ),
+    lm AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY token),
+    tot AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS vocab
+      FROM lm
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(round(sum(tf * -log2((cnt + 1.0) / (total + vocab)))
+                         / sum(tf), 6), 2) AS score
+      FROM tf JOIN lm USING (token), tot
+      GROUP BY doc_id
+    ),
+    hist AS (SELECT score, count(*) AS cnt FROM scored GROUP BY score),
+    n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nn FROM hist),
+    bounds AS (
+      SELECT score,
+             CAST(least(floor((cum - cnt) * 4 / nn), 3) AS INT) AS shard
+      FROM (SELECT score, cnt,
+                   sum(cnt) OVER (ORDER BY score
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist) h, n
+    )
+    SELECT doc_id, score, shard FROM scored JOIN bounds USING (score)
+"""
+
 QUERIES["bpe_top_pairs"] = _bind(corpus_stats.bpe_top_pairs, "documents")
 # first BPE merge statistic (corpus_stats.bpe_top_pairs): adjacent char
 # pairs counted over the weighted vocabulary, top-20

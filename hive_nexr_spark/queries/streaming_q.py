@@ -145,6 +145,8 @@ QUERIES = {
     "events_stream_interval_join": lambda spark, sf_dir:
         ev.click_purchase_interval_join_stream(spark, sf_dir),
     "events_asof_join": _asof_join,
+    "events_cdc_merge": lambda spark, sf_dir: ev.cdc_merge_batch(
+        ensure_views(spark, sf_dir)["events"]),
 }
 
 _WINDOW_SQL = """
@@ -251,6 +253,36 @@ ORACLE = {
         GROUP BY o_orderstatus
     """,
 }
+
+# CDC merge (streaming/events.py cdc_merge_batch): latest-per-key
+# election on both sides, change wins, 'error' tombstone deletes
+ORACLE["events_cdc_merge"] = """
+    WITH b1 AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 5 <> 4) t WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 5 = 4) t WHERE rn = 1
+    )
+    SELECT user_id,
+           CASE WHEN c1.event_id IS NOT NULL
+                THEN c1.event_id ELSE b1.event_id END AS last_event_id,
+           CASE WHEN c1.event_id IS NOT NULL
+                THEN c1.event_type ELSE b1.event_type END AS last_type,
+           CASE WHEN c1.event_id IS NOT NULL
+                THEN c1.value ELSE b1.value END AS last_value,
+           CASE WHEN c1.event_id IS NOT NULL
+                THEN 'change' ELSE 'base' END AS src
+    FROM b1 FULL OUTER JOIN c1 USING (user_id)
+    WHERE NOT (c1.event_id IS NOT NULL AND c1.event_type = 'error')
+"""
 
 ORACLE["events_stream_interval_join"] = """
     SELECT c.event_id AS click_id, p.event_id AS purchase_id,

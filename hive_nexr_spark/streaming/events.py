@@ -230,6 +230,10 @@ def asof_enrich_batch(events: DataFrame, left_type: str = "purchase",
         "event_id", "user_id", "ts",
         F.when(F.col("event_type") == right_type, 0).otherwise(1)
         .alias("side"))
+    return _asof_union_window(marked)
+
+
+def _asof_union_window(marked: DataFrame) -> DataFrame:
     w = (Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     r_payload = F.when(
@@ -244,6 +248,57 @@ def asof_enrich_batch(events: DataFrame, left_type: str = "purchase",
             F.col("last_r.r_id").alias("asof_event_id"),
             (F.unix_micros("ts") - F.unix_micros("last_r.r_ts"))
             .alias("gap_us"))
+    )
+
+
+def cdc_merge_batch(events: DataFrame, change_mod: int = 5) -> DataFrame:
+    """Change-data-capture MERGE (the lakehouse upsert shape): apply a
+    deduplicated change batch onto a keyed snapshot — per key, the
+    latest change wins; a tombstone change deletes the key; untouched
+    keys keep their snapshot state. This is the batch body of the
+    standard `foreachBatch` streaming-upsert pattern (and of any
+    incremental table-maintenance job); the reference era expressed it
+    as a full INSERT OVERWRITE rewrite.
+
+    Deterministic spec over the events table: the "change batch" is the
+    event_id % `change_mod` == change_mod-1 slice, the snapshot is
+    everything else; per-user state = the latest event by (ts,
+    event_id); a change batch whose latest event_type is 'error' is a
+    TOMBSTONE (key deleted). Output: (user_id, last_event_id,
+    last_type, last_value, src) with src = 'change' | 'base'.
+
+    100 TB shape: per-side latest-state election is ONE map-side-
+    combinable max(struct(ts, event_id, payload...)) each — dedup of
+    the change batch costs no window sort — then one user_id-keyed
+    FULL OUTER join; both inputs arrive at the join already partitioned
+    by user_id from their aggregations, so AQE reuses the exchange. No
+    per-key driver loop, no rewrite of untouched partitions beyond the
+    join itself."""
+    is_change = F.col("event_id") % change_mod == change_mod - 1
+
+    def latest(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max(F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.col("event_type"), F.col("value"))).alias(tag))
+
+    base = latest(events.filter(~is_change), "b")
+    ch = latest(events.filter(is_change), "c")
+    merged = base.join(ch, "user_id", "full_outer")
+    pick = F.when(F.col("c").isNotNull(), F.col("c")).otherwise(F.col("b"))
+    return (
+        merged
+        # tombstone: the change batch's final word is a delete
+        .filter(~(F.col("c").isNotNull()
+                  & (F.col("c.event_type") == "error")))
+        .select(
+            "user_id",
+            pick["event_id"].alias("last_event_id"),
+            pick["event_type"].alias("last_type"),
+            pick["value"].alias("last_value"),
+            F.when(F.col("c").isNotNull(), F.lit("change"))
+            .otherwise(F.lit("base")).alias("src"),
+        )
     )
 
 

@@ -417,6 +417,29 @@ def test_semdedup_clusters_bound_the_pair_join(dfs):
                      plan) or "ShuffledHashJoin [cluster" in plan
 
 
+def test_cdc_merge_partial_max_keyed_join(dfs):
+    """Both latest-state elections must map-side combine (partial_max),
+    and the merge must be a user_id-keyed join — never a cartesian."""
+    from hive_nexr_spark.streaming.events import cdc_merge_batch
+
+    fplan = _formatted(cdc_merge_batch(dfs["events"]))
+    assert "partial_max" in fplan
+    assert "CartesianProduct" not in fplan
+    assert "FullOuter" in fplan or "full_outer" in fplan.lower()
+
+
+def test_curriculum_shards_no_global_sort(dfs):
+    """Shard assignment must come from the bounded score-histogram
+    (broadcast back onto the per-doc stream), NEVER a corpus-wide
+    ntile/global sort — no range partitioning anywhere in the plan."""
+    from hive_nexr_spark.datapipe.corpus_stats import curriculum_shards
+
+    fplan = _formatted(curriculum_shards(dfs["documents"]))
+    assert "rangepartitioning" not in fplan
+    assert "BroadcastHashJoin" in fplan
+    assert "partial_count" in fplan
+
+
 def test_bpe_pairs_count_over_vocabulary(dfs):
     """The pair explode must run over the aggregated VOCABULARY (word
     counts first — partial_count in the plan below the explode), and the
