@@ -147,6 +147,8 @@ QUERIES = {
     "events_asof_join": _asof_join,
     "events_cdc_merge": lambda spark, sf_dir: ev.cdc_merge_batch(
         ensure_views(spark, sf_dir)["events"]),
+    "events_stream_cdc_upsert": lambda spark, sf_dir:
+        ev.stream_cdc_upsert(spark, sf_dir),
 }
 
 _WINDOW_SQL = """
@@ -283,6 +285,9 @@ ORACLE["events_cdc_merge"] = """
     FROM b1 FULL OUTER JOIN c1 USING (user_id)
     WHERE NOT (c1.event_id IS NOT NULL AND c1.event_type = 'error')
 """
+
+# streaming CDC upsert: the batch twin IS the oracle (same merge spec)
+ORACLE["events_stream_cdc_upsert"] = ORACLE["events_cdc_merge"]
 
 ORACLE["events_stream_interval_join"] = """
     SELECT c.event_id AS click_id, p.event_id AS purchase_id,

@@ -176,6 +176,73 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str,
+                      change_mod: int = 5) -> DataFrame:
+    """STREAMING CDC upsert — the foreachBatch MERGE pattern run for
+    real: the change slice of the events stream arrives in micro-batches
+    and each batch upserts a keyed state table (latest change wins,
+    'error' tombstones delete). The final state merged over the static
+    snapshot must equal `cdc_merge_batch`, which is the exact oracle —
+    the standard way to validate a streaming upsert against its batch
+    twin.
+
+    Each micro-batch runs its OWN latest-per-key election (one
+    map-side-combined max(struct) — the same shape the batch op uses)
+    and APPENDS the compacted result to a parquet staging dir; the final
+    change state is one more election over the staging table (the
+    classic append-staging + compaction merge — fully distributed, no
+    driver-side data movement). In production foreachBatch would MERGE
+    INTO a Delta/Iceberg table; the staging dir stands in for the sink
+    while the micro-batch plumbing (per-batch dedup, upsert-vs-delete
+    routing) is real."""
+    from ..queries.base import ensure_views
+
+    events = ensure_views(spark, sf_dir)["events"]
+    is_change = F.col("event_id") % change_mod == change_mod - 1
+    stream = read_events_stream(spark, sf_dir).filter(is_change)
+
+    staging = f"/tmp/hive_nexr_spark_scratch/cdc_{os.getpid()}_" \
+              f"{uuid.uuid4().hex[:8]}"
+
+    def upsert(batch_df: DataFrame, _bid: int) -> None:
+        (batch_df.groupBy("user_id")
+         .agg(F.max(F.struct(
+             F.col("ts"), F.col("event_id"),
+             F.col("event_type"), F.col("value"))).alias("c"))
+         .select("user_id", "c.ts", "c.event_id", "c.event_type",
+                 "c.value")
+         .write.mode("append").parquet(staging))
+
+    q = stream.writeStream.foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ch = (spark.read.parquet(staging)
+          .groupBy("user_id")
+          .agg(F.max(F.struct(
+              F.col("ts"), F.col("event_id"),
+              F.col("event_type"), F.col("value"))).alias("c")))
+    base = (events.filter(~is_change).groupBy("user_id").agg(
+        F.max(F.struct(F.col("ts"), F.col("event_id"),
+                       F.col("event_type"), F.col("value"))).alias("b")))
+    merged = base.join(ch, "user_id", "full_outer")
+    pick = F.when(F.col("c").isNotNull(), F.col("c")).otherwise(F.col("b"))
+    return (
+        merged.filter(~(F.col("c").isNotNull()
+                        & (F.col("c.event_type") == "error")))
+        .select(
+            "user_id",
+            pick["event_id"].alias("last_event_id"),
+            pick["event_type"].alias("last_type"),
+            pick["value"].alias("last_value"),
+            F.when(F.col("c").isNotNull(), F.lit("change"))
+            .otherwise(F.lit("base")).alias("src"),
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gaps-and-islands sessionization: a session breaks when the gap to the
     previous event of the same user exceeds `gap_minutes`."""

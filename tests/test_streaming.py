@@ -70,3 +70,14 @@ def test_stream_interval_join_equals_batch(spark, sf_dir, dfs):
         "click_id", "purchase_id").collect()
     assert _key(batch) == _key(stream)
     assert stream  # non-degenerate: the fixture has in-window pairs
+
+
+def test_stream_cdc_upsert_equals_batch_merge(spark, sf_dir, dfs):
+    """The streaming foreachBatch upsert's final state must equal the
+    batch CDC merge (same latest-change-wins + tombstone spec)."""
+    from hive_nexr_spark.streaming import events as ev
+
+    batch = ev.cdc_merge_batch(dfs["events"]).collect()
+    stream = ev.stream_cdc_upsert(spark, sf_dir).collect()
+    assert _key(batch) == _key(stream)
+    assert any(r["src"] == "change" for r in stream)  # non-degenerate
