@@ -54,10 +54,22 @@ def _jdbc_external_table(spark, sf_dir):
     )
 
 
+def _orc_roundtrip(spark, sf_dir):
+    dfs = ensure_views(spark, sf_dir)
+    return fmt.orc_roundtrip(spark, dfs["lineitem"], sf_dir)
+
+
+def _json_lines_roundtrip(spark, sf_dir):
+    dfs = ensure_views(spark, sf_dir)
+    return fmt.json_lines_roundtrip(spark, dfs["customer"], sf_dir)
+
+
 QUERIES = {
     "textfile_roundtrip": _textfile_roundtrip,
     "regex_serde_extract": _regex_serde,
     "jdbc_external_table": _jdbc_external_table,
+    "orc_roundtrip": _orc_roundtrip,
+    "json_lines_roundtrip": _json_lines_roundtrip,
 }
 
 ORACLE = {
@@ -77,5 +89,21 @@ ORACLE = {
     "jdbc_external_table": """
         SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
         FROM nation WHERE n_regionkey < 3 GROUP BY n_regionkey
+    """,
+    "orc_roundtrip": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem WHERE l_returnflag <> 'N'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "json_lines_roundtrip": """
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+                 AS sum_bal,
+               CAST(0 AS BIGINT) AS n_missing
+        FROM customer GROUP BY c_mktsegment
     """,
 }

@@ -102,3 +102,55 @@ def regex_serde_extract(spark: SparkSession, orders: DataFrame,
         F.max("o_orderkey").alias("max_key"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+def orc_roundtrip(spark: SparkSession, lineitem: DataFrame,
+                  sf_dir: str) -> DataFrame:
+    """ORC sink + scan — the modern columnar twin of the reference's
+    RCFile path (`ql/io/RCFileOutputFormat.java` / `orc` landed in Hive
+    right after 0.8): write a lineitem projection as ORC with a
+    partition column, read it back, and aggregate with a pushed filter.
+    Spark's native ORC reader gives predicate pushdown + column pruning
+    exactly like parquet (`.explain` shows PushedFilters on the ORC
+    scan), so the format swap costs nothing in plan quality."""
+    out = f"{_SCRATCH}/orc_{_tag(sf_dir)}"
+    src = lineitem.select("l_orderkey", "l_returnflag", "l_linestatus",
+                          "l_quantity", "l_extendedprice")
+    (src.write.mode("overwrite").partitionBy("l_returnflag").orc(out))
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("l_returnflag") != "N")  # partition-pruned
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             dsum("l_quantity").alias("sum_qty"),
+             dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+def json_lines_roundtrip(spark: SparkSession, customer: DataFrame,
+                         sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-on-read scan — the reference's JSON
+    SerDe story (`get_json_object` over string columns; here the whole
+    row IS json). Write customer as newline-delimited JSON, read it back
+    with an explicit schema (schema-on-read: missing/extra fields
+    tolerate as NULL, LazySimpleSerDe-style), and aggregate."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    out = f"{_SCRATCH}/jsonl_{_tag(sf_dir)}"
+    src = customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    src.write.mode("overwrite").json(out)
+    schema = StructType([
+        StructField("c_custkey", LongType()),
+        StructField("c_mktsegment", StringType()),
+        StructField("c_acctbal", DoubleType()),
+        # schema-on-read: a column the files don't carry reads as NULL
+        StructField("c_missing", StringType()),
+    ])
+    back = spark.read.schema(schema).json(out)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"),
+             dsum("c_acctbal").alias("sum_bal"),
+             F.count("c_missing").alias("n_missing"))
+    )

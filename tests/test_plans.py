@@ -417,6 +417,21 @@ def test_semdedup_clusters_bound_the_pair_join(dfs):
                      plan) or "ShuffledHashJoin [cluster" in plan
 
 
+def test_orc_roundtrip_pushes_down(spark, dfs, sf_dir):
+    """The ORC read-back must prune by the partition column and push the
+    aggregate partially — format swap costs nothing in plan quality."""
+    from hive_nexr_spark.sources.formats import orc_roundtrip
+
+    fplan = _formatted(orc_roundtrip(spark, dfs["lineitem"], sf_dir))
+    assert "orc" in fplan.lower()
+    # the l_returnflag != 'N' filter lands in the partition listing
+    # (PartitionFilters), not a post-scan Filter over all partitions
+    assert "PartitionFilters: [isnotnull(l_returnflag" in fplan \
+        or "PartitionFilters: [NOT (l_returnflag" in fplan \
+        or "(l_returnflag" in fplan.split("PartitionFilters:")[1][:120]
+    assert "partial_count" in fplan
+
+
 def test_cdc_merge_partial_max_keyed_join(dfs):
     """Both latest-state elections must map-side combine (partial_max),
     and the merge must be a user_id-keyed join — never a cartesian."""
