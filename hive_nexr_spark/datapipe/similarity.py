@@ -456,6 +456,14 @@ def ivf_kmeans_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     probed cells. The k-row centroid table is always broadcast — nothing
     driver-side, no cross product through a shuffle."""
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # the trained centroid table is consumed by TWO broadcasts (corpus
+    # assignment + query probing). Measured at sf0.1: NOT persisted on
+    # purpose — caching the k-row result serializes the two consumers
+    # behind a materialization barrier (3.8-5.0 s vs 2.5-2.7 s when each
+    # broadcast just re-runs the cheap unrolled training subtree in its
+    # own parallel stage). At cluster scale the training subtree cost
+    # grows with the corpus; revisit with a persist if iters x scans
+    # dominate — the knob is one tracked_persist here.
     cents = _kmeans_centroids(emb, n_cells, iters, dim).select(
         "cluster", "cv")
 
