@@ -92,7 +92,14 @@ _BUCKET_SAMPLE = re.compile(
     # the ON expression may itself contain a no-arg call — rand() in
     # sample1.q — so allow empty paren pairs inside it
     r"(?P<x>\d+)\s+OUT\s+OF\s+(?P<y>\d+)"
-    r"(?:\s+ON\s+(?P<on>(?:[^()]|\(\s*\))+))?\s*\)",
+    r"(?:\s+ON\s+(?P<on>(?:[^()]|\(\s*\))+))?\s*\)"
+    # Hive also allows the alias AFTER the sample clause
+    # (`FROM srcbucket TABLESAMPLE (...) s` — parser-corpus sample3.q);
+    # consume it so the rewrite doesn't emit a second alias
+    r"(?:\s+(?P<postalias>(?!WHERE\b|JOIN\b|ON\b|GROUP\b|ORDER\b|SORT\b"
+    r"|CLUSTER\b|DISTRIBUTE\b|LIMIT\b|LATERAL\b|UNION\b|HAVING\b|LEFT\b"
+    r"|RIGHT\b|FULL\b|INNER\b|CROSS\b|SELECT\b|INSERT\b|TABLESAMPLE\b)"
+    r"\w+))?",
     re.IGNORECASE,
 )
 
@@ -896,7 +903,9 @@ class HiveQLSession:
 
     def _rewrite_bucket_sample(self, m: re.Match) -> str:
         kw = m.group("kw")
-        table, alias = m.group("table"), m.group("alias") or m.group("table").strip("`")
+        table = m.group("table")
+        alias = (m.group("alias") or m.group("postalias")
+                 or m.group("table").strip("`"))
         x, y, on = int(m.group("x")), int(m.group("y")), m.group("on")
         if on is not None and re.fullmatch(r"rand\s*\(\s*\)", on.strip(),
                                            re.IGNORECASE):
@@ -906,9 +915,9 @@ class HiveQLSession:
             # row; otherwise a uniform 1/y row sample, non-deterministic
             # exactly like the reference.
             if y == 1:
-                # no explicit alias before TABLESAMPLE → any alias in the
-                # source text AFTER the clause still applies; emit none
-                return f"{kw} {table} {m.group('alias') or ''}"
+                # carry whichever alias form the source used
+                return (f"{kw} {table} "
+                        f"{m.group('alias') or m.group('postalias') or ''}")
             cond = f"pmod(cast(floor(rand() * {y}) as int), {y}) = {x - 1}"
         elif on is None:
             # BUCKET sampling without ON means "by the table's bucket files";

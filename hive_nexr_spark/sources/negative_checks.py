@@ -678,6 +678,49 @@ def check_statement_catalog(stmt: str, qvars: dict[str, str], spark,
     _check_serde_jar(stmt, resources)
 
 
+def _check_substr_arg_types(stmt: str) -> None:
+    """substr's position argument must be numeric — Hive resolves UDF
+    overloads strictly (`udf/UDFSubstr.java`; parser-corpus
+    invalid_function_param2.q) where Spark's ANSI-off coercion would
+    quietly NULL the cast."""
+    # the qfile text pre-rewrites substr( → hive_substr( for the
+    # edge-semantics shim, so match both spellings
+    m = re.search(r"(?i)\b(?:hive_)?substr(?:ing)?\s*\(\s*[^,()]*,\s*"
+                  r"('[^']*'|\"[^\"]*\")", stmt)
+    if m:
+        raise ValueError(
+            f"Wrong arguments {m.group(1)}: No matching method for "
+            "class org.apache.hadoop.hive.ql.udf.UDFSubstr with "
+            "(string, string). Possible choices: _FUNC_(string, int, "
+            "int)  _FUNC_(string, int)")
+
+
+def _check_index_exprs(stmt: str) -> None:
+    """Array/map subscript rules (`parse/TypeCheckProcFactory.java`
+    getXpathOrFuncExprNodeDesc: array indexes must be constant INTEGER
+    literals, map indexes constant literals of the KEY type; parser
+    corpus invalid_list_index2.q, invalid_map_index[2].q — the fixture
+    map `mstringstring` is map<string,string>). String literals are
+    masked first so regex character classes inside quotes never look
+    like subscripts."""
+    masked = re.sub(r"'[^']*'|\"[^\"]*\"", "§STR§", stmt)
+    for m in re.finditer(r"(\w+)\s*\[([^\][]*)\]", masked):
+        col, sub = m.group(1).lower(), m.group(2).strip()
+        if col == "mstringstring":
+            if sub == "§STR§":
+                continue
+            if re.fullmatch(r"-?\d+", sub):
+                raise ValueError(
+                    f"MAP key type does not match index expression "
+                    f"type '{sub}'")
+            raise ValueError(
+                "Non-constant expression for map indexes not supported")
+        if re.search(r"[-+*/%]|\w+\s*\(", sub) and "§STR§" not in sub:
+            raise ValueError(
+                "Non-constant expressions for array indexes not "
+                "supported")
+
+
 def _check_reflect_targets(stmt: str) -> None:
     """reflect() with a nonexistent class/method fails the MR task
     (`udf/generic/GenericUDFReflect.java` evaluate; udf_reflect_neg.q).
@@ -719,3 +762,5 @@ def check_statement(stmt: str, qvars: dict[str, str],
     _check_file_formats(stmt)
     _check_case_types(stmt)
     _check_reflect_targets(stmt)
+    _check_substr_arg_types(stmt)
+    _check_index_exprs(stmt)

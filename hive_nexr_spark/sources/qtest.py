@@ -89,6 +89,24 @@ def _materialize_table(spark: SparkSession, name: str, df: DataFrame) -> DataFra
     return spark.table(name)
 
 
+def make_dest_tables(spark: SparkSession) -> None:
+    """The dest1-dest4 insert targets the reference's parser tests
+    pre-create (`QTestUtil.java:545-562` init: dest1/dest2/dest4/
+    dest4_sequencefile as (key, value) text tables, dest3 partitioned by
+    (ds, hr) with the 2008-04-08/12 partition registered) — compile
+    fixtures for the `ql/src/test/queries/positive` + `negative`
+    corpora, whose files INSERT into them without creating them."""
+    for t in ("dest1", "dest2", "dest4", "dest4_sequencefile"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"CREATE TABLE {t} (key STRING, value STRING) "
+                  "USING parquet")
+    spark.sql("DROP TABLE IF EXISTS dest3")
+    spark.sql("CREATE TABLE dest3 (key STRING, value STRING) "
+              "USING parquet PARTITIONED BY (ds STRING, hr STRING)")
+    spark.sql("ALTER TABLE dest3 ADD IF NOT EXISTS "
+              "PARTITION (ds='2008-04-08', hr='12')")
+
+
 def make_src(spark: SparkSession, as_table: bool = False) -> DataFrame:
     """Register the `src` fixture (the reference's kv1.txt) as a temp view
     (or a real table — see _materialize_table)."""

@@ -83,3 +83,39 @@ def test_negative_file_raises(spark, qf):
     with pytest.raises(Exception):
         df = run_qfile(spark, f"{NEG_DIR}/{qf}")
         df.take(5)  # force execution for lazily-failing plans
+
+
+PARSE_NEG_DIR = "/root/reference/ql/src/test/queries/negative"
+
+# parser-level compile-error corpus (TestParseNegative) — one
+# representative per round-7 class plus the analysis-error families
+PARSE_MUST_RAISE = [
+    "invalid_function_param2.q",  # substr(string, string) overload
+    "invalid_list_index2.q",      # non-constant array index
+    "invalid_map_index.q",        # int key on a string-keyed map
+    "invalid_map_index2.q",       # non-constant map index
+    "ambiguous_join_col.q",
+    "unknown_function1.q",
+    "wrong_distinct1.q",
+]
+
+
+@pytest.mark.parametrize("qf", PARSE_MUST_RAISE)
+def test_parse_negative_file_raises(spark, qf):
+    from hive_nexr_spark.sources.qtest import make_dest_tables, run_qfile
+
+    make_dest_tables(spark)
+    with pytest.raises(Exception):
+        df = run_qfile(spark, f"{PARSE_NEG_DIR}/{qf}")
+        df.take(5)
+
+
+def test_parse_positive_sample3_runs(spark):
+    """Post-clause TABLESAMPLE alias + multi-column ON hash
+    (parser-corpus sample3.q)."""
+    from hive_nexr_spark.sources.qtest import make_dest_tables, run_qfile
+
+    make_dest_tables(spark)
+    run_qfile(
+        spark,
+        "/root/reference/ql/src/test/queries/positive/sample3.q")
