@@ -895,6 +895,43 @@ ORACLE["decontaminate_fuzzy"] = _CORPUS + f"""
     FROM verified GROUP BY train_id
 """
 
+def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
+    """Chained-CTE DuckDB oracle for `dedup.pagerank_dup_graph`: the
+    symmetrized MinHash pair graph, degrees, then `iters` unrolled rank
+    updates — same expression order as the Spark plan."""
+    cte = (
+        "WITH pairs AS (\n" + ORACLE["dedup_minhash_lsh"] + """
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    deg AS (SELECT doc_a, count(*) AS deg FROM edges GROUP BY doc_a),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT doc_a AS doc_id, deg, 1.0 / n AS rank FROM deg, nn)
+""")
+    prev = "r0"
+    for i in range(1, iters + 1):
+        cte += f"""
+    , c{i} AS (
+      SELECT e.doc_b AS dst, sum(r.rank / r.deg) AS s
+      FROM edges e JOIN {prev} r ON e.doc_a = r.doc_id GROUP BY e.doc_b
+    )
+    , r{i} AS (
+      SELECT d.doc_a AS doc_id, d.deg,
+             {1.0 - damping} / n + {damping} * coalesce(c{i}.s, 0.0)
+               AS rank
+      FROM deg d LEFT JOIN c{i} ON d.doc_a = c{i}.dst, nn
+    )"""
+        prev = f"r{i}"
+    return cte + f"\n    SELECT doc_id, round(rank, 9) AS rank FROM {prev}"
+
+
+QUERIES["dedup_graph_pagerank"] = _bind(dedup.pagerank_dup_graph,
+                                        "documents")
+ORACLE["dedup_graph_pagerank"] = _pagerank_sql()
+
 QUERIES["dedup_cluster_representatives"] = _bind(
     dedup.cluster_representatives, "documents")
 # quality-aware keep-one-per-cluster (dedup.cluster_representatives):

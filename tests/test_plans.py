@@ -484,6 +484,22 @@ def test_fuzzy_decontaminate_band_join_carries_ids_only(dfs):
             f"shingles in band shuffle: {ex}")
 
 
+def test_pagerank_iterations_shuffle_ids_only(dfs):
+    """Each PageRank iteration must be an id-keyed join + map-side-
+    combined sum — no cartesian, and no document text/shingles in any
+    exchange (the graph carries doc ids and doubles only)."""
+    import re
+
+    from hive_nexr_spark.datapipe.dedup import pagerank_dup_graph
+
+    fplan = _formatted(pagerank_dup_graph(dfs["documents"]))
+    assert "CartesianProduct" not in fplan
+    assert "partial_sum" in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex and "sh#" not in ex, (
+            f"payload in pagerank shuffle: {ex}")
+
+
 def test_cluster_representatives_elect_via_partial_max(dfs):
     """The per-cluster representative election must be a map-side-
     combinable max(struct) aggregation (partial_max in the plan), the
