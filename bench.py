@@ -70,8 +70,14 @@ HEADLINE = [
     "dedup_semantic_kmeans",
     "events_asof_join",
     # added round 7: DSIR importance resampling (one token-level shuffle
-    # + broadcast LLR table + TakeOrderedAndProject top-k)
+    # + broadcast LLR table + TakeOrderedAndProject top-k), the CDC
+    # merge (two max-struct elections + keyed full-outer join), exact
+    # histogram-quantile curriculum sharding, and the vocab-bounded BPE
+    # pair statistic
     "dsir_select_topk",
+    "events_cdc_merge",
+    "curriculum_shards",
+    "bpe_top_pairs",
 ]
 
 
