@@ -131,6 +131,24 @@ def _asof_join(spark, sf_dir):
     return ev.asof_enrich_batch(dfs["events"])
 
 
+def _json_props_stats(spark, sf_dir):
+    """Semi-structured extraction over the events `props` JSON column
+    (`udf/UDFJson.java` get_json_object — JVM-side JSON path, no Python
+    UDF): per-type stats of the extracted numeric field."""
+    from pyspark.sql import functions as F
+
+    e = ensure_views(spark, sf_dir)["events"]
+    return (
+        e.select("event_type",
+                 F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("k").alias("n_with_k"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -149,6 +167,7 @@ QUERIES = {
         ensure_views(spark, sf_dir)["events"]),
     "events_stream_cdc_upsert": lambda spark, sf_dir:
         ev.stream_cdc_upsert(spark, sf_dir),
+    "events_json_props_stats": _json_props_stats,
 }
 
 _WINDOW_SQL = """
@@ -255,6 +274,18 @@ ORACLE = {
         GROUP BY o_orderstatus
     """,
 }
+
+ORACLE["events_json_props_stats"] = """
+    SELECT event_type,
+           count(k) AS n_with_k,
+           sum(k) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events) t
+    GROUP BY event_type
+"""
 
 # CDC merge (streaming/events.py cdc_merge_batch): latest-per-key
 # election on both sides, change wins, 'error' tombstone deletes
