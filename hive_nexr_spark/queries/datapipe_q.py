@@ -928,6 +928,25 @@ def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
     return cte + f"\n    SELECT doc_id, round(rank, 9) AS rank FROM {prev}"
 
 
+QUERIES["dedup_jaccard_prefix_filter"] = _bind(
+    dedup.jaccard_prefix_filter_pairs, "documents")
+# the prefix filter is LOSSLESS (zero false negatives), so the oracle is
+# simply the brute-force all-pairs Jaccard over the same bounded subset
+ORACLE["dedup_jaccard_prefix_filter"] = _CORPUS + """
+    , subset AS (SELECT * FROM corpus WHERE doc_id % 100000 < 200)
+    , t AS (
+      SELECT doc_id,
+             list_distinct(string_split(lower(text), ' ')) AS ts
+      FROM subset
+    )
+    SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.ts, b.ts))) AS j
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+    ) v WHERE j >= 0.7
+"""
+
 QUERIES["dedup_graph_pagerank"] = _bind(dedup.pagerank_dup_graph,
                                         "documents")
 ORACLE["dedup_graph_pagerank"] = _pagerank_sql()

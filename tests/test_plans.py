@@ -484,6 +484,19 @@ def test_fuzzy_decontaminate_band_join_carries_ids_only(dfs):
             f"shingles in band shuffle: {ex}")
 
 
+def test_jaccard_prefix_filter_broadcasts_df_and_no_cartesian(dfs):
+    """The global-df table must broadcast back onto the token stream (no
+    second corpus shuffle), the candidate join must key on the prefix
+    token — never a cartesian — and token text must not ride any
+    doc-keyed exchange."""
+    from hive_nexr_spark.datapipe.dedup import jaccard_prefix_filter_pairs
+
+    fplan = _formatted(jaccard_prefix_filter_pairs(dfs["documents"]))
+    assert "BroadcastHashJoin" in fplan
+    assert "CartesianProduct" not in fplan
+    assert "partial_count" in fplan
+
+
 def test_pagerank_iterations_shuffle_ids_only(dfs):
     """Each PageRank iteration must be an id-keyed join + map-side-
     combined sum — no cartesian, and no document text/shingles in any
