@@ -309,3 +309,35 @@ def test_quantize_embeddings_error_bound(dfs):
         # rounding-to-nearest: reconstruction error ≤ half a code step
         assert r.max_abs_err <= half_step + 1e-6, (r.vec_id, r.max_abs_err)
         assert len(r.q_checksum) == 32
+
+
+def test_pagerank_mass_conserved_and_positive(dfs):
+    """PageRank invariants: every rank positive, total mass = 1 (the
+    symmetrized near-dup graph has no dangling nodes, so the damped
+    update conserves probability mass)."""
+    from hive_nexr_spark.datapipe import dedup
+
+    rows = dedup.pagerank_dup_graph(dfs["documents"]).collect()
+    assert rows
+    assert all(r.rank > 0 for r in rows)
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
+
+
+def test_curriculum_shards_monotone_in_score(dfs):
+    """Shard assignment must be monotone non-decreasing in score and
+    every document with the same score must share a shard."""
+    from hive_nexr_spark.datapipe import corpus_stats
+
+    rows = corpus_stats.curriculum_shards(dfs["documents"]).collect()
+    assert rows
+    by_score = sorted({(r.score, r.shard) for r in rows})
+    shards = [s for _, s in by_score]
+    assert shards == sorted(shards)
+    seen = {}
+    for r in rows:
+        assert seen.setdefault(r.score, r.shard) == r.shard
+    # equal scores always share a shard, so a large tie block may
+    # swallow a quartile on a small corpus — require coverage, not
+    # exhaustiveness
+    got = {r.shard for r in rows}
+    assert got <= set(range(4)) and len(got) >= 2
