@@ -221,6 +221,109 @@ def bpe_top_pairs(documents: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def bpe_apply_tokenize(documents: DataFrame, max_piece_len: int = 3,
+                       vocab_size: int = 500) -> DataFrame:
+    """Apply a trained BPE-style subword vocabulary to the corpus —
+    greedy longest-match segmentation (the WordPiece/BPE-apply inference
+    step, Sennrich et al. 2016 arXiv 1508.07909), the pipeline-complete
+    counterpart to `bpe_top_pairs` (which computes the training
+    statistic). The "trained" vocab is derived deterministically here —
+    the top-`vocab_size` character n-grams (length 2..`max_piece_len`)
+    by corpus frequency — standing in for a loaded tokenizer artifact;
+    the segmentation machinery is identical for any piece table.
+
+    Output: (doc_id, n_ws_tokens, n_bpe_tokens, pieces_per_word) — the
+    subword token budget `pack_sequences` would consume instead of
+    whitespace counts.
+
+    100 TB shape — all per-character work happens on the DISTINCT WORD
+    table (vocabulary-sized, grows ~log corpus), never the token
+    stream: one corpus-sized map-side-combined word count, then n-gram
+    vocab mining, per-position longest-match lookup (broadcast piece
+    table), and the greedy left-to-right walk — an O(word_len) JVM
+    `aggregate` over a per-word max-match array, zero Python UDFs, no
+    per-step vocab scan — all run over distinct words. The corpus pays
+    one broadcast join (word → piece count) and a doc-keyed sum. The
+    walk is inherently sequential per word (BPE semantics), but words
+    are bounded (longest word, not document) so the HOF is O(L)."""
+    G = max_piece_len
+    wcount = (
+        documents.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("n"))
+    )
+    # vocab: top-V character n-grams weighted by word frequency
+    grams = (
+        wcount.select("n", "w",
+                      F.explode(F.sequence(F.lit(2), F.lit(G))).alias("g"))
+        .filter(F.length("w") >= F.col("g"))
+        .select("n", F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("w") - F.col("g") + 1),
+            lambda i: F.col("w").substr(i, F.col("g")),
+        )).alias("piece"))
+    )
+    vocab = (
+        grams.groupBy("piece").agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(vocab_size)
+        .select("piece")
+    )
+    # per (word, pos): longest vocab piece starting there (default 1 char)
+    cand = (
+        wcount.select("w")
+        .select("w", F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("w"), F.lit(1)))
+        ).alias("p"))
+        .select("w", "p",
+                F.explode(F.sequence(F.lit(2), F.lit(G))).alias("g"))
+        .filter(F.col("p") + F.col("g") - 1 <= F.length("w"))
+        .select("w", "p", "g",
+                F.col("w").substr(F.col("p"), F.col("g")).alias("piece"))
+        .join(F.broadcast(vocab), "piece")
+        .groupBy("w", "p").agg(F.max("g").alias("gmax"))
+    )
+    steps = (
+        wcount.select("w")
+        .join(cand.groupBy("w").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("p", "gmax"))).alias("gm")), "w",
+            "left")
+        .select(
+            "w",
+            # greedy walk: start at 1, advance by the longest match (or 1);
+            # number of steps taken = number of subword pieces
+            F.aggregate(
+                F.sequence(F.lit(1), F.greatest(F.length("w"), F.lit(1))),
+                F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt")),
+                lambda acc, _: F.when(
+                    acc.pos <= F.length("w"),
+                    F.struct(
+                        (acc.pos + F.coalesce(
+                            F.element_at(F.coalesce(
+                                F.col("gm"),
+                                F.from_json(F.lit("{}"), "map<int,int>")),
+                                acc.pos.cast("int")),
+                            F.lit(1))).alias("pos"),
+                        (acc.cnt + 1).alias("cnt"),
+                    ),
+                ).otherwise(acc),
+                lambda acc: acc.cnt,
+            ).alias("n_pieces"),
+        )
+    )
+    per_word = documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    return (
+        per_word.join(F.broadcast(steps), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+            F.round(F.sum("n_pieces")
+                    / F.count("*"), 6).alias("pieces_per_word"),
+        )
+    )
+
+
 def corpus_summary(documents: DataFrame) -> DataFrame:
     """One-pass corpus data card: document/token counts, length stats,
     per-language totals, and the exact-duplicate rate — the summary block

@@ -427,8 +427,13 @@ def jaccard_prefix_filter_pairs(documents: DataFrame,
         tok.join(F.broadcast(df_tbl), "tok")
         .select("doc_id", "tok", F.row_number().over(w).alias("pos"))
         .join(toks.select("doc_id", F.size("ts").alias("len")), "doc_id")
+        # round-before-ceil: for thresholds whose double repr sits a hair
+        # above the decimal (0.1, 0.3, ...), t*len can land just above an
+        # integer and ceil would overshoot by 1, shortening the prefix and
+        # silently breaking the zero-false-negative guarantee
         .filter(F.col("pos")
-                <= F.col("len") - F.ceil(threshold * F.col("len")) + 1)
+                <= F.col("len")
+                - F.ceil(F.round(F.lit(threshold) * F.col("len"), 6)) + 1)
         .select("doc_id", "tok")
     )
     a, b = pref.alias("a"), pref.alias("b")
@@ -563,3 +568,83 @@ def incremental_dedup(documents: DataFrame) -> DataFrame:
         "doc_id", F.md5("text").alias("digest"))
     return new_batch.join(existing, "digest", "left_anti").select(
         "doc_id", "digest")
+
+
+def exact_substring_spans(documents: DataFrame,
+                          min_span_tokens: int = 16,
+                          max_doc_id: int = 400) -> DataFrame:
+    """EXACT substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public): find every
+    maximal span of >= `min_span_tokens` consecutive tokens that occurs
+    more than once in the corpus (across OR within documents), the spans
+    a training pipeline cuts out of otherwise-unique documents. The
+    document-level paths (exact/MinHash/SimHash/embedding) can't see
+    these: a unique page quoting a duplicated 50-token boilerplate block
+    is 95% unique, yet the block still memorizes.
+
+    Spark shape (vs the paper's single-node suffix array): stride-1
+    k-token shingles, digest each window, mark windows whose digest
+    occurs > 1 time in the corpus, then merge overlapping/adjacent
+    duplicated windows per document into maximal spans. Any repeated
+    substring of length >= k contains a repeated k-window at every
+    offset, so the union of duplicated windows covers exactly the
+    repeated-span regions — zero false negatives at span granularity k.
+
+    100 TB shape: the shingle stream is k x corpus in TOKEN count but
+    each row carries only (16-byte digest, doc_id, pos) — text never
+    enters an Exchange (plan-asserted). Occurrence counting is a
+    groupBy(digest) with map-side partial aggregation (a pathological
+    million-fold boilerplate digest still combines to one row per map
+    partition before the shuffle); the duplicated-digest set joins back
+    on digest (AQE handles residual probe-side skew). The span merge
+    shuffles only the DUPLICATED windows keyed by doc_id — bounded by
+    per-document length, uniform by construction.
+
+    Output: (doc_id, span_start, span_end, n_dup_windows) — token
+    offsets [span_start, span_end) of each maximal duplicated span.
+    """
+    k = min_span_tokens
+    corpus = with_synthetic_dups(documents).filter(
+        (F.col("doc_id") % 100000) < max_doc_id)
+    toks = corpus.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
+    # windows at 0-based starts 0 .. n-k (docs shorter than k yield none)
+    sh = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("ts") - k)).alias("pos"),
+            "ts",
+        )
+        .select(
+            "doc_id", "pos",
+            F.md5(F.array_join(
+                F.slice(F.col("ts"), F.col("pos") + 1, k), " ")).alias("digest"),
+        )
+    )
+    dup_digests = (sh.groupBy("digest").agg(F.count("*").alias("n_occ"))
+                   .filter(F.col("n_occ") > 1).select("digest"))
+    dup_windows = sh.join(dup_digests, "digest").select("doc_id", "pos")
+    # merge: windows [p, p+k) and [q, q+k) (q > p) union-continuously iff
+    # q <= p + k; starts are sorted per doc and all intervals share length
+    # k, so the previous start's interval end is the running max end.
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup_windows.select(
+        "doc_id", "pos",
+        F.when(F.lag("pos").over(w).isNull()
+               | (F.col("pos") > F.lag("pos").over(w) + k), 1)
+        .otherwise(0).alias("new_span"),
+    )
+    spans = flagged.select(
+        "doc_id", "pos",
+        F.sum("new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("span_id"),
+    )
+    return (
+        spans.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + k).cast("int").alias("span_end"),
+            F.count("*").alias("n_dup_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_windows")
+    )

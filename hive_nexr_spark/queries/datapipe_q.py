@@ -1361,3 +1361,49 @@ ORACLE["dsir_select_topk"] = """
                 AS INT) AS rank
     FROM wt ORDER BY log_weight DESC, doc_id LIMIT 50
 """
+
+QUERIES["dedup_exact_substrings"] = _bind(dedup.exact_substring_spans,
+                                          "documents")
+# Exact substring-level dedup (dedup.exact_substring_spans, Lee et al.
+# 2022): stride-1 k-token window digests, windows whose digest repeats
+# corpus-wide, merged per doc into maximal spans (union-continuous iff
+# next start <= prev start + k). Same tokenization/slice convention as
+# the chunk oracles (1-based inclusive list slicing).
+ORACLE["dedup_exact_substrings"] = _CORPUS + """
+    , subset AS (SELECT * FROM corpus WHERE doc_id % 100000 < 400)
+    , t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM subset
+      WHERE len(string_split(lower(text), ' ')) >= 16
+    ),
+    sh AS (
+      SELECT doc_id, unnest(range(0, len(ts) - 16 + 1)) AS pos, ts FROM t
+    ),
+    dig AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(ts[pos + 1 : pos + 16], ' ')) AS digest
+      FROM sh
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY digest) AS n
+        FROM dig) v WHERE n > 1
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 16 THEN 1 ELSE 0 END
+               AS new_span
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 16 AS INT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_dup_windows
+    FROM spans GROUP BY doc_id, span_id
+"""

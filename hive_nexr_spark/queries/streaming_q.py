@@ -278,7 +278,7 @@ ORACLE = {
 ORACLE["events_json_props_stats"] = """
     SELECT event_type,
            count(k) AS n_with_k,
-           sum(k) AS sum_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
            min(k) AS min_k,
            max(k) AS max_k
     FROM (SELECT event_type,

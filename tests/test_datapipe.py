@@ -341,3 +341,65 @@ def test_curriculum_shards_monotone_in_score(dfs):
     # exhaustiveness
     got = {r.shard for r in rows}
     assert got <= set(range(4)) and len(got) >= 2
+
+
+def test_prefix_filter_nondefault_threshold_zero_false_negatives(dfs):
+    """The PPJoin prefix bound must stay lossless for thresholds whose
+    double representation sits a hair above the decimal (0.3, 0.1, ...):
+    t*len can land just above an integer, and a naive ceil() overshoots
+    by one — shortening the prefix and dropping true pairs. Compare the
+    engine at t=0.3 against brute-force all-pairs Jaccard on the same
+    bounded subset (doc_id % 100000 < 60)."""
+    from itertools import combinations
+
+    from hive_nexr_spark.datapipe.dedup import (jaccard_prefix_filter_pairs,
+                                                with_synthetic_dups)
+
+    corpus = with_synthetic_dups(dfs["documents"]).filter(
+        (F.col("doc_id") % 100000) < 60)
+    sets = {
+        r["doc_id"]: frozenset(r["ts"])
+        for r in corpus.select(
+            "doc_id",
+            F.array_distinct(F.split(F.lower("text"), " ")).alias("ts"),
+        ).collect()
+    }
+    expect = set()
+    for a, b in combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.3:
+            expect.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_prefix_filter_pairs(
+            dfs["documents"], threshold=0.3, max_doc_id=60).collect()
+    }
+    assert expect - got == set(), f"false negatives: {sorted(expect - got)[:5]}"
+    assert got == expect
+
+
+def test_exact_substring_spans_find_planted_block(dfs, spark):
+    """A 20-token block planted into two otherwise-unique documents must
+    come back as one maximal duplicated span per host document covering
+    exactly the planted region (plus whatever natural repeats exist)."""
+    from hive_nexr_spark.datapipe.dedup import exact_substring_spans
+
+    block = " ".join(f"tok{i}" for i in range(20))
+    # doc ids 1/5/7 dodge the synthetic-dup moduli (%2, %3) so the only
+    # repeated content is the planted block itself
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + block + " gamma delta epsilon zeta"),
+            (5, "one two three four five " + block + " six seven"),
+            (7, "entirely unique words nothing repeated here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in exact_substring_spans(docs, min_span_tokens=16).collect()
+    }
+    # doc 1: block occupies tokens [2, 22); doc 5: tokens [5, 25)
+    assert spans[1] == (2, 22)
+    assert spans[5] == (5, 25)
+    assert 7 not in spans

@@ -546,3 +546,21 @@ def test_dsir_broadcasts_llr_table_and_takes_ordered(dfs):
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "gram#" not in ex and "text#" not in ex, (
             f"gram text in DSIR shuffle: {ex}")
+
+
+def test_exact_substring_spans_shuffle_digests_only(dfs):
+    """Exact substring dedup (Lee et al. 2022 shape): the occurrence
+    count must partially combine map-side (partial_count — a mega-
+    duplicated boilerplate digest reduces to one row per map partition
+    before the shuffle), no cartesian anywhere, and no exchange may
+    carry document text or the token arrays — digests/doc_id/pos only."""
+    import re
+
+    from hive_nexr_spark.datapipe.dedup import exact_substring_spans
+
+    fplan = _formatted(exact_substring_spans(dfs["documents"]))
+    assert "partial_count" in fplan
+    assert "CartesianProduct" not in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex and "ts#" not in ex, (
+            f"text in substring-dedup shuffle: {ex}")
