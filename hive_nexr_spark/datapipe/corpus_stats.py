@@ -300,7 +300,9 @@ def bpe_apply_tokenize(documents: DataFrame, max_piece_len: int = 3,
                         (acc.pos + F.coalesce(
                             F.element_at(F.coalesce(
                                 F.col("gm"),
-                                F.from_json(F.lit("{}"), "map<int,int>")),
+                                F.map_from_arrays(
+                                    F.array().cast("array<int>"),
+                                    F.array().cast("array<int>"))),
                                 acc.pos.cast("int")),
                             F.lit(1))).alias("pos"),
                         (acc.cnt + 1).alias("cnt"),

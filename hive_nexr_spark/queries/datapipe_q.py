@@ -1407,3 +1407,61 @@ ORACLE["dedup_exact_substrings"] = _CORPUS + """
            CAST(count(*) AS BIGINT) AS n_dup_windows
     FROM spans GROUP BY doc_id, span_id
 """
+
+QUERIES["tokenize_bpe_apply"] = _bind(corpus_stats.bpe_apply_tokenize,
+                                      "documents")
+# BPE-apply (corpus_stats.bpe_apply_tokenize): vocab = top-500 char
+# n-grams (len 2-3) by word-frequency weight, greedy longest-match
+# left-to-right segmentation per distinct word (recursive CTE = the
+# engine's O(L) aggregate walk), summed back per document.
+ORACLE["tokenize_bpe_apply"] = """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+    g2 AS (
+      SELECT n, unnest([substr(w, i, 2) for i in range(1, len(w))]) AS piece
+      FROM wc WHERE len(w) >= 2
+    ),
+    g3 AS (
+      SELECT n, unnest([substr(w, i, 3) for i in range(1, len(w) - 1)])
+               AS piece
+      FROM wc WHERE len(w) >= 3
+    ),
+    vocab AS (
+      SELECT piece FROM (
+        SELECT piece, sum(n) AS cnt
+        FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3) g
+        GROUP BY piece)
+      ORDER BY cnt DESC, piece LIMIT 500
+    ),
+    pos AS (
+      SELECT w, unnest(range(1, len(w) + 1)) AS p FROM wc WHERE len(w) >= 1
+    ),
+    cand AS (
+      SELECT w, p, max(g) AS gmax FROM (
+        SELECT w, p, 2 AS g, substr(w, p, 2) AS piece FROM pos
+        WHERE p + 1 <= len(w)
+        UNION ALL
+        SELECT w, p, 3 AS g, substr(w, p, 3) AS piece FROM pos
+        WHERE p + 2 <= len(w)
+      ) c WHERE piece IN (SELECT piece FROM vocab)
+      GROUP BY w, p
+    ),
+    walk AS (
+      SELECT w, len(w) AS l, 1 AS pos, 0 AS cnt FROM wc WHERE len(w) >= 1
+      UNION ALL
+      SELECT walk.w, walk.l, walk.pos + coalesce(c.gmax, 1), walk.cnt + 1
+      FROM walk LEFT JOIN cand c ON c.w = walk.w AND c.p = walk.pos
+      WHERE walk.pos <= walk.l
+    ),
+    pieces AS (SELECT w, max(cnt) AS n_pieces FROM walk GROUP BY w)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(coalesce(p.n_pieces, 0)) AS BIGINT) AS n_bpe_tokens,
+           round(sum(coalesce(p.n_pieces, 0)) * 1.0 / count(*), 6)
+             AS pieces_per_word
+    FROM words LEFT JOIN pieces p USING (w)
+    GROUP BY doc_id
+"""

@@ -403,3 +403,25 @@ def test_exact_substring_spans_find_planted_block(dfs, spark):
     assert spans[1] == (2, 22)
     assert spans[5] == (5, 25)
     assert 7 not in spans
+
+
+def test_bpe_apply_greedy_segmentation(dfs, spark):
+    """Greedy longest-match semantics on a controlled corpus: with every
+    2/3-gram of 'abcabc' in the vocab (it repeats enough to win top-500),
+    the walk takes 3-grams twice -> 2 pieces; a word of unseen single
+    chars falls back to one piece per character."""
+    from hive_nexr_spark.datapipe.corpus_stats import bpe_apply_tokenize
+
+    docs = spark.createDataFrame(
+        [(i, "abcabc abcabc abcabc") for i in range(1, 9)]
+        + [(9, "xq zv")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_apply_tokenize(docs).collect()}
+    # 'abcabc': greedy takes 'abc' at pos 1 and 'abc' at pos 4 -> 2 pieces
+    assert out[1]["n_bpe_tokens"] == 3 * 2
+    # 'xq'/'zv' never reach the top-500 vocab dominated by abcabc's grams?
+    # they DO fit (vocab_size=500 >> distinct grams) so 'xq','zv' are
+    # single 2-gram pieces
+    assert out[9]["n_bpe_tokens"] == 2
+    assert out[9]["n_ws_tokens"] == 2

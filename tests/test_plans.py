@@ -564,3 +564,20 @@ def test_exact_substring_spans_shuffle_digests_only(dfs):
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "text#" not in ex and "ts#" not in ex, (
             f"text in substring-dedup shuffle: {ex}")
+
+
+def test_bpe_apply_broadcast_vocab_no_python(dfs):
+    """BPE-apply: the piece vocab and the per-word segmentation table
+    must join back BROADCAST (per-character work stays on the distinct-
+    word table, the corpus pays one broadcast join), the word count must
+    partially combine map-side, the greedy walk must stay JVM-side (no
+    BatchEvalPython / no Python UDF anywhere), and the vocab top-k must
+    be TakeOrderedAndProject, never a global sort."""
+    from hive_nexr_spark.datapipe.corpus_stats import bpe_apply_tokenize
+
+    fplan = _formatted(bpe_apply_tokenize(dfs["documents"]))
+    assert "BroadcastHashJoin" in fplan
+    assert "partial_count" in fplan
+    assert "TakeOrderedAndProject" in fplan
+    assert "BatchEvalPython" not in fplan
+    assert "ArrowEvalPython" not in fplan
