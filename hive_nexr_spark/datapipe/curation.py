@@ -421,3 +421,64 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         F.md5(F.array_join(q, ",")).alias("q_checksum"),
         F.round(recon_err, 6).alias("max_abs_err"),
     )
+
+
+# Fixed logistic-regression head for document quality (the C4/Gopher/DCLM
+# curation pattern: a cheap linear classifier over surface features gates
+# what enters training). Weights are a model ARTIFACT — deterministic
+# literals here, standing in for a trained coefficient vector; at scale
+# they'd broadcast identically (a handful of doubles folds into codegen).
+QUALITY_CLF_WEIGHTS = {
+    "bias": -1.5,
+    "log_n_tokens": 0.55,       # longer docs mildly favored
+    "stop_ratio": 6.0,          # natural prose has stopwords
+    "avg_tok_len_penalty": -0.35,  # per |avg_len - 5| char
+    "dup_token_frac": -4.0,     # repetition is boilerplate
+    "digit_ratio": -2.5,        # tables/serial dumps
+}
+
+
+def quality_classifier_scores(documents: DataFrame,
+                              threshold: float = 0.5) -> DataFrame:
+    """Document-quality classifier scoring: a logistic scorer over the
+    engine's surface features (token count, stopword ratio, average
+    token length, duplicate-token fraction, digit ratio) — the final
+    curation gate the public pipelines (C4, Gopher/MassiveText, DCLM)
+    run before training. Features and head are PURE column math in one
+    projection: no UDF, no join, no shuffle — a single corpus scan
+    (plan-asserted), so it composes for free with any upstream op.
+
+    Output: (doc_id, n_tokens, stop_ratio, dup_token_frac, digit_ratio,
+    quality_logit, quality_prob, keep)."""
+    from .textops import EN_STOPWORDS
+
+    w = QUALITY_CLF_WEIGHTS
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = (F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+                  / n).cast("double")
+    avg_len = (F.length(F.regexp_replace(F.col("text"), " ", ""))
+               / n).cast("double")
+    dup_frac = (1.0 - F.size(F.array_distinct(toks)) / n).cast("double")
+    digit_ratio = ((F.length("text")
+                    - F.length(F.regexp_replace(F.col("text"), r"[0-9]", "")))
+                   / F.length("text")).cast("double")
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["log_n_tokens"]) * F.log(n.cast("double") + 1.0)
+        + F.lit(w["stop_ratio"]) * stop_ratio
+        + F.lit(w["avg_tok_len_penalty"]) * F.abs(avg_len - 5.0)
+        + F.lit(w["dup_token_frac"]) * dup_frac
+        + F.lit(w["digit_ratio"]) * digit_ratio
+    )
+    prob = 1.0 / (1.0 + F.exp(-logit))
+    return documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(logit, 6).alias("quality_logit"),
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= threshold).alias("keep"),
+    )

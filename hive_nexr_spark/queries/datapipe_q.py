@@ -1465,3 +1465,50 @@ ORACLE["tokenize_bpe_apply"] = """
     FROM words LEFT JOIN pieces p USING (w)
     GROUP BY doc_id
 """
+
+QUERIES["quality_classifier_scores"] = _bind(
+    curation.quality_classifier_scores, "documents")
+# logistic quality classifier (curation.quality_classifier_scores):
+# identical feature math and literal weights; exp() is IEEE double on
+# both engines (same precedent as the DSIR ln()-based oracle)
+ORACLE["quality_classifier_scores"] = """
+    WITH f AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS n,
+             length(replace(text, ' ', '')) AS n_nonspace,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS n_digits
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n,
+             CAST(len([t for t in toks
+                       if t IN ('the','a','of','and','to',
+                                'in','is','it','for','on')]) AS DOUBLE) / n
+               AS stop_ratio,
+             CAST(n_nonspace AS DOUBLE) / n AS avg_len,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n AS dup_frac,
+             CAST(n_digits AS DOUBLE) / n_chars AS digit_ratio
+      FROM f
+    ),
+    scored AS (
+      SELECT doc_id, n, stop_ratio, dup_frac, digit_ratio,
+             -1.5 + 0.55 * ln(CAST(n AS DOUBLE) + 1.0)
+                  + 6.0 * stop_ratio
+                  - 0.35 * abs(avg_len - 5.0)
+                  - 4.0 * dup_frac
+                  - 2.5 * digit_ratio AS logit
+      FROM feat
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(dup_frac, 6) AS dup_token_frac,
+           round(digit_ratio, 6) AS digit_ratio,
+           round(logit, 6) AS quality_logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS quality_prob,
+           1.0 / (1.0 + exp(-logit)) >= 0.5 AS keep
+    FROM scored
+"""

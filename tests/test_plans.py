@@ -581,3 +581,15 @@ def test_bpe_apply_broadcast_vocab_no_python(dfs):
     assert "TakeOrderedAndProject" in fplan
     assert "BatchEvalPython" not in fplan
     assert "ArrowEvalPython" not in fplan
+
+
+def test_quality_classifier_single_scan_no_exchange(dfs):
+    """The quality classifier is one projection over one scan: no
+    Exchange, no join, no Python evaluation — it must compose with any
+    upstream operator for free."""
+    from hive_nexr_spark.datapipe.curation import quality_classifier_scores
+
+    fplan = _formatted(quality_classifier_scores(dfs["documents"]))
+    assert "Exchange" not in fplan
+    assert "Join" not in fplan
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
