@@ -78,7 +78,53 @@ HEADLINE = [
     "events_cdc_merge",
     "curriculum_shards",
     "bpe_top_pairs",
+    # added round 8: exact substring-level dedup (stride-1 window digests
+    # + per-doc span merge — the heaviest new op), BPE-apply (distinct-
+    # word segmentation + broadcast join back), the single-scan quality
+    # classifier, and the r7 exact set-similarity join (promoted)
+    "dedup_exact_substrings",
+    "tokenize_bpe_apply",
+    "quality_classifier_scores",
+    "dedup_jaccard_prefix_filter",
 ]
+
+
+def _job_group_metrics(spark, group: str) -> dict[str, int]:
+    """Plan-metric fingerprint for one query: shuffle/input totals summed
+    over the stages of every job in `group`, read from the same
+    AppStatusStore the Spark UI uses. Wall-clock drifts with the host;
+    these counters only move when the PLAN (or data) changes, so a real
+    regression stays visible inside uniform host drift
+    (BENCH_NOTES.md, round-8 comparison rule)."""
+    tot = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
+           "shuffle_write_records": 0, "input_bytes": 0,
+           "input_records": 0, "n_tasks": 0, "n_stages": 0}
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        jobs = store.jobsList(None)
+        sids: set[int] = set()
+        for i in range(jobs.size()):
+            j = jobs.apply(i)
+            jg = j.jobGroup()
+            if jg.isDefined() and jg.get() == group:
+                ids = j.stageIds()
+                for k in range(ids.size()):
+                    sids.add(int(ids.apply(k)))
+        for sid in sids:
+            try:
+                st = store.lastStageAttempt(sid)
+            except Exception:  # noqa: BLE001 — skipped stage, never ran
+                continue
+            tot["shuffle_write_bytes"] += st.shuffleWriteBytes()
+            tot["shuffle_read_bytes"] += st.shuffleReadBytes()
+            tot["shuffle_write_records"] += st.shuffleWriteRecords()
+            tot["input_bytes"] += st.inputBytes()
+            tot["input_records"] += st.inputRecords()
+            tot["n_tasks"] += st.numCompleteTasks()
+            tot["n_stages"] += 1
+    except Exception:  # noqa: BLE001 — metrics are best-effort extras
+        return {}
+    return tot
 
 
 def main() -> None:
@@ -99,12 +145,19 @@ def main() -> None:
         df.count()
 
     timings: dict[str, float] = {}
+    metrics: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         fn = queries[name]
+        group = f"bench:{name}"
+        spark.sparkContext.setJobGroup(group, name)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.sparkContext.setJobGroup("bench:idle", "idle")
+        m = _job_group_metrics(spark, group)
+        if m:
+            metrics[name] = m
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -118,6 +171,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "metrics": metrics,
                 "sf": sf_val,
             }
         )
