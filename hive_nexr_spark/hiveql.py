@@ -96,9 +96,15 @@ _BUCKET_SAMPLE = re.compile(
     # Hive also allows the alias AFTER the sample clause
     # (`FROM srcbucket TABLESAMPLE (...) s` — parser-corpus sample3.q);
     # consume it so the rewrite doesn't emit a second alias
-    r"(?:\s+(?P<postalias>(?!WHERE\b|JOIN\b|ON\b|GROUP\b|ORDER\b|SORT\b"
-    r"|CLUSTER\b|DISTRIBUTE\b|LIMIT\b|LATERAL\b|UNION\b|HAVING\b|LEFT\b"
-    r"|RIGHT\b|FULL\b|INNER\b|CROSS\b|SELECT\b|INSERT\b|TABLESAMPLE\b)"
+    r"(?:\s+(?:AS\s+)?(?P<postalias>(?!WHERE\b|JOIN\b|ON\b|GROUP\b|ORDER\b"
+    r"|SORT\b|CLUSTER\b|DISTRIBUTE\b|LIMIT\b|LATERAL\b|UNION\b|HAVING\b"
+    r"|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|SELECT\b|INSERT\b"
+    r"|TABLESAMPLE\b"
+    # Hive's FROM ... MAP/REDUCE ... USING transform forms start with a
+    # clause keyword too — without these, 'FROM t TABLESAMPLE(...) MAP'
+    # would consume MAP as the table alias and break the rewrite; a
+    # real alias may still arrive as 'AS s' (consumed above)
+    r"|MAP\b|REDUCE\b|AS\b)"
     r"\w+))?",
     re.IGNORECASE,
 )
@@ -232,7 +238,37 @@ _IMPORT = re.compile(
 # Per-PROCESS so concurrent runs (two sweeps, driver + local verify)
 # never race on the same export dump: one process's `!rm -rf` replay or
 # pre-export rmtree must not clobber another's dump mid-import.
+# Constraint this implies: an EXPORT in one process is not visible to an
+# IMPORT in another — the corpus always exports+imports within one run.
 EXPORT_ROOT = f"/tmp/hive_nexr_spark_scratch/exports_{os.getpid()}"
+
+
+def _prune_dead_export_roots() -> None:
+    """Remove exports_<pid> trees left by processes that no longer exist
+    (each run leaks one tree otherwise — /tmp grows without bound across
+    sweeps). Only dirs whose pid is provably dead are touched, so live
+    concurrent sweeps are never clobbered."""
+    import re as _re
+    import shutil as _shutil
+
+    root = os.path.dirname(EXPORT_ROOT)
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for d in entries:
+        m = _re.fullmatch(r"exports_(\d+)", d)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            _shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        except OSError:
+            pass  # alive but not ours (EPERM) — leave it
+
+
+_prune_dead_export_roots()
 
 _DESC_FUNCTION = re.compile(
     r"^\s*DESC(?:RIBE)?\s+FUNCTION\s+(?P<ext>EXTENDED\s+)?"

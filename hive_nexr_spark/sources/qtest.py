@@ -3426,6 +3426,13 @@ def run_qfile(spark: SparkSession, qfile: str,
                             "the destination table is partitioned")
                     kvs = [kv for kv in m.group("part").split(",")
                            if kv.strip()]
+                    if any("=" not in kv for kv in kvs):
+                        # keys-only spec (PARTITION (ds)) — Hive reports
+                        # the partition-columns requirement, never an
+                        # index error on the missing value
+                        raise ValueError(
+                            "Need to specify partition columns because "
+                            "the destination table is partitioned")
                     if len(kvs) != len(lp_cols):
                         v0 = kvs[0].split("=", 1)[1].strip()
                         raise ValueError(f"Partition not found '{v0}'")

@@ -201,8 +201,15 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str,
     is_change = F.col("event_id") % change_mod == change_mod - 1
     stream = read_events_stream(spark, sf_dir).filter(is_change)
 
-    staging = f"/tmp/hive_nexr_spark_scratch/cdc_{os.getpid()}_" \
-              f"{uuid.uuid4().hex[:8]}"
+    # per-process staging root, cleared on each call: repeated bench/test
+    # runs in one process reuse the slot instead of leaking one dir per
+    # call (a previous call's RETURNED DataFrame must be consumed before
+    # the next call — true for the sequential driver/bench/test loops)
+    import shutil
+
+    staging_root = f"/tmp/hive_nexr_spark_scratch/cdc_{os.getpid()}"
+    shutil.rmtree(staging_root, ignore_errors=True)
+    staging = os.path.join(staging_root, uuid.uuid4().hex[:8])
 
     def upsert(batch_df: DataFrame, _bid: int) -> None:
         (batch_df.groupBy("user_id")
@@ -219,7 +226,14 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
 
-    ch = (spark.read.parquet(staging)
+    # an empty change stream never writes the staging path — fall back to
+    # an empty frame with the staging schema instead of AnalysisException
+    if os.path.isdir(staging):
+        staged = spark.read.parquet(staging)
+    else:
+        staged = events.select("user_id", "ts", "event_id", "event_type",
+                               "value").limit(0)
+    ch = (staged
           .groupBy("user_id")
           .agg(F.max(F.struct(
               F.col("ts"), F.col("event_id"),

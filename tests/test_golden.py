@@ -85,3 +85,32 @@ def test_real_golden_explain_excluded():
     entries = parse_qout(os.path.join(REF_GOLDEN, "groupby1.q.out"))
     assert not any(q.lower().startswith("explain")
                    for q, _ in golden_selects(entries))
+
+
+def test_stale_transcript_tolerance_is_exact():
+    """The stale-transcript allowlist must absorb ONLY the pinned diff:
+    the exact escape1/udf_get_json_object residuals pass, any other
+    divergence in the same files still fails."""
+    from hive_nexr_spark.sources.golden import (STALE_TRANSCRIPT_TOLERANCES,
+                                                _stale_tolerated)
+
+    esc = STALE_TRANSCRIPT_TOLERANCES["escape1.q.out"]
+    ours = [("1", "1", "\t"), ("1", "1", "^"), ("1", "1", "a")]
+    theirs = ["1\t1\t\t", "1\t1\ta"]
+    assert _stale_tolerated(esc, 1, ours, theirs, None)
+    # an extra unexpected row must NOT be absorbed
+    assert not _stale_tolerated(esc, 1, ours + [("9", "9", "z")],
+                                theirs, None)
+    # wrong select index must NOT be absorbed
+    assert not _stale_tolerated(esc, 0, ours, theirs, None)
+
+    js = STALE_TRANSCRIPT_TOLERANCES["udf_get_json_object.q.out"]
+    ours = [("2", "x", "[1,3,5]", "q")]
+    theirs = ["2\tx\t1\tq"]
+    assert _stale_tolerated(js, 6, ours, theirs, None)
+    # a second differing cell must NOT be absorbed
+    assert not _stale_tolerated(js, 6, [("2", "y", "[1,3,5]", "q")],
+                                theirs, None)
+    # a different value in the pinned cell must NOT be absorbed
+    assert not _stale_tolerated(js, 6, [("2", "x", "[1,3]", "q")],
+                                theirs, None)
