@@ -128,3 +128,33 @@ def pii_redact(documents: DataFrame) -> DataFrame:
         n_phone.cast("bigint").alias("n_phones"),
         n_ip.cast("bigint").alias("n_ips"),
     )
+
+
+def pack_sequences_bpe(documents: DataFrame, budget: int = 512,
+                       bucket_chars: int = 2) -> DataFrame:
+    """`pack_sequences` under SUBWORD token budgets: identical streaming
+    concat-and-chunk layout, but each document's budget contribution is
+    its BPE-apply piece count (`corpus_stats.bpe_apply_tokenize`) rather
+    than the whitespace count — the packing a real pretraining run does,
+    since sequences are cut in tokenizer space, not word space.
+
+    100 TB shape: the segmentation cost stays on the distinct-word table
+    (see bpe_apply_tokenize); this op adds ONE doc-keyed join (uniform
+    key by construction) and the same bounded per-bucket window — still
+    no global sort/window anywhere."""
+    from .corpus_stats import bpe_apply_tokenize
+
+    counts = bpe_apply_tokenize(documents).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens"))
+    base = documents.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, bucket_chars).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    joined = base.join(counts, "doc_id")
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("bigint")
+    return joined.select(
+        "doc_id", "bucket", "n_tokens",
+        F.floor(start / budget).alias("seq_id"),
+        (start % budget).alias("tok_offset"),
+    )

@@ -1512,3 +1512,108 @@ ORACLE["quality_classifier_scores"] = """
            1.0 / (1.0 + exp(-logit)) >= 0.5 AS keep
     FROM scored
 """
+
+QUERIES["pack_sequences_bpe"] = _bind(packing.pack_sequences_bpe,
+                                      "documents")
+# packing under BPE budgets: the tokenize_bpe_apply oracle's CTE chain
+# (vocab -> greedy walk -> per-word pieces) feeding the pack_sequences
+# running-offset arithmetic
+ORACLE["pack_sequences_bpe"] = ORACLE["tokenize_bpe_apply"].rsplit(
+    "SELECT doc_id,", 1)[0] + """, per_doc AS (
+      SELECT doc_id,
+             CAST(sum(coalesce(p.n_pieces, 0)) AS BIGINT) AS n_tokens
+      FROM words LEFT JOIN pieces p USING (w)
+      GROUP BY doc_id
+    ),
+    based AS (
+      SELECT d.doc_id, substr(md5(d.text), 1, 2) AS bucket, pd.n_tokens
+      FROM documents d JOIN per_doc pd USING (doc_id)
+    ),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start
+      FROM based
+    )
+    SELECT doc_id, bucket, n_tokens,
+           CAST(start // 512 AS BIGINT) AS seq_id,
+           CAST(start % 512 AS BIGINT) AS tok_offset
+    FROM packed
+"""
+
+
+def _pq_sql(k: int = 3, n_queries: int = 10, m: int = 4, ks: int = 16,
+            iters: int = 1, dim: int = 64) -> str:
+    """DuckDB oracle for `similarity.pq_topk`: per-subspace Lloyd
+    codebooks (same deterministic spec), corpus encoding, ADC lookup-sum,
+    per-query top-k."""
+    sd = dim // m
+    d2 = (f"list_aggregate([ (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) "
+          f"for i in range(1, {sd} + 1) ], 'sum')")
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, v[{j * sd + 1}:{(j + 1) * sd}] AS sv "
+        "FROM emb"
+        for j in range(m))
+    parts = [f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sub AS ({subs}),
+    cb0 AS (
+      SELECT j, CAST(vec_id AS INT) AS cluster, sv AS cv
+      FROM sub WHERE vec_id < {ks}
+    )"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+    , a{it} AS (
+      SELECT j, cluster, sv FROM (
+        SELECT s.vec_id, s.j, s.sv, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2}, c.cluster) AS rn
+        FROM sub s JOIN cb{it - 1} c USING (j)
+      ) r WHERE rn = 1
+    )
+    , p{it} AS (
+      SELECT j, cluster, t.i AS i, sum(sv[t.i]) / count(*) AS mu
+      FROM a{it} CROSS JOIN range(1, {sd} + 1) AS t(i)
+      GROUP BY j, cluster, t.i
+    )
+    , cb{it} AS (
+      SELECT j, cluster, list(mu ORDER BY i) AS cv
+      FROM p{it} GROUP BY j, cluster
+    )""")
+    parts.append(f"""
+    , codes AS (
+      SELECT vec_id, j, cluster AS code FROM (
+        SELECT s.vec_id, s.j, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2}, c.cluster) AS rn
+        FROM sub s JOIN cb{iters} c USING (j)
+        WHERE s.vec_id >= {n_queries}
+      ) r WHERE rn = 1
+    )
+    , lut AS (
+      SELECT s.vec_id AS query_id, s.j, c.cluster, {d2} AS d2
+      FROM sub s JOIN cb{iters} c USING (j)
+      WHERE s.vec_id < {n_queries}
+    )
+    , adc AS (
+      SELECT l.query_id, co.vec_id, sum(l.d2) AS approx_d2
+      FROM codes co JOIN lut l ON l.j = co.j AND l.cluster = co.code
+      GROUP BY l.query_id, co.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, rank,
+           round(approx_d2, 6) AS approx_d2
+    FROM (
+      SELECT query_id, vec_id, approx_d2,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_d2, vec_id)
+                  AS INT) AS rank
+      FROM adc
+    ) t WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+QUERIES["similarity_pq_topk"] = _bind(similarity.pq_topk, "embeddings")
+ORACLE["similarity_pq_topk"] = _pq_sql()

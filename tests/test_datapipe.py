@@ -425,3 +425,27 @@ def test_bpe_apply_greedy_segmentation(dfs, spark):
     # single 2-gram pieces
     assert out[9]["n_bpe_tokens"] == 2
     assert out[9]["n_ws_tokens"] == 2
+
+
+def test_pq_topk_retrieves_planted_copies(dfs):
+    """An exact copy of each query planted into the corpus achieves the
+    minimal possible ADC distance (its codes equal the query's own
+    quantization), so PQ must rank every planted copy #1. The uniform
+    synthetic embeddings have no real neighbor structure (distance
+    concentration), so top-k overlap vs brute force is noise — the
+    planted-copy property is the meaningful recall claim. Also:
+    deterministic across runs (codebooks/codes are pure functions of
+    the data)."""
+    from hive_nexr_spark.datapipe import similarity
+
+    emb = dfs["embeddings"]
+    copies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding")
+    aug = emb.select("vec_id", "embedding").unionAll(copies)
+    pq1 = {(r.query_id, r.neighbor_id): r.rank
+           for r in similarity.pq_topk(aug).collect()}
+    pq2 = {(r.query_id, r.neighbor_id): r.rank
+           for r in similarity.pq_topk(aug).collect()}
+    assert pq1 == pq2, "PQ must be deterministic"
+    for q in range(10):
+        assert pq1.get((q, q + 500000)) == 1, f"planted copy not #1 for {q}"

@@ -593,3 +593,32 @@ def test_quality_classifier_single_scan_no_exchange(dfs):
     assert "Exchange" not in fplan
     assert "Join" not in fplan
     assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+
+
+def test_pack_sequences_bpe_no_global_window(dfs):
+    """BPE-budget packing: the running-offset window must partition by
+    bucket (never a global empty-partition window), and the plan must
+    stay Python-free."""
+    import re
+
+    from hive_nexr_spark.datapipe.packing import pack_sequences_bpe
+
+    plan = _plan(pack_sequences_bpe(dfs["documents"]))
+    for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "global window in BPE packing"
+    fplan = _formatted(pack_sequences_bpe(dfs["documents"]))
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+
+
+def test_pq_topk_broadcast_codebook_and_lut(dfs):
+    """PQ ANN: the m x ks codebook and the per-query distance LUT must
+    both ride broadcast joins (the ADC scan never shuffles raw vectors),
+    code election and the ADC sum must partially combine map-side, and
+    there must be no cartesian."""
+    from hive_nexr_spark.datapipe.similarity import pq_topk
+
+    fplan = _formatted(pq_topk(dfs["embeddings"]))
+    assert "BroadcastHashJoin" in fplan
+    assert "CartesianProduct" not in fplan
+    assert "partial_min" in fplan
+    assert "partial_sum" in fplan
