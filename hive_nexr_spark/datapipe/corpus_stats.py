@@ -360,3 +360,63 @@ def corpus_summary(documents: DataFrame) -> DataFrame:
         F.round(1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 6)
         .alias("dup_rate"),
     )
+
+
+def perplexity_bigram(documents: DataFrame,
+                      flag_bits: float = 12.0) -> DataFrame:
+    """Per-document bits-per-bigram under an add-one-smoothed corpus
+    BIGRAM language model: p(w2|w1) = (count(w1 w2) + 1) /
+    (count(w1) + V) — the next step up from `perplexity_unigram` in the
+    CCNet-style quality ladder (context-sensitive: a document of common
+    words in unusual ORDER now scores high).
+
+    Output: (doc_id, n_bigrams, bits_per_bigram, high_ppl).
+
+    100 TB shape: token-level shuffles are (doc, w1, bigram) tf and the
+    two LM aggregations derived FROM that tf table (map-side combined).
+    The unigram table and the (V) total broadcast (vocabulary-sized);
+    the bigram LM joins back keyed on the bigram — bigram vocabulary
+    grows faster than unigram but still sublinearly, and the join is
+    hash-keyed with AQE free to broadcast when it fits; it is never a
+    corpus-wide sort or cartesian."""
+    toks = documents.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    grams = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at("ts", i),
+                        F.element_at("ts", i + 1)).alias("gram")),
+            )).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.gram")
+    )
+    tf = grams.groupBy("doc_id", "w1", "gram").agg(F.count("*").alias("tf"))
+    blm = tf.groupBy("w1", "gram").agg(F.sum("tf").alias("bcnt"))
+    ulm = tf.groupBy("w1").agg(F.sum("tf").alias("ucnt"))
+    vocab = (documents.select(
+        F.explode(_tokens(F.col("text"))).alias("token"))
+        .agg(F.count_distinct("token").cast("double").alias("_v")))
+    scored = (
+        tf.join(blm, ["w1", "gram"])
+        .join(F.broadcast(ulm), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id", "tf",
+            (-F.log2((F.col("bcnt") + 1.0)
+                     / (F.col("ucnt") + F.col("_v")))).alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.round(F.sum(F.col("tf") * F.col("bits")) / F.sum("tf"), 6)
+        .alias("bits_per_bigram"),
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", "bits_per_bigram",
+        (F.col("bits_per_bigram") > flag_bits).alias("high_ppl"),
+    )

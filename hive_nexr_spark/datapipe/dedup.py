@@ -648,3 +648,37 @@ def exact_substring_spans(documents: DataFrame,
         )
         .select("doc_id", "span_start", "span_end", "n_dup_windows")
     )
+
+
+def exact_substring_dedup_stats(documents: DataFrame,
+                                min_span_tokens: int = 16,
+                                max_doc_id: int = 400) -> DataFrame:
+    """Per-document duplication profile from `exact_substring_spans`:
+    how much of each document is covered by corpus-duplicated spans —
+    the number a pipeline thresholds on to drop mostly-boilerplate
+    documents while keeping pages that merely QUOTE a shared block
+    (whole-doc dedup can only keep or drop; this measures).
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_frac) for every document
+    in the bounded subset — zero for documents with no duplicated span.
+
+    100 TB shape: the spans table (already bounded: duplicated windows
+    only) rolls up per doc and LEFT-joins back onto a doc_id/token-count
+    projection — ids and ints only in the join, text never leaves the
+    initial scans."""
+    corpus = with_synthetic_dups(documents).filter(
+        (F.col("doc_id") % 100000) < max_doc_id)
+    spans = exact_substring_spans(documents, min_span_tokens, max_doc_id)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"))
+    base = corpus.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tokens"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(F.coalesce("dup_tokens", F.lit(0))
+                    / F.col("n_tokens"), 6).alias("dup_frac"),
+        )
+    )

@@ -1617,3 +1617,67 @@ def _pq_sql(k: int = 3, n_queries: int = 10, m: int = 4, ks: int = 16,
 
 QUERIES["similarity_pq_topk"] = _bind(similarity.pq_topk, "embeddings")
 ORACLE["similarity_pq_topk"] = _pq_sql()
+
+QUERIES["dedup_substring_stats"] = _bind(dedup.exact_substring_dedup_stats,
+                                         "documents")
+# per-doc duplicated-span coverage: the spans oracle's CTE chain rolled
+# up per doc and left-joined onto subset token counts
+ORACLE["dedup_substring_stats"] = ORACLE["dedup_exact_substrings"].rsplit(
+    "SELECT doc_id,", 1)[0] + """, per_span AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 16 AS e
+      FROM spans GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(e - s) AS dup_tokens FROM per_span GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+      FROM subset
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INT) AS n_tokens,
+           CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(pd.dup_tokens, 0) * 1.0 / b.n_tokens, 6)
+             AS dup_frac
+    FROM base b LEFT JOIN per_doc pd USING (doc_id)
+"""
+
+QUERIES["perplexity_bigram"] = _bind(corpus_stats.perplexity_bigram,
+                                     "documents")
+# add-one-smoothed bigram LM (corpus_stats.perplexity_bigram):
+# p(w2|w1) = (count(w1 w2)+1) / (count(w1)+V), V = unigram vocab size
+ORACLE["perplexity_bigram"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(
+        [struct_pack(w1 := l[i], gram := concat_ws(' ', l[i], l[i+1]))
+         for i in range(1, len(l))]) AS g
+      FROM toks WHERE len(l) >= 2
+    ),
+    tf AS (
+      SELECT doc_id, g.w1 AS w1, g.gram AS gram, count(*) AS tf
+      FROM grams GROUP BY doc_id, g.w1, g.gram
+    ),
+    blm AS (SELECT w1, gram, sum(tf) AS bcnt FROM tf GROUP BY w1, gram),
+    ulm AS (SELECT w1, sum(tf) AS ucnt FROM tf GROUP BY w1),
+    vocab AS (
+      SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents) t
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             -log2((blm.bcnt + 1.0) / (ulm.ucnt + vocab.v)) AS bits
+      FROM tf JOIN blm USING (w1, gram) JOIN ulm USING (w1), vocab
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             round(sum(tf * bits) / sum(tf), 6) AS bits_per_bigram
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, bits_per_bigram,
+           bits_per_bigram > 12.0 AS high_ppl
+    FROM per_doc
+"""

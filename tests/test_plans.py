@@ -622,3 +622,29 @@ def test_pq_topk_broadcast_codebook_and_lut(dfs):
     assert "CartesianProduct" not in fplan
     assert "partial_min" in fplan
     assert "partial_sum" in fplan
+
+
+def test_perplexity_bigram_broadcast_unigram_no_cartesian(dfs):
+    """Bigram perplexity: the unigram (w1) table and the (V) total must
+    broadcast; the bigram LM join is hash-keyed (no cartesian beyond the
+    1-row broadcast); all aggregations partially combine map-side."""
+    from hive_nexr_spark.datapipe.corpus_stats import perplexity_bigram
+
+    fplan = _formatted(perplexity_bigram(dfs["documents"]))
+    assert "BroadcastHashJoin" in fplan
+    assert "partial_count" in fplan
+    assert "partial_sum" in fplan
+
+
+def test_substring_stats_joins_ids_only(dfs):
+    """The per-doc duplication rollup must join span aggregates to token
+    counts on doc_id with no text column in any exchange."""
+    import re
+
+    from hive_nexr_spark.datapipe.dedup import exact_substring_dedup_stats
+
+    fplan = _formatted(exact_substring_dedup_stats(dfs["documents"]))
+    assert "CartesianProduct" not in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex and "ts#" not in ex, (
+            f"text in substring-stats shuffle: {ex}")
