@@ -86,6 +86,10 @@ HEADLINE = [
     "tokenize_bpe_apply",
     "quality_classifier_scores",
     "dedup_jaccard_prefix_filter",
+    # added round 8 (second wave): PQ ANN (codebooks + broadcast ADC
+    # LUT) and the bigram-LM perplexity ladder step
+    "similarity_pq_topk",
+    "perplexity_bigram",
 ]
 
 

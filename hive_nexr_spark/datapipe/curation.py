@@ -482,3 +482,69 @@ def quality_classifier_scores(documents: DataFrame,
         F.round(prob, 6).alias("quality_prob"),
         (prob >= threshold).alias("keep"),
     )
+
+
+def with_skewed_sources(documents: DataFrame) -> DataFrame:
+    """Deterministic skewed-source corpus: source = 'bin' ||
+    floor(log2(doc_id + 2)) — geometric stratum sizes (1, 2, 4, 8, ...).
+    The testdata sources are uniform (same count per source), so the
+    temperature-mix operator needs planted skew to have observable
+    rebalancing (same pattern as `dedup.with_synthetic_dups`). log2 is
+    exact at powers of two in IEEE double, so the binning is
+    engine-portable."""
+    return documents.select(
+        "doc_id",
+        F.concat(F.lit("bin"),
+                 F.floor(F.log2(F.col("doc_id") + 2)).cast("int"))
+        .alias("source"),
+    )
+
+
+def domain_temperature_mix(documents: DataFrame, total: int = 200,
+                           oversample: float = 4.0) -> DataFrame:
+    """Temperature-rebalanced domain mixture (the multilingual-LM
+    sampling scheme, e.g. mT5 / XLM-R — public: sample stratum s with
+    probability ∝ n_s^T, T < 1 upsampling small domains): draw an exact
+    per-stratum quota_s = floor(total · √n_s / Σ√n + 0.5) documents
+    (T = 0.5 — √ is correctly-rounded IEEE in every engine, so quotas
+    are bit-deterministic), picked by content-independent hash order so
+    the mixture is stable across re-ingests.
+
+    Output: (source, n_stratum, quota, doc_id, pick), pick = 1..quota.
+
+    100 TB shape (same scaffold as `stratified_sample`): stratum counts
+    via map-side-combined groupBy broadcast back; quotas derive from the
+    broadcast 1-row Σ√n aggregate (no driver math); a hash-threshold
+    pre-filter keeps ~oversample×quota expected rows per stratum before
+    the exact per-stratum row_number window runs on the survivors —
+    never a full-stratum sort."""
+    corpus = with_skewed_sources(documents)
+    u = (F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.col("source"), F.col("doc_id"))), 1, 15),
+        16, 10).cast("double") / F.lit(float(1 << 60)))
+    sized = corpus.select("source", "doc_id", u.alias("u"))
+    counts = sized.groupBy("source").agg(F.count("*").alias("n_stratum"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_stratum").cast("double"))).alias("_z"))
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_stratum",
+            F.least(
+                F.col("n_stratum"),
+                F.floor(total * F.sqrt(F.col("n_stratum").cast("double"))
+                        / F.col("_z") + 0.5).cast("bigint"),
+            ).alias("quota"),
+        )
+    )
+    survivors = (
+        sized.join(F.broadcast(quotas), "source")
+        .filter(F.col("u") * F.col("n_stratum")
+                < F.col("quota") * F.lit(oversample))
+    )
+    w = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        survivors.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= F.col("quota"))
+        .select("source", "n_stratum", "quota", "doc_id", "pick")
+    )

@@ -1681,3 +1681,45 @@ ORACLE["perplexity_bigram"] = """
            bits_per_bigram > 12.0 AS high_ppl
     FROM per_doc
 """
+
+QUERIES["domain_temperature_mix"] = _bind(curation.domain_temperature_mix,
+                                          "documents")
+# T=0.5 temperature mixture over planted geometric strata: quotas from
+# the broadcast sqrt-mass total, exact per-stratum hash-order pick (same
+# 60-bit md5 uniform as the stratified oracle)
+ORACLE["domain_temperature_mix"] = """
+    WITH corpus AS (
+      SELECT doc_id,
+             'bin' || CAST(floor(log2(doc_id + 2)) AS INT) AS source
+      FROM documents
+    ),
+    s AS (
+      SELECT source, doc_id,
+             CAST(('0x' || substr(md5(source || ':' || doc_id), 1, 15))
+                  ::BIGINT AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM corpus
+    ),
+    c AS (SELECT source, count(*) AS n_stratum FROM s GROUP BY source),
+    z AS (SELECT sum(sqrt(CAST(n_stratum AS DOUBLE))) AS z FROM c),
+    q AS (
+      SELECT source, n_stratum,
+             least(n_stratum,
+                   CAST(floor(200 * sqrt(CAST(n_stratum AS DOUBLE)) / z.z
+                              + 0.5) AS BIGINT)) AS quota
+      FROM c, z
+    ),
+    surv AS (
+      SELECT s.source, q.n_stratum, q.quota, s.doc_id, s.u
+      FROM s JOIN q USING (source)
+      WHERE s.u * q.n_stratum < q.quota * 4.0
+    ),
+    ranked AS (
+      SELECT source, n_stratum, quota, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY u, doc_id) AS INT) AS pick
+      FROM surv
+    )
+    SELECT source, CAST(n_stratum AS BIGINT) AS n_stratum, quota,
+           doc_id, pick
+    FROM ranked WHERE pick <= quota
+"""

@@ -449,3 +449,27 @@ def test_pq_topk_retrieves_planted_copies(dfs):
     assert pq1 == pq2, "PQ must be deterministic"
     for q in range(10):
         assert pq1.get((q, q + 500000)) == 1, f"planted copy not #1 for {q}"
+
+
+def test_temperature_mix_upsamples_small_strata(dfs):
+    """T=0.5 rebalancing: the sampled share of a SMALL stratum must
+    exceed its corpus share, the largest stratum's share must shrink,
+    quotas never exceed stratum size, and picks are dense 1..quota."""
+    from hive_nexr_spark.datapipe.curation import domain_temperature_mix
+
+    rows = domain_temperature_mix(dfs["documents"]).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) > 3
+    for src, rs in by_src.items():
+        quota, n = rs[0].quota, rs[0].n_stratum
+        assert quota <= n
+        assert sorted(r.pick for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) == quota
+    smallest = min(by_src.values(), key=lambda rs: rs[0].n_stratum)[0]
+    largest = max(by_src.values(), key=lambda rs: rs[0].n_stratum)[0]
+    total_n = sum(rs[0].n_stratum for rs in by_src.values())
+    total_q = sum(rs[0].quota for rs in by_src.values())
+    assert (smallest.quota / total_q) > (smallest.n_stratum / total_n)
+    assert (largest.quota / total_q) < (largest.n_stratum / total_n)
