@@ -682,3 +682,35 @@ def exact_substring_dedup_stats(documents: DataFrame,
                     / F.col("n_tokens"), 6).alias("dup_frac"),
         )
     )
+
+
+def canonical_dedup_decisions(documents: DataFrame) -> DataFrame:
+    """Fuzzy-EXACT dedup on canonicalized text (the C4-style
+    normalization pass): lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace, then hash-groupBy the canonical form — catches
+    case/punctuation/whitespace variants that byte-exact dedup misses
+    while staying a pure hash-key operator (no similarity join at all).
+
+    Planted variants: alongside the standard synthetic dups, every
+    doc_id % 7 == 1 document gets an UPPER-CASED copy (+300000) — byte-
+    distinct, canonical-identical.
+
+    Output: (digest, keep_id, n_copies) for canonical groups with >1
+    member.
+
+    100 TB shape: identical to exact dedup — one projection computes the
+    canonical digest, one 16-byte-key map-side-combined groupBy; text
+    never shuffles."""
+    corpus = with_synthetic_dups(documents)
+    variants = documents.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"))
+    corpus = corpus.unionAll(variants)
+    canon = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    return (
+        corpus.groupBy(F.md5(canon).alias("digest"))
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )

@@ -1723,3 +1723,23 @@ ORACLE["domain_temperature_mix"] = """
            doc_id, pick
     FROM ranked WHERE pick <= quota
 """
+
+QUERIES["dedup_canonical"] = _bind(dedup.canonical_dedup_decisions,
+                                   "documents")
+# canonical-text exact dedup: same normalization chain (lower -> strip
+# non-alnum to spaces -> collapse runs -> trim) in DuckDB's RE2
+ORACLE["dedup_canonical"] = _CORPUS + """
+    , full_corpus AS (
+      SELECT doc_id, text FROM corpus
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, upper(text) AS text
+      FROM documents WHERE doc_id % 7 = 1
+    )
+    SELECT md5(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+             AS digest,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM full_corpus
+    GROUP BY digest HAVING count(*) > 1
+"""

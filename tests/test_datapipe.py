@@ -473,3 +473,18 @@ def test_temperature_mix_upsamples_small_strata(dfs):
     total_q = sum(rs[0].quota for rs in by_src.values())
     assert (smallest.quota / total_q) > (smallest.n_stratum / total_n)
     assert (largest.quota / total_q) < (largest.n_stratum / total_n)
+
+
+def test_canonical_dedup_catches_case_variants(dfs):
+    """Every planted upper-cased copy (doc_id % 7 == 1 -> +300000) must
+    land in the same canonical group as its original, and keep_id must be
+    the original (smallest id)."""
+    from hive_nexr_spark.datapipe.dedup import canonical_dedup_decisions
+
+    rows = canonical_dedup_decisions(dfs["documents"]).collect()
+    keeps = {r.keep_id: r.n_copies for r in rows}
+    planted = [r.doc_id for r in dfs["documents"]
+               .filter(F.col("doc_id") % 7 == 1).select("doc_id").collect()]
+    assert planted
+    for d in planted:
+        assert d in keeps, f"case variant of {d} not grouped"
