@@ -332,3 +332,42 @@ ORACLE["events_stream_interval_join"] = """
      AND p.ts <= c.ts + INTERVAL 30 MINUTE
     WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
+
+
+def _range_join_binned(spark, sf_dir):
+    dfs = ensure_views(spark, sf_dir)
+    return ev.range_join_binned(dfs["events"])
+
+
+QUERIES["events_range_join_binned"] = _range_join_binned
+# point-in-interval range join: the oracle uses the NAIVE theta form
+# (ts BETWEEN session bounds) — same result the binned equi-join +
+# residual filter must produce; session spec identical to
+# sessionize_events (second-truncated gap > 1800s)
+ORACLE["events_range_join_binned"] = """
+    WITH sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN floor(epoch(ts)) - floor(epoch(
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+                    )) > 1800 THEN 1 ELSE 0 END AS new_sess
+        FROM events WHERE event_type <> 'error'
+      ) m
+    ),
+    intervals AS (
+      SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT e.event_id, e.user_id, i.session_id,
+           CAST(floor(epoch(e.ts)) - floor(epoch(i.t0)) AS BIGINT)
+             AS offset_s
+    FROM events e JOIN intervals i
+      ON e.user_id = i.user_id AND e.ts >= i.t0 AND e.ts <= i.t1
+    WHERE e.event_type = 'error'
+"""

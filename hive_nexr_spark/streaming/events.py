@@ -495,3 +495,63 @@ def click_purchase_interval_join_stream(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def range_join_binned(events: DataFrame, gap_minutes: int = 30,
+                      bin_minutes: int = 60) -> DataFrame:
+    """Point-in-interval RANGE JOIN via time binning — assign every
+    'error' event to the activity session (gaps-and-islands over the
+    non-error events, same spec as `sessionize_batch`) whose
+    [start, end] interval contains it.
+
+    The naive expression is a theta join (`e.ts BETWEEN s.t0 AND s.t1`)
+    — on Spark that compiles to a per-user cartesian. The standard
+    scale rewrite (the trick range-join-enabled engines apply
+    internally): explode each interval into the fixed-width time BINS
+    it covers, key points by their bin, EQUI-join on (user_id, bin),
+    and apply the exact BETWEEN as a residual filter. Cost is
+    |intervals| x bins-per-interval + |points| through a hash join —
+    never |points| x |intervals|.
+
+    Output: (event_id, user_id, session_id, offset_s) — inner join:
+    errors outside any session are dropped. Sessions of one user are
+    disjoint by construction, so each error matches at most once.
+
+    100 TB shape: one user-keyed window pass builds sessions; the join
+    is hash-keyed on (user_id, bin) — plan-asserted no cartesian; bin
+    width is the knob trading bin-explosion fan-out (long sessions)
+    against residual-filter selectivity."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    base = events.filter(F.col("event_type") != "error")
+    marked = base.select(
+        "user_id", "event_id", "ts",
+        F.when(
+            (F.unix_timestamp("ts")
+             - F.unix_timestamp(F.lag("ts").over(w))) > gap_s, 1)
+        .otherwise(0).alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    bw = bin_minutes * 60
+    bins = intervals.select(
+        "user_id", "session_id", "t0", "t1",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp("t0") / bw),
+            F.floor(F.unix_timestamp("t1") / bw))).alias("bin"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("ets"),
+        F.floor(F.unix_timestamp("ts") / bw).alias("bin"))
+    return (
+        errors.join(bins, ["user_id", "bin"])
+        .filter((F.col("ets") >= F.col("t0")) & (F.col("ets") <= F.col("t1")))
+        .select(
+            "event_id", "user_id", "session_id",
+            (F.unix_timestamp("ets") - F.unix_timestamp("t0"))
+            .alias("offset_s"),
+        )
+    )

@@ -648,3 +648,15 @@ def test_substring_stats_joins_ids_only(dfs):
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "text#" not in ex and "ts#" not in ex, (
             f"text in substring-stats shuffle: {ex}")
+
+
+def test_range_join_binned_is_equi_not_cartesian(dfs):
+    """The point-in-interval range join must compile to a hash-keyed
+    equi-join on (user_id, bin) with the BETWEEN as a residual filter —
+    never a cartesian/broadcast-nested-loop over per-user pairs."""
+    from hive_nexr_spark.streaming.events import range_join_binned
+
+    fplan = _formatted(range_join_binned(dfs["events"]))
+    assert "CartesianProduct" not in fplan
+    assert "BroadcastNestedLoopJoin" not in fplan
+    assert "Join" in fplan
