@@ -38,6 +38,14 @@ def with_synthetic_dups(documents: DataFrame) -> DataFrame:
     return orig.unionAll(exact).unionAll(near)
 
 
+def _bounded_corpus(documents: DataFrame, max_doc_id: int) -> DataFrame:
+    """The standard bounded dup corpus every pairwise operator runs on:
+    synthetic dups planted, then capped to doc_id % 100000 < max_doc_id
+    (the cap bounds the ORACLE's brute-force twin, not the operator)."""
+    return with_synthetic_dups(documents).filter(
+        (F.col("doc_id") % 100000) < max_doc_id)
+
+
 def exact_dedup_summary(documents: DataFrame) -> DataFrame:
     """Exact dedup = hash-groupBy on the text (at scale: on md5(text) so the
     shuffle key is 16 bytes, not the document)."""
@@ -102,9 +110,7 @@ def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5,
     signature build at sf0.1), statistically the standard one-hash-split-k
     minhash, and still engine-portable: DuckDB's md5 yields the identical
     lowercase hex, so `min(substr(md5(shingle), h*5+1, 5))` reproduces it."""
-    corpus = with_synthetic_dups(documents).filter(
-        (F.col("doc_id") % 100000) < max_doc_id
-    )
+    corpus = _bounded_corpus(documents, max_doc_id)
     # The shingle arrays are consumed three times (signature build + both
     # sides of the verification join); persist them once instead of
     # recomputing the tokenize+slice pipeline per consumer (40% faster at
@@ -166,9 +172,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8,
                         max_doc_id: int = 100) -> DataFrame:
     """Exact n-gram Jaccard over a bounded candidate set (all pairs within
     the subset — the brute-force baseline the LSH path approximates)."""
-    corpus = with_synthetic_dups(documents).filter(
-        (F.col("doc_id") % 100000) < max_doc_id
-    )
+    corpus = _bounded_corpus(documents, max_doc_id)
     toks = _with_shingles(corpus).select("doc_id", "sh")
     a, b = toks.alias("a"), toks.alias("b")
     return (
@@ -242,9 +246,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
     This is the brute-force baseline over a bounded subset; the 100 TB
     path is `simhash_pairs_banded` (byte-band bucketing, exact same result
     for max_hamming < n_bands by pigeonhole)."""
-    corpus = with_synthetic_dups(documents).filter(
-        (F.col("doc_id") % 100000) < max_doc_id
-    )
+    corpus = _bounded_corpus(documents, max_doc_id)
     sig = _simhash_signatures(corpus)
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -415,8 +417,7 @@ def jaccard_prefix_filter_pairs(documents: DataFrame,
     sizes stay small exactly where a hot-token join would blow up — and
     the verification join touches candidate pairs only. Output:
     (doc_a, doc_b, jaccard)."""
-    corpus = with_synthetic_dups(documents).filter(
-        (F.col("doc_id") % 100000) < max_doc_id)
+    corpus = _bounded_corpus(documents, max_doc_id)
     toks = tracked_persist(corpus.select(
         "doc_id",
         F.array_distinct(F.split(F.lower("text"), " ")).alias("ts")))
@@ -604,8 +605,7 @@ def exact_substring_spans(documents: DataFrame,
     offsets [span_start, span_end) of each maximal duplicated span.
     """
     k = min_span_tokens
-    corpus = with_synthetic_dups(documents).filter(
-        (F.col("doc_id") % 100000) < max_doc_id)
+    corpus = _bounded_corpus(documents, max_doc_id)
     toks = corpus.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
     # windows at 0-based starts 0 .. n-k (docs shorter than k yield none)
     sh = (
@@ -666,8 +666,7 @@ def exact_substring_dedup_stats(documents: DataFrame,
     only) rolls up per doc and LEFT-joins back onto a doc_id/token-count
     projection — ids and ints only in the join, text never leaves the
     initial scans."""
-    corpus = with_synthetic_dups(documents).filter(
-        (F.col("doc_id") % 100000) < max_doc_id)
+    corpus = _bounded_corpus(documents, max_doc_id)
     spans = exact_substring_spans(documents, min_span_tokens, max_doc_id)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"))

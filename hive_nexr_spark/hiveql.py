@@ -256,16 +256,24 @@ def _prune_dead_export_roots() -> None:
         entries = os.listdir(root)
     except OSError:
         return
+    import time as _time
+
     for d in entries:
         m = _re.fullmatch(r"exports_(\d+)", d)
         if not m or int(m.group(1)) == os.getpid():
             continue
+        path = os.path.join(root, d)
         try:
+            # age guard closes the pid-reuse TOCTOU: a recycled pid's
+            # fresh tree has a recent mtime and is left alone; only trees
+            # both dead-pid'd AND cold (>1 h) are reclaimed
+            if _time.time() - os.path.getmtime(path) < 3600:
+                continue
             os.kill(int(m.group(1)), 0)
         except ProcessLookupError:
-            _shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            _shutil.rmtree(path, ignore_errors=True)
         except OSError:
-            pass  # alive but not ours (EPERM) — leave it
+            pass  # alive but not ours (EPERM) / stat raced — leave it
 
 
 _prune_dead_export_roots()

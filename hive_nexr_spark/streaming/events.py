@@ -201,14 +201,17 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str,
     is_change = F.col("event_id") % change_mod == change_mod - 1
     stream = read_events_stream(spark, sf_dir).filter(is_change)
 
-    # per-process staging root, cleared on each call: repeated bench/test
-    # runs in one process reuse the slot instead of leaking one dir per
-    # call (a previous call's RETURNED DataFrame must be consumed before
-    # the next call — true for the sequential driver/bench/test loops)
-    import shutil
-
+    # per-process staging root, removed at process exit: each call keeps
+    # its own unique subdir (so earlier calls' RETURNED DataFrames stay
+    # readable — lazy consumers and concurrent threads are never
+    # invalidated) and the whole root is reclaimed when the process ends,
+    # so repeated bench/test runs don't leak /tmp dirs across processes.
     staging_root = f"/tmp/hive_nexr_spark_scratch/cdc_{os.getpid()}"
-    shutil.rmtree(staging_root, ignore_errors=True)
+    if not os.path.isdir(staging_root):
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, staging_root, ignore_errors=True)
     staging = os.path.join(staging_root, uuid.uuid4().hex[:8])
 
     def upsert(batch_df: DataFrame, _bid: int) -> None:

@@ -81,3 +81,38 @@ def test_stream_cdc_upsert_equals_batch_merge(spark, sf_dir, dfs):
     stream = ev.stream_cdc_upsert(spark, sf_dir).collect()
     assert _key(batch) == _key(stream)
     assert any(r["src"] == "change" for r in stream)  # non-degenerate
+
+
+def test_range_join_binned_multi_bin_session(spark):
+    """The bin-explosion machinery must cover a session spanning SEVERAL
+    hour bins (the sf-testdata sessions are ~minutes, so the committed
+    oracle parity barely exercises it): a planted 3-hour session must
+    capture errors in its first, middle, and last bin, and reject errors
+    before/after the interval."""
+    from hive_nexr_spark.streaming.events import range_join_binned
+
+    base = 1_700_000_000  # fixed epoch, far from any bin boundary
+    rows = []
+    # session events (clicks) for user 1 every 20 min across ~3 hours —
+    # gaps < 30 min so it stays ONE session spanning 4 hour-bins
+    for i in range(10):
+        rows.append((1, 100 + i, base + i * 1200, "click"))
+    # errors: inside first / middle / last covered bin, plus outside
+    rows += [
+        (1, 900, base + 60, "error"),            # inside, first bin
+        (1, 901, base + 5000, "error"),          # inside, middle
+        (1, 902, base + 9 * 1200 - 30, "error"),  # inside, near end
+        (1, 903, base - 1000, "error"),          # before session
+        (1, 904, base + 9 * 1200 + 5000, "error"),  # after session
+    ]
+    events = spark.createDataFrame(
+        [(u, e, t, ty) for u, e, t, ty in rows],
+        "user_id long, event_id long, epoch long, event_type string",
+    ).selectExpr("user_id", "event_id",
+                 "CAST(epoch AS TIMESTAMP) AS ts", "event_type")
+    got = {r.event_id: (r.session_id, r.offset_s)
+           for r in range_join_binned(events).collect()}
+    assert set(got) == {900, 901, 902}
+    assert got[900] == (0, 60)
+    assert got[901] == (0, 5000)
+    assert got[902] == (0, 9 * 1200 - 30)
