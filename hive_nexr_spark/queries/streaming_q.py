@@ -371,3 +371,17 @@ ORACLE["events_range_join_binned"] = """
       ON e.user_id = i.user_id AND e.ts >= i.t0 AND e.ts <= i.t1
     WHERE e.event_type = 'error'
 """
+
+
+QUERIES["events_hypertable_rollup"] = lambda spark, sf_dir: \
+    ev.hypertable_rollup_daily(spark, sf_dir)
+# the oracle aggregates the RAW table directly — the rollup's two-tier
+# re-aggregation must be indistinguishable (decimal partials make the
+# re-sum exact)
+ORACLE["events_hypertable_rollup"] = """
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+"""

@@ -558,3 +558,47 @@ def range_join_binned(events: DataFrame, gap_minutes: int = 30,
             .alias("offset_s"),
         )
     )
+
+
+def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style CONTINUOUS-AGGREGATE rollup (the TimescaleDB /
+    materialized-rollup pattern — public): maintain an HOURLY physical
+    rollup of the event hypertable, then serve coarser (daily) queries
+    FROM the rollup instead of raw events. The correctness contract is
+    two-tier re-aggregation: counts sum, and per-hour sums are kept in
+    EXACT DECIMAL in the rollup so the daily re-sum equals a direct
+    daily aggregate bit-for-bit (re-aggregating rounded doubles would
+    drift in the last ulp — the rollup stores the associative
+    representation, the query edge casts to double once).
+
+    Output: (day, event_type, n, sum_value) — identical to aggregating
+    the raw table directly, which is the oracle.
+
+    100 TB shape: the hourly rollup is (hours x types) rows — thousands
+    of times smaller than the event stream; the daily query scans ONLY
+    the rollup (partition-prunable by day at scale). In production the
+    hourly tier refreshes incrementally per arriving hour (the
+    `window_counts_stream` machinery); this op pins the re-aggregation
+    semantics both tiers must satisfy."""
+    from ..queries.base import ensure_views
+
+    events = ensure_views(spark, sf_dir)["events"]
+    out = (f"/tmp/hive_nexr_spark_scratch/rollup_hourly_"
+           f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}")
+    hourly = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             # exact decimal partials — NOT cast to double until the edge
+             F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n",
+                "sum_dec")
+    )
+    hourly.write.mode("overwrite").parquet(out)
+    rollup = spark.read.parquet(out)
+    return (
+        rollup.groupBy(
+            F.to_date(F.date_trunc("day", F.col("wstart"))).alias("day"),
+            "event_type")
+        .agg(F.sum("n").alias("n"),
+             F.sum("sum_dec").cast("double").alias("sum_value"))
+    )
