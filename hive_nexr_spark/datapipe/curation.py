@@ -548,3 +548,74 @@ def domain_temperature_mix(documents: DataFrame, total: int = 200,
         .filter(F.col("pick") <= F.col("quota"))
         .select("source", "n_stratum", "quota", "doc_id", "pick")
     )
+
+
+def quality_classifier_train(documents: DataFrame, steps: int = 3,
+                             lr: float = 0.5) -> DataFrame:
+    """TRAIN the quality classifier in-engine: full-batch logistic
+    regression by `steps` unrolled gradient-descent iterations over the
+    surface features of `quality_classifier_scores`, predicting the
+    lang=='en' label (the distillation setup the public pipelines use: a
+    cheap linear model fit against a trusted signal, then deployed as
+    the corpus gate). Deterministic spec: weights init 0, full-batch
+    gradient g_j = avg((sigmoid(w.x) - y) * x_j), w <- w - lr*g.
+
+    Output: ONE row (w_bias, w_log_n, w_stop, w_avg_pen, w_dup,
+    w_digit, logloss) rounded to 6dp — the artifact
+    `quality_classifier_scores` would consume.
+
+    100 TB shape — the Spark iterative-training pattern (same family as
+    the kmeans/PageRank loops): each step is ONE map-side-combined
+    aggregation over the feature scan producing a 1-row gradient, which
+    crossJoin-broadcasts back as the next step's weights; `steps` is
+    unrolled into a single lazy plan, no driver-side data movement, and
+    the feature projection is computed once per step from the same
+    cached-scan shape the scoring op uses."""
+    from .textops import EN_STOPWORDS
+
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    feats = documents.select(
+        F.lit(1.0).alias("x0"),
+        F.log(n.cast("double") + 1.0).alias("x1"),
+        (F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+         / n).cast("double").alias("x2"),
+        F.abs((F.length(F.regexp_replace(F.col("text"), " ", "")) / n)
+              .cast("double") - 5.0).alias("x3"),
+        (1.0 - F.size(F.array_distinct(toks)) / n).cast("double")
+        .alias("x4"),
+        ((F.length("text")
+          - F.length(F.regexp_replace(F.col("text"), r"[0-9]", "")))
+         / F.length("text")).cast("double").alias("x5"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    weights = feats.sparkSession.createDataFrame(
+        [(0.0,) * 6], "w0 double, w1 double, w2 double, w3 double, "
+                      "w4 double, w5 double")
+    for _ in range(steps):
+        z = sum((F.col(f"w{j}") * F.col(f"x{j}") for j in range(1, 6)),
+                F.col("w0") * F.col("x0"))
+        resid = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
+        g = feats.crossJoin(F.broadcast(weights)).agg(
+            *[F.avg(resid * F.col(f"x{j}")).alias(f"g{j}")
+              for j in range(6)],
+            *[F.first(f"w{j}").alias(f"w{j}_old") for j in range(6)],
+        )
+        weights = g.select(
+            *[(F.col(f"w{j}_old") - lr * F.col(f"g{j}")).alias(f"w{j}")
+              for j in range(6)])
+    zf = sum((F.col(f"w{j}") * F.col(f"x{j}") for j in range(1, 6)),
+             F.col("w0") * F.col("x0"))
+    p = 1.0 / (1.0 + F.exp(-zf))
+    return (
+        feats.crossJoin(F.broadcast(weights))
+        .agg(
+            *[F.round(F.first(f"w{j}"), 6).alias(w_name)
+              for j, w_name in enumerate(
+                  ["w_bias", "w_log_n", "w_stop", "w_avg_pen",
+                   "w_dup", "w_digit"])],
+            F.round(F.avg(-(F.col("y") * F.log(p)
+                            + (1.0 - F.col("y")) * F.log(1.0 - p))), 6)
+            .alias("logloss"),
+        )
+    )

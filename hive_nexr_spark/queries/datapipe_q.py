@@ -1743,3 +1743,56 @@ ORACLE["dedup_canonical"] = _CORPUS + """
     FROM full_corpus
     GROUP BY digest HAVING count(*) > 1
 """
+
+
+def _clf_train_sql(steps: int = 3, lr: float = 0.5) -> str:
+    """DuckDB oracle for `curation.quality_classifier_train`: identical
+    feature math (the quality_classifier_scores oracle's feat CTE) with
+    the gradient steps unrolled as chained CTEs."""
+    z = " + ".join(f"w.w{j} * f.x{j}" for j in range(6))
+    parts = ["""
+    WITH feats AS (
+      SELECT 1.0 AS x0,
+             ln(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) + 1.0)
+               AS x1,
+             CAST(len([t for t in string_split(lower(text), ' ')
+                       if t IN ('the','a','of','and','to',
+                                'in','is','it','for','on')]) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS x2,
+             abs(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(lower(text), ' ')) - 5.0) AS x3,
+             1.0 - CAST(len(list_distinct(string_split(lower(text), ' ')))
+                        AS DOUBLE)
+                   / len(string_split(lower(text), ' ')) AS x4,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS DOUBLE) / length(text) AS x5,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ),
+    s0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+                  0.0 AS w3, 0.0 AS w4, 0.0 AS w5)"""]
+    for t in range(1, steps + 1):
+        gs = ", ".join(
+            f"avg((1.0 / (1.0 + exp(-({z}))) - f.y) * f.x{j}) AS g{j}"
+            for j in range(6))
+        ws = ", ".join(f"w.w{j} - {lr} * g.g{j} AS w{j}" for j in range(6))
+        parts.append(f"""
+    , g{t} AS (SELECT {gs} FROM feats f, s{t - 1} w)
+    , s{t} AS (SELECT {ws} FROM s{t - 1} w, g{t} g)""")
+    p = f"1.0 / (1.0 + exp(-({z})))"
+    names = ["w_bias", "w_log_n", "w_stop", "w_avg_pen", "w_dup", "w_digit"]
+    sel = ", ".join(f"round(w.w{j}, 6) AS {nm}"
+                    for j, nm in enumerate(names))
+    parts.append(f"""
+    SELECT {sel},
+           round(avg(-(f.y * ln({p}) + (1.0 - f.y) * ln(1.0 - ({p})))), 6)
+             AS logloss
+    FROM feats f, s{steps} w
+    GROUP BY {", ".join(f"w.w{j}" for j in range(6))}""")
+    return "".join(parts)
+
+
+QUERIES["quality_classifier_train"] = _bind(
+    curation.quality_classifier_train, "documents")
+ORACLE["quality_classifier_train"] = _clf_train_sql()

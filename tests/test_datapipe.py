@@ -498,3 +498,17 @@ def test_canonical_dedup_catches_case_variants(dfs):
     assert planted
     for d in planted:
         assert d in keeps, f"case variant of {d} not grouped"
+
+
+def test_classifier_train_reduces_loss(dfs):
+    """Gradient descent must actually learn: the trained weights' logloss
+    must beat the w=0 baseline (ln 2), and more steps must not increase
+    the loss on the same (full-batch, convex) objective."""
+    import math
+
+    from hive_nexr_spark.datapipe.curation import quality_classifier_train
+
+    one = quality_classifier_train(dfs["documents"], steps=1).collect()[0]
+    three = quality_classifier_train(dfs["documents"], steps=3).collect()[0]
+    assert three.logloss < math.log(2.0)
+    assert three.logloss <= one.logloss

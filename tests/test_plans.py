@@ -660,3 +660,15 @@ def test_range_join_binned_is_equi_not_cartesian(dfs):
     assert "CartesianProduct" not in fplan
     assert "BroadcastNestedLoopJoin" not in fplan
     assert "Join" in fplan
+
+
+def test_classifier_train_broadcast_weights_partial_agg(dfs):
+    """In-engine logistic training: each unrolled step must broadcast
+    the 1-row weight table back (BroadcastNestedLoopJoin on a 1-row side
+    is the crossJoin's plan) and aggregate gradients with map-side
+    partial combine; no Python evaluation anywhere."""
+    from hive_nexr_spark.datapipe.curation import quality_classifier_train
+
+    fplan = _formatted(quality_classifier_train(dfs["documents"]))
+    assert "partial_avg" in fplan or "partial_sum" in fplan
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
