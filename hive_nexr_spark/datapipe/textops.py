@@ -178,3 +178,54 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.substring(F.md5(canon), 1, 16).alias("short_key"),
         F.size(toks).alias("n_distinct_tokens"),
     )
+
+
+def with_synthetic_html(documents: DataFrame) -> DataFrame:
+    """Wrap a deterministic subset of the corpus in HTML boilerplate
+    (nav/script/tags) — the testdata is plain text, so the extraction
+    operator needs planted markup to have observable behavior (same
+    pattern as the planted dups/PII)."""
+    wrapped = F.concat(
+        F.lit("<html><head><script>var x=1;</script></head><body>"
+              "<nav>home | about</nav><p>"),
+        F.col("text"),
+        F.lit("</p><div class=\"footer\">&copy; 2026</div></body></html>"),
+    )
+    return documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, wrapped)
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+def html_strip_extract(documents: DataFrame) -> DataFrame:
+    """Main-text extraction from HTML (the trafilatura/jusText stage of
+    a web-corpus pipeline, reduced to its engine-shaped core): drop
+    script/style subtrees, strip tags, decode the common entities,
+    collapse whitespace — pure regexp_replace chain, one scan, no UDF.
+
+    Output: (doc_id, is_html, markup_frac, clean_digest, n_clean_chars)
+    — digest instead of the text so rows stay small; markup_frac =
+    removed chars / original chars.
+
+    100 TB shape: a linear projection (regex chain) — no shuffle, no
+    state; composes in front of every downstream text op."""
+    corpus = with_synthetic_html(documents)
+    text = F.col("text")
+    no_script = F.regexp_replace(
+        F.regexp_replace(text, "(?s)<script.*?</script>", " "),
+        "(?s)<style.*?</style>", " ")
+    no_tags = F.regexp_replace(no_script, "<[^>]*>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(no_tags, "&copy;", " "), "&amp;", "&"),
+        "&nbsp;", " ")
+    clean = F.trim(F.regexp_replace(decoded, " +", " "))
+    return corpus.select(
+        "doc_id",
+        text.startswith("<html>").alias("is_html"),
+        F.round((F.length(text) - F.length(clean))
+                / F.length(text), 6).alias("markup_frac"),
+        F.md5(clean).alias("clean_digest"),
+        F.length(clean).alias("n_clean_chars"),
+    )

@@ -1796,3 +1796,43 @@ def _clf_train_sql(steps: int = 3, lr: float = 0.5) -> str:
 QUERIES["quality_classifier_train"] = _bind(
     curation.quality_classifier_train, "documents")
 ORACLE["quality_classifier_train"] = _clf_train_sql()
+
+QUERIES["text_html_strip"] = _bind(textops.html_strip_extract, "documents")
+# HTML main-text extraction over planted markup: the identical regex
+# chain in DuckDB's RE2 ('s' flag for dot-matches-newline)
+ORACLE["text_html_strip"] = """
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               '<html><head><script>var x=1;</script></head><body>'
+               || '<nav>home | about</nav><p>' || text
+               || '</p><div class="footer">&copy; 2026</div></body></html>'
+             ELSE text END AS text
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '<script.*?</script>', ' ', 'gs'),
+                         '<style.*?</style>', ' ', 'gs'),
+                       '<[^>]*>', ' ', 'g'),
+                     '&copy;', ' ', 'g'),
+                   '&amp;', '&', 'g'),
+                 '&nbsp;', ' ', 'g'),
+               ' +', ' ', 'g')) AS clean
+      FROM corpus
+    )
+    SELECT doc_id,
+           text LIKE '<html>%' AS is_html,
+           round(CAST(length(text) - length(clean) AS DOUBLE)
+                 / length(text), 6) AS markup_frac,
+           md5(clean) AS clean_digest,
+           CAST(length(clean) AS INT) AS n_clean_chars
+    FROM cleaned
+"""

