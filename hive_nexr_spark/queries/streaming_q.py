@@ -379,7 +379,7 @@ QUERIES["events_hypertable_rollup"] = lambda spark, sf_dir: \
 # re-aggregation must be indistinguishable (decimal partials make the
 # re-sum exact)
 ORACLE["events_hypertable_rollup"] = """
-    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
            event_type,
            count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value

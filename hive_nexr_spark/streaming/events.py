@@ -596,8 +596,12 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly.write.mode("overwrite").parquet(out)
     rollup = spark.read.parquet(out)
     return (
+        # day as a STRING, not DATE: duckdb materializes DATE to pandas
+        # datetime64 while Spark collects datetime.date — asymmetric
+        # driver-canon rendering (caught by tools/oracle_dtype_lint.py)
         rollup.groupBy(
-            F.to_date(F.date_trunc("day", F.col("wstart"))).alias("day"),
+            F.date_format(F.date_trunc("day", F.col("wstart")),
+                          "yyyy-MM-dd").alias("day"),
             "event_type")
         .agg(F.sum("n").alias("n"),
              F.sum("sum_dec").cast("double").alias("sum_value"))
