@@ -598,3 +598,120 @@ def pq_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 "rank", F.round("approx_d2", 6).alias("approx_d2"))
     )
+
+
+def ivf_pq_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
+                n_cells: int = 8, coarse_iters: int = 1, nprobe: int = 2,
+                m: int = 4, ks: int = 16, pq_iters: int = 1,
+                dim: int = 64) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (Jégou et al. 2011 §IV):
+    a coarse k-means quantizer routes each vector to a cell (IVF), PQ
+    codes stand in for the raw vectors, and a query scans only its
+    `nprobe` nearest cells with ADC over the codes. Composes the
+    engine's trained coarse quantizer (`_kmeans_centroids`) with the PQ
+    codebook/encoding machinery (`pq_topk`) — raw vectors appear only
+    in training and encoding, never in the query path.
+
+    Output: (query_id, neighbor_id, rank, approx_d2) — top `k` by ADC
+    distance among the probed cells' members.
+
+    100 TB shape: everything `pq_topk` claims, PLUS the scan bound —
+    the per-query ranking touches |probed cells| instead of the corpus
+    (nprobe/n_cells of the data in expectation). Probe routing and code
+    election are broadcast-centroid argmins; the candidate join keys on
+    the CELL id; the ADC LUT broadcasts."""
+    sd = dim // m
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    coarse = _kmeans_centroids(emb, n_cells, coarse_iters, dim).select(
+        "cluster", "cv")
+    d2c = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    cells = (
+        corpus.join(F.broadcast(coarse))
+        .select("vec_id", d2c.alias("d2"), "cluster")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("a"))
+        .select("vec_id", F.col("a.cluster").alias("cell"))
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    d2q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cluster"))
+    probes = (
+        queries.join(F.broadcast(coarse))
+        .select("query_id", d2q.alias("d2"), "cluster")
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", F.col("cluster").alias("cell"))
+    )
+    # PQ codebooks + corpus codes + per-query LUT (same spec as pq_topk)
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.slice("v", j * sd + 1, sd).alias("sv"))
+            for j in range(m)
+        ])).alias("s"),
+    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    cb = sub.filter(F.col("vec_id") < ks).select(
+        "j", F.col("vec_id").cast("int").alias("cluster"),
+        F.col("sv").alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    for _ in range(pq_iters):
+        assigned = (
+            sub.join(F.broadcast(cb), "j")
+            .select("vec_id", "j", "sv", d2.alias("d2"), "cluster")
+            .groupBy("vec_id", "j")
+            .agg(F.min(F.struct("d2", "cluster", "sv")).alias("a"))
+            .select("j", F.col("a.cluster").alias("cluster"),
+                    F.col("a.sv").alias("sv"))
+        )
+        cb = assigned.groupBy("j", "cluster").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(sd)],
+        ).select(
+            "j", "cluster",
+            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(sd)]
+                    ).alias("cv"),
+        )
+    codes = (
+        sub.filter(F.col("vec_id") >= n_queries)
+        .join(F.broadcast(cb), "j")
+        .select("vec_id", "j", d2.alias("d2"), "cluster")
+        .groupBy("vec_id", "j")
+        .agg(F.min(F.struct("d2", "cluster")).alias("a"))
+        .select("vec_id", "j", F.col("a.cluster").alias("code"))
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < n_queries)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "j")
+        .select("query_id", "j", "cluster", d2.alias("d2"))
+    )
+    # candidates: probed cells only — the IVF bound on the ADC scan
+    cand = codes.join(cells, "vec_id").join(
+        F.broadcast(probes), "cell")
+    scored = (
+        cand.join(F.broadcast(lut),
+                  (cand["query_id"] == lut["query_id"])
+                  & (cand["j"] == lut["j"])
+                  & (cand["code"] == lut["cluster"]))
+        .select(cand["query_id"].alias("query_id"), "vec_id", "d2")
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "rank", F.round("approx_d2", 6).alias("approx_d2"))
+    )

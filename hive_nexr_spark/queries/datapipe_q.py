@@ -1836,3 +1836,106 @@ ORACLE["text_html_strip"] = """
            CAST(length(clean) AS INT) AS n_clean_chars
     FROM cleaned
 """
+
+
+def _ivf_pq_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
+                coarse_iters: int = 1, nprobe: int = 2, m: int = 4,
+                ks: int = 16, pq_iters: int = 1, dim: int = 64) -> str:
+    """DuckDB oracle for `similarity.ivf_pq_topk`: the coarse-kmeans CTE
+    chain (shared generator) + PQ codebooks/codes/LUT + the probe-bounded
+    ADC ranking."""
+    sd = dim // m
+    d2s = (f"list_aggregate([ (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) "
+           f"for i in range(1, {sd} + 1) ], 'sum')")
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, v[{j * sd + 1}:{(j + 1) * sd}] AS sv "
+        "FROM emb"
+        for j in range(m))
+    parts = [_kmeans_cte(n_cells, coarse_iters, dim), f"""
+    , cells AS (
+      SELECT vec_id, cluster AS cell FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_aggregate([ (e.v[i] - c.cv[i])
+                          * (e.v[i] - c.cv[i])
+                          for i in range(1, {dim} + 1) ], 'sum'),
+                          c.cluster) AS rn
+        FROM emb e CROSS JOIN c{coarse_iters} c
+        WHERE e.vec_id >= {n_queries}
+      ) r WHERE rn = 1
+    )
+    , probes AS (
+      SELECT query_id, cluster AS cell FROM (
+        SELECT e.vec_id AS query_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_aggregate([ (e.v[i] - c.cv[i])
+                          * (e.v[i] - c.cv[i])
+                          for i in range(1, {dim} + 1) ], 'sum'),
+                          c.cluster) AS rn
+        FROM emb e CROSS JOIN c{coarse_iters} c
+        WHERE e.vec_id < {n_queries}
+      ) r WHERE rn <= {nprobe}
+    )
+    , sub AS ({subs})
+    , cb0 AS (
+      SELECT j, CAST(vec_id AS INT) AS cluster, sv AS cv
+      FROM sub WHERE vec_id < {ks}
+    )"""]
+    for it in range(1, pq_iters + 1):
+        parts.append(f"""
+    , pa{it} AS (
+      SELECT j, cluster, sv FROM (
+        SELECT s.vec_id, s.j, s.sv, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2s}, c.cluster) AS rn
+        FROM sub s JOIN cb{it - 1} c USING (j)
+      ) r WHERE rn = 1
+    )
+    , pp{it} AS (
+      SELECT j, cluster, t.i AS i, sum(sv[t.i]) / count(*) AS mu
+      FROM pa{it} CROSS JOIN range(1, {sd} + 1) AS t(i)
+      GROUP BY j, cluster, t.i
+    )
+    , cb{it} AS (
+      SELECT j, cluster, list(mu ORDER BY i) AS cv
+      FROM pp{it} GROUP BY j, cluster
+    )""")
+    parts.append(f"""
+    , codes AS (
+      SELECT vec_id, j, cluster AS code FROM (
+        SELECT s.vec_id, s.j, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2s}, c.cluster) AS rn
+        FROM sub s JOIN cb{pq_iters} c USING (j)
+        WHERE s.vec_id >= {n_queries}
+      ) r WHERE rn = 1
+    )
+    , lut AS (
+      SELECT s.vec_id AS query_id, s.j, c.cluster, {d2s} AS d2
+      FROM sub s JOIN cb{pq_iters} c USING (j)
+      WHERE s.vec_id < {n_queries}
+    )
+    , adc AS (
+      SELECT l.query_id, co.vec_id, sum(l.d2) AS approx_d2
+      FROM codes co
+      JOIN cells ce ON ce.vec_id = co.vec_id
+      JOIN probes p ON p.cell = ce.cell
+      JOIN lut l ON l.query_id = p.query_id
+                AND l.j = co.j AND l.cluster = co.code
+      GROUP BY l.query_id, co.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, rank,
+           round(approx_d2, 6) AS approx_d2
+    FROM (
+      SELECT query_id, vec_id, approx_d2,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_d2, vec_id)
+                  AS INT) AS rank
+      FROM adc
+    ) t WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+QUERIES["similarity_ivf_pq_topk"] = _bind(similarity.ivf_pq_topk,
+                                          "embeddings")
+ORACLE["similarity_ivf_pq_topk"] = _ivf_pq_sql()

@@ -672,3 +672,16 @@ def test_classifier_train_broadcast_weights_partial_agg(dfs):
     fplan = _formatted(quality_classifier_train(dfs["documents"]))
     assert "partial_avg" in fplan or "partial_sum" in fplan
     assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+
+
+def test_ivf_pq_probe_bounded_broadcasts(dfs):
+    """IVF-PQ: coarse centroids, PQ codebooks, probes and LUT all ride
+    broadcast joins; the candidate restriction keys on the CELL id; no
+    cartesian; code/cell elections partially combine map-side."""
+    from hive_nexr_spark.datapipe.similarity import ivf_pq_topk
+
+    fplan = _formatted(ivf_pq_topk(dfs["embeddings"]))
+    assert "BroadcastHashJoin" in fplan
+    assert "CartesianProduct" not in fplan
+    assert "partial_min" in fplan
+    assert "partial_sum" in fplan
