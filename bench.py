@@ -131,6 +131,69 @@ def _job_group_metrics(spark, group: str) -> dict[str, int]:
     return tot
 
 
+def _make_stream_listener():
+    """StreamingQueryListener that accumulates micro-batch progress totals.
+
+    Streaming jobs run under the stream's own runId job group, so
+    `_job_group_metrics` can't see them; this listener drains
+    QueryProgressEvents instead (input rows, batches, state rows) so
+    `events_stream_*` queries get a non-empty fingerprint too
+    (BENCH_NOTES.md round-9). Returns None if the listener API is
+    unavailable — metrics stay best-effort."""
+    try:
+        from pyspark.sql.streaming import StreamingQueryListener
+    except ImportError:
+        return None
+
+    class _L(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.totals = {
+                "stream_input_rows": 0,
+                "stream_batches": 0,
+                "stream_state_rows": 0,
+            }
+
+        def snapshot(self) -> dict[str, int]:
+            return dict(self.totals)
+
+        def onQueryStarted(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: N802
+            p = event.progress
+            self.totals["stream_input_rows"] += int(p.numInputRows)
+            self.totals["stream_batches"] += 1
+            for so in p.stateOperators:
+                self.totals["stream_state_rows"] += int(so.numRowsTotal)
+
+        def onQueryIdle(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: N802
+            pass
+
+    return _L()
+
+
+def _stream_delta(listener, before: dict[str, int], timeout: float = 3.0
+                  ) -> dict[str, int]:
+    """Listener events arrive on an async bus thread; poll briefly until the
+    totals stop moving, then return the delta since `before` (zero-valued
+    keys dropped so batch-only queries keep their compact fingerprint)."""
+    if listener is None:
+        return {}
+    deadline = time.perf_counter() + timeout
+    prev = listener.snapshot()
+    while time.perf_counter() < deadline:
+        time.sleep(0.1)
+        cur = listener.snapshot()
+        if cur == prev:
+            break
+        prev = cur
+    return {k: v - before.get(k, 0) for k, v in prev.items()
+            if v - before.get(k, 0) > 0}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
@@ -138,6 +201,13 @@ def main() -> None:
 
     spark = get_session(app_name="hive-nexr-spark-bench")
     queries = entry_mod.queries()
+
+    listener = _make_stream_listener()
+    if listener is not None:
+        try:
+            spark.streams.addListener(listener)
+        except Exception:  # noqa: BLE001 — metrics are best-effort extras
+            listener = None
 
     # Absorb one-time costs before timing: JVM/codegen warm-up and the
     # testdata view registration (parquet footer reads) — otherwise they
@@ -153,6 +223,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         group = f"bench:{name}"
+        stream_before = listener.snapshot() if listener is not None else {}
         spark.sparkContext.setJobGroup(group, name)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -160,6 +231,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.sparkContext.setJobGroup("bench:idle", "idle")
         m = _job_group_metrics(spark, group)
+        if name.startswith("events_stream_"):
+            m = {**m, **_stream_delta(listener, stream_before)}
         if m:
             metrics[name] = m
 
@@ -168,6 +241,22 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # The driver captures only a bounded tail of stdout, so the FINAL line
+    # must stay compact (guard-tested < 1800 chars in tests/test_bench_contract.py;
+    # round 8's inline `metrics` dict pushed it to ~9,280 chars and the driver
+    # recorded parsed:null). The per-query plan-metric fingerprints are emitted
+    # on their OWN earlier line AND persisted to a sidecar file next to bench.py
+    # so they survive regardless of tail-capture length.
+    metrics_payload = json.dumps({"metrics": metrics, "sf": sf_val})
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_METRICS.json"
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            fh.write(metrics_payload + "\n")
+    except OSError:
+        pass  # sidecar is best-effort; stdout line below is authoritative
+    print(metrics_payload)
     print(
         json.dumps(
             {
@@ -175,7 +264,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "metrics": metrics,
                 "sf": sf_val,
             }
         )
