@@ -517,7 +517,13 @@ def domain_temperature_mix(documents: DataFrame, total: int = 200,
     broadcast 1-row Σ√n aggregate (no driver math); a hash-threshold
     pre-filter keeps ~oversample×quota expected rows per stratum before
     the exact per-stratum row_number window runs on the survivors —
-    never a full-stratum sort."""
+    never a full-stratum sort. The pre-filter is probabilistic (for
+    quota q it keeps Binomial(n, q·oversample/n) rows — miss chance
+    ~e^-(oversample·q) per stratum), so coverage is GUARANTEED by a
+    fallback: strata whose survivor count lands under quota re-run the
+    window UNFILTERED (ADVICE r9). The short-strata table is at most
+    #strata rows — both repair joins broadcast, and the full-stratum
+    sort happens only for the (rare) affected strata."""
     corpus = with_skewed_sources(documents)
     u = (F.conv(F.substring(F.md5(
         F.concat_ws(":", F.col("source"), F.col("doc_id"))), 1, 15),
@@ -537,14 +543,24 @@ def domain_temperature_mix(documents: DataFrame, total: int = 200,
             ).alias("quota"),
         )
     )
-    survivors = (
-        sized.join(F.broadcast(quotas), "source")
-        .filter(F.col("u") * F.col("n_stratum")
-                < F.col("quota") * F.lit(oversample))
+    joined = sized.join(F.broadcast(quotas), "source")
+    survivors = joined.filter(
+        F.col("u") * F.col("n_stratum")
+        < F.col("quota") * F.lit(oversample))
+    short = (
+        quotas.join(
+            survivors.groupBy("source").agg(F.count("*").alias("n_surv")),
+            "source", "left")
+        .filter(F.coalesce(F.col("n_surv"), F.lit(0)) < F.col("quota"))
+        .select("source")
+    )
+    pool = (
+        survivors.join(F.broadcast(short), "source", "left_anti")
+        .unionByName(joined.join(F.broadcast(short), "source", "left_semi"))
     )
     w = Window.partitionBy("source").orderBy("u", "doc_id")
     return (
-        survivors.withColumn("pick", F.row_number().over(w))
+        pool.withColumn("pick", F.row_number().over(w))
         .filter(F.col("pick") <= F.col("quota"))
         .select("source", "n_stratum", "quota", "doc_id", "pick")
     )
@@ -568,9 +584,12 @@ def quality_classifier_train(documents: DataFrame, steps: int = 3,
     the kmeans/PageRank loops): each step is ONE map-side-combined
     aggregation over the feature scan producing a 1-row gradient, which
     crossJoin-broadcasts back as the next step's weights; `steps` is
-    unrolled into a single lazy plan, no driver-side data movement, and
-    the feature projection is computed once per step from the same
-    cached-scan shape the scoring op uses."""
+    unrolled into a single lazy plan, no driver-side data movement. The
+    6-feature projection (7 doubles/row) is `tracked_persist`ed before
+    the loop (VERDICT r8 #2) so the corpus text is scanned/tokenized
+    ONCE total instead of once per step — the same shingle-persist
+    discipline `minhash_lsh_pairs` uses."""
+    from ._cache import tracked_persist
     from .textops import EN_STOPWORDS
 
     toks = _tokens(F.col("text"))
@@ -589,6 +608,7 @@ def quality_classifier_train(documents: DataFrame, steps: int = 3,
          / F.length("text")).cast("double").alias("x5"),
         (F.col("lang") == "en").cast("double").alias("y"),
     )
+    feats = tracked_persist(feats)
     weights = feats.sparkSession.createDataFrame(
         [(0.0,) * 6], "w0 double, w1 double, w2 double, w3 double, "
                       "w4 double, w5 double")

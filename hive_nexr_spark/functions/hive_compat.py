@@ -133,6 +133,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("hive_hash", _py_hive_hash, "int")
     spark.udf.register("reflect", _py_reflect, "string")
     spark.udf.register("field", _py_field, "int")
+    spark.udf.register(
+        "hive_get_json_object", _py_hive_get_json_object, "string")
     spark.udf.register("ewah_bitmap_and", ewah.bitmap_and, "array<bigint>")
     spark.udf.register("ewah_bitmap_or", ewah.bitmap_or, "array<bigint>")
     spark.udf.register("ewah_bitmap_empty", ewah.bitmap_empty, "boolean")
@@ -159,6 +161,106 @@ def _make_ewah_bitmap_agg():
         return ewah.bitmap_from_positions(positions.dropna().tolist())
 
     return _ewah_bitmap_agg
+
+
+def _py_hive_get_json_object(json_str: str | None,
+                             path: str | None) -> str | None:
+    """Hive 0.8 ``get_json_object`` bit-parity, including the
+    extract_json_withindex quirk (`udf/UDFJson.java:190-225`): the
+    numeric-subscript branch reassigns ``jsonList = tmp_jsonList`` INSIDE
+    its for loop, so after the first successful index the loop condition
+    ``i < jsonList.size()`` fails and only the FIRST element of a
+    multi-element working list (produced by ``[*]`` earlier in the SAME
+    path component) is ever indexed — ``'$.store.basket[*][0]'`` yields
+    scalar ``1``, not ``[1,3,5]``. The qfile runner routes exactly the
+    bug-pattern paths here (sources/qtest.py); batch operators keep
+    Spark's JVM-side builtin, whose standard JSONPath semantics Hive
+    itself later adopted.
+    """
+    import json as _json
+    import re as _re
+
+    if not json_str or not path:
+        return None
+    parts = path.split(".")
+    if parts[0] != "$":
+        return None
+
+    def withkey(obj, key):
+        # extract_json_withkey (UDFJson.java:228-251): arrays flatten the
+        # per-element values; scalars/missing keys raise (→ overall null)
+        if isinstance(obj, list):
+            out: list = []
+            for elem in obj:
+                try:
+                    v = elem[key]  # non-dict / missing key → skip element
+                except Exception:  # noqa: BLE001 — Java catches Exception
+                    continue
+                if isinstance(v, list):
+                    out.extend(v)
+                else:
+                    out.append(v)
+            return out or None
+        return obj[key]  # ClassCast/JSONException analogue: raises
+
+    def withindex(obj, idx_list):
+        # extract_json_withindex (UDFJson.java:190-225), bug included
+        jlist = [obj]
+        for index in idx_list:
+            tmp: list = []
+            if index == "*":
+                for elem in jlist:
+                    if isinstance(elem, list):  # non-array → CCE → skip
+                        tmp.extend(elem)
+                jlist = tmp  # assigned AFTER the loop — no quirk here
+            else:
+                n = int(index)
+                i = 0
+                while i < len(jlist):
+                    elem = jlist[i]
+                    if isinstance(elem, list):
+                        if not 0 <= n < len(elem):
+                            return None  # JSONException → null outright
+                        tmp.append(elem[n])
+                        jlist = tmp  # the 0.8 bug: reassigned IN the loop
+                    # non-array → ClassCastException → continue, no swap
+                    i += 1
+        if not jlist:
+            return None  # jsonList.get(0) on empty → IOOBE → null
+        return jlist if len(jlist) > 1 else jlist[0]
+
+    def render(obj):
+        # evaluate() renders via Object.toString() (org.json compact forms)
+        if obj is None:
+            return None
+        if isinstance(obj, str):
+            return obj
+        if isinstance(obj, bool):
+            return "true" if obj else "false"
+        if isinstance(obj, (list, dict)):
+            return _json.dumps(obj, separators=(",", ":"))
+        return str(obj)
+
+    try:
+        obj = _json.loads(json_str)
+        if not isinstance(obj, dict):
+            return None  # new JSONObject(jsonString) rejects non-objects
+        for comp in parts[1:]:
+            # patternKey: component must OPEN with a bare key
+            m = _re.match(r"([a-zA-Z0-9_\-]+)", comp)
+            if m is None:
+                return None
+            obj = withkey(obj, m.group(1))
+            if obj is None:
+                return None  # Java NPEs on the next step → caught → null
+            idx_list = _re.findall(r"\[([0-9]+|\*)\]", comp)
+            if idx_list:
+                obj = withindex(obj, idx_list)
+                if obj is None:
+                    return None
+        return render(obj)
+    except Exception:  # noqa: BLE001 — evaluate() catches Exception → null
+        return None
 
 
 def _py_field(*args) -> int:

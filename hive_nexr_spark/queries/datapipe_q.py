@@ -1708,16 +1708,32 @@ ORACLE["domain_temperature_mix"] = """
                               + 0.5) AS BIGINT)) AS quota
       FROM c, z
     ),
-    surv AS (
+    j AS (
       SELECT s.source, q.n_stratum, q.quota, s.doc_id, s.u
       FROM s JOIN q USING (source)
-      WHERE s.u * q.n_stratum < q.quota * 4.0
+    ),
+    surv AS (
+      SELECT * FROM j WHERE u * n_stratum < quota * 4.0
+    ),
+    -- coverage repair (mirrors the engine): strata whose pre-filter
+    -- survivors land under quota re-rank unfiltered
+    short AS (
+      SELECT q.source
+      FROM q LEFT JOIN (SELECT source, count(*) AS n_surv
+                        FROM surv GROUP BY source) sc USING (source)
+      WHERE coalesce(sc.n_surv, 0) < q.quota
+    ),
+    pool AS (
+      SELECT * FROM surv
+      WHERE source NOT IN (SELECT source FROM short)
+      UNION ALL
+      SELECT * FROM j WHERE source IN (SELECT source FROM short)
     ),
     ranked AS (
       SELECT source, n_stratum, quota, doc_id,
              CAST(row_number() OVER (PARTITION BY source
                                      ORDER BY u, doc_id) AS INT) AS pick
-      FROM surv
+      FROM pool
     )
     SELECT source, CAST(n_stratum AS BIGINT) AS n_stratum, quota,
            doc_id, pick

@@ -42,19 +42,18 @@ import re
 #     our extra ('1','1','^') row IS that partition) and renders the
 #     literal-tab row as 4 tab-split fields ('1','1','','') vs our
 #     3-field row ('1','1','\t') — same CLI line bytes.
-#   udf_get_json_object.q: JSONPath '$.store.basket[*][0]' — the golden
-#     pins scalar '1' but exec/UDFJson.java:190-225 evaluates [*] to the
-#     list of sub-arrays and [0] over EACH, i.e. [1,3,5] (this engine's
-#     value; the transcript predates that code path).
+# (Round-9 note: udf_get_json_object.q was WRONGLY listed here in r8 — the
+# advisor's re-trace showed UDFJson.extract_json_withindex reassigns
+# jsonList INSIDE the numeric-index loop, so '$.store.basket[*][0]' really
+# does evaluate to scalar '1' as the transcript pins. The engine now
+# emulates that quirk bit-for-bit (functions/hive_compat.py
+# _py_hive_get_json_object + the qtest bug-pattern rewrite) and the
+# tolerance is gone.)
 STALE_TRANSCRIPT_TOLERANCES: dict[str, list[dict]] = {
     "escape1.q.out": [{
         "index": 1,
         "extra_ours": [("1", "1", "\t"), ("1", "1", "^")],
         "extra_theirs": [("1", "1", "", "")],
-    }],
-    "udf_get_json_object.q.out": [{
-        "index": 6,
-        "cell_diffs": [(2, "1", "[1,3,5]")],  # (col, golden, ours)
     }],
 }
 

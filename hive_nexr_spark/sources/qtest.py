@@ -2612,6 +2612,19 @@ def run_qfile(spark: SparkSession, qfile: str,
                     stmt = re.sub(r"\bBLOCK__OFFSET__INSIDE__FILE\b",
                                   "monotonically_increasing_id()", stmt,
                                   flags=re.IGNORECASE)
+            if re.search(r"(?i)\bget_json_object\s*\(", stmt):
+                # Hive 0.8's UDFJson numeric-index branch reassigns its
+                # working list INSIDE the loop (udf/UDFJson.java:213-222),
+                # so `[n]` after `[*]` in the same path component indexes
+                # only the first sub-array ('$.store.basket[*][0]' → '1').
+                # Spark's builtin follows standard JSONPath ('[1,3,5]');
+                # route exactly the bug-pattern paths to the bit-parity
+                # Python UDF (functions/hive_compat.py) and leave every
+                # other call on the JVM builtin.
+                stmt = re.sub(
+                    r"(?i)\bget_json_object(\s*\(\s*[^(),]+,\s*"
+                    r"'[^']*\[\*\](?:\[(?:\d+|\*)\])*\[\d+\][^']*'\s*\))",
+                    r"hive_get_json_object\1", stmt)
             if re.search(r"\b(?:context_)?ngrams\s*\(", stmt,
                          re.IGNORECASE):
                 stmt = _rewrite_ngrams_stmt(stmt)
@@ -3426,13 +3439,58 @@ def run_qfile(spark: SparkSession, qfile: str,
                             "the destination table is partitioned")
                     kvs = [kv for kv in m.group("part").split(",")
                            if kv.strip()]
-                    if any("=" not in kv for kv in kvs):
-                        # keys-only spec (PARTITION (ds)) — Hive reports
-                        # the partition-columns requirement, never an
-                        # index error on the missing value
+                    spec = {}  # insertion-ordered, like the LinkedHashMap
+                    for kv in kvs:
+                        if "=" in kv:
+                            k, v = kv.split("=", 1)
+                            spec[k.strip().lower()] = v.strip().strip(
+                                "'\"")
+                        else:
+                            spec[kv.strip().lower()] = None
+                    n_dyn = sum(1 for v in spec.values() if v is None)
+                    if n_dyn:
+                        # keys-only entries (PARTITION (ds)) parse as a
+                        # DYNAMIC_PARTITION spec (BaseSemanticAnalyzer
+                        # tableSpec:650-690, values null), traced r9:
+                        # strict mode (the 0.8 default) rejects an
+                        # all-dynamic spec up front; a dynamic key before
+                        # a static one violates ordering; otherwise
+                        # analysis reaches Hive.getPartition whose
+                        # Table.isValidSpec raises on the first
+                        # null-valued partition column (Table.java:350).
+                        n_static = len(spec) - n_dyn
+                        low_cols = {c.lower() for c in lp_cols}
+                        for k in spec:
+                            if k not in low_cols:
+                                # Utilities.validatePartSpec fires first
+                                raise ValueError(
+                                    "Non-Partition column appears in the"
+                                    f" partition specification:  {k}")
+                        mode = qvars.get(
+                            "hive.exec.dynamic.partition.mode", "strict")
+                        if (n_static == 0
+                                and mode.strip().lower() == "strict"):
+                            raise ValueError(
+                                "Dynamic partition strict mode requires "
+                                "at least one static partition column. "
+                                "To turn this off set hive.exec.dynamic."
+                                "partition.mode=nonstrict")
+                        for col in lp_cols:
+                            if spec.get(col.lower()) is None:
+                                if n_static > 0:
+                                    raise ValueError(
+                                        "Dynamic partition cannot be the "
+                                        "parent of a static partition")
+                                break
+                            n_static -= 1
+                        render = "{" + ", ".join(
+                            f"{k}={'null' if v is None else v}"
+                            for k, v in spec.items()) + "}"
+                        first_null = next(c for c in lp_cols
+                                          if spec.get(c.lower()) is None)
                         raise ValueError(
-                            "Need to specify partition columns because "
-                            "the destination table is partitioned")
+                            f"{first_null} not found in table's "
+                            f"partition spec: {render}")
                     if len(kvs) != len(lp_cols):
                         v0 = kvs[0].split("=", 1)[1].strip()
                         raise ValueError(f"Partition not found '{v0}'")

@@ -583,8 +583,17 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.base import ensure_views
 
     events = ensure_views(spark, sf_dir)["events"]
-    out = (f"/tmp/hive_nexr_spark_scratch/rollup_hourly_"
-           f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}")
+    # per-process rollup root + unique subdir, removed at exit — same
+    # pattern as the cdc staging above: a fixed sf-keyed path raced
+    # overwrite-vs-read between concurrent processes (parallel sweeps)
+    # and leaked the dir across runs (ADVICE r9).
+    rollup_root = f"/tmp/hive_nexr_spark_scratch/rollup_{os.getpid()}"
+    if not os.path.isdir(rollup_root):
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, rollup_root, ignore_errors=True)
+    out = os.path.join(rollup_root, uuid.uuid4().hex[:8])
     hourly = (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"),

@@ -485,6 +485,24 @@ def test_temperature_mix_upsamples_small_strata(dfs):
     assert (largest.quota / total_q) < (largest.n_stratum / total_n)
 
 
+def test_temperature_mix_quota_guaranteed_under_tight_prefilter(dfs):
+    """The hash pre-filter is probabilistic; strata it under-fills must
+    fall back to the unfiltered window so every stratum still emits
+    exactly quota picks (ADVICE r9). oversample=0.2 keeps an expected
+    0.2·quota survivors — far below quota — so the fallback path is
+    exercised for real, not just compiled."""
+    from hive_nexr_spark.datapipe.curation import domain_temperature_mix
+
+    rows = domain_temperature_mix(dfs["documents"], oversample=0.2).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) > 3
+    for src, rs in by_src.items():
+        assert len(rs) == rs[0].quota, src
+        assert sorted(r.pick for r in rs) == list(range(1, len(rs) + 1))
+
+
 def test_canonical_dedup_catches_case_variants(dfs):
     """Every planted upper-cased copy (doc_id % 7 == 1 -> +300000) must
     land in the same canonical group as its original, and keep_id must be

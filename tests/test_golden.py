@@ -89,10 +89,14 @@ def test_real_golden_explain_excluded():
 
 def test_stale_transcript_tolerance_is_exact():
     """The stale-transcript allowlist must absorb ONLY the pinned diff:
-    the exact escape1/udf_get_json_object residuals pass, any other
-    divergence in the same files still fails."""
+    the exact escape1 residual passes, any other divergence in the same
+    file still fails. (udf_get_json_object.q.out left this list in r9 —
+    the transcript was never stale; the engine now emulates UDFJson's
+    numeric-index quirk bit-for-bit instead.)"""
     from hive_nexr_spark.sources.golden import (STALE_TRANSCRIPT_TOLERANCES,
                                                 _stale_tolerated)
+
+    assert "udf_get_json_object.q.out" not in STALE_TRANSCRIPT_TOLERANCES
 
     esc = STALE_TRANSCRIPT_TOLERANCES["escape1.q.out"]
     ours = [("1", "1", "\t"), ("1", "1", "^"), ("1", "1", "a")]
@@ -104,13 +108,26 @@ def test_stale_transcript_tolerance_is_exact():
     # wrong select index must NOT be absorbed
     assert not _stale_tolerated(esc, 0, ours, theirs, None)
 
-    js = STALE_TRANSCRIPT_TOLERANCES["udf_get_json_object.q.out"]
-    ours = [("2", "x", "[1,3,5]", "q")]
-    theirs = ["2\tx\t1\tq"]
-    assert _stale_tolerated(js, 6, ours, theirs, None)
-    # a second differing cell must NOT be absorbed
-    assert not _stale_tolerated(js, 6, [("2", "y", "[1,3,5]", "q")],
-                                theirs, None)
-    # a different value in the pinned cell must NOT be absorbed
-    assert not _stale_tolerated(js, 6, [("2", "x", "[1,3]", "q")],
-                                theirs, None)
+
+def test_hive_get_json_object_quirk_parity():
+    """UDFJson.java:190-225 numeric-index-after-[*] quirk, emulated
+    bit-for-bit by _py_hive_get_json_object (ADVICE r9 high finding)."""
+    from hive_nexr_spark.functions.hive_compat import (
+        _py_hive_get_json_object as g)
+
+    doc = ('{"store":{"basket":[[1,2,{"b":"y"}],[3,4],[5,6]],'
+           '"book":[{"category":"ref"}]},"owner":"amy"}')
+    # the bug: [*][0] indexes only the FIRST sub-array → scalar 1
+    assert g(doc, "$.store.basket[*][0]") == "1"
+    # standard paths unaffected
+    assert g(doc, "$.store.basket[0][1]") == "2"
+    assert g(doc, "$.owner") == "amy"
+    assert g(doc, "$.store.basket[*]") == '[[1,2,{"b":"y"}],[3,4],[5,6]]'
+    assert g(doc, "$.store.basket[0][*]") == '[1,2,{"b":"y"}]'
+    # [*][*] flattens fully (assignment after the loop — no quirk)
+    assert g(doc, "$.store.basket[*][*]") == '[1,2,{"b":"y"},3,4,5,6]'
+    # out-of-range numeric subscript → JSONException → null
+    assert g(doc, "$.store.book[10]") is None
+    # missing key / unsupported recursive descent → null
+    assert g(doc, "$.non_exist_key") is None
+    assert g(doc, "$..no_recursive") is None

@@ -672,6 +672,13 @@ def test_classifier_train_broadcast_weights_partial_agg(dfs):
     fplan = _formatted(quality_classifier_train(dfs["documents"]))
     assert "partial_avg" in fplan or "partial_sum" in fplan
     assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+    # the feature projection is persisted before the GD loop, so the
+    # corpus is scanned/tokenized once total (r8 verdict #2): every
+    # aggregation (3 steps + final logloss) reads InMemoryTableScan.
+    # (The formatted plan re-prints the cached relation's parquet
+    # subtree under each reference, so counting "Scan parquet" would
+    # overstate real scans — cache materializes on first use.)
+    assert fplan.count("InMemoryTableScan") >= 4
 
 
 def test_ivf_pq_probe_bounded_broadcasts(dfs):

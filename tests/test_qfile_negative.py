@@ -119,3 +119,43 @@ def test_parse_positive_sample3_runs(spark):
     run_qfile(
         spark,
         "/root/reference/ql/src/test/queries/positive/sample3.q")
+
+
+def test_load_keys_only_partition_spec_parity(spark, tmp_path):
+    """Keys-only LOAD spec `PARTITION (ds)` — TRACED reference behavior
+    (no corpus file covers it; ADVICE r9): the spec parses as an
+    all-dynamic DYNAMIC_PARTITION spec (BaseSemanticAnalyzer
+    tableSpec:650-690), so strict dynamic-partition mode — the 0.8
+    default — rejects it up front (ErrorMsg.DYNAMIC_PARTITION_STRICT_MODE);
+    under nonstrict, analysis reaches Hive.getPartition whose
+    Table.isValidSpec (metadata/Table.java:327-353) raises on the first
+    null-valued partition key. The old guard extrapolated
+    NEED_PARTITION_ERROR here, which the reference never emits for a
+    non-empty spec (LoadSemanticAnalyzer.java:214-217)."""
+    import pytest as _pytest
+
+    from hive_nexr_spark.sources.qtest import run_qfile
+
+    data = tmp_path / "kv1.txt"
+    data.write_text("1\x012\n")
+
+    q = tmp_path / "keys_only_strict.q"
+    q.write_text(
+        "create table keysonly_t (a string) partitioned by (ds string);\n"
+        f"load data local inpath '{data}' into table keysonly_t "
+        "partition (ds);\n")
+    with _pytest.raises(Exception, match="Dynamic partition strict mode"):
+        run_qfile(spark, str(q))
+
+    q2 = tmp_path / "keys_only_nonstrict.q"
+    q2.write_text(
+        "set hive.exec.dynamic.partition.mode=nonstrict;\n"
+        "create table keysonly_t2 (a string) partitioned by (ds string);\n"
+        f"load data local inpath '{data}' into table keysonly_t2 "
+        "partition (ds);\n")
+    with _pytest.raises(Exception,
+                        match=r"ds not found in table's partition spec"):
+        run_qfile(spark, str(q2))
+
+    spark.sql("DROP TABLE IF EXISTS keysonly_t")
+    spark.sql("DROP TABLE IF EXISTS keysonly_t2")
