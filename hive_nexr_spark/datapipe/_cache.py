@@ -37,3 +37,18 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     df = df.persist()
     _LIVE.append(df)
     return df
+
+
+def tracked_persist_extend(df: DataFrame) -> DataFrame:
+    """Persist WITHOUT releasing this operator's earlier tracked persists.
+
+    For iterative chains (BPE merge loop) where level k+1's plan references
+    level k twice (directly, and through the per-level argmax): persisting
+    EVERY level keeps the lazy DAG linear — the first reference
+    materializes the cache, the second reads it — where unpersisting level
+    k before k+1 materializes would re-expand the chain exponentially.
+    All levels are released together when the NEXT operator calls
+    ``tracked_persist``."""
+    df = df.persist()
+    _LIVE.append(df)
+    return df

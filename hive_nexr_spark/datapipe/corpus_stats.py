@@ -221,8 +221,90 @@ def bpe_top_pairs(documents: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def bpe_train_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """FULL BPE merge-loop training (Sennrich et al. 2016, public arXiv
+    1508.07909 — learn_bpe): starting from the character segmentation of
+    the corpus vocabulary, repeat `n_merges` times: count adjacent
+    symbol pairs weighted by word frequency, merge the most frequent
+    pair (ties broken lexicographically) in every word, record it.
+    Completes `bpe_top_pairs`, which computes only merge #1 — by
+    construction this op's step-1 row equals bpe_top_pairs' rank-1 row.
+
+    Output: (step, lhs, rhs, merged, n_occurrences), step = 1..n_merges
+    — the ordered merge table a BPE tokenizer ships as its model file
+    (consumed downstream by `bpe_apply_tokenize(pieces=...)`).
+
+    100 TB shape — the Sennrich trick that makes training corpus-free
+    after ONE corpus pass: all per-iteration work runs over the DISTINCT
+    WORD vocabulary (grows ~log corpus), never the token stream. One
+    corpus-sized map-side-combined word count up front; then each
+    unrolled step is a vocab-bounded pair explode + aggregation, a
+    1-row TakeOrdered argmax broadcast back, and a JVM `aggregate` fold
+    re-segmenting each word (greedy left-to-right merge via a
+    delimited-string accumulator — the merged tail symbol no longer
+    equals `lhs`, which is exactly the non-overlap rule). Every vocab
+    level is persisted (`tracked_persist_extend`) so the lazy DAG stays
+    LINEAR in n_merges: level k+1 references level k twice (directly
+    and through its argmax), and without the cache the chain would
+    re-expand 2^k. Zero Python UDFs anywhere.
+    """
+    from ._cache import tracked_persist, tracked_persist_extend
+
+    US = "\x1f"  # unit separator — cannot appear inside a symbol
+    vocab = (
+        documents.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter((F.length("w") >= 2) & ~F.col("w").contains(US))
+        .groupBy("w").agg(F.count("*").alias("n"))
+        .select(F.split("w", "").alias("syms"), "n")
+    )
+    vocab = tracked_persist(vocab)
+
+    steps: list[DataFrame] = []
+    for step in range(1, n_merges + 1):
+        syms = F.col("syms")
+        pairs = vocab.select(
+            "n",
+            F.explode(F.zip_with(
+                F.slice(syms, 1, F.size(syms) - 1),
+                F.slice(syms, 2, F.size(syms) - 1),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            )).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.lhs").alias("lhs"),
+                          F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("n").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), "lhs", "rhs")
+            .limit(1)
+        )
+        steps.append(best.select(
+            F.lit(step).alias("step"), "lhs", "rhs",
+            F.concat("lhs", "rhs").alias("merged"), "n_occurrences"))
+        folded = F.aggregate(
+            F.slice(syms, 2, F.size(syms) - 1),
+            F.element_at(syms, 1),
+            lambda acc, s: F.when(
+                (F.substring_index(acc, US, -1) == F.col("lhs"))
+                & (s == F.col("rhs")),
+                F.concat(acc, s),
+            ).otherwise(F.concat(acc, F.lit(US), s)),
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(F.split(folded, US).alias("syms"), "n")
+        )
+        vocab = tracked_persist_extend(vocab)
+
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def bpe_apply_tokenize(documents: DataFrame, max_piece_len: int = 3,
-                       vocab_size: int = 500) -> DataFrame:
+                       vocab_size: int = 500,
+                       pieces: DataFrame | None = None) -> DataFrame:
     """Apply a trained BPE-style subword vocabulary to the corpus —
     greedy longest-match segmentation (the WordPiece/BPE-apply inference
     step, Sennrich et al. 2016 arXiv 1508.07909), the pipeline-complete
@@ -231,6 +313,14 @@ def bpe_apply_tokenize(documents: DataFrame, max_piece_len: int = 3,
     the top-`vocab_size` character n-grams (length 2..`max_piece_len`)
     by corpus frequency — standing in for a loaded tokenizer artifact;
     the segmentation machinery is identical for any piece table.
+
+    `pieces` (optional): a real trained piece table (one `piece` string
+    column, e.g. `bpe_train_merges(...)` merged symbols) REPLACES the
+    synthetic n-gram vocab; the match length bound then derives from the
+    table itself (broadcast 1-row max piece length), so longer learned
+    pieces still match. Greedy longest-match over a BPE-learned vocab is
+    the WordPiece-style application mode — merge-ORDER replay is the
+    other mode; both are standard, this op implements the former.
 
     Output: (doc_id, n_ws_tokens, n_bpe_tokens, pieces_per_word) — the
     subword token budget `pack_sequences` would consume instead of
@@ -246,35 +336,45 @@ def bpe_apply_tokenize(documents: DataFrame, max_piece_len: int = 3,
     one broadcast join (word → piece count) and a doc-keyed sum. The
     walk is inherently sequential per word (BPE semantics), but words
     are bounded (longest word, not document) so the HOF is O(L)."""
-    G = max_piece_len
     wcount = (
         documents.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .groupBy("w").agg(F.count("*").alias("n"))
     )
-    # vocab: top-V character n-grams weighted by word frequency
-    grams = (
-        wcount.select("n", "w",
-                      F.explode(F.sequence(F.lit(2), F.lit(G))).alias("g"))
-        .filter(F.length("w") >= F.col("g"))
-        .select("n", F.explode(F.transform(
-            F.sequence(F.lit(1), F.length("w") - F.col("g") + 1),
-            lambda i: F.col("w").substr(i, F.col("g")),
-        )).alias("piece"))
-    )
-    vocab = (
-        grams.groupBy("piece").agg(F.sum("n").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("piece"))
-        .limit(vocab_size)
-        .select("piece")
-    )
+    if pieces is None:
+        gtop = F.lit(max_piece_len)
+        # vocab: top-V character n-grams weighted by word frequency
+        grams = (
+            wcount.select("n", "w",
+                          F.explode(F.sequence(F.lit(2), gtop)).alias("g"))
+            .filter(F.length("w") >= F.col("g"))
+            .select("n", F.explode(F.transform(
+                F.sequence(F.lit(1), F.length("w") - F.col("g") + 1),
+                lambda i: F.col("w").substr(i, F.col("g")),
+            )).alias("piece"))
+        )
+        vocab = (
+            grams.groupBy("piece").agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("piece"))
+            .limit(vocab_size)
+            .select("piece")
+        )
+        pos_base = wcount.select("w")
+    else:
+        vocab = pieces.select("piece").distinct()
+        # match-length bound from the trained table itself: broadcast
+        # 1-row max so longer learned pieces still match
+        gmax1 = vocab.agg(
+            F.max(F.length("piece")).alias("_gtop"))
+        pos_base = wcount.select("w").crossJoin(F.broadcast(gmax1))
+        gtop = F.col("_gtop")
     # per (word, pos): longest vocab piece starting there (default 1 char)
     cand = (
-        wcount.select("w")
-        .select("w", F.explode(
+        pos_base
+        .select("*", F.explode(
             F.sequence(F.lit(1), F.greatest(F.length("w"), F.lit(1)))
         ).alias("p"))
         .select("w", "p",
-                F.explode(F.sequence(F.lit(2), F.lit(G))).alias("g"))
+                F.explode(F.sequence(F.lit(2), gtop)).alias("g"))
         .filter(F.col("p") + F.col("g") - 1 <= F.length("w"))
         .select("w", "p", "g",
                 F.col("w").substr(F.col("p"), F.col("g")).alias("piece"))

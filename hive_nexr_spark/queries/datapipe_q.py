@@ -3,6 +3,8 @@ multimodal / text analysis) + DuckDB oracles where engine-portable."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..datapipe import (chunking, corpus_stats, curation, dedup, multimodal,
                         packing, similarity, textops)
 from .base import ensure_views
@@ -1465,6 +1467,112 @@ ORACLE["tokenize_bpe_apply"] = """
     FROM words LEFT JOIN pieces p USING (w)
     GROUP BY doc_id
 """
+
+QUERIES["bpe_train_merges"] = _bind(corpus_stats.bpe_train_merges,
+                                    "documents")
+
+
+def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
+    """Chained-CTE DuckDB mirror of the unrolled BPE merge loop: per
+    step, pair counts over the current vocab segmentation, 1-row argmax,
+    and the same delimited-string greedy-merge fold (`list_reduce` folds
+    from the first element exactly like the engine's `aggregate` over
+    slice(2..) with element_at(1) init; chr(31) is the symbol delimiter
+    the word filter guarantees never occurs in-symbol)."""
+    levels = "".join(f""",
+    p{k} AS (
+      SELECT pr[1] AS lhs, pr[2] AS rhs,
+             CAST(sum(n) AS BIGINT) AS n_occurrences
+      FROM (SELECT n, unnest(list_zip(syms[1:len(syms)-1], syms[2:]))
+                     AS pr FROM v{k - 1})
+      GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT * FROM p{k}
+             ORDER BY n_occurrences DESC, lhs, rhs LIMIT 1),
+    v{k} AS (
+      SELECT string_split(list_reduce(syms,
+               (acc, s) -> CASE WHEN string_split(acc, chr(31))[-1] = b.lhs
+                                 AND s = b.rhs
+                           THEN acc || s ELSE acc || chr(31) || s END),
+             chr(31)) AS syms, n
+      FROM v{k - 1}, b{k} b
+    )""" for k in range(1, n_merges + 1))
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"n_occurrences FROM b{k}" for k in range(1, n_merges + 1))
+    return f"""
+    WITH twords AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    v0 AS (
+      SELECT regexp_split_to_array(w, '') AS syms,
+             CAST(count(*) AS BIGINT) AS n
+      FROM twords WHERE length(w) >= 2 AND NOT contains(w, chr(31))
+      GROUP BY w
+    ){levels}
+    {union}"""
+
+
+# full BPE merge-loop training (corpus_stats.bpe_train_merges): the
+# oracle unrolls the identical 6-step loop as chained CTEs
+ORACLE["bpe_train_merges"] = _bpe_train_oracle_sql()
+
+
+def _bpe_trained_apply(documents):
+    merges = corpus_stats.bpe_train_merges(documents)
+    return corpus_stats.bpe_apply_tokenize(
+        documents, pieces=merges.select(F.col("merged").alias("piece")))
+
+
+QUERIES["tokenize_bpe_trained"] = _bind(_bpe_trained_apply, "documents")
+# the learned merge table feeding the greedy longest-match apply
+# (WordPiece-style application of a BPE-learned vocab): train CTEs ->
+# vocab = merged pieces -> dynamic match-length range -> same recursive
+# walk as tokenize_bpe_apply
+ORACLE["tokenize_bpe_trained"] = ("""
+    WITH RECURSIVE""" + _bpe_train_oracle_sql().split("WITH", 1)[1]
+    .rsplit("SELECT 1 AS step", 1)[0].rstrip().rstrip(",")
+    + """,
+    vocab AS (
+      """ + " UNION ".join(
+        f"SELECT lhs || rhs AS piece FROM b{k}" for k in range(1, 7)) + """
+    ),
+    grange AS (
+      SELECT unnest(range(2, (SELECT max(len(piece)) FROM vocab) + 1))
+             AS g
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+    pos AS (
+      SELECT w, unnest(range(1, len(w) + 1)) AS p FROM wc
+      WHERE len(w) >= 1
+    ),
+    cand AS (
+      SELECT w, p, max(g) AS gmax FROM (
+        SELECT w, p, g, substr(w, p, CAST(g AS INT)) AS piece
+        FROM pos, grange WHERE p + g - 1 <= len(w)
+      ) c WHERE piece IN (SELECT piece FROM vocab)
+      GROUP BY w, p
+    ),
+    walk AS (
+      SELECT w, len(w) AS l, 1 AS pos, 0 AS cnt FROM wc WHERE len(w) >= 1
+      UNION ALL
+      SELECT walk.w, walk.l, walk.pos + coalesce(c.gmax, 1), walk.cnt + 1
+      FROM walk LEFT JOIN cand c ON c.w = walk.w AND c.p = walk.pos
+      WHERE walk.pos <= walk.l
+    ),
+    pieces AS (SELECT w, max(cnt) AS n_pieces FROM walk GROUP BY w)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(coalesce(p.n_pieces, 0)) AS BIGINT) AS n_bpe_tokens,
+           round(sum(coalesce(p.n_pieces, 0)) * 1.0 / count(*), 6)
+             AS pieces_per_word
+    FROM words LEFT JOIN pieces p USING (w)
+    GROUP BY doc_id
+""")
 
 QUERIES["quality_classifier_scores"] = _bind(
     curation.quality_classifier_scores, "documents")

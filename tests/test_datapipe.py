@@ -556,3 +556,70 @@ def test_html_strip_recovers_plain_text(dfs, spark):
             assert out[d].clean_digest == hashlib.md5(
                 text.encode()).hexdigest()
             assert out[d].markup_frac == 0.0
+
+
+def test_bpe_train_merges_matches_reference_algorithm(dfs):
+    """The in-engine merge loop must equal a direct Python transcription
+    of Sennrich et al. learn_bpe on the same vocabulary, and its step-1
+    row must equal bpe_top_pairs' rank-1 pair (same statistic)."""
+    from collections import Counter
+
+    from hive_nexr_spark.datapipe.corpus_stats import (bpe_top_pairs,
+                                                       bpe_train_merges)
+
+    got = bpe_train_merges(dfs["documents"]).orderBy("step").collect()
+    assert [r.step for r in got] == [1, 2, 3, 4, 5, 6]
+    assert all(r.merged == r.lhs + r.rhs for r in got)
+
+    vocab: Counter = Counter()
+    for (t,) in dfs["documents"].select("text").collect():
+        for w in t.lower().split(" "):
+            if len(w) >= 2 and "\x1f" not in w:
+                vocab[w] += 1
+    vsyms = {w: list(w) for w in vocab}
+    expect = []
+    for _ in range(6):
+        pc: Counter = Counter()
+        for w, n in vocab.items():
+            s = vsyms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((a, b, cnt))
+        for w in vocab:
+            s = vsyms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vsyms[w] = out
+    assert [(r.lhs, r.rhs, r.n_occurrences) for r in got] == expect
+
+    top = bpe_top_pairs(dfs["documents"], k=1).collect()[0]
+    assert top.pair == got[0].merged
+    assert top.n_occurrences == got[0].n_occurrences
+
+
+def test_bpe_trained_apply_uses_learned_pieces(dfs):
+    """Applying the learned merge table must compress the corpus (fewer
+    BPE tokens than characters, at most n_ws_tokens * longest-word) and
+    match piece accounting: a word made of one learned piece counts 1."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.datapipe.corpus_stats import (bpe_apply_tokenize,
+                                                       bpe_train_merges)
+
+    merges = bpe_train_merges(dfs["documents"])
+    pieces = merges.select(F.col("merged").alias("piece"))
+    out = bpe_apply_tokenize(dfs["documents"], pieces=pieces)
+    agg = out.agg(F.sum("n_bpe_tokens").alias("bpe"),
+                  F.sum("n_ws_tokens").alias("ws")).collect()[0]
+    assert 0 < agg.ws <= agg.bpe  # >= one piece per word
+    # learned pairs actually fire: strictly fewer pieces than characters
+    chars = dfs["documents"].agg(F.sum(F.length(
+        F.regexp_replace(F.lower("text"), " ", "")))).collect()[0][0]
+    assert agg.bpe < chars

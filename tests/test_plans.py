@@ -467,6 +467,24 @@ def test_bpe_pairs_count_over_vocabulary(dfs):
     assert "partial_sum" in fplan
 
 
+def test_bpe_train_merges_vocab_bounded_no_python(dfs):
+    """The unrolled merge loop: every per-step pair explode runs over
+    the cached vocabulary (InMemoryTableScan per level — the persist
+    that keeps the lazy DAG linear instead of 2^steps), each 1-row
+    argmax broadcasts back (BroadcastNestedLoopJoin is the 1-row
+    crossJoin plan), the argmax itself is TakeOrderedAndProject, and
+    the whole fold/merge chain stays JVM-side."""
+    from hive_nexr_spark.datapipe.corpus_stats import bpe_train_merges
+
+    fplan = _formatted(bpe_train_merges(dfs["documents"]))
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+    assert "TakeOrderedAndProject" in fplan
+    assert "CartesianProduct" not in fplan
+    # every level reads a cache, and all 6 argmaxes broadcast back
+    assert fplan.count("InMemoryTableScan") >= 6
+    assert fplan.count("BroadcastNestedLoopJoin") >= 6
+
+
 def test_fuzzy_decontaminate_band_join_carries_ids_only(dfs):
     """The train x benchmark candidate join must key on (band, bucket)
     — never a cartesian — and no band/bucket exchange may carry the
