@@ -90,6 +90,12 @@ HEADLINE = [
     # LUT) and the bigram-LM perplexity ladder step
     "similarity_pq_topk",
     "perplexity_bigram",
+    # added round 9: BPE merge-loop training (unrolled vocab-bounded
+    # loop), and the FIRST streaming headline entry — MinHash band
+    # near-dup per micro-batch vs a static index (its fingerprint comes
+    # from the StreamingQueryListener totals, not the job-group store)
+    "bpe_train_merges",
+    "events_stream_neardup",
 ]
 
 

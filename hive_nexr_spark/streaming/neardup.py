@@ -1,0 +1,175 @@
+"""Streaming NEAR-duplicate dedup: MinHash-band each incoming micro-batch
+against a static corpus index (the production ingest shape — new documents
+arrive on a stream and must be checked against the existing corpus before
+admission). Completes `events_stream_dedup`, which is exact-digest only.
+
+The reference has no streaming at all (SURVEY §2.11); batch-side the
+nearest analogue is its GROUP BY rewrite of DISTINCT
+(`ql/parse/SemanticAnalyzer.java`). The MinHash/LSH math is public
+(Broder 1997; the band scheme is the standard Leskovec-Rajaraman-Ullman
+construction) and identical to `datapipe/dedup.minhash_lsh_pairs`.
+
+Scale design (100 TB corpus, unbounded stream):
+- The static index is built ONCE (signatures + band buckets persisted);
+  per micro-batch work is proportional to the BATCH, not the corpus.
+- The stream side computes signatures STATELESSLY — `array_min` over a
+  per-row transform of the shingle array (one md5 pass per shingle, then
+  H cheap substring passes) instead of the batch path's explode+groupBy,
+  so no streaming aggregation state exists at all; the only stream-side
+  state is the micro-batch itself.
+- Candidate generation is a stream-static equi-join on (band, bucket);
+  verification joins the static shingle table by corpus doc_id. Shuffle
+  keys are band buckets and ids — raw text never enters an Exchange.
+- A pair matching in k bands is emitted k times by the append-mode sink
+  (stateless by design — a streaming `dropDuplicates` would hold
+  unbounded pair state); the landing-table consumer dedups, which is the
+  standard at-least-once sink contract.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datapipe._cache import tracked_persist
+from ..datapipe.dedup import (MINHASH_BANDS, MINHASH_H, ROWS_PER_BAND,
+                              _with_shingles)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming file source over the documents table (same
+    basePath + pathGlobFilter pattern as `events.read_events_stream`)."""
+    from ..io import table_path
+
+    raw_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(os.path.abspath(sf_dir))
+    )
+
+
+def _hof_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, sh) → (doc_id, sh, band, bucket): per-row minhash band
+    projection with NO explode/groupBy — `array_min` over transformed
+    shingle arrays — so it runs identically on batch and (unaggregated)
+    streaming DataFrames. Values are bit-equal to the explode+groupBy
+    path in `minhash_lsh_pairs`: min over the same md5-slice set."""
+    dg = df.withColumn("_dg", F.transform(F.col("sh"), F.md5))
+    sig = dg.select(
+        "doc_id", "sh",
+        *[
+            F.array_min(F.transform(
+                F.col("_dg"),
+                lambda d, h=h: F.substring(d, h * 5 + 1, 5),
+            )).alias(f"mh{h}")
+            for h in range(MINHASH_H)
+        ],
+    )
+    return sig.select(
+        "doc_id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                           for r in range(ROWS_PER_BAND)]).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+
+
+def _incoming(docs: DataFrame, max_doc_id: int) -> DataFrame:
+    """The planted arrival stream: exact copies (+100000, even ids) and
+    near-dups (+200000, ids %3, one planted token) of the bounded
+    corpus — the same synthetic-dup construction the batch dedup ops
+    use (`dedup.with_synthetic_dups`), here playing 'newly ingested
+    documents'."""
+    base = docs.select("doc_id", "text").filter(
+        (F.col("doc_id") % 100000) < max_doc_id)
+    exact = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"))
+    return exact.unionByName(near)
+
+
+def _match_against_index(incoming_docs: DataFrame, bands_static: DataFrame,
+                         toks_static: DataFrame,
+                         threshold: float) -> DataFrame:
+    """Shared batch/stream matcher: incoming docs → stateless HOF bands →
+    (band, bucket) equi-join vs the static index → exact-Jaccard verify
+    against the static shingle table. Works on a streaming
+    `incoming_docs` because every step is a projection or stream-static
+    join."""
+    inc = _hof_bands(
+        _with_shingles(incoming_docs).select("doc_id", "sh")
+    ).select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+             "band", "bucket")
+    cand = inc.join(
+        bands_static.select(F.col("doc_id").alias("doc_a"), "band",
+                            "bucket"),
+        ["band", "bucket"],
+    )
+    return (
+        cand.join(toks_static.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("sh").alias("sh_a")), "doc_a")
+        .select(
+            "doc_a", "doc_b",
+            (F.size(F.array_intersect("sh_a", "sh_b"))
+             / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _static_index(spark: SparkSession, sf_dir: str, max_doc_id: int):
+    from ..queries.base import ensure_views
+
+    docs = ensure_views(spark, sf_dir)["documents"]
+    corpus = docs.select("doc_id", "text").filter(
+        (F.col("doc_id") % 100000) < max_doc_id)
+    toks_static = tracked_persist(
+        _with_shingles(corpus).select("doc_id", "sh"))
+    bands_static = _hof_bands(toks_static).select("doc_id", "band",
+                                                  "bucket")
+    return docs, toks_static, bands_static
+
+
+def stream_neardup(spark: SparkSession, sf_dir: str,
+                   threshold: float = 0.5,
+                   max_doc_id: int = 200) -> DataFrame:
+    """The streaming op: arrival stream → stateless band projection →
+    stream-static band join → verified (corpus doc_a, incoming doc_b,
+    jaccard) pairs, landed in a memory sink and deduped at read (pairs
+    matching in several bands arrive once per band)."""
+    _, toks_static, bands_static = _static_index(spark, sf_dir, max_doc_id)
+    stream = read_documents_stream(spark, sf_dir)
+    matched = _match_against_index(
+        _incoming(stream, max_doc_id), bands_static, toks_static, threshold)
+    name = f"stream_neardup_{uuid.uuid4().hex[:8]}"
+    q = (matched.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).distinct()
+
+
+def neardup_batch_twin(spark: SparkSession, sf_dir: str,
+                       threshold: float = 0.5,
+                       max_doc_id: int = 200) -> DataFrame:
+    """Identical matcher over the batch documents table — the value
+    oracle for the streaming path (same builder functions, batch input)
+    and the plan-test surface for the stream's physical shape."""
+    docs, toks_static, bands_static = _static_index(spark, sf_dir,
+                                                    max_doc_id)
+    return _match_against_index(
+        _incoming(docs.select("doc_id", "text"), max_doc_id),
+        bands_static, toks_static, threshold).distinct()

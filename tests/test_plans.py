@@ -710,3 +710,22 @@ def test_ivf_pq_probe_bounded_broadcasts(dfs):
     assert "CartesianProduct" not in fplan
     assert "partial_min" in fplan
     assert "partial_sum" in fplan
+
+
+def test_stream_neardup_band_join_ids_only(dfs, spark, sf_dir):
+    """The near-dup matcher (shared by the stream and its batch twin):
+    candidates come from a (band, bucket) equi-join — never cartesian —
+    and no band/bucket exchange carries text; the stream side's
+    signature is a stateless projection (no aggregation before the
+    join), which is what lets it run on an unaggregated stream."""
+    import re
+
+    from hive_nexr_spark.streaming import neardup as nd
+
+    df = nd.neardup_batch_twin(spark, sf_dir)
+    fplan = _formatted(df)
+    assert "CartesianProduct" not in fplan
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\(band[^\n]*",
+                         fplan):
+        assert "text#" not in ex, f"text in band shuffle: {ex}"

@@ -116,3 +116,25 @@ def test_range_join_binned_multi_bin_session(spark):
     assert got[900] == (0, 60)
     assert got[901] == (0, 5000)
     assert got[902] == (0, 9 * 1200 - 30)
+
+
+def test_stream_neardup_equals_batch_twin(spark, sf_dir):
+    """The streaming MinHash band path must equal the batch twin built
+    from the same matcher functions, every emitted pair must be a true
+    >=0.5-Jaccard pair, and every planted exact copy must be matched at
+    jaccard 1.0 against its corpus original."""
+    from hive_nexr_spark.streaming import neardup as nd
+
+    stream_rows = {(r.doc_a, r.doc_b, r.jaccard)
+                   for r in nd.stream_neardup(spark, sf_dir).collect()}
+    twin_rows = {(r.doc_a, r.doc_b, r.jaccard)
+                 for r in nd.neardup_batch_twin(spark, sf_dir).collect()}
+    assert stream_rows == twin_rows
+    assert stream_rows, "empty pair set would vacuously pass"
+    assert all(j >= 0.5 for _, _, j in stream_rows)
+    exact_expected = {(r.doc_id, r.doc_id + 100000) for r in
+                      spark.read.parquet(f"{sf_dir}/documents.parquet")
+                      .filter("doc_id % 100000 < 200 AND doc_id % 2 = 0")
+                      .select("doc_id").collect()}
+    got_exact = {(a, b) for a, b, j in stream_rows if j == 1.0}
+    assert exact_expected <= got_exact
