@@ -600,6 +600,83 @@ def pq_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     )
 
 
+def _pq_sub(emb: DataFrame, m: int, sd: int) -> DataFrame:
+    """(vec_id, v) → one row per (vec_id, subspace j) with the subvector
+    slice — the PQ decomposition both training and encoding consume."""
+    return emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.slice("v", j * sd + 1, sd).alias("sv"))
+            for j in range(m)
+        ])).alias("s"),
+    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+
+
+def _pq_d2() -> Column:
+    return F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def _pq_codebooks(sub: DataFrame, ks: int, sd: int,
+                  iters: int) -> DataFrame:
+    """Per-subspace Lloyd codebooks (init = subvectors of vec_id < ks,
+    squared euclidean, ties to the lower id) — the shared deterministic
+    spec of pq_topk / ivf_pq_topk."""
+    d2 = _pq_d2()
+    cb = sub.filter(F.col("vec_id") < ks).select(
+        "j", F.col("vec_id").cast("int").alias("cluster"),
+        F.col("sv").alias("cv"))
+    for _ in range(iters):
+        assigned = (
+            sub.join(F.broadcast(cb), "j")
+            .select("vec_id", "j", "sv", d2.alias("d2"), "cluster")
+            .groupBy("vec_id", "j")
+            .agg(F.min(F.struct("d2", "cluster", "sv")).alias("a"))
+            .select("j", F.col("a.cluster").alias("cluster"),
+                    F.col("a.sv").alias("sv"))
+        )
+        cb = assigned.groupBy("j", "cluster").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(sd)],
+        ).select(
+            "j", "cluster",
+            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(sd)]
+                    ).alias("cv"),
+        )
+    return cb
+
+
+def _pq_encode(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, j, sv) × codebooks → (vec_id, j, code): nearest-centroid
+    election per subspace, broadcast codebooks, map-side-combined min."""
+    d2 = _pq_d2()
+    return (
+        sub.join(F.broadcast(cb), "j")
+        .select("vec_id", "j", d2.alias("d2"), "cluster")
+        .groupBy("vec_id", "j")
+        .agg(F.min(F.struct("d2", "cluster")).alias("a"))
+        .select("vec_id", "j", F.col("a.cluster").alias("code"))
+    )
+
+
+def _coarse_assign(vecs: DataFrame, coarse: DataFrame,
+                   out_col: str = "cell") -> DataFrame:
+    """(vec_id, v) × coarse centroids → (vec_id, cell): broadcast-argmin
+    cell routing (lower-cluster tie-break)."""
+    d2c = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    return (
+        vecs.join(F.broadcast(coarse))
+        .select("vec_id", d2c.alias("d2"), "cluster")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("a"))
+        .select("vec_id", F.col("a.cluster").alias(out_col))
+    )
+
+
 def ivf_pq_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
                 n_cells: int = 8, coarse_iters: int = 1, nprobe: int = 2,
                 m: int = 4, ks: int = 16, pq_iters: int = 1,
@@ -624,17 +701,8 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     coarse = _kmeans_centroids(emb, n_cells, coarse_iters, dim).select(
         "cluster", "cv")
-    d2c = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
     corpus = emb.filter(F.col("vec_id") >= n_queries)
-    cells = (
-        corpus.join(F.broadcast(coarse))
-        .select("vec_id", d2c.alias("d2"), "cluster")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cluster")).alias("a"))
-        .select("vec_id", F.col("a.cluster").alias("cell"))
-    )
+    cells = _coarse_assign(corpus, coarse)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     d2q = F.aggregate(
@@ -649,46 +717,13 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
         .filter(F.col("pr") <= nprobe)
         .select("query_id", F.col("cluster").alias("cell"))
     )
-    # PQ codebooks + corpus codes + per-query LUT (same spec as pq_topk)
-    sub = emb.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("j"),
-                     F.slice("v", j * sd + 1, sd).alias("sv"))
-            for j in range(m)
-        ])).alias("s"),
-    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
-    cb = sub.filter(F.col("vec_id") < ks).select(
-        "j", F.col("vec_id").cast("int").alias("cluster"),
-        F.col("sv").alias("cv"))
-    d2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
-    for _ in range(pq_iters):
-        assigned = (
-            sub.join(F.broadcast(cb), "j")
-            .select("vec_id", "j", "sv", d2.alias("d2"), "cluster")
-            .groupBy("vec_id", "j")
-            .agg(F.min(F.struct("d2", "cluster", "sv")).alias("a"))
-            .select("j", F.col("a.cluster").alias("cluster"),
-                    F.col("a.sv").alias("sv"))
-        )
-        cb = assigned.groupBy("j", "cluster").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(sd)],
-        ).select(
-            "j", "cluster",
-            F.array(*[F.col(f"s{i}") / F.col("n") for i in range(sd)]
-                    ).alias("cv"),
-        )
-    codes = (
-        sub.filter(F.col("vec_id") >= n_queries)
-        .join(F.broadcast(cb), "j")
-        .select("vec_id", "j", d2.alias("d2"), "cluster")
-        .groupBy("vec_id", "j")
-        .agg(F.min(F.struct("d2", "cluster")).alias("a"))
-        .select("vec_id", "j", F.col("a.cluster").alias("code"))
-    )
+    # PQ codebooks + corpus codes + per-query LUT (same spec as pq_topk;
+    # shared helpers — the persisted-index lifecycle reuses them, which
+    # is what makes `ivf_pq_query_index` bit-equal by construction)
+    sub = _pq_sub(emb, m, sd)
+    cb = _pq_codebooks(sub, ks, sd, pq_iters)
+    codes = _pq_encode(sub.filter(F.col("vec_id") >= n_queries), cb)
+    d2 = _pq_d2()
     lut = (
         sub.filter(F.col("vec_id") < n_queries)
         .withColumnRenamed("vec_id", "query_id")
@@ -698,6 +733,140 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     # candidates: probed cells only — the IVF bound on the ADC scan
     cand = codes.join(cells, "vec_id").join(
         F.broadcast(probes), "cell")
+    scored = (
+        cand.join(F.broadcast(lut),
+                  (cand["query_id"] == lut["query_id"])
+                  & (cand["j"] == lut["j"])
+                  & (cand["code"] == lut["cluster"]))
+        .select(cand["query_id"].alias("query_id"), "vec_id", "d2")
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "rank", F.round("approx_d2", 6).alias("approx_d2"))
+    )
+
+
+def _index_scratch() -> str:
+    """Per-process ANN-index root (+ caller-unique subdir), reclaimed at
+    exit — the same concurrency-safe scratch pattern as the CDC staging
+    and hypertable rollup paths."""
+    import atexit
+    import os
+    import shutil
+    import uuid
+
+    root = f"/tmp/hive_nexr_spark_scratch/annidx_{os.getpid()}"
+    if not os.path.isdir(root):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, uuid.uuid4().hex[:8])
+
+
+def ivf_pq_build_index(embeddings: DataFrame, index_dir: str,
+                       n_queries: int = 10, n_cells: int = 8,
+                       coarse_iters: int = 1, m: int = 4, ks: int = 16,
+                       pq_iters: int = 1, dim: int = 64) -> None:
+    """TRAIN + ENCODE + PERSIST the IVF-PQ index — the first third of the
+    production ANN lifecycle (train → persist → query → add-batch;
+    Jégou et al. 2011 §IV, the FAISS-style on-disk index layout is
+    public). Training uses the full input (vec_id < n_queries reserved
+    as queries, same convention as `ivf_pq_topk`); vectors
+    >= n_queries are encoded and stored. Three parquet tables:
+
+      <index_dir>/coarse     (cluster, cv)         — n_cells rows
+      <index_dir>/codebooks  (j, cluster, cv)      — m × ks rows
+      <index_dir>/codes      (vec_id, cell, j, code) — m rows/vector
+
+    100 TB shape: the codes table is the only corpus-sized artifact
+    (m small ints + a cell id per vector — the dim/m compression PQ
+    exists for); it is written partitioned by nothing here but would
+    partition by `cell` at scale so a query's probe list prunes files.
+    Raw vectors never leave the build step."""
+    sd = dim // m
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    coarse = _kmeans_centroids(emb, n_cells, coarse_iters, dim).select(
+        "cluster", "cv")
+    coarse.write.mode("overwrite").parquet(f"{index_dir}/coarse")
+    coarse_t = emb.sparkSession.read.parquet(f"{index_dir}/coarse")
+
+    sub = _pq_sub(emb, m, sd)
+    cb = _pq_codebooks(sub, ks, sd, pq_iters)
+    cb.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    cb_t = emb.sparkSession.read.parquet(f"{index_dir}/codebooks")
+
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    cells = _coarse_assign(corpus, coarse_t)
+    codes = _pq_encode(_pq_sub(corpus, m, sd), cb_t)
+    (codes.join(cells, "vec_id")
+     .select("vec_id", "cell", "j", "code")
+     .write.mode("overwrite").parquet(f"{index_dir}/codes"))
+
+
+def ivf_pq_add_batch(spark, index_dir: str, new_vectors: DataFrame,
+                     m: int = 4, dim: int = 64) -> None:
+    """INCREMENTALLY add a vector batch to a persisted index: encode
+    against the FROZEN coarse centroids and PQ codebooks (read from the
+    index — no retraining) and append to the codes table. This is the
+    standard IVF-PQ ingestion path: codebooks drift only on explicit
+    re-train; arriving vectors pay one broadcast-argmin cell routing and
+    one broadcast-codebook encoding — work proportional to the BATCH."""
+    sd = dim // m
+    coarse_t = spark.read.parquet(f"{index_dir}/coarse")
+    cb_t = spark.read.parquet(f"{index_dir}/codebooks")
+    emb = new_vectors.select("vec_id", _as_double("embedding").alias("v"))
+    cells = _coarse_assign(emb, coarse_t)
+    codes = _pq_encode(_pq_sub(emb, m, sd), cb_t)
+    (codes.join(cells, "vec_id")
+     .select("vec_id", "cell", "j", "code")
+     .write.mode("append").parquet(f"{index_dir}/codes"))
+
+
+def ivf_pq_query_index(spark, index_dir: str, queries: DataFrame,
+                       k: int = 3, nprobe: int = 2, m: int = 4,
+                       dim: int = 64) -> DataFrame:
+    """QUERY the persisted index — no training, no corpus aggregation:
+    the plan reads the three index tables plus the query vectors. Probe
+    routing is a broadcast-centroid window top-nprobe; the ADC LUT
+    (queries × m × ks) broadcasts; candidates key on the CELL id; the
+    per-query ranking touches only probed cells' codes. Bit-equal to
+    `ivf_pq_topk` on the same data by construction (same election
+    tie-breaks, same d2 accumulation order).
+
+    `queries`: (query_id, qv array<double>)."""
+    sd = dim // m
+    coarse_t = spark.read.parquet(f"{index_dir}/coarse")
+    cb_t = spark.read.parquet(f"{index_dir}/codebooks")
+    codes_t = spark.read.parquet(f"{index_dir}/codes")
+
+    d2q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cluster"))
+    probes = (
+        queries.join(F.broadcast(coarse_t))
+        .select("query_id", d2q.alias("d2"), "cluster")
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", F.col("cluster").alias("cell"))
+    )
+    qsub = queries.select(
+        F.col("query_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.slice("qv", j * sd + 1, sd).alias("sv"))
+            for j in range(m)
+        ])).alias("s"),
+    ).select("query_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    lut = qsub.join(F.broadcast(cb_t), "j").select(
+        "query_id", "j", "cluster", _pq_d2().alias("d2"))
+
+    cand = codes_t.join(F.broadcast(probes), "cell")
     scored = (
         cand.join(F.broadcast(lut),
                   (cand["query_id"] == lut["query_id"])

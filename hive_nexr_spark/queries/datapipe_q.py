@@ -1131,14 +1131,17 @@ ORACLE["stratified_sample_sources"] = """
 
 
 def _kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64,
-                emb_sql: str | None = None) -> str:
+                emb_sql: str | None = None, src: str = "emb") -> str:
     """Chained-CTE Lloyd training prefix shared by the kmeans and
     trained-IVF oracles: one (assign, per-dim mean, rebuild) CTE triple
     per iteration — the same deterministic spec as
     `similarity._kmeans_centroids` (init = vec_id < k, squared-euclidean
     argmin with lower-cluster tie-break, element-wise mean update). Ends
     with CTE ``c{{iters}}`` = (cluster, n, cv). ``emb_sql`` overrides the
-    corpus CTE body (semdedup trains over the synthetic-dup corpus)."""
+    corpus CTE body (semdedup trains over the synthetic-dup corpus);
+    ``src`` names the relation the TRAINING reads (the add-batch oracle
+    trains on a filtered view while the full ``emb`` still feeds
+    encode/probe)."""
     d2 = (f"list_aggregate([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) "
           f"for i in range(1, {dim} + 1) ], 'sum')")
     emb = emb_sql or """emb AS (
@@ -1148,7 +1151,7 @@ def _kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64,
     WITH {emb},
     c0 AS (
       SELECT CAST(vec_id AS INT) AS cluster, v AS cv
-      FROM emb WHERE vec_id < {k}
+      FROM {src} WHERE vec_id < {k}
     )"""]
     for it in range(1, iters + 1):
         parts.append(f"""
@@ -1157,7 +1160,7 @@ def _kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64,
         SELECT e.vec_id, e.v, c.cluster,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {d2}, c.cluster) AS rn
-        FROM emb e CROSS JOIN c{it - 1} c
+        FROM {src} e CROSS JOIN c{it - 1} c
       ) r WHERE rn = 1
     )
     , p{it} AS (
@@ -1964,10 +1967,14 @@ ORACLE["text_html_strip"] = """
 
 def _ivf_pq_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
                 coarse_iters: int = 1, nprobe: int = 2, m: int = 4,
-                ks: int = 16, pq_iters: int = 1, dim: int = 64) -> str:
+                ks: int = 16, pq_iters: int = 1, dim: int = 64,
+                train_pred: str | None = None) -> str:
     """DuckDB oracle for `similarity.ivf_pq_topk`: the coarse-kmeans CTE
     chain (shared generator) + PQ codebooks/codes/LUT + the probe-bounded
-    ADC ranking."""
+    ADC ranking. ``train_pred`` (add-batch lifecycle): coarse + PQ
+    TRAINING read only rows matching the predicate, while encode/probe/
+    LUT still read the full corpus — encoding against frozen codebooks is
+    deterministic, so build-time vs add-time encoding cannot differ."""
     sd = dim // m
     d2s = (f"list_aggregate([ (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) "
            f"for i in range(1, {sd} + 1) ], 'sum')")
@@ -1975,7 +1982,20 @@ def _ivf_pq_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
         f"SELECT vec_id, {j} AS j, v[{j * sd + 1}:{(j + 1) * sd}] AS sv "
         "FROM emb"
         for j in range(m))
-    parts = [_kmeans_cte(n_cells, coarse_iters, dim), f"""
+    if train_pred is None:
+        kmeans = _kmeans_cte(n_cells, coarse_iters, dim)
+        tsub = "sub"
+        subt_cte = ""
+    else:
+        emb_sql = f"""emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), embt AS (SELECT * FROM emb WHERE {train_pred})"""
+        kmeans = _kmeans_cte(n_cells, coarse_iters, dim,
+                             emb_sql=emb_sql, src="embt")
+        tsub = "subt"
+        subt_cte = f"""
+    , subt AS (SELECT * FROM sub WHERE {train_pred})"""
+    parts = [kmeans, f"""
     , cells AS (
       SELECT vec_id, cluster AS cell FROM (
         SELECT e.vec_id, c.cluster,
@@ -2000,10 +2020,10 @@ def _ivf_pq_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
         WHERE e.vec_id < {n_queries}
       ) r WHERE rn <= {nprobe}
     )
-    , sub AS ({subs})
+    , sub AS ({subs}){subt_cte}
     , cb0 AS (
       SELECT j, CAST(vec_id AS INT) AS cluster, sv AS cv
-      FROM sub WHERE vec_id < {ks}
+      FROM {tsub} WHERE vec_id < {ks}
     )"""]
     for it in range(1, pq_iters + 1):
         parts.append(f"""
@@ -2012,7 +2032,7 @@ def _ivf_pq_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
         SELECT s.vec_id, s.j, s.sv, c.cluster,
                row_number() OVER (PARTITION BY s.vec_id, s.j
                                   ORDER BY {d2s}, c.cluster) AS rn
-        FROM sub s JOIN cb{it - 1} c USING (j)
+        FROM {tsub} s JOIN cb{it - 1} c USING (j)
       ) r WHERE rn = 1
     )
     , pp{it} AS (
@@ -2063,3 +2083,46 @@ def _ivf_pq_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
 QUERIES["similarity_ivf_pq_topk"] = _bind(similarity.ivf_pq_topk,
                                           "embeddings")
 ORACLE["similarity_ivf_pq_topk"] = _ivf_pq_sql()
+
+
+def _queries_of(emb, n_queries: int = 10):
+    return (emb.select("vec_id",
+                       F.col("embedding").cast("array<double>").alias("qv"))
+            .filter(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("query_id"), "qv"))
+
+
+def _ivf_pq_persisted(spark, sf_dir):
+    """The persisted-index lifecycle: TRAIN+ENCODE to parquet index
+    tables, then QUERY purely from them. Same oracle as the in-plan
+    variant — bit-equality is the correctness contract."""
+    emb = ensure_views(spark, sf_dir)["embeddings"]
+    d = similarity._index_scratch()
+    similarity.ivf_pq_build_index(emb, d)
+    return similarity.ivf_pq_query_index(spark, d, _queries_of(emb))
+
+
+QUERIES["similarity_ivf_pq_persisted"] = _ivf_pq_persisted
+ORACLE["similarity_ivf_pq_persisted"] = _ivf_pq_sql()
+
+
+def _ivf_pq_add_batch(spark, sf_dir):
+    """Incremental ingestion: build the index from the EVEN half of the
+    corpus (training sees queries + that half), add the odd half against
+    the frozen codebooks, query the combined index. The oracle trains on
+    the same subset and encodes everything — encoding is deterministic
+    given codebooks, so when it happened (build vs add) cannot matter."""
+    emb = ensure_views(spark, sf_dir)["embeddings"]
+    d = similarity._index_scratch()
+    initial = emb.filter((F.col("vec_id") < 10)
+                         | (F.col("vec_id") % 2 == 0))
+    similarity.ivf_pq_build_index(initial, d)
+    added = emb.filter((F.col("vec_id") >= 10)
+                       & (F.col("vec_id") % 2 == 1))
+    similarity.ivf_pq_add_batch(spark, d, added)
+    return similarity.ivf_pq_query_index(spark, d, _queries_of(emb))
+
+
+QUERIES["similarity_ivf_pq_add_batch"] = _ivf_pq_add_batch
+ORACLE["similarity_ivf_pq_add_batch"] = _ivf_pq_sql(
+    train_pred="vec_id < 10 OR vec_id % 2 = 0")

@@ -623,3 +623,50 @@ def test_bpe_trained_apply_uses_learned_pieces(dfs):
     chars = dfs["documents"].agg(F.sum(F.length(
         F.regexp_replace(F.lower("text"), " ", "")))).collect()[0][0]
     assert agg.bpe < chars
+
+
+def test_ivf_pq_persisted_lifecycle_bit_equal(dfs, spark):
+    """TRAIN→persist→QUERY must return exactly the in-plan ivf_pq_topk
+    rows, and build+ADD-BATCH (frozen codebooks) must equal building the
+    index from the full corpus with the same training subset — i.e. the
+    moment of encoding cannot matter."""
+    from hive_nexr_spark.datapipe import similarity
+
+    emb = dfs["embeddings"]
+    queries = (emb.select("vec_id",
+                          F.col("embedding").cast("array<double>")
+                          .alias("qv"))
+               .filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "qv"))
+
+    d1 = similarity._index_scratch()
+    similarity.ivf_pq_build_index(emb, d1)
+    persisted = {tuple(r) for r in
+                 similarity.ivf_pq_query_index(spark, d1, queries).collect()}
+    inplan = {tuple(r) for r in similarity.ivf_pq_topk(emb).collect()}
+    assert persisted == inplan and persisted
+
+    # add-batch: encode-at-add must equal encode-at-build given the same
+    # frozen codebooks (trained on queries + even half)
+    initial = emb.filter((F.col("vec_id") < 10) | (F.col("vec_id") % 2 == 0))
+    added = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 1))
+    d2 = similarity._index_scratch()
+    similarity.ivf_pq_build_index(initial, d2)
+    n_before = spark.read.parquet(f"{d2}/codes").count()
+    similarity.ivf_pq_add_batch(spark, d2, added)
+    n_after = spark.read.parquet(f"{d2}/codes").count()
+    assert n_after == n_before + added.count() * 4  # m=4 codes per vector
+    combined = {tuple(r) for r in
+                similarity.ivf_pq_query_index(spark, d2, queries).collect()}
+    assert combined and combined != persisted  # different training set
+    # encode the added half at BUILD time instead: must be identical
+    added_codes = {tuple(r) for r in spark.read.parquet(f"{d2}/codes")
+                   .filter("vec_id % 2 = 1").collect()}
+    d3 = similarity._index_scratch()
+    import shutil
+    shutil.copytree(f"{d2}/coarse", f"{d3}/coarse")
+    shutil.copytree(f"{d2}/codebooks", f"{d3}/codebooks")
+    similarity.ivf_pq_add_batch(spark, d3, added)
+    re_encoded = {tuple(r) for r in spark.read.parquet(f"{d3}/codes")
+                  .collect()}
+    assert re_encoded == added_codes

@@ -729,3 +729,26 @@ def test_stream_neardup_band_join_ids_only(dfs, spark, sf_dir):
     for ex in re.findall(r"Arguments: hashpartitioning\(band[^\n]*",
                          fplan):
         assert "text#" not in ex, f"text in band shuffle: {ex}"
+
+
+def test_ivf_pq_query_index_reads_only_index_tables(dfs, spark):
+    """The persisted-index QUERY path must plan over the three index
+    parquet tables + the query vectors only: the corpus embedding file
+    may appear solely on the query side (probe routing + LUT — two
+    scans), with no codebook retraining (no per-subvector Lloyd groupBy
+    over the corpus) and no cartesian; probes/LUT/codebooks broadcast."""
+    from hive_nexr_spark.datapipe import similarity
+
+    d = similarity._index_scratch()
+    similarity.ivf_pq_build_index(dfs["embeddings"], d)
+    queries = (dfs["embeddings"]
+               .select("vec_id",
+                       F.col("embedding").cast("array<double>").alias("qv"))
+               .filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "qv"))
+    fplan = _formatted(similarity.ivf_pq_query_index(spark, d, queries))
+    assert fplan.count("embeddings.parquet") <= 2
+    assert "annidx_" in fplan  # the index tables are what the plan scans
+    assert "CartesianProduct" not in fplan
+    assert "BroadcastHashJoin" in fplan
+    assert "partial_sum" in fplan  # the ADC accumulation map-side combines
