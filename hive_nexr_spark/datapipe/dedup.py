@@ -607,20 +607,70 @@ def exact_substring_spans(documents: DataFrame,
     k = min_span_tokens
     corpus = _bounded_corpus(documents, max_doc_id)
     toks = corpus.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
-    # windows at 0-based starts 0 .. n-k (docs shorter than k yield none)
-    sh = (
-        toks.filter(F.size("ts") >= k)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.size("ts") - k)).alias("pos"),
-            "ts",
-        )
-        .select(
-            "doc_id", "pos",
-            F.md5(F.array_join(
-                F.slice(F.col("ts"), F.col("pos") + 1, k), " ")).alias("digest"),
-        )
+    # windows at 0-based starts 0 .. n-k (docs shorter than k yield none).
+    # Window digests by POLYNOMIAL ROLLING HASH (Rabin-Karp), r9: the r8
+    # form md5'd a fresh k-token array_join per position — correct but
+    # O(n·k) bytes through md5 per scan (~16× the corpus at k=16). Now
+    # each token is hashed ONCE (one md5, two disjoint 28-bit hex slices
+    # = two independent token hashes) and each window hash rolls from
+    # its predecessor in O(1): H_p = ((H_{p-1} − h[p]·B^{k-1})·B +
+    # h[p+k]) mod M, over two prime moduli M1, M2 < 2^32 (products stay
+    # < 2^52 — no bigint overflow). A window digest is "h1:h2" (~56
+    # effective bits; cross-digest collision odds at 1e6 windows ~1e-7,
+    # and the DuckDB oracle still computes the R8 FULL-md5 digests — the
+    # driver hash check is the collision canary). The per-doc fold
+    # appends to an array (copy-on-append); for pathological multi-MB
+    # single documents chunk the fold — token rows, not bytes, bound it
+    # here.
+    M1, B1 = 4294967291, 1000003
+    M2, B2 = 4294967279, 1000033
+    BK1, BK2 = pow(B1, k - 1, M1), pow(B2, k - 1, M2)
+
+    def tok_hashes(off: int) -> "F.Column":
+        return F.transform(
+            F.col("ts"),
+            lambda t: F.conv(F.substring(F.md5(t), off, 7), 16, 10)
+            .cast("long"))
+
+    def first_hash(hv: str, b: int, mm: int) -> "F.Column":
+        return F.aggregate(
+            F.slice(F.col(hv), 1, k), F.lit(0).cast("long"),
+            lambda a, x: (a * b + x) % mm)
+
+    def roll(h: "F.Column", hv: str, p: "F.Column", b: int, bk: int,
+             mm: int) -> "F.Column":
+        out = (h - (F.element_at(F.col(hv), p) * bk) % mm) % mm
+        out = (out + mm) % mm  # Spark % follows the dividend's sign
+        return (out * b + F.element_at(F.col(hv), p + k)) % mm
+
+    hashed = toks.filter(F.size("ts") >= k).select(
+        "doc_id", "ts",
+        tok_hashes(1).alias("hv1"), tok_hashes(9).alias("hv2"))
+    # roll positions 1..n-k; EMPTY when n == k (sequence(1, 0) would
+    # count DOWN, not produce an empty array)
+    roll_positions = F.when(
+        F.size("ts") > k, F.sequence(F.lit(1), F.size("ts") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    digests = F.aggregate(
+        roll_positions,
+        F.struct(
+            first_hash("hv1", B1, M1).alias("h1"),
+            first_hash("hv2", B2, M2).alias("h2"),
+            F.array(F.concat_ws(
+                ":", first_hash("hv1", B1, M1),
+                first_hash("hv2", B2, M2))).alias("out"),
+        ),
+        lambda acc, p: F.struct(
+            roll(acc.h1, "hv1", p, B1, BK1, M1).alias("h1"),
+            roll(acc.h2, "hv2", p, B2, BK2, M2).alias("h2"),
+            F.concat(acc.out, F.array(F.concat_ws(
+                ":", roll(acc.h1, "hv1", p, B1, BK1, M1),
+                roll(acc.h2, "hv2", p, B2, BK2, M2)))).alias("out"),
+        ),
+        lambda acc: acc.out,
     )
+    sh = hashed.select(
+        "doc_id", F.posexplode(digests).alias("pos", "digest"))
     dup_digests = (sh.groupBy("digest").agg(F.count("*").alias("n_occ"))
                    .filter(F.col("n_occ") > 1).select("digest"))
     dup_windows = sh.join(dup_digests, "digest").select("doc_id", "pos")
