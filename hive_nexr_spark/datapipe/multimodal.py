@@ -1,12 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by Arrow-batched Pandas functions via `mapInPandas`.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(deterministic byte-level features standing in for pixel features, and a
-clearly-marked NotImplementedError path for real codecs). The Spark-side
-plumbing — binary column construction, schema, batch iteration, partition
-behavior — is real and oracle-checked, which is the part that matters for
-the engine.
+The container has no image/audio codec LIBRARIES, but `decode_image` is a
+real stdlib-only decoder for BMP (24-bit BI_RGB) and binary PPM, with
+NotImplementedError reserved for genuinely external-codec formats
+(JPEG/PNG). The byte-level feature ops below keep their deterministic
+stand-in features (oracle-checked, format-independent); the Spark-side
+plumbing — binary column construction, schema, Arrow batch iteration,
+partition behavior — is real throughout.
 """
 
 from __future__ import annotations
@@ -37,15 +38,103 @@ def to_binary_payloads(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real codec hook. Kept as an explicit stub: the execution plumbing is
-    what this module exercises; swap in PIL/libsndfile when available."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image codecs not available in this environment") from exc
-    raise NotImplementedError("wire PIL decode here")
+def decode_image(payload: bytes) -> tuple[int, int, str, bytes]:
+    """REAL image decode, stdlib-only (r9 — retires the former
+    NotImplementedError stub): parses uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB, 4-byte row padding,
+    bottom-up or top-down, BGR byte order — the public Windows DIB
+    layout) and binary PPM "P6" (the netpbm format). Returns
+    (width, height, "RGB", pixels) with pixels row-major top-down RGB
+    triplets. Anything else (JPEG/PNG need external codecs this
+    container lacks) still raises NotImplementedError — now a genuine
+    unsupported-container signal, not a placeholder."""
+    import re
+    import struct
+
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        (off,) = struct.unpack_from("<I", payload, 10)
+        _hsz, w, h, _planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", payload, 14)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={comp} unsupported")
+        row_sz = (w * 3 + 3) & ~3
+        hh, topdown = abs(h), h < 0
+        out = bytearray()
+        for r in range(hh):
+            src = r if topdown else hh - 1 - r
+            row = payload[off + src * row_sz:off + src * row_sz + w * 3]
+            if len(row) < w * 3:
+                raise ValueError("truncated BMP pixel data")
+            for i in range(0, w * 3, 3):  # BGR → RGB
+                out += bytes((row[i + 2], row[i + 1], row[i]))
+        return w, hh, "RGB", bytes(out)
+    if payload[:2] == b"P6":
+        m = re.match(rb"P6\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)"
+                     rb"\s+(?:#[^\n]*\s+)*(\d+)[ \t\r\n]", payload)
+        if not m:
+            raise ValueError("malformed PPM header")
+        w, hh, maxval = (int(m.group(i)) for i in (1, 2, 3))
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM unsupported")
+        px = payload[m.end():m.end() + w * hh * 3]
+        if len(px) < w * hh * 3:
+            raise ValueError("truncated PPM pixel data")
+        return w, hh, "RGB", px
+    raise NotImplementedError("unsupported image container "
+                              f"(magic {payload[:2]!r})")
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Deterministic 24-bit BMP writer (test fixture generator and the
+    re-encode half of a decode→transform→encode pipeline): top-down RGB
+    triplets in, standard bottom-up BI_RGB file out."""
+    import struct
+
+    row_sz = (width * 3 + 3) & ~3
+    img_sz = row_sz * height
+    header = (b"BM"
+              + struct.pack("<IHHI", 54 + img_sz, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            img_sz, 2835, 2835, 0, 0))
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for c in range(width):
+            i = (r * width + c) * 3
+            row += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # RGB → BGR
+        row += b"\x00" * (row_sz - len(row))
+        body += row
+    return bytes(header) + bytes(body)
+
+
+DECODE_SCHEMA = ("doc_id long, width int, height int, n_pixels int, "
+                 "mean_r double, mean_g double, mean_b double")
+
+
+def decode_image_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched decode→feature extraction over REAL image bytes:
+    mapInPandas calls `decode_image` per payload and emits per-channel
+    means — the exact pipeline shape production image featurization
+    uses, with the codec now real for BMP/PPM. `payloads`: (doc_id,
+    payload binary)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _mode, px = decode_image(bytes(b))
+                n = w * h
+                rows.append((doc_id, w, h, n,
+                             sum(px[0::3]) / n, sum(px[1::3]) / n,
+                             sum(px[2::3]) / n))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b"])
+
+    return payloads.mapInPandas(batches, schema=DECODE_SCHEMA)
 
 
 def featurize(documents: DataFrame) -> DataFrame:

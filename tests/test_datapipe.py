@@ -670,3 +670,39 @@ def test_ivf_pq_persisted_lifecycle_bit_equal(dfs, spark):
     re_encoded = {tuple(r) for r in spark.read.parquet(f"{d3}/codes")
                   .collect()}
     assert re_encoded == added_codes
+
+
+def test_decode_image_bmp_ppm_through_arrow_path(spark):
+    """Real stdlib-only image decode (r9 — the NotImplementedError stub
+    is retired): generated 24-bit BMPs and P6 PPMs round-trip through
+    the Arrow mapInPandas pipeline with exact per-channel means; the
+    BMP writer/reader pair inverts (BGR order, bottom-up rows, 4-byte
+    padding all exercised by a non-multiple-of-4 width)."""
+    from hive_nexr_spark.datapipe.multimodal import (decode_image,
+                                                     decode_image_features,
+                                                     encode_bmp)
+
+    # 3x2 (width 3 -> row padding) deterministic gradient
+    rgb = bytes((r * 40 + c * 7 + ch) % 256
+                for r in range(2) for c in range(3) for ch in range(3))
+    bmp = encode_bmp(3, 2, rgb)
+    assert decode_image(bmp) == (3, 2, "RGB", rgb)
+
+    ppm = b"P6\n# comment\n3 2\n255\n" + rgb
+    assert decode_image(ppm) == (3, 2, "RGB", rgb)
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+    payloads = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(ppm))],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_image_features(payloads).collect()}
+    exp_r = sum(rgb[0::3]) / 6
+    exp_g = sum(rgb[1::3]) / 6
+    exp_b = sum(rgb[2::3]) / 6
+    for doc_id in (1, 2):
+        r = got[doc_id]
+        assert (r.width, r.height, r.n_pixels) == (3, 2, 6)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (exp_r, exp_g, exp_b)
