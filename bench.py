@@ -91,11 +91,15 @@ HEADLINE = [
     "similarity_pq_topk",
     "perplexity_bigram",
     # added round 9: BPE merge-loop training (unrolled vocab-bounded
-    # loop), and the FIRST streaming headline entry — MinHash band
-    # near-dup per micro-batch vs a static index (its fingerprint comes
-    # from the StreamingQueryListener totals, not the job-group store)
+    # loop), the FIRST streaming headline entry — MinHash band near-dup
+    # per micro-batch vs a static index (its fingerprint comes from the
+    # StreamingQueryListener totals, not the job-group store) — the
+    # persisted-index IVF-PQ lifecycle (build + query-from-index), and
+    # the bloom membership gate
     "bpe_train_merges",
     "events_stream_neardup",
+    "similarity_ivf_pq_persisted",
+    "dedup_bloom_filter",
 ]
 
 

@@ -248,6 +248,19 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     and through its argmax), and without the cache the chain would
     re-expand 2^k. Zero Python UDFs anywhere.
     """
+    steps, _vocab = _bpe_train_chain(documents, n_merges)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _bpe_train_chain(documents: DataFrame, n_merges: int
+                     ) -> tuple[list[DataFrame], DataFrame]:
+    """The unrolled merge loop behind `bpe_train_merges`; also returns
+    the FINAL vocabulary segmentation (w, syms, n) — the table
+    merge-order application consumes (each word's pieces after all
+    learned merges)."""
     from ._cache import tracked_persist, tracked_persist_extend
 
     US = "\x1f"  # unit separator — cannot appear inside a symbol
@@ -256,7 +269,7 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
             F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter((F.length("w") >= 2) & ~F.col("w").contains(US))
         .groupBy("w").agg(F.count("*").alias("n"))
-        .select(F.split("w", "").alias("syms"), "n")
+        .select("w", F.split("w", "").alias("syms"), "n")
     )
     vocab = tracked_persist(vocab)
 
@@ -292,14 +305,47 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 6) -> DataFrame:
         )
         vocab = (
             vocab.crossJoin(F.broadcast(best))
-            .select(F.split(folded, US).alias("syms"), "n")
+            .select("w", F.split(folded, US).alias("syms"), "n")
         )
         vocab = tracked_persist_extend(vocab)
 
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out
+    return steps, vocab
+
+
+def bpe_apply_merge_order(documents: DataFrame,
+                          n_merges: int = 6) -> DataFrame:
+    """TRUE merge-ORDER BPE application (the other standard mode beside
+    `tokenize_bpe_trained`'s greedy longest-match): a word's
+    segmentation is the result of replaying the learned merges in
+    training order — which the training chain already computes as its
+    final vocabulary state, so application is a broadcast join of the
+    corpus words against the (word → piece-count) table. By
+    construction, training-set words segment EXACTLY as the trainer
+    left them (the Sennrich reference property); words outside the
+    trained vocabulary (length-1, delimiter-bearing) fall back to
+    per-character pieces.
+
+    Output: (doc_id, n_ws_tokens, n_bpe_tokens, pieces_per_word) —
+    same schema as tokenize_bpe_apply, so the two application modes are
+    directly comparable.
+
+    100 TB shape: everything the trainer claims, plus ONE broadcast
+    vocab join and a doc-keyed sum for the corpus pass — the word table
+    is vocabulary-sized, never the token stream."""
+    _steps, vocab = _bpe_train_chain(documents, n_merges)
+    wp = vocab.select("w", F.size("syms").alias("np"))
+    per_word = documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    return (
+        per_word.join(F.broadcast(wp), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum(F.coalesce("np", F.length("w"))).alias("n_bpe_tokens"),
+            F.round(F.sum(F.coalesce("np", F.length("w"))) / F.count("*"),
+                    6).alias("pieces_per_word"),
+        )
+    )
 
 
 def bpe_apply_tokenize(documents: DataFrame, max_piece_len: int = 3,

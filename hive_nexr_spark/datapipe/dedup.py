@@ -763,3 +763,65 @@ def canonical_dedup_decisions(documents: DataFrame) -> DataFrame:
              F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+def bloom_filter_dedup(documents: DataFrame, m_bits: int = 1 << 18,
+                       k_hashes: int = 4) -> DataFrame:
+    """Bloom-filter INCREMENTAL dedup (Bloom 1970 — the probabilistic
+    membership structure the CCNet/Dolma-class pipelines use to test a
+    new batch against a corpus too large for an exact digest join): the
+    existing corpus sets k bit positions per document digest; a new
+    document is `bloom_maybe` iff ALL k of its positions are set. No
+    false negatives by construction; false positives at the standard
+    (1 - e^{-kn/m})^k rate, which this op MEASURES by also computing
+    the exact membership — (doc_id, bloom_maybe, exact_dup,
+    false_positive) per new-batch document.
+
+    The k hash functions are disjoint 8-hex-char (32-bit) slices of the
+    ONE md5 digest, reduced mod m_bits — the same single-hash-split-k
+    idiom as the minhash signatures, and fully engine-portable, so the
+    DuckDB oracle reproduces every bit.
+
+    100 TB shape: the bit set is a DISTINCT over ints bounded by m_bits
+    (here relational, so the oracle can check it bit-for-bit; the
+    production variant aggregates the same positions into a broadcast
+    bitmap — Spark's native bloom_filter_agg/might_contain is the
+    drop-in, same plan shape minus the join). Membership is a
+    (position)-keyed join carrying ids only; the exact-membership
+    column joins 16-byte digests — the thing the bloom exists to avoid
+    at scale, computed here as the false-positive oracle."""
+    corpus = with_synthetic_dups(documents)
+    digests = corpus.select("doc_id", F.md5("text").alias("digest"))
+    existing = digests.filter(F.col("doc_id") < 100000)
+    new_batch = digests.filter(F.col("doc_id") >= 100000)
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(F.array(*[
+                (F.conv(F.substring("digest", h * 8 + 1, 8), 16, 10)
+                 .cast("long") % m_bits).alias("bit")
+                for h in range(k_hashes)
+            ])).alias("bit"),
+        )
+
+    bits = positions(existing).select("bit").distinct()
+    hits = (
+        positions(new_batch)
+        .join(bits, "bit", "left_semi")
+        .groupBy("doc_id").agg(F.count("*").alias("n_set"))
+    )
+    exact = existing.select("digest").distinct()
+    return (
+        new_batch
+        .join(hits, "doc_id", "left")
+        .join(exact.withColumn("_e", F.lit(1)), "digest", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("n_set", F.lit(0)) == k_hashes)
+            .alias("bloom_maybe"),
+            F.col("_e").isNotNull().alias("exact_dup"),
+            ((F.coalesce("n_set", F.lit(0)) == k_hashes)
+             & F.col("_e").isNull()).alias("false_positive"),
+        )
+    )

@@ -1493,7 +1493,7 @@ def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
     b{k} AS (SELECT * FROM p{k}
              ORDER BY n_occurrences DESC, lhs, rhs LIMIT 1),
     v{k} AS (
-      SELECT string_split(list_reduce(syms,
+      SELECT w, string_split(list_reduce(syms,
                (acc, s) -> CASE WHEN string_split(acc, chr(31))[-1] = b.lhs
                                  AND s = b.rhs
                            THEN acc || s ELSE acc || chr(31) || s END),
@@ -1508,7 +1508,7 @@ def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
       SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
     ),
     v0 AS (
-      SELECT regexp_split_to_array(w, '') AS syms,
+      SELECT w, regexp_split_to_array(w, '') AS syms,
              CAST(count(*) AS BIGINT) AS n
       FROM twords WHERE length(w) >= 2 AND NOT contains(w, chr(31))
       GROUP BY w
@@ -1574,6 +1574,63 @@ ORACLE["tokenize_bpe_trained"] = ("""
            round(sum(coalesce(p.n_pieces, 0)) * 1.0 / count(*), 6)
              AS pieces_per_word
     FROM words LEFT JOIN pieces p USING (w)
+    GROUP BY doc_id
+""")
+
+QUERIES["dedup_bloom_filter"] = _bind(dedup.bloom_filter_dedup,
+                                      "documents")
+# portable bloom-filter membership: k=4 disjoint 32-bit md5 slices mod
+# m=2^18, existing-corpus bit set vs new-batch probes, exact membership
+# as the false-positive oracle — every bit reproducible in DuckDB
+_BLOOM_BITS = ", ".join(
+    f"(('0x' || substr(digest, {h * 8 + 1}, 8))::BIGINT % 262144)"
+    for h in range(4))
+ORACLE["dedup_bloom_filter"] = _CORPUS + f"""
+    , digests AS (SELECT doc_id, md5(text) AS digest FROM corpus),
+    existing AS (SELECT * FROM digests WHERE doc_id < 100000),
+    new_batch AS (SELECT * FROM digests WHERE doc_id >= 100000),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        SELECT unnest([{_BLOOM_BITS}]) AS bit FROM existing) b
+    ),
+    pos AS (
+      SELECT doc_id, unnest([{_BLOOM_BITS}]) AS bit FROM new_batch
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_set
+      FROM pos JOIN bits USING (bit) GROUP BY doc_id
+    ),
+    exact AS (SELECT DISTINCT digest FROM existing)
+    SELECT n.doc_id,
+           coalesce(h.n_set, 0) = 4 AS bloom_maybe,
+           e.digest IS NOT NULL AS exact_dup,
+           (coalesce(h.n_set, 0) = 4 AND e.digest IS NULL)
+             AS false_positive
+    FROM new_batch n
+    LEFT JOIN hits h USING (doc_id)
+    LEFT JOIN exact e USING (digest)
+"""
+
+QUERIES["tokenize_bpe_merge_order"] = _bind(
+    corpus_stats.bpe_apply_merge_order, "documents")
+# merge-ORDER application: the train chain's FINAL vocabulary state (v6,
+# now carrying the word key) IS each trained word's segmentation; corpus
+# words outside the trained vocab fall back to per-character pieces
+ORACLE["tokenize_bpe_merge_order"] = (
+    _bpe_train_oracle_sql().rsplit("SELECT 1 AS step", 1)[0].rstrip()
+    .rstrip(",")
+    + """,
+    words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wp AS (SELECT w, len(syms) AS np FROM v6)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(coalesce(np, length(w))) AS BIGINT) AS n_bpe_tokens,
+           round(sum(coalesce(np, length(w))) * 1.0 / count(*), 6)
+             AS pieces_per_word
+    FROM words LEFT JOIN wp USING (w)
     GROUP BY doc_id
 """)
 

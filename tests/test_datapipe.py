@@ -706,3 +706,43 @@ def test_decode_image_bmp_ppm_through_arrow_path(spark):
         r = got[doc_id]
         assert (r.width, r.height, r.n_pixels) == (3, 2, 6)
         assert (r.mean_r, r.mean_g, r.mean_b) == (exp_r, exp_g, exp_b)
+
+
+def test_bloom_filter_no_false_negatives_and_fp_accounting(dfs):
+    """Bloom membership can never miss a true duplicate: every exact_dup row
+    must be bloom_maybe; false_positive is exactly bloom_maybe minus
+    exact_dup; and the planted +100000 copies are all exact dups."""
+    from hive_nexr_spark.datapipe.dedup import bloom_filter_dedup
+
+    rows = bloom_filter_dedup(dfs["documents"]).collect()
+    assert rows
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        if r.exact_dup:
+            assert r.bloom_maybe, f"false negative at {r.doc_id}"
+        assert r.false_positive == (r.bloom_maybe and not r.exact_dup)
+    planted = [r for r in rows if 100000 <= r.doc_id < 200000]
+    assert planted and all(r.exact_dup for r in planted)
+    near = [r for r in rows if r.doc_id >= 200000]
+    assert near and not any(r.exact_dup for r in near)
+
+
+def test_bpe_merge_order_vs_longest_match(dfs):
+    """Merge-order application must reproduce the trainer's own final
+    segmentation: total pieces = sum over the training vocab of
+    n * len(syms) plus per-char fallback for out-of-vocab words; and
+    both application modes agree on whitespace token counts."""
+    from hive_nexr_spark.datapipe.corpus_stats import (_bpe_train_chain,
+                                                       bpe_apply_merge_order)
+
+    out = bpe_apply_merge_order(dfs["documents"]).collect()
+    assert out
+    _steps, vocab = _bpe_train_chain(dfs["documents"], 6)
+    vrows = vocab.collect()
+    expect_vocab_pieces = sum(len(r.syms) * r.n for r in vrows)
+    # out-of-vocab words (len<2) contribute length(w) each
+    oov = (dfs["documents"]
+           .selectExpr("explode(split(lower(text), ' ')) AS w")
+           .filter("length(w) < 2").selectExpr("sum(length(w)) AS s")
+           .collect()[0].s) or 0
+    assert sum(r.n_bpe_tokens for r in out) == expect_vocab_pieces + oov

@@ -752,3 +752,15 @@ def test_ivf_pq_query_index_reads_only_index_tables(dfs, spark):
     assert "CartesianProduct" not in fplan
     assert "BroadcastHashJoin" in fplan
     assert "partial_sum" in fplan  # the ADC accumulation map-side combines
+
+
+def test_bloom_filter_bit_keyed_joins_only(dfs):
+    """Bloom dedup: membership keys on int bit positions (left semi) and
+    the exact-membership column on digests — no cartesian, no Python,
+    and the bit-set distinct partially aggregates map-side."""
+    from hive_nexr_spark.datapipe.dedup import bloom_filter_dedup
+
+    fplan = _formatted(bloom_filter_dedup(dfs["documents"]))
+    assert "CartesianProduct" not in fplan
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+    assert "LeftSemi" in fplan
