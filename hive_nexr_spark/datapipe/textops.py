@@ -229,3 +229,66 @@ def html_strip_extract(documents: DataFrame) -> DataFrame:
         F.md5(clean).alias("clean_digest"),
         F.length(clean).alias("n_clean_chars"),
     )
+
+
+def hash_embeddings(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """IN-ENGINE text embeddings via the hashing trick (feature hashing,
+    Weinberger et al. 2009 — public ICML): each token lands in bucket
+    md5(token)[0:8] mod `dim` with a ±1 sign from the next md5 nibble;
+    a document's vector is the per-bucket signed count. This is the
+    deterministic text→vector path that makes the ANN/dedup embedding
+    operators self-contained — no external embedding model required —
+    and the classic baseline the sparse-feature literature uses.
+
+    Output: (doc_id, v array<bigint>) — integer components, so every
+    downstream float computation starts from exactly representable
+    values and the SQL oracle reproduces the vector bit-for-bit.
+
+    100 TB shape: one token explode → groupBy(doc_id, bucket) with
+    map-side partial sums (≤ dim rows per doc pre-shuffle) → per-doc
+    map assembly; shuffles carry (doc_id, int, int) only. The dense
+    projection is a JVM transform over sequence(0, dim-1)."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    bucket = (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
+              .cast("long") % dim).cast("int")
+    sign = F.when(
+        F.conv(F.substring(F.md5("t"), 9, 1), 16, 10)
+        .cast("long") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    per_bucket = (
+        toks.select("doc_id", bucket.alias("b"), sign.alias("s"))
+        .groupBy("doc_id", "b").agg(F.sum("s").alias("val"))
+    )
+    return (
+        per_bucket.groupBy("doc_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("b", "val"))).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("int")),
+                    F.lit(0).cast("long")),
+            ).alias("v"),
+        )
+    )
+
+
+def hash_embedding_stats(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-doc summary of the hashed embedding — the oracle-friendly
+    projection (integer checksum idiom shared with
+    quantize_embeddings_int8): nnz, L1, L2 (6dp) and an md5 checksum of
+    the comma-joined components."""
+    emb = hash_embeddings(documents, dim)
+    return emb.select(
+        "doc_id",
+        F.size(F.filter("v", lambda x: x != 0)).alias("nnz"),
+        F.aggregate("v", F.lit(0).cast("long"),
+                    lambda a, x: a + F.abs(x)).alias("l1"),
+        F.round(F.sqrt(F.aggregate(
+            "v", F.lit(0.0), lambda a, x: a + (x * x).cast("double"))),
+            6).alias("l2"),
+        F.md5(F.array_join(F.transform("v", lambda x: x.cast("string")),
+                           ",")).alias("v_checksum"),
+    )

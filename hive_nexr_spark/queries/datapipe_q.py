@@ -1577,6 +1577,79 @@ ORACLE["tokenize_bpe_trained"] = ("""
     GROUP BY doc_id
 """)
 
+QUERIES["text_hash_embeddings"] = _bind(textops.hash_embedding_stats,
+                                        "documents")
+# in-engine feature-hashing embeddings (Weinberger et al. 2009): signed
+# token counts in md5-bucketed dims; integer components — the checksum
+# idiom of quantize_embeddings_int8 makes the vector bit-checkable
+_HE_VEC = """
+    he_toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    he_pb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS INT) AS b,
+             CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM he_toks
+    ),
+    he_sums AS (
+      SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS val
+      FROM he_pb GROUP BY 1, 2
+    ),
+    he_full AS (
+      SELECT d.doc_id, r.i AS b, coalesce(p.val, 0) AS val
+      FROM (SELECT DISTINCT doc_id FROM he_toks) d
+      CROSS JOIN range(0, 64) r(i)
+      LEFT JOIN he_sums p ON p.doc_id = d.doc_id AND p.b = r.i
+    ),
+    he_vec AS (
+      SELECT doc_id, list(val ORDER BY b) AS v
+      FROM he_full GROUP BY doc_id
+    )"""
+ORACLE["text_hash_embeddings"] = "WITH " + _HE_VEC + """
+    SELECT doc_id,
+           CAST(len([x for x in v if x != 0]) AS INT) AS nnz,
+           CAST(list_aggregate([abs(x) for x in v], 'sum') AS BIGINT)
+             AS l1,
+           round(sqrt(CAST(list_aggregate([x * x for x in v], 'sum')
+                           AS DOUBLE)), 6) AS l2,
+           md5(array_to_string(v, ',')) AS v_checksum
+    FROM he_vec
+"""
+
+
+def _hash_embed_topk(spark, sf_dir):
+    """End-to-end text→vector→ANN composition: embed the corpus
+    in-engine (hashing trick), then exact cosine top-k with doc_id < 10
+    as queries — the pipeline that retires the 'embeddings arrive from
+    outside' assumption."""
+    docs = ensure_views(spark, sf_dir)["documents"]
+    emb = textops.hash_embeddings(docs).select(
+        F.col("doc_id").alias("vec_id"), F.col("v").alias("embedding"))
+    return similarity.brute_force_topk(emb)
+
+
+QUERIES["similarity_hash_embed_topk"] = _hash_embed_topk
+ORACLE["similarity_hash_embed_topk"] = "WITH " + _HE_VEC + """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.doc_id
+               ORDER BY list_dot_product(CAST(q.v AS DOUBLE[]),
+                                         CAST(c.v AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(q.v AS DOUBLE[]),
+                                                 CAST(q.v AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(c.v AS DOUBLE[]),
+                                                   CAST(c.v AS DOUBLE[]))))
+                        DESC, c.doc_id
+             ) AS rank
+      FROM he_vec q JOIN he_vec c ON c.doc_id >= 10
+      WHERE q.doc_id < 10
+    ) t WHERE rank <= 3
+"""
+
 QUERIES["dedup_bloom_filter"] = _bind(dedup.bloom_filter_dedup,
                                       "documents")
 # portable bloom-filter membership: k=4 disjoint 32-bit md5 slices mod

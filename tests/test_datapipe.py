@@ -746,3 +746,24 @@ def test_bpe_merge_order_vs_longest_match(dfs):
            .filter("length(w) < 2").selectExpr("sum(length(w)) AS s")
            .collect()[0].s) or 0
     assert sum(r.n_bpe_tokens for r in out) == expect_vocab_pieces + oov
+
+
+def test_hash_embeddings_deterministic_and_dense(dfs):
+    """Feature-hashed vectors: fixed dim, integer components, L1 equal
+    to token count minus cancellation (|L1| <= n_tokens with equality
+    iff no bucket collisions of opposite sign), identical across runs,
+    and identical texts must embed identically."""
+    from hive_nexr_spark.datapipe.textops import hash_embeddings
+
+    emb1 = {r.doc_id: tuple(r.v) for r in
+            hash_embeddings(dfs["documents"]).collect()}
+    emb2 = {r.doc_id: tuple(r.v) for r in
+            hash_embeddings(dfs["documents"]).collect()}
+    assert emb1 == emb2 and emb1
+    n_tok = {r.doc_id: r.n for r in dfs["documents"].selectExpr(
+        "doc_id", "size(split(lower(text), ' ')) AS n").collect()}
+    for doc_id, v in emb1.items():
+        assert len(v) == 64
+        l1 = sum(abs(x) for x in v)
+        assert 0 < l1 <= n_tok[doc_id]
+        assert (l1 - n_tok[doc_id]) % 2 == 0  # cancellations come in pairs

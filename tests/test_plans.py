@@ -764,3 +764,18 @@ def test_bloom_filter_bit_keyed_joins_only(dfs):
     assert "CartesianProduct" not in fplan
     assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
     assert "LeftSemi" in fplan
+
+
+def test_hash_embeddings_int_shuffles_only(dfs):
+    """The embedding build must shuffle (doc_id, bucket, sign-sum) ints
+    with map-side partial sums — never text — and assemble the dense
+    vector JVM-side (no Python)."""
+    import re
+
+    from hive_nexr_spark.datapipe.textops import hash_embeddings
+
+    fplan = _formatted(hash_embeddings(dfs["documents"]))
+    assert "partial_sum" in fplan
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex, f"text in embedding shuffle: {ex}"
