@@ -7,6 +7,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..io import table_path
+from ..streaming import ann_ingest as ai
 from ..streaming import events as ev
 from ..streaming import neardup as nd
 from .base import ensure_views
@@ -171,6 +172,8 @@ QUERIES = {
     "events_json_props_stats": _json_props_stats,
     "events_stream_neardup": lambda spark, sf_dir:
         nd.stream_neardup(spark, sf_dir),
+    "similarity_stream_ann_ingest": lambda spark, sf_dir:
+        ai.stream_ann_ingest(spark, sf_dir),
 }
 
 _WINDOW_SQL = """
@@ -453,3 +456,12 @@ ORACLE["events_stream_neardup"] = f"""
       JOIN tok_i tb ON cand.doc_b = tb.doc_id
     ) v WHERE jaccard >= 0.5
 """
+
+
+# streaming ANN ingest shares the batch add-batch lifecycle's oracle:
+# frozen-codebook encoding is deterministic, so arrival path (build vs
+# stream micro-batch) cannot change the index contents
+from .datapipe_q import _ivf_pq_sql as _ivf_pq_sql_gen  # noqa: E402
+
+ORACLE["similarity_stream_ann_ingest"] = _ivf_pq_sql_gen(
+    train_pred="vec_id < 10 OR vec_id % 2 = 0")

@@ -138,3 +138,15 @@ def test_stream_neardup_equals_batch_twin(spark, sf_dir):
                       .select("doc_id").collect()}
     got_exact = {(a, b) for a, b, j in stream_rows if j == 1.0}
     assert exact_expected <= got_exact
+
+
+def test_stream_ann_ingest_equals_batch_add_batch(spark, sf_dir):
+    """Streaming frozen-codebook ingestion must produce exactly the
+    batch add-batch lifecycle's query results — arrival path cannot
+    matter when encoding is deterministic."""
+    from hive_nexr_spark.queries.datapipe_q import _ivf_pq_add_batch
+    from hive_nexr_spark.streaming.ann_ingest import stream_ann_ingest
+
+    streamed = {tuple(r) for r in stream_ann_ingest(spark, sf_dir).collect()}
+    batch = {tuple(r) for r in _ivf_pq_add_batch(spark, sf_dir).collect()}
+    assert streamed == batch and streamed
