@@ -566,3 +566,68 @@ def perplexity_bigram(documents: DataFrame,
         "doc_id", "n_bigrams", "bits_per_bigram",
         (F.col("bits_per_bigram") > flag_bits).alias("high_ppl"),
     )
+
+
+def perplexity_kneser_ney(documents: DataFrame, discount: float = 0.75,
+                          flag_bits: float = 10.0) -> DataFrame:
+    """Per-document bits-per-bigram under an INTERPOLATED KNESER-NEY
+    bigram LM (Kneser & Ney 1995; Chen & Goodman 1998 — public), the
+    smoothing the CCNet/KenLM quality-filter models actually use (the
+    top of the engine's perplexity ladder: unigram → add-one bigram →
+    KN bigram):
+
+        p(w2|w1) = max(c(w1 w2) − D, 0) / c(w1)
+                 + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    — absolute discounting with the continuation-probability backoff
+    (how many CONTEXTS a word follows, not how often it occurs).
+
+    Output: (doc_id, n_bigrams, bits_per_bigram, high_ppl).
+
+    100 TB shape — identical skeleton to `perplexity_bigram`: one
+    (doc, w1, w2) tf shuffle, every LM table derived from it map-side
+    combined; the continuation tables N1+(w1,·) / N1+(·,w2) are
+    per-word DISTINCT-bigram counts (vocabulary-sized, broadcast), the
+    type total is a 1-row broadcast, and the score join keys on the
+    bigram — never a corpus sort or cartesian."""
+    toks = documents.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    grams = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2")),
+            )).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    tf = grams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    blm = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("bcnt"))
+    ulm = tf.groupBy("w1").agg(F.sum("tf").alias("ucnt"))
+    n1_w1 = blm.groupBy("w1").agg(F.count("*").alias("n1w1"))
+    n1_w2 = blm.groupBy("w2").agg(F.count("*").alias("n1w2"))
+    types = blm.agg(F.count("*").cast("double").alias("_t"))
+    d = float(discount)
+    p = (F.greatest(F.col("bcnt") - d, F.lit(0.0)) / F.col("ucnt")
+         + (d * F.col("n1w1") / F.col("ucnt"))
+         * (F.col("n1w2") / F.col("_t")))
+    scored = (
+        tf.join(blm, ["w1", "w2"])
+        .join(F.broadcast(ulm), "w1")
+        .join(F.broadcast(n1_w1), "w1")
+        .join(F.broadcast(n1_w2), "w2")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", "tf", (-F.log2(p)).alias("bits"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.round(F.sum(F.col("tf") * F.col("bits")) / F.sum("tf"), 6)
+        .alias("bits_per_bigram"),
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", "bits_per_bigram",
+        (F.col("bits_per_bigram") > flag_bits).alias("high_ppl"),
+    )

@@ -1923,6 +1923,47 @@ ORACLE["perplexity_bigram"] = """
     FROM per_doc
 """
 
+QUERIES["perplexity_kneser_ney"] = _bind(corpus_stats.perplexity_kneser_ney,
+                                         "documents")
+# interpolated Kneser-Ney bigram LM (Kneser & Ney 1995 / Chen & Goodman
+# 1998): absolute discount D=0.75 + continuation-probability backoff —
+# identical expression order to the engine, log2/div are IEEE on both
+ORACLE["perplexity_kneser_ney"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+            FROM toks WHERE len(ts) >= 2) g
+    ),
+    tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM grams
+           GROUP BY 1, 2, 3),
+    blm AS (SELECT w1, w2, sum(tf) AS bcnt FROM tf GROUP BY 1, 2),
+    ulm AS (SELECT w1, sum(tf) AS ucnt FROM tf GROUP BY 1),
+    nc1 AS (SELECT w1, count(*) AS n1w1 FROM blm GROUP BY 1),
+    nc2 AS (SELECT w2, count(*) AS n1w2 FROM blm GROUP BY 1),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM blm),
+    scored AS (
+      SELECT doc_id, tf,
+             -log2(greatest(bcnt - 0.75, 0.0) / ucnt
+                   + (0.75 * n1w1 / ucnt) * (n1w2 / bt)) AS bits
+      FROM tf
+      JOIN blm USING (w1, w2)
+      JOIN ulm USING (w1)
+      JOIN nc1 USING (w1)
+      JOIN nc2 USING (w2), tt
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             round(sum(tf * bits) / sum(tf), 6) AS bits_per_bigram
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, bits_per_bigram,
+           bits_per_bigram > 10.0 AS high_ppl
+    FROM per_doc
+"""
+
 QUERIES["domain_temperature_mix"] = _bind(curation.domain_temperature_mix,
                                           "documents")
 # T=0.5 temperature mixture over planted geometric strata: quotas from

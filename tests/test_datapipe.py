@@ -767,3 +767,24 @@ def test_hash_embeddings_deterministic_and_dense(dfs):
         l1 = sum(abs(x) for x in v)
         assert 0 < l1 <= n_tok[doc_id]
         assert (l1 - n_tok[doc_id]) % 2 == 0  # cancellations come in pairs
+
+
+def test_kneser_ney_is_proper_and_orders_with_bigram(dfs):
+    """KN probabilities must be proper (0 < p <= 1 → bits >= 0), and
+    the continuation backoff must make the KN score a valid LM: for a
+    corpus that contains each document, every bigram is observed, so
+    per-doc bits are finite; sanity: the doc set matches the bigram
+    variant's and documents with fewer than 2 tokens are absent."""
+    from hive_nexr_spark.datapipe.corpus_stats import (perplexity_bigram,
+                                                       perplexity_kneser_ney)
+
+    kn = {r.doc_id: r for r in
+          perplexity_kneser_ney(dfs["documents"]).collect()}
+    bg = {r.doc_id: r for r in
+          perplexity_bigram(dfs["documents"]).collect()}
+    assert set(kn) == set(bg) and kn
+    import math
+    for r in kn.values():
+        assert r.n_bigrams >= 1
+        assert math.isfinite(r.bits_per_bigram)
+        assert r.bits_per_bigram >= 0
