@@ -639,3 +639,64 @@ def quality_classifier_train(documents: DataFrame, steps: int = 3,
             .alias("logloss"),
         )
     )
+
+
+def decontaminate_embedding(documents: DataFrame, threshold: float = 0.99,
+                            n_planes: int = 4, dim: int = 64,
+                            benchmark_mod: int = 13) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    complement to the n-gram-overlap `decontaminate`/`decontaminate_fuzzy`
+    pair (the modern eval-leakage gate: paraphrased or lightly-edited
+    benchmark items survive shingle checks but not vector similarity):
+    hash-embed the corpus in-engine (`textops.hash_embeddings`), sign-LSH
+    bucket both sides with the engine's md5-seeded plane family, and
+    cosine-verify only same-bucket (train × benchmark) candidates.
+
+    The corpus is the synthetic-dup construction, so 'train' contains
+    planted exact (+100000) and near (+200000) copies of benchmark-slice
+    documents (doc_id % benchmark_mod == 0) — exact copies share the
+    vector hence the bucket (recall 1.0 on them by construction).
+
+    Output: (train_id, bench_id, cosine) — train documents that leak a
+    benchmark item, with the verified similarity.
+
+    100 TB shape: embeddings are int vectors from int-only shuffles; the
+    candidate join keys on the 4-bit sign bucket (planes are broadcast
+    literals, the `lsh_topk` family); the verification join touches only
+    same-bucket pairs, and the benchmark side is a tiny broadcast."""
+    from .dedup import with_synthetic_dups
+    from .similarity import _dot, _norm, hash_planes
+    from .textops import hash_embeddings
+
+    corpus = with_synthetic_dups(documents)
+    emb = hash_embeddings(corpus, dim).select(
+        "doc_id", F.col("v").cast("array<double>").alias("v"))
+    planes = hash_planes(1, n_planes, dim)[0]
+
+    def bucket(vcol):
+        bits = [
+            F.when(_dot(vcol, F.array(*[F.lit(x) for x in p])) >= 0, "1")
+            .otherwise("0")
+            for p in planes
+        ]
+        return F.concat(*bits)
+
+    is_bench = (F.col("doc_id") % benchmark_mod == 0) & \
+        (F.col("doc_id") < 100000)
+    bench = (emb.filter(is_bench)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.col("v").alias("bv"))
+             .withColumn("bkt", bucket(F.col("bv"))))
+    train = (emb.filter(~is_bench)
+             .select(F.col("doc_id").alias("train_id"), "v")
+             .withColumn("bkt", bucket(F.col("v"))))
+    return (
+        train.join(F.broadcast(bench), "bkt")
+        .select(
+            "train_id", "bench_id",
+            (_dot(F.col("v"), F.col("bv"))
+             / (_norm(F.col("v")) * _norm(F.col("bv")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("train_id", "bench_id", F.round("cosine", 6).alias("cosine"))
+    )

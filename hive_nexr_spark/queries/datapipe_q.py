@@ -1582,10 +1582,17 @@ QUERIES["text_hash_embeddings"] = _bind(textops.hash_embedding_stats,
 # in-engine feature-hashing embeddings (Weinberger et al. 2009): signed
 # token counts in md5-bucketed dims; integer components — the checksum
 # idiom of quantize_embeddings_int8 makes the vector bit-checkable
+def _he_vec_sql(src: str = "documents") -> str:
+    """The hash-embedding CTE chain over relation `src` (must expose
+    doc_id, text) — shared by the embedding stats, the ANN composition,
+    and the embedding-decontamination oracles."""
+    return _HE_VEC.replace("FROM __HE_SRC__", f"FROM {src}")
+
+
 _HE_VEC = """
     he_toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
-      FROM documents
+      FROM __HE_SRC__
     ),
     he_pb AS (
       SELECT doc_id,
@@ -1608,7 +1615,7 @@ _HE_VEC = """
       SELECT doc_id, list(val ORDER BY b) AS v
       FROM he_full GROUP BY doc_id
     )"""
-ORACLE["text_hash_embeddings"] = "WITH " + _HE_VEC + """
+ORACLE["text_hash_embeddings"] = "WITH " + _he_vec_sql() + """
     SELECT doc_id,
            CAST(len([x for x in v if x != 0]) AS INT) AS nnz,
            CAST(list_aggregate([abs(x) for x in v], 'sum') AS BIGINT)
@@ -1618,6 +1625,47 @@ ORACLE["text_hash_embeddings"] = "WITH " + _HE_VEC + """
            md5(array_to_string(v, ',')) AS v_checksum
     FROM he_vec
 """
+
+
+def _he_bucket_sql(vexpr: str, n_planes: int = 4, dim: int = 64) -> str:
+    """Sign-LSH bucket of a hashed-embedding vector as inline plane
+    literals (repr() round-trips the doubles bit-identically — the
+    `_lsh_planes_sql` idiom)."""
+    planes = similarity.hash_planes(1, n_planes, dim)[0]
+    return " || ".join(
+        f"(CASE WHEN list_dot_product(CAST({vexpr} AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in planes)
+
+
+QUERIES["decontaminate_embedding"] = _bind(
+    curation.decontaminate_embedding, "documents")
+# semantic decontamination: hash-embed the synthetic-dup corpus, sign-LSH
+# bucket both sides, cosine-verify same-bucket (train x benchmark) pairs
+ORACLE["decontaminate_embedding"] = (
+    _CORPUS + "," + _he_vec_sql("corpus") + f"""
+    , emb AS (
+      SELECT doc_id, CAST(v AS DOUBLE[]) AS v,
+             {_he_bucket_sql("v")} AS bkt
+      FROM he_vec
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, v AS bv, bkt FROM emb
+      WHERE doc_id % 13 = 0 AND doc_id < 100000
+    ),
+    train AS (
+      SELECT doc_id AS train_id, v, bkt FROM emb
+      WHERE NOT (doc_id % 13 = 0 AND doc_id < 100000)
+    )
+    SELECT train_id, bench_id, round(cosine, 6) AS cosine FROM (
+      SELECT t.train_id, b.bench_id,
+             list_dot_product(t.v, b.bv)
+             / (sqrt(list_dot_product(t.v, t.v))
+                * sqrt(list_dot_product(b.bv, b.bv))) AS cosine
+      FROM train t JOIN bench b USING (bkt)
+    ) s WHERE cosine >= 0.99
+""")
 
 
 def _hash_embed_topk(spark, sf_dir):
@@ -1632,7 +1680,7 @@ def _hash_embed_topk(spark, sf_dir):
 
 
 QUERIES["similarity_hash_embed_topk"] = _hash_embed_topk
-ORACLE["similarity_hash_embed_topk"] = "WITH " + _HE_VEC + """
+ORACLE["similarity_hash_embed_topk"] = "WITH " + _he_vec_sql() + """
     SELECT query_id, neighbor_id, rank FROM (
       SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
              row_number() OVER (

@@ -788,3 +788,24 @@ def test_kneser_ney_is_proper_and_orders_with_bigram(dfs):
         assert r.n_bigrams >= 1
         assert math.isfinite(r.bits_per_bigram)
         assert r.bits_per_bigram >= 0
+
+
+def test_decontaminate_embedding_catches_planted_leaks(dfs):
+    """Every planted exact copy (+100000) of a benchmark-slice document
+    shares its hashed vector, hence its LSH bucket — so it MUST be
+    flagged at cosine 1.0; every returned pair must verify >= 0.99; and
+    benchmark docs never appear on the train side."""
+    from hive_nexr_spark.datapipe.curation import decontaminate_embedding
+
+    rows = decontaminate_embedding(dfs["documents"]).collect()
+    assert rows
+    got = {(r.train_id, r.bench_id) for r in rows}
+    assert all(r.cosine >= 0.99 for r in rows)
+    assert not any(t % 13 == 0 and t < 100000 for t, _ in got)
+    planted = {(b + 100000, b) for (b,) in dfs["documents"]
+               .filter("doc_id % 13 = 0 AND doc_id % 2 = 0")
+               .select("doc_id").collect()}
+    assert planted <= got
+    exact = {p for p in got if p[0] == p[1] + 100000}
+    by_pair = {(r.train_id, r.bench_id): r.cosine for r in rows}
+    assert all(by_pair[p] == 1.0 for p in exact)
