@@ -543,7 +543,14 @@ def domain_temperature_mix(documents: DataFrame, total: int = 200,
             ).alias("quota"),
         )
     )
-    joined = sized.join(F.broadcast(quotas), "source")
+    # persist the quota-joined corpus: the survivor filter, the
+    # short-strata count, and the fallback semi-join all consume it —
+    # uncached, the hash/size/quota subtree would evaluate three times
+    # (r9 review finding; corpus-sized, so the persist discipline of the
+    # neighboring LSH operators applies)
+    from ._cache import tracked_persist
+
+    joined = tracked_persist(sized.join(F.broadcast(quotas), "source"))
     survivors = joined.filter(
         F.col("u") * F.col("n_stratum")
         < F.col("quota") * F.lit(oversample))
@@ -664,13 +671,18 @@ def decontaminate_embedding(documents: DataFrame, threshold: float = 0.99,
     candidate join keys on the 4-bit sign bucket (planes are broadcast
     literals, the `lsh_topk` family); the verification join touches only
     same-bucket pairs, and the benchmark side is a tiny broadcast."""
+    from ._cache import tracked_persist
     from .dedup import with_synthetic_dups
     from .similarity import _dot, _norm, hash_planes
     from .textops import hash_embeddings
 
     corpus = with_synthetic_dups(documents)
-    emb = hash_embeddings(corpus, dim).select(
-        "doc_id", F.col("v").cast("array<double>").alias("v"))
+    # persist the embedded corpus: the bench and train branches both
+    # derive from it, and without the cache the tokenize+embed chain
+    # would run twice (the once-per-consumer rescan class —
+    # quality_classifier_train's r9 fix, same discipline)
+    emb = tracked_persist(hash_embeddings(corpus, dim).select(
+        "doc_id", F.col("v").cast("array<double>").alias("v")))
     planes = hash_planes(1, n_planes, dim)[0]
 
     def bucket(vcol):

@@ -651,23 +651,27 @@ def exact_substring_spans(documents: DataFrame,
     roll_positions = F.when(
         F.size("ts") > k, F.sequence(F.lit(1), F.size("ts") - k)
     ).otherwise(F.array().cast("array<int>"))
+    # The out-array LAGS the hash state by one step: each step appends
+    # the PREVIOUS digest (a cheap struct-field reference) and rolls
+    # once, and the finish lambda flushes the final digest — evaluating
+    # roll() in both the field and the append would double the modular
+    # work per window (HOF lambdas get no common-subexpression
+    # elimination; r9 review finding).
     digests = F.aggregate(
         roll_positions,
         F.struct(
             first_hash("hv1", B1, M1).alias("h1"),
             first_hash("hv2", B2, M2).alias("h2"),
-            F.array(F.concat_ws(
-                ":", first_hash("hv1", B1, M1),
-                first_hash("hv2", B2, M2))).alias("out"),
+            F.array().cast("array<string>").alias("out"),
         ),
         lambda acc, p: F.struct(
             roll(acc.h1, "hv1", p, B1, BK1, M1).alias("h1"),
             roll(acc.h2, "hv2", p, B2, BK2, M2).alias("h2"),
-            F.concat(acc.out, F.array(F.concat_ws(
-                ":", roll(acc.h1, "hv1", p, B1, BK1, M1),
-                roll(acc.h2, "hv2", p, B2, BK2, M2)))).alias("out"),
+            F.concat(acc.out, F.array(
+                F.concat_ws(":", acc.h1, acc.h2))).alias("out"),
         ),
-        lambda acc: acc.out,
+        lambda acc: F.concat(acc.out, F.array(
+            F.concat_ws(":", acc.h1, acc.h2))),
     )
     sh = hashed.select(
         "doc_id", F.posexplode(digests).alias("pos", "digest"))

@@ -753,18 +753,11 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
 
 
 def _index_scratch() -> str:
-    """Per-process ANN-index root (+ caller-unique subdir), reclaimed at
-    exit — the same concurrency-safe scratch pattern as the CDC staging
-    and hypertable rollup paths."""
-    import atexit
-    import os
-    import shutil
-    import uuid
+    """Per-process ANN-index dir, reclaimed at exit (shared recipe:
+    `hive_nexr_spark.scratch.process_scratch_dir`)."""
+    from ..scratch import process_scratch_dir
 
-    root = f"/tmp/hive_nexr_spark_scratch/annidx_{os.getpid()}"
-    if not os.path.isdir(root):
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return os.path.join(root, uuid.uuid4().hex[:8])
+    return process_scratch_dir("annidx")
 
 
 def ivf_pq_build_index(embeddings: DataFrame, index_dir: str,

@@ -112,3 +112,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if errors and not dfs:
         raise next(iter(errors.values()))
     return dfs
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str,
+                      name: str) -> DataFrame:
+    """Structured-Streaming file source over one testdata table: the
+    directory is the basePath, `pathGlobFilter` narrows to the table's
+    file, and the schema comes from a batch read of the same file. The
+    shared reader behind the events/documents/embeddings streams (one
+    convention, one place — r9 review finding). Timestamp normalization
+    (`_fix_nanos_ts`) is the caller's concern — only events needs it."""
+    ensure_runtime_compat(spark)
+    raw_schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(os.path.abspath(sf_dir))
+    )

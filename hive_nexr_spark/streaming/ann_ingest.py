@@ -23,17 +23,11 @@ from ..datapipe import similarity
 
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured-Streaming file source over the embeddings table (same
-    basePath + pathGlobFilter pattern as the events/documents readers)."""
-    from ..io import table_path
+    """Structured-Streaming file source over the embeddings table (the
+    shared `io.read_table_stream` convention)."""
+    from ..io import read_table_stream
 
-    raw_schema = spark.read.parquet(
-        table_path(sf_dir, "embeddings")).schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(os.path.abspath(sf_dir))
-    )
+    return read_table_stream(spark, sf_dir, "embeddings")
 
 
 def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,8 +57,6 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    queries = (emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("qv"))
-        .filter(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("query_id"), "qv"))
-    return similarity.ivf_pq_query_index(spark, d, queries)
+    from ..queries.datapipe_q import _queries_of
+
+    return similarity.ivf_pq_query_index(spark, d, _queries_of(emb))

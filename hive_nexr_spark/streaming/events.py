@@ -29,16 +29,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     `spark.sql.legacy.parquet.nanosAsLong`) and converted to a microsecond
     timestamp — same as the batch path in `io._fix_nanos_ts`.
     """
-    from ..io import _fix_nanos_ts, ensure_runtime_compat, table_path
+    from ..io import _fix_nanos_ts, read_table_stream
 
-    ensure_runtime_compat(spark)
-    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(os.path.abspath(sf_dir))
-    )
-    return _fix_nanos_ts(stream)
+    return _fix_nanos_ts(read_table_stream(spark, sf_dir, "events"))
 
 
 def window_counts_batch(events: DataFrame) -> DataFrame:
@@ -201,18 +194,12 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str,
     is_change = F.col("event_id") % change_mod == change_mod - 1
     stream = read_events_stream(spark, sf_dir).filter(is_change)
 
-    # per-process staging root, removed at process exit: each call keeps
-    # its own unique subdir (so earlier calls' RETURNED DataFrames stay
-    # readable — lazy consumers and concurrent threads are never
-    # invalidated) and the whole root is reclaimed when the process ends,
-    # so repeated bench/test runs don't leak /tmp dirs across processes.
-    staging_root = f"/tmp/hive_nexr_spark_scratch/cdc_{os.getpid()}"
-    if not os.path.isdir(staging_root):
-        import atexit
-        import shutil
+    # per-process staging dir, removed at process exit (shared recipe:
+    # scratch.process_scratch_dir — unique subdir per call so earlier
+    # calls' RETURNED DataFrames stay readable)
+    from ..scratch import process_scratch_dir
 
-        atexit.register(shutil.rmtree, staging_root, ignore_errors=True)
-    staging = os.path.join(staging_root, uuid.uuid4().hex[:8])
+    staging = process_scratch_dir("cdc")
 
     def upsert(batch_df: DataFrame, _bid: int) -> None:
         (batch_df.groupBy("user_id")
@@ -583,17 +570,12 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.base import ensure_views
 
     events = ensure_views(spark, sf_dir)["events"]
-    # per-process rollup root + unique subdir, removed at exit — same
-    # pattern as the cdc staging above: a fixed sf-keyed path raced
-    # overwrite-vs-read between concurrent processes (parallel sweeps)
-    # and leaked the dir across runs (ADVICE r9).
-    rollup_root = f"/tmp/hive_nexr_spark_scratch/rollup_{os.getpid()}"
-    if not os.path.isdir(rollup_root):
-        import atexit
-        import shutil
+    # per-process rollup dir, removed at exit (shared recipe; the old
+    # fixed sf-keyed path raced overwrite-vs-read between concurrent
+    # processes and leaked across runs — ADVICE r9)
+    from ..scratch import process_scratch_dir
 
-        atexit.register(shutil.rmtree, rollup_root, ignore_errors=True)
-    out = os.path.join(rollup_root, uuid.uuid4().hex[:8])
+    out = process_scratch_dir("rollup")
     hourly = (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"),

@@ -40,16 +40,11 @@ from ..datapipe.dedup import (MINHASH_BANDS, MINHASH_H, ROWS_PER_BAND,
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured-Streaming file source over the documents table (same
-    basePath + pathGlobFilter pattern as `events.read_events_stream`)."""
-    from ..io import table_path
+    """Structured-Streaming file source over the documents table (the
+    shared `io.read_table_stream` convention)."""
+    from ..io import read_table_stream
 
-    raw_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(os.path.abspath(sf_dir))
-    )
+    return read_table_stream(spark, sf_dir, "documents")
 
 
 def _hof_bands(df: DataFrame) -> DataFrame:
@@ -83,19 +78,16 @@ def _hof_bands(df: DataFrame) -> DataFrame:
 
 
 def _incoming(docs: DataFrame, max_doc_id: int) -> DataFrame:
-    """The planted arrival stream: exact copies (+100000, even ids) and
-    near-dups (+200000, ids %3, one planted token) of the bounded
-    corpus — the same synthetic-dup construction the batch dedup ops
-    use (`dedup.with_synthetic_dups`), here playing 'newly ingested
-    documents'."""
-    base = docs.select("doc_id", "text").filter(
-        (F.col("doc_id") % 100000) < max_doc_id)
-    exact = base.filter(F.col("doc_id") % 2 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text")
-    near = base.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.lit("zzz "), F.col("text")).alias("text"))
-    return exact.unionByName(near)
+    """The planted arrival stream: the dup-corpus construction's
+    synthetic rows only (exact copies +100000, near-dups +200000) —
+    REUSES `dedup._bounded_corpus` so the planted-dup scheme lives in
+    exactly one place (every projection is stateless, so it applies to
+    a streaming `docs` unchanged), here playing 'newly ingested
+    documents' against the original-documents index."""
+    from ..datapipe.dedup import _bounded_corpus
+
+    return _bounded_corpus(docs, max_doc_id).filter(
+        F.col("doc_id") >= 100000)
 
 
 def _match_against_index(incoming_docs: DataFrame, bands_static: DataFrame,
