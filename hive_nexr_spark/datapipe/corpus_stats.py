@@ -631,3 +631,59 @@ def perplexity_kneser_ney(documents: DataFrame, discount: float = 0.75,
         "doc_id", "n_bigrams", "bits_per_bigram",
         (F.col("bits_per_bigram") > flag_bits).alias("high_ppl"),
     )
+
+
+def hll_distinct_tokens(documents: DataFrame, b_bits: int = 10) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-token estimate (Flajolet et al.
+    2007 — public): bucket = 12 md5 bits mod m=2^`b_bits`, ρ = leading
+    zeros + 1 of the next 52 md5 bits, register = max ρ per bucket,
+    E = α·m²/Σ2^-M with the standard linear-counting small-range
+    correction. Because the hash is an md5 slice instead of an engine
+    bit-mixer, the WHOLE SKETCH is engine-reproducible — unlike Spark's
+    native `approx_count_distinct` (HLL++ over xxhash, rows-only
+    checkable), this estimate hash-verifies against a SQL oracle
+    bit-for-bit, and the op also reports the exact count so the
+    estimation error is measured, not trusted.
+
+    Output: one row (n_exact, hll_estimate, rel_err, n_registers).
+
+    100 TB shape: ONE map-side-combined groupBy(bucket) bounded at m
+    rows pre-shuffle per partition; the register table is m rows; the
+    final math is a 1-row aggregate. This is exactly why sketches exist
+    at scale — constant-size state per partition regardless of corpus
+    size (the exact count pays a full distinct; at production scale
+    you'd drop that column and keep the sketch)."""
+    m = 1 << b_bits
+    toks = documents.select(
+        F.explode(_tokens(F.col("text"))).alias("t"))
+    h = F.md5("t")
+    bucket = (F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+              % m).alias("bucket")
+    tail = F.conv(F.substring(h, 4, 13), 16, 10).cast("long")
+    rho = F.when(tail == 0, F.lit(53)).otherwise(
+        52 - F.floor(F.log2(tail))).alias("rho")
+    regs = (toks.select(bucket, rho)
+            .groupBy("bucket").agg(F.max("rho").alias("M")))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    stats = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("s"),
+        F.count("*").alias("nz"),
+    )
+    exact = toks.agg(
+        F.count_distinct("t").cast("double").alias("n_exact"))
+    est_raw = alpha * m * m / (F.col("s") + (m - F.col("nz")))
+    zeros = F.lit(float(m)) - F.col("nz")
+    est = F.when(
+        (est_raw <= 2.5 * m) & (zeros > 0),
+        m * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(est_raw)
+    return (
+        stats.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round(est, 6).alias("hll_estimate"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"),
+                    6).alias("rel_err"),
+            F.col("nz").alias("n_registers"),
+        )
+    )

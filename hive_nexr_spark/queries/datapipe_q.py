@@ -1971,6 +1971,51 @@ ORACLE["perplexity_bigram"] = """
     FROM per_doc
 """
 
+QUERIES["agg_hll_portable"] = _bind(corpus_stats.hll_distinct_tokens,
+                                    "documents")
+# portable HyperLogLog (Flajolet et al. 2007): md5-slice bucket/rho, so
+# the sketch itself — not just its row count — reproduces in DuckDB
+ORACLE["agg_hll_portable"] = """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    hashed AS (
+      SELECT ('0x' || substr(md5(t), 1, 3))::BIGINT % 1024 AS bucket,
+             ('0x' || substr(md5(t), 4, 13))::BIGINT AS tail,
+             t
+      FROM toks
+    ),
+    regs AS (
+      SELECT bucket,
+             max(CASE WHEN tail = 0 THEN 53
+                      ELSE 52 - CAST(floor(log2(tail)) AS BIGINT)
+                 END) AS M
+      FROM hashed GROUP BY bucket
+    ),
+    stats AS (
+      SELECT sum(power(2.0, -M)) AS s, count(*) AS nz FROM regs
+    ),
+    exact AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS n_exact
+              FROM toks),
+    est AS (
+      SELECT s, nz, n_exact,
+             (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+               / (s + (1024 - nz)) AS est_raw,
+             1024.0 - nz AS zeros
+      FROM stats, exact
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           round(CASE WHEN est_raw <= 2.5 * 1024 AND zeros > 0
+                      THEN 1024 * ln(1024.0 / zeros)
+                      ELSE est_raw END, 6) AS hll_estimate,
+           round(abs(CASE WHEN est_raw <= 2.5 * 1024 AND zeros > 0
+                          THEN 1024 * ln(1024.0 / zeros)
+                          ELSE est_raw END - n_exact) / n_exact, 6)
+             AS rel_err,
+           CAST(nz AS BIGINT) AS n_registers
+    FROM est
+"""
+
 QUERIES["perplexity_kneser_ney"] = _bind(corpus_stats.perplexity_kneser_ney,
                                          "documents")
 # interpolated Kneser-Ney bigram LM (Kneser & Ney 1995 / Chen & Goodman

@@ -809,3 +809,19 @@ def test_decontaminate_embedding_catches_planted_leaks(dfs):
     exact = {p for p in got if p[0] == p[1] + 100000}
     by_pair = {(r.train_id, r.bench_id): r.cosine for r in rows}
     assert all(by_pair[p] == 1.0 for p in exact)
+
+
+def test_hll_portable_estimate_accuracy(dfs):
+    """The portable HLL's estimate must land within the theoretical
+    error envelope for m=1024 registers (sigma = 1.04/sqrt(m) ~ 3.25%;
+    assert within 4 sigma = 13%), and the register count can't exceed
+    m or the exact distinct count."""
+    from hive_nexr_spark.datapipe.corpus_stats import hll_distinct_tokens
+
+    r = hll_distinct_tokens(dfs["documents"]).collect()[0]
+    assert r.n_exact > 0
+    assert r.n_registers <= min(1024, r.n_exact)
+    assert r.rel_err <= 0.13, f"HLL rel_err {r.rel_err}"
+    # rel_err is computed from the UNROUNDED estimate; reconcile at 6dp
+    assert abs(abs(r.hll_estimate - r.n_exact) / r.n_exact
+               - r.rel_err) < 1e-4
