@@ -712,3 +712,35 @@ def decontaminate_embedding(documents: DataFrame, threshold: float = 0.99,
         .filter(F.col("cosine") >= threshold)
         .select("train_id", "bench_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def weighted_sample_topk(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    Spirakis 2006 — public: draw u~U(0,1) per item, keep the top-k by
+    priority u^(1/w)) — the quality-weighted subset draw a curation
+    pipeline uses ('sample 10M documents proportional to quality').
+    Computed in log space (ln u / w, identical ordering, fewer float
+    ops) with the content-derived md5 uniform, so the sample is stable
+    across re-ingests and reproduces in any engine.
+
+    Weight = n_chars (document length — the standard size-proportional
+    draw; swap in a quality score column in production).
+
+    Output: (doc_id, weight, priority, rank), rank 1..k by priority
+    desc (ties by doc_id).
+
+    100 TB shape: a pure projection followed by TakeOrderedAndProject —
+    per-partition k-row heaps, k rows to the driver, NO global sort and
+    no shuffle of the corpus."""
+    u = (F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 15),
+        16, 10).cast("double") / F.lit(float(1 << 60)))
+    w = F.col("n_chars").cast("double")
+    pri = F.log(u) / w
+    scored = documents.select(
+        "doc_id", w.cast("bigint").alias("weight"),
+        F.round(pri, 6).alias("priority"), pri.alias("_p"))
+    ranked = (scored.orderBy(F.col("_p").desc(), "doc_id").limit(k))
+    win = Window.orderBy(F.col("_p").desc(), "doc_id")
+    return (ranked.withColumn("rank", F.row_number().over(win))
+            .select("doc_id", "weight", "priority", "rank"))

@@ -1971,6 +1971,24 @@ ORACLE["perplexity_bigram"] = """
     FROM per_doc
 """
 
+QUERIES["weighted_sample_topk"] = _bind(curation.weighted_sample_topk,
+                                        "documents")
+# Efraimidis-Spirakis weighted sampling without replacement: priority =
+# ln(u)/w in log space, md5 uniform, global top-k
+ORACLE["weighted_sample_topk"] = """
+    SELECT doc_id, weight, priority, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             round(p, 6) AS priority,
+             row_number() OVER (ORDER BY p DESC, doc_id) AS rank
+      FROM (
+        SELECT doc_id, n_chars,
+               ln(CAST(('0x' || substr(md5(doc_id || ':' || text), 1, 15))
+                       ::BIGINT AS DOUBLE) / 1152921504606846976.0)
+                 / CAST(n_chars AS DOUBLE) AS p
+        FROM documents) t
+    ) r WHERE rank <= 100
+"""
+
 QUERIES["agg_hll_portable"] = _bind(corpus_stats.hll_distinct_tokens,
                                     "documents")
 # portable HyperLogLog (Flajolet et al. 2007): md5-slice bucket/rho, so

@@ -825,3 +825,20 @@ def test_hll_portable_estimate_accuracy(dfs):
     # rel_err is computed from the UNROUNDED estimate; reconcile at 6dp
     assert abs(abs(r.hll_estimate - r.n_exact) / r.n_exact
                - r.rel_err) < 1e-4
+
+
+def test_weighted_sample_biases_toward_heavy_docs(dfs):
+    """Priority sampling must over-represent heavy (long) documents:
+    the sampled mean weight must exceed the corpus mean, ranks must be
+    dense 1..k, and the draw must be reproducible."""
+    from hive_nexr_spark.datapipe.curation import weighted_sample_topk
+
+    rows = weighted_sample_topk(dfs["documents"], k=50).collect()
+    assert sorted(r.rank for r in rows) == list(range(1, 51))
+    rows2 = weighted_sample_topk(dfs["documents"], k=50).collect()
+    assert {(r.doc_id, r.rank) for r in rows} == \
+        {(r.doc_id, r.rank) for r in rows2}
+    mean_sampled = sum(r.weight for r in rows) / len(rows)
+    mean_corpus = dfs["documents"].selectExpr(
+        "avg(n_chars) AS m").collect()[0].m
+    assert mean_sampled > mean_corpus

@@ -779,3 +779,12 @@ def test_hash_embeddings_int_shuffles_only(dfs):
     assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "text#" not in ex, f"text in embedding shuffle: {ex}"
+
+
+def test_weighted_sample_is_takeordered(dfs):
+    """The weighted draw must rank via TakeOrderedAndProject
+    (per-partition heaps) — never a global sort of the corpus."""
+    from hive_nexr_spark.datapipe.curation import weighted_sample_topk
+
+    plan = _plan(weighted_sample_topk(dfs["documents"]))
+    assert "TakeOrderedAndProject" in plan
