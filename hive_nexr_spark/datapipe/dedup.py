@@ -829,3 +829,102 @@ def bloom_filter_dedup(documents: DataFrame, m_bits: int = 1 << 18,
              & F.col("_e").isNull()).alias("false_positive"),
         )
     )
+
+
+def hof_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, sh) → (doc_id, sh, band, bucket): per-row minhash band
+    projection with NO explode/groupBy — `array_min` over transformed
+    shingle arrays — so it runs identically on batch and (unaggregated)
+    streaming DataFrames. Values are bit-equal to the explode+groupBy
+    path in `minhash_lsh_pairs`: min over the same md5-slice set. Shared
+    by the streaming near-dup matcher and the persisted LSH index."""
+    dg = df.withColumn("_dg", F.transform(F.col("sh"), F.md5))
+    sig = dg.select(
+        "doc_id", "sh",
+        *[
+            F.array_min(F.transform(
+                F.col("_dg"),
+                lambda d, h=h: F.substring(d, h * 5 + 1, 5),
+            )).alias(f"mh{h}")
+            for h in range(MINHASH_H)
+        ],
+    )
+    return sig.select(
+        "doc_id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                           for r in range(ROWS_PER_BAND)]).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+
+
+def lsh_index_build(documents: DataFrame, index_dir: str,
+                    max_doc_id: int = 200) -> None:
+    """BUILD + PERSIST the MinHash-LSH dedup index — the batch half of
+    the dedup lifecycle the ANN index already has (build → query →
+    add-batch): shingle the corpus once, persist two parquet tables:
+
+      <index_dir>/shingles  (doc_id, sh array)  — the verify side
+      <index_dir>/bands     (doc_id, band, bucket) — the candidate side
+
+    100 TB shape: at scale `bands` is the table every ingest batch
+    equi-joins against (it would partition/bucket by (band, bucket));
+    `shingles` is fetched by id for candidate verification only. Raw
+    text never persists — the index is shingle digests and band keys."""
+    corpus = documents.select("doc_id", "text").filter(
+        (F.col("doc_id") % 100000) < max_doc_id)
+    toks = _with_shingles(corpus).select("doc_id", "sh")
+    toks.write.mode("overwrite").parquet(f"{index_dir}/shingles")
+    toks_t = documents.sparkSession.read.parquet(f"{index_dir}/shingles")
+    (hof_bands(toks_t).select("doc_id", "band", "bucket")
+     .write.mode("overwrite").parquet(f"{index_dir}/bands"))
+
+
+def lsh_index_add_batch(spark, index_dir: str,
+                        new_docs: DataFrame) -> None:
+    """INCREMENTALLY admit a document batch into the persisted index:
+    shingle + band the batch (work proportional to the BATCH) and append
+    to both tables — after which later queries see the new documents as
+    part of the corpus. The idempotent-append landing contract shared
+    with the ANN add-batch."""
+    toks = _with_shingles(new_docs.select("doc_id", "text")).select(
+        "doc_id", "sh")
+    toks.write.mode("append").parquet(f"{index_dir}/shingles")
+    (hof_bands(toks).select("doc_id", "band", "bucket")
+     .write.mode("append").parquet(f"{index_dir}/bands"))
+
+
+def lsh_index_query(spark, index_dir: str, probe_docs: DataFrame,
+                    threshold: float = 0.5) -> DataFrame:
+    """QUERY the persisted index with a probe batch: probe docs band
+    statelessly (`hof_bands`), equi-join the persisted band table on
+    (band, bucket), verify exact Jaccard against the persisted shingle
+    table — ids and band keys through every Exchange, the corpus never
+    re-shingled. Output: (doc_a = index doc, doc_b = probe doc,
+    jaccard), deduped across multi-band matches."""
+    bands_t = spark.read.parquet(f"{index_dir}/bands")
+    toks_t = spark.read.parquet(f"{index_dir}/shingles")
+    probes = hof_bands(
+        _with_shingles(probe_docs.select("doc_id", "text"))
+        .select("doc_id", "sh")
+    ).select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+             "band", "bucket")
+    cand = probes.join(
+        bands_t.select(F.col("doc_id").alias("doc_a"), "band", "bucket"),
+        ["band", "bucket"])
+    return (
+        cand.join(toks_t.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sh").alias("sh_a")), "doc_a")
+        .select(
+            "doc_a", "doc_b",
+            (F.size(F.array_intersect("sh_a", "sh_b"))
+             / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .distinct()
+    )

@@ -1732,6 +1732,120 @@ ORACLE["dedup_bloom_filter"] = _CORPUS + f"""
     LEFT JOIN exact e USING (digest)
 """
 
+def _lsh_match_sql(idx_sql: str, probe_sql: str,
+                   threshold: float = 0.5) -> str:
+    """DuckDB mirror of the MinHash band matcher (streaming near-dup /
+    persisted LSH index): relations `idx` and `probe` (doc_id, text) →
+    banded candidates → exact-Jaccard-verified (doc_a=index,
+    doc_b=probe, jaccard) pairs. Same md5-slice minhash math as the
+    dedup_minhash_lsh oracle."""
+    mins = ", ".join(
+        f"min(substr(md5(shingle), {h * 5 + 1}, 5)) AS mh{h}"
+        for h in range(6))
+    return f"""
+    WITH idx AS ({idx_sql}),
+    probe AS ({probe_sql}),
+    tok_c AS (
+      SELECT doc_id, list_distinct([array_to_string(l[i:i+2], ' ')
+               for i in range(1, greatest(len(l) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM idx) t
+    ),
+    tok_i AS (
+      SELECT doc_id, list_distinct([array_to_string(l[i:i+2], ' ')
+               for i in range(1, greatest(len(l) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM probe) t
+    ),
+    sig_c AS (
+      SELECT doc_id, {mins}
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM tok_c) s
+      GROUP BY doc_id
+    ),
+    sig_i AS (
+      SELECT doc_id, {mins}
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM tok_i) s
+      GROUP BY doc_id
+    ),
+    bands_c AS (
+      SELECT doc_id, 0 AS band, mh0 || mh1 AS bucket FROM sig_c
+      UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig_c
+      UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig_c
+    ),
+    bands_i AS (
+      SELECT doc_id, 0 AS band, mh0 || mh1 AS bucket FROM sig_i
+      UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig_i
+      UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig_i
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS doc_a, i.doc_id AS doc_b
+      FROM bands_c c JOIN bands_i i USING (band, bucket)
+    )
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
+      FROM cand
+      JOIN tok_c ta ON cand.doc_a = ta.doc_id
+      JOIN tok_i tb ON cand.doc_b = tb.doc_id
+    ) v WHERE jaccard >= {threshold}
+"""
+
+
+_LSH_ORIGINALS = ("SELECT doc_id, text FROM documents "
+                  "WHERE doc_id % 100000 < 200")
+_LSH_INCOMING = """
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id % 100000 < 200 AND doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, 'zzz ' || text FROM documents
+      WHERE doc_id % 100000 < 200 AND doc_id % 3 = 0
+"""
+_LSH_EXACTS = ("SELECT doc_id + 100000 AS doc_id, text FROM documents "
+               "WHERE doc_id % 100000 < 200 AND doc_id % 2 = 0")
+_LSH_NEARS = ("SELECT doc_id + 200000 AS doc_id, 'zzz ' || text AS text "
+              "FROM documents "
+              "WHERE doc_id % 100000 < 200 AND doc_id % 3 = 0")
+
+
+def _lsh_index_persisted(spark, sf_dir):
+    """Persisted LSH dedup index lifecycle: build from the bounded
+    originals, query the planted arrival batch — identical result set to
+    the streaming near-dup matcher, whose oracle it shares."""
+    docs = ensure_views(spark, sf_dir)["documents"]
+    d = similarity._index_scratch()
+    dedup.lsh_index_build(docs, d)
+    incoming = dedup._bounded_corpus(docs, 200).filter(
+        F.col("doc_id") >= 100000)
+    return dedup.lsh_index_query(spark, d, incoming)
+
+
+QUERIES["dedup_lsh_index_persisted"] = _lsh_index_persisted
+ORACLE["dedup_lsh_index_persisted"] = _lsh_match_sql(
+    _LSH_ORIGINALS, _LSH_INCOMING)
+
+
+def _lsh_index_add_batch(spark, sf_dir):
+    """Index lifecycle with incremental admission: the exact copies
+    (+100000) are ADDED to the index after the build, then the near-dups
+    (+200000) probe the enlarged index — they must now also match the
+    admitted copies, not just the originals."""
+    docs = ensure_views(spark, sf_dir)["documents"]
+    d = similarity._index_scratch()
+    dedup.lsh_index_build(docs, d)
+    bounded = dedup._bounded_corpus(docs, 200)
+    dedup.lsh_index_add_batch(
+        spark, d, bounded.filter((F.col("doc_id") >= 100000)
+                                 & (F.col("doc_id") < 200000)))
+    return dedup.lsh_index_query(
+        spark, d, bounded.filter(F.col("doc_id") >= 200000))
+
+
+QUERIES["dedup_lsh_index_add_batch"] = _lsh_index_add_batch
+ORACLE["dedup_lsh_index_add_batch"] = _lsh_match_sql(
+    f"{_LSH_ORIGINALS} UNION ALL {_LSH_EXACTS}", _LSH_NEARS)
+
+
 QUERIES["tokenize_bpe_merge_order"] = _bind(
     corpus_stats.bpe_apply_merge_order, "documents")
 # merge-ORDER application: the train chain's FINAL vocabulary state (v6,

@@ -393,69 +393,15 @@ ORACLE["events_hypertable_rollup"] = """
 """
 
 
-# streaming MinHash near-dup (streaming/neardup.py): the oracle is the
-# batch twin of the stream-static band join — planted arrivals (+100000
-# exact, +200000 near) banded against the bounded corpus index, exact
-# Jaccard verified on candidates only. Identical md5-slice minhash math
-# as the dedup_minhash_lsh oracle.
-_ND_MINS = ", ".join(
-    f"min(substr(md5(shingle), {h * 5 + 1}, 5)) AS mh{h}" for h in range(6))
-ORACLE["events_stream_neardup"] = f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 100000 < 200
-    ),
-    incoming AS (
-      SELECT doc_id + 100000 AS doc_id, text FROM corpus
-      WHERE doc_id % 2 = 0
-      UNION ALL
-      SELECT doc_id + 200000 AS doc_id, 'zzz ' || text FROM corpus
-      WHERE doc_id % 3 = 0
-    ),
-    tok_c AS (
-      SELECT doc_id, list_distinct([array_to_string(l[i:i+2], ' ')
-               for i in range(1, greatest(len(l) - 2, 1) + 1)]) AS sh
-      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
-            FROM corpus) t
-    ),
-    tok_i AS (
-      SELECT doc_id, list_distinct([array_to_string(l[i:i+2], ' ')
-               for i in range(1, greatest(len(l) - 2, 1) + 1)]) AS sh
-      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
-            FROM incoming) t
-    ),
-    sig_c AS (
-      SELECT doc_id, {_ND_MINS}
-      FROM (SELECT doc_id, unnest(sh) AS shingle FROM tok_c) s
-      GROUP BY doc_id
-    ),
-    sig_i AS (
-      SELECT doc_id, {_ND_MINS}
-      FROM (SELECT doc_id, unnest(sh) AS shingle FROM tok_i) s
-      GROUP BY doc_id
-    ),
-    bands_c AS (
-      SELECT doc_id, 0 AS band, mh0 || mh1 AS bucket FROM sig_c
-      UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig_c
-      UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig_c
-    ),
-    bands_i AS (
-      SELECT doc_id, 0 AS band, mh0 || mh1 AS bucket FROM sig_i
-      UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig_i
-      UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig_i
-    ),
-    cand AS (
-      SELECT DISTINCT c.doc_id AS doc_a, i.doc_id AS doc_b
-      FROM bands_c c JOIN bands_i i USING (band, bucket)
-    )
-    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
-      SELECT doc_a, doc_b,
-             CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
-      FROM cand
-      JOIN tok_c ta ON cand.doc_a = ta.doc_id
-      JOIN tok_i tb ON cand.doc_b = tb.doc_id
-    ) v WHERE jaccard >= 0.5
-"""
+# streaming MinHash near-dup (streaming/neardup.py): batch-twin oracle
+# from the shared band-matcher generator (queries/datapipe_q.py — also
+# the persisted-LSH-index oracles), planted arrivals vs the bounded
+# original-documents index
+from .datapipe_q import (_LSH_INCOMING, _LSH_ORIGINALS,  # noqa: E402
+                         _lsh_match_sql)
+
+ORACLE["events_stream_neardup"] = _lsh_match_sql(
+    _LSH_ORIGINALS, _LSH_INCOMING)
 
 
 # streaming ANN ingest shares the batch add-batch lifecycle's oracle:

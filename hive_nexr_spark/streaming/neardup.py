@@ -35,8 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datapipe._cache import tracked_persist
-from ..datapipe.dedup import (MINHASH_BANDS, MINHASH_H, ROWS_PER_BAND,
-                              _with_shingles)
+from ..datapipe.dedup import _with_shingles
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,33 +47,11 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hof_bands(df: DataFrame) -> DataFrame:
-    """(doc_id, sh) → (doc_id, sh, band, bucket): per-row minhash band
-    projection with NO explode/groupBy — `array_min` over transformed
-    shingle arrays — so it runs identically on batch and (unaggregated)
-    streaming DataFrames. Values are bit-equal to the explode+groupBy
-    path in `minhash_lsh_pairs`: min over the same md5-slice set."""
-    dg = df.withColumn("_dg", F.transform(F.col("sh"), F.md5))
-    sig = dg.select(
-        "doc_id", "sh",
-        *[
-            F.array_min(F.transform(
-                F.col("_dg"),
-                lambda d, h=h: F.substring(d, h * 5 + 1, 5),
-            )).alias(f"mh{h}")
-            for h in range(MINHASH_H)
-        ],
-    )
-    return sig.select(
-        "doc_id", "sh",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
-                           for r in range(ROWS_PER_BAND)]).alias("bucket"),
-            )
-            for b in range(MINHASH_BANDS)
-        ])).alias("bb"),
-    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+    """Stateless per-row minhash band projection — shared implementation
+    in `dedup.hof_bands` (also the persisted-LSH-index encoder)."""
+    from ..datapipe.dedup import hof_bands
+
+    return hof_bands(df)
 
 
 def _incoming(docs: DataFrame, max_doc_id: int) -> DataFrame:

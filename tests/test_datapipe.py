@@ -842,3 +842,40 @@ def test_weighted_sample_biases_toward_heavy_docs(dfs):
     mean_corpus = dfs["documents"].selectExpr(
         "avg(n_chars) AS m").collect()[0].m
     assert mean_sampled > mean_corpus
+
+
+def test_lsh_index_lifecycle(dfs, spark):
+    """Persisted LSH index: query equals the streaming matcher's result
+    set on the same inputs; add-batch makes admitted documents findable
+    (near-dups match their admitted exact-copy siblings, impossible
+    before admission) and appends exactly the batch's rows."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.datapipe import dedup, similarity
+    from hive_nexr_spark.streaming.neardup import neardup_batch_twin
+
+    docs = dfs["documents"]
+    d = similarity._index_scratch()
+    dedup.lsh_index_build(docs, d)
+    incoming = dedup._bounded_corpus(docs, 200).filter(
+        F.col("doc_id") >= 100000)
+    got = {tuple(r) for r in
+           dedup.lsh_index_query(spark, d, incoming).collect()}
+    twin = {tuple(r) for r in
+            neardup_batch_twin(spark, "/root/testdata/sf0.001").collect()}
+    assert got == twin and got
+
+    n_before = spark.read.parquet(f"{d}/bands").count()
+    exacts = dedup._bounded_corpus(docs, 200).filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000))
+    dedup.lsh_index_add_batch(spark, d, exacts)
+    assert (spark.read.parquet(f"{d}/bands").count()
+            == n_before + exacts.count() * 3)  # 3 bands per doc
+    nears = dedup._bounded_corpus(docs, 200).filter(
+        F.col("doc_id") >= 200000)
+    enlarged = {(r.doc_a, r.doc_b) for r in
+                dedup.lsh_index_query(spark, d, nears).collect()}
+    # a near-dup of an even original must now ALSO match the admitted
+    # +100000 copy (doc_a in the copy range)
+    assert any(100000 <= a < 200000 for a, _ in enlarged)
+    assert any(a < 100000 for a, _ in enlarged)
