@@ -64,15 +64,48 @@ def _json_lines_roundtrip(spark, sf_dir):
     return fmt.json_lines_roundtrip(spark, dfs["customer"], sf_dir)
 
 
+def _json_ingest_quarantine(spark, sf_dir):
+    dfs = ensure_views(spark, sf_dir)
+    return fmt.json_ingest_quarantine(spark, dfs["documents"], sf_dir)
+
+
+def _parquet_schema_evolution(spark, sf_dir):
+    dfs = ensure_views(spark, sf_dir)
+    return fmt.parquet_schema_evolution(spark, dfs["documents"], sf_dir)
+
+
 QUERIES = {
     "textfile_roundtrip": _textfile_roundtrip,
     "regex_serde_extract": _regex_serde,
     "jdbc_external_table": _jdbc_external_table,
     "orc_roundtrip": _orc_roundtrip,
     "json_lines_roundtrip": _json_lines_roundtrip,
+    "json_ingest_quarantine": _json_ingest_quarantine,
+    "parquet_schema_evolution": _parquet_schema_evolution,
 }
 
 ORACLE = {
+    # quarantine ingest: the corruption plant is a pure doc_id predicate,
+    # so the accounting derives straight from the source table
+    "json_ingest_quarantine": """
+        SELECT CAST(count(*) FILTER (doc_id % 17 <> 0) AS BIGINT)
+                 AS n_clean,
+               CAST(count(*) FILTER (doc_id % 17 = 0) AS BIGINT)
+                 AS n_quarantined,
+               CAST(sum(doc_id) FILTER (doc_id % 17 <> 0) AS BIGINT)
+                 AS clean_id_sum,
+               CAST(sum(n_chars) FILTER (doc_id % 17 <> 0) AS BIGINT)
+                 AS clean_chars_sum
+        FROM documents
+    """,
+    # mergeSchema read: early batches lack lang -> '<missing>' group
+    "parquet_schema_evolution": """
+        SELECT CASE WHEN doc_id % 2 = 1 THEN lang
+                    ELSE '<missing>' END AS lang_or_missing,
+               count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        FROM documents GROUP BY 1
+    """,
     # both roundtrip through files on the Spark side; the oracle is the
     # same aggregate straight off the source table — lossless (de)serialization
     # is exactly what's being asserted

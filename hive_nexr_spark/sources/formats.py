@@ -154,3 +154,83 @@ def json_lines_roundtrip(spark: SparkSession, customer: DataFrame,
              dsum("c_acctbal").alias("sum_bal"),
              F.count("c_missing").alias("n_missing"))
     )
+
+
+def json_ingest_quarantine(spark: SparkSession, documents: DataFrame,
+                           sf_dir: str) -> DataFrame:
+    """Corrupt-record QUARANTINE ingest — the production JSON-lines
+    landing pattern (a 100 TB crawl drop always contains malformed
+    lines; the pipeline must load what parses and account for what
+    doesn't, never abort): rows are serialized to JSON lines with a
+    deterministic corruption planted (doc_id % 17 == 0 lines truncated
+    mid-object), then read back in Spark's PERMISSIVE mode with
+    `columnNameOfCorruptRecord` — parse failures land intact in the
+    quarantine column instead of killing the job.
+
+    Output: one accounting row (n_clean, n_quarantined, clean_id_sum,
+    clean_chars_sum) — the ingest report a pipeline logs per batch.
+
+    100 TB shape: the quarantine path is a per-row projection in the
+    scan itself (no second pass, no driver involvement); clean and
+    quarantined rows flow from the same read."""
+    from ..scratch import process_scratch_dir
+
+    out = process_scratch_dir("quarantine")
+    payload = F.to_json(F.struct("doc_id", "n_chars", "lang"))
+    lines = documents.select(
+        F.when(F.col("doc_id") % 17 == 0, F.substring(payload, 1, 10))
+        .otherwise(payload).alias("value"))
+    lines.write.mode("overwrite").text(out)
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("n_chars", LongType()),
+        StructField("lang", StringType()),
+        StructField("_quarantine", StringType()),
+    ])
+    back = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_quarantine")
+            .json(out))
+    return back.agg(
+        F.count(F.when(F.col("_quarantine").isNull(), 1))
+        .alias("n_clean"),
+        F.count("_quarantine").alias("n_quarantined"),
+        F.sum(F.when(F.col("_quarantine").isNull(), F.col("doc_id")))
+        .alias("clean_id_sum"),
+        F.sum(F.when(F.col("_quarantine").isNull(), F.col("n_chars")))
+        .alias("clean_chars_sum"),
+    )
+
+
+def parquet_schema_evolution(spark: SparkSession, documents: DataFrame,
+                             sf_dir: str) -> DataFrame:
+    """Schema-EVOLUTION read (`mergeSchema`) — the lakehouse reality
+    that ingestion batches gain columns over time: batch 1 lands
+    (doc_id, n_chars), batch 2 lands (doc_id, n_chars, lang); a merged
+    read surfaces the union schema with NULLs where early batches lack
+    the column, and aggregation proceeds as if the table were always
+    wide. The Hive-0.8 analogue is ALTER TABLE ADD COLUMNS over
+    partitioned text tables (`DDLSemanticAnalyzer`), which this engine
+    also runs in the qfile corpus — this op pins the columnar-format
+    merge behavior.
+
+    Output: (lang_or_missing, n, chars_sum) per group."""
+    from ..scratch import process_scratch_dir
+
+    out = process_scratch_dir("evolve")
+    (documents.filter(F.col("doc_id") % 2 == 0)
+     .select("doc_id", "n_chars")
+     .write.mode("overwrite").parquet(f"{out}/batch=1"))
+    (documents.filter(F.col("doc_id") % 2 == 1)
+     .select("doc_id", "n_chars", "lang")
+     .write.mode("overwrite").parquet(f"{out}/batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy(F.coalesce("lang", F.lit("<missing>"))
+                     .alias("lang_or_missing"))
+        .agg(F.count("*").alias("n"),
+             F.sum("n_chars").alias("chars_sum"))
+    )
