@@ -158,3 +158,38 @@ def pack_sequences_bpe(documents: DataFrame, budget: int = 512,
         F.floor(start / budget).alias("seq_id"),
         (start % budget).alias("tok_offset"),
     )
+
+
+def assign_contiguous_ids(documents: DataFrame,
+                          bucket_width: int = 1024) -> DataFrame:
+    """Stable CONTIGUOUS global ids 0..n-1 in doc_id order WITHOUT a
+    global sort — the two-pass offset pattern every large-scale id
+    assignment uses (a bare `row_number() OVER (ORDER BY ...)` funnels
+    100 TB through ONE partition): bucket rows by doc_id range, count
+    per bucket (map-side combined), prefix-sum the counts on the TINY
+    bucket table (single-partition window over ~n/width rows — bounded
+    by construction), broadcast the offsets back, and rank only WITHIN
+    each bucket. new_id = bucket_offset + local_rank.
+
+    Output: (doc_id, new_id) — new_id is exactly
+    row_number() OVER (ORDER BY doc_id) - 1, which is the oracle.
+
+    100 TB shape: one map-side-combined count per bucket, one bounded
+    single-partition window over the bucket table, one broadcast join,
+    and per-bucket windows that parallelize across buckets. At cluster
+    scale bucket_width is chosen so buckets >> shuffle partitions."""
+    b = (F.col("doc_id") / bucket_width).cast("long").alias("b")
+    rows = documents.select("doc_id", b)
+    counts = rows.groupBy("b").agg(F.count("*").alias("cnt"))
+    # prefix sum over the bucket table: offset(b) = rows in earlier buckets
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off"))
+    wl = Window.partitionBy("b").orderBy("doc_id")
+    return (
+        rows.join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id",
+            (F.col("off") + F.row_number().over(wl) - 1).alias("new_id"),
+        )
+    )

@@ -2085,6 +2085,17 @@ ORACLE["perplexity_bigram"] = """
     FROM per_doc
 """
 
+QUERIES["assign_contiguous_ids"] = _bind(packing.assign_contiguous_ids,
+                                         "documents")
+# two-pass offset id assignment: the oracle IS the single-window form
+# the scale path avoids
+ORACLE["assign_contiguous_ids"] = """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             AS new_id
+    FROM documents
+"""
+
 QUERIES["weighted_sample_topk"] = _bind(curation.weighted_sample_topk,
                                         "documents")
 # Efraimidis-Spirakis weighted sampling without replacement: priority =

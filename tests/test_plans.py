@@ -788,3 +788,21 @@ def test_weighted_sample_is_takeordered(dfs):
 
     plan = _plan(weighted_sample_topk(dfs["documents"]))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_contiguous_ids_no_global_row_window(dfs):
+    """The id-assignment must rank inside doc_id-range buckets with the
+    only unpartitioned window consuming the bounded bucket-count table —
+    a corpus-wide ORDER BY row_number (single partition) is the
+    scale-killer this op exists to avoid."""
+    import re
+
+    from hive_nexr_spark.datapipe.packing import assign_contiguous_ids
+
+    plan = _plan(assign_contiguous_ids(dfs["documents"]))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    parts = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    # at least one window partitioned by the bucket; any empty-partition
+    # window must sit above the bucket aggregation (HashAggregate), i.e.
+    # consume the counts table, not the corpus
+    assert any("b#" in p for p in parts), parts
