@@ -133,14 +133,22 @@ def ivf_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     cents = corpus.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
 
-    csim = (_dot(F.col("v"), F.col("cv"))
-            / (_norm(F.col("v")) * _norm(F.col("cv"))))
+    # nested-centroid argMAX projection (r9: zero-Exchange assignment —
+    # the join+groupBy form shuffled corpus rows with vector payloads;
+    # max over (s, cell) keeps the identical higher-cell tie-break)
+    nested = cents.agg(
+        F.collect_list(F.struct("cell", "cv")).alias("_cents"))
+    best_cell = F.array_max(F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (_dot(F.col("v"), c["cv"])
+             / (_norm(F.col("v")) * _norm(c["cv"]))).alias("s"),
+            c["cell"].alias("cell"),
+        ),
+    ))["cell"]
     assigned = (
-        corpus.join(F.broadcast(cents))
-        .select("vec_id", "v", csim.alias("s"), "cell")
-        .groupBy("vec_id")
-        .agg(F.max(F.struct("s", "cell", "v")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.v").alias("v"))
+        corpus.crossJoin(F.broadcast(nested))
+        .select("vec_id", best_cell.alias("cell"), "v")
     )
 
     qsim = (_dot(F.col("qv"), F.col("cv"))
@@ -318,25 +326,20 @@ def _kmeans_centroids(emb: DataFrame, k: int, iters: int,
     """Lloyd training loop shared by `kmeans_clusters` (reporting) and
     `ivf_kmeans_topk` (trained-quantizer IVF): returns (cluster, n, cv)
     after `iters` rounds, one lazy unrolled plan. Per iteration:
-    assignment = corpus × broadcast(k centroids) then a map-side-combined
-    min(struct) groupBy; recompute = groupBy cluster with `dim` partial
-    sums. Init centroids are the vectors with vec_id < k; squared
-    euclidean, ties to the lower cluster id."""
+    assignment is a nested-centroid `array_min` PROJECTION (broadcast
+    1-row centroid array — zero Exchange; the r8 join+groupBy form
+    shuffled the corpus WITH its vector payload once per iteration);
+    recompute = groupBy cluster with `dim` partial sums — the one
+    corpus shuffle an iteration fundamentally needs. Init centroids are
+    the vectors with vec_id < k; squared euclidean, ties to the lower
+    cluster id — bit-equal to the previous form."""
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv"))
 
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
-
     for _ in range(iters):
         assigned = (
-            emb.join(F.broadcast(cents))
-            .select("vec_id", "v", d2.alias("d2"), "cluster")
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cluster", "v")).alias("m"))
-            .select(F.col("m.cluster").alias("cluster"),
-                    F.col("m.v").alias("v"))
+            emb.crossJoin(F.broadcast(_nest_centroids(cents)))
+            .select(_nearest_cluster(F.col("v")).alias("cluster"), "v")
         )
         cents = assigned.groupBy("cluster").agg(
             F.count("*").alias("n"),
@@ -408,16 +411,10 @@ def semdedup(embeddings: DataFrame, n_clusters: int = 8, iters: int = 2,
     cents = _kmeans_centroids(emb, n_clusters, iters, dim).select(
         "cluster", "cv")
 
-    d2c = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
     assigned = (
-        emb.join(F.broadcast(cents))
-        .select("vec_id", "v", d2c.alias("d2"), "cluster")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cluster", "v")).alias("m"))
-        .select("vec_id", F.col("m.cluster").alias("cluster"),
-                F.col("m.v").alias("v"))
+        emb.crossJoin(F.broadcast(_nest_centroids(cents)))
+        .select("vec_id", _nearest_cluster(F.col("v")).alias("cluster"),
+                "v")
     )
     assigned = tracked_persist(assigned)
 
@@ -471,16 +468,10 @@ def ivf_kmeans_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
 
-    d2c = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
     assigned = (
-        corpus.join(F.broadcast(cents))
-        .select("vec_id", "v", d2c.alias("d2"), "cluster")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cluster", "v")).alias("m"))
-        .select("vec_id", F.col("m.cluster").alias("cluster"),
-                F.col("m.v").alias("v"))
+        corpus.crossJoin(F.broadcast(_nest_centroids(cents)))
+        .select("vec_id", _nearest_cluster(F.col("v")).alias("cluster"),
+                "v")
     )
 
     d2q = F.aggregate(
@@ -619,23 +610,48 @@ def _pq_d2() -> Column:
         F.lit(0.0).cast("double"), lambda acc, x: acc + x)
 
 
+def _nest_codebooks(cb: DataFrame) -> DataFrame:
+    """(j, cluster, cv) → one row per SUBSPACE carrying its whole
+    codebook as an array — the per-subspace analogue of
+    `_nest_centroids`: the nearest-code election becomes a projection
+    after an m-row broadcast join on j, instead of a ks-fold row blowup
+    plus a (vec_id, j) groupBy shuffle."""
+    return cb.groupBy("j").agg(
+        F.collect_list(F.struct("cluster", "cv")).alias("_cbs"))
+
+
+def _nearest_code(svcol: Column) -> Column:
+    """argmin over the subspace codebook array `_cbs` by squared
+    euclidean, ties to the lower cluster — bit-equal to the min(struct)
+    election it replaces."""
+    return F.array_min(F.transform(
+        F.col("_cbs"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(svcol, c["cv"],
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"), lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cluster"].alias("cluster"),
+        ),
+    ))["cluster"]
+
+
 def _pq_codebooks(sub: DataFrame, ks: int, sd: int,
                   iters: int) -> DataFrame:
     """Per-subspace Lloyd codebooks (init = subvectors of vec_id < ks,
     squared euclidean, ties to the lower id) — the shared deterministic
-    spec of pq_topk / ivf_pq_topk."""
-    d2 = _pq_d2()
+    spec of pq_topk / ivf_pq_topk. Assignment is the nested-codebook
+    projection; the per-(j, cluster) mean recompute is the one shuffle
+    an iteration needs."""
     cb = sub.filter(F.col("vec_id") < ks).select(
         "j", F.col("vec_id").cast("int").alias("cluster"),
         F.col("sv").alias("cv"))
     for _ in range(iters):
         assigned = (
-            sub.join(F.broadcast(cb), "j")
-            .select("vec_id", "j", "sv", d2.alias("d2"), "cluster")
-            .groupBy("vec_id", "j")
-            .agg(F.min(F.struct("d2", "cluster", "sv")).alias("a"))
-            .select("j", F.col("a.cluster").alias("cluster"),
-                    F.col("a.sv").alias("sv"))
+            sub.join(F.broadcast(_nest_codebooks(cb)), "j")
+            .select("j", _nearest_code(F.col("sv")).alias("cluster"),
+                    "sv")
         )
         cb = assigned.groupBy("j", "cluster").agg(
             F.count("*").alias("n"),
@@ -649,31 +665,54 @@ def _pq_codebooks(sub: DataFrame, ks: int, sd: int,
 
 
 def _pq_encode(sub: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, j, sv) × codebooks → (vec_id, j, code): nearest-centroid
-    election per subspace, broadcast codebooks, map-side-combined min."""
-    d2 = _pq_d2()
+    """(vec_id, j, sv) × codebooks → (vec_id, j, code): nearest-code
+    election as a nested-codebook projection — no election shuffle."""
     return (
-        sub.join(F.broadcast(cb), "j")
-        .select("vec_id", "j", d2.alias("d2"), "cluster")
-        .groupBy("vec_id", "j")
-        .agg(F.min(F.struct("d2", "cluster")).alias("a"))
-        .select("vec_id", "j", F.col("a.cluster").alias("code"))
+        sub.join(F.broadcast(_nest_codebooks(cb)), "j")
+        .select("vec_id", "j", _nearest_code(F.col("sv")).alias("code"))
     )
+
+
+def _nest_centroids(cents: DataFrame) -> DataFrame:
+    """(cluster, cv) rows → ONE row carrying every centroid as an array
+    of structs. Broadcast-crossJoined onto the corpus, this turns
+    nearest-centroid assignment into a PURE PROJECTION (`array_min` over
+    a per-row transform) — zero Exchange, where the join+groupBy form
+    shuffles a corpus-sized row set (with its vector payload) per
+    assignment. The argmin is order-independent, so the unsorted
+    collect_list is still deterministic; the min compares (d2, cluster)
+    — the identical lower-cluster tie-break as the min(struct) it
+    replaces, hence bit-equal results (r9 scale refactor; every oracle
+    unchanged). Scope: right for SMALL centroid sets (coarse quantizers,
+    k ≲ thousands — the array must broadcast and evaluate per row); a
+    million-centroid fine quantizer would return to the join+groupBy
+    form, sharded."""
+    return cents.agg(
+        F.collect_list(F.struct("cluster", "cv")).alias("_cents"))
+
+
+def _nearest_cluster(vcol: Column) -> Column:
+    """argmin_{c ∈ _cents} ||vcol − c.cv||² with ties to the lower
+    cluster id, as a single JVM expression over the nested array."""
+    return F.array_min(F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vcol, c["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"), lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cluster"].alias("cluster"),
+        ),
+    ))["cluster"]
 
 
 def _coarse_assign(vecs: DataFrame, coarse: DataFrame,
                    out_col: str = "cell") -> DataFrame:
-    """(vec_id, v) × coarse centroids → (vec_id, cell): broadcast-argmin
-    cell routing (lower-cluster tie-break)."""
-    d2c = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    """(vec_id, v) × coarse centroids → (vec_id, cell): nested-centroid
+    argmin routing — a projection, no corpus exchange."""
     return (
-        vecs.join(F.broadcast(coarse))
-        .select("vec_id", d2c.alias("d2"), "cluster")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cluster")).alias("a"))
-        .select("vec_id", F.col("a.cluster").alias(out_col))
+        vecs.crossJoin(F.broadcast(_nest_centroids(coarse)))
+        .select("vec_id", _nearest_cluster(F.col("v")).alias(out_col))
     )
 
 
