@@ -687,3 +687,82 @@ def hll_distinct_tokens(documents: DataFrame, b_bits: int = 10) -> DataFrame:
             F.col("nz").alias("n_registers"),
         )
     )
+
+
+def token_heavy_hitters_bounded(documents: DataFrame,
+                                k_counters: int = 200) -> DataFrame:
+    """EXACT frequent-token mining with BOUNDED memory: the classic
+    two-pass Misra-Gries shape (Misra & Gries 1982; merged-summary
+    guarantee per Agarwal et al. 2013 — both public).
+
+    `token_heavy_hitters` hash-aggregates the full vocabulary — fine
+    when the vocabulary fits an executor hash map, the wrong plan when
+    it doesn't (per-token corpora with quasi-unbounded distinct keys:
+    URLs, n-grams, user ids at 100 TB). This operator never materializes
+    the vocabulary:
+
+    - Pass 1 (candidates): each partition streams its tokens through a
+      Misra-Gries summary of `k_counters` counters (Arrow-batched
+      `mapInPandas`, O(k) state regardless of partition size). The UNION
+      of per-partition candidate sets provably contains every token with
+      global count > N/(k_counters+1): a token absent from partition i's
+      summary has count_i <= n_i/(k+1), and summing over partitions
+      bounds its global count by N/(k+1).
+    - Pass 2 (exact recount): the candidate set (<= k x n_partitions
+      rows) broadcasts back onto the token stream as a semi-join filter,
+      and only candidate tokens enter the groupBy — the shuffle carries
+      a bounded key set, not the vocabulary.
+    - Threshold filter: keep tokens with n*(k+1) > N (pure-integer
+      compare, so the SQL oracle reproduces it bit-for-bit). The result
+      is EXACT — same rows a full groupBy would produce for the same
+      predicate — but the plan's memory is O(k) per partition.
+
+    Output: (token, n_occurrences, share, rank) like
+    `token_heavy_hitters`, restricted to tokens above the N/(k+1)
+    frequency threshold.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import pattern
+
+    terms = documents.select(
+        F.explode(_tokens(F.col("text"))).alias("token"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k_counters:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = (
+        terms.mapInPandas(mg_partition, schema="token string")
+        .distinct()
+    )
+    # total token count WITHOUT the explode: sum of per-doc sizes,
+    # map-side combined to one row
+    total = documents.agg(
+        F.sum(F.size(_tokens(F.col("text")))).alias("_n"))
+    exact = (
+        terms.join(F.broadcast(candidates), "token")
+        .groupBy("token").agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * (k_counters + 1) > F.col("_n"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return exact.select(
+        "token",
+        "n_occurrences",
+        F.round(F.col("n_occurrences") / F.col("_n").cast("double"),
+                6).alias("share"),
+    ).withColumn("rank", F.row_number().over(w))

@@ -2159,6 +2159,27 @@ ORACLE["agg_hll_portable"] = """
     FROM est
 """
 
+QUERIES["token_heavy_hitters_bounded"] = _bind(
+    corpus_stats.token_heavy_hitters_bounded, "documents")
+# two-pass Misra-Gries (1982): bounded-memory candidates + exact recount.
+# The threshold compare is pure-integer (n*(k+1) > N), so the EXACT
+# result reproduces in SQL even though the Spark plan never aggregates
+# the full vocabulary.
+ORACLE["token_heavy_hitters_bounded"] = """
+    WITH terms AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS n FROM terms GROUP BY token
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT token, CAST(n AS BIGINT) AS n_occurrences,
+           round(n / CAST(total AS DOUBLE), 6) AS share,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+    FROM counts, tot
+    WHERE n * 201 > total
+"""
+
 QUERIES["perplexity_kneser_ney"] = _bind(corpus_stats.perplexity_kneser_ney,
                                          "documents")
 # interpolated Kneser-Ney bigram LM (Kneser & Ney 1995 / Chen & Goodman

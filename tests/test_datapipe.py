@@ -879,3 +879,32 @@ def test_lsh_index_lifecycle(dfs, spark):
     # +100000 copy (doc_a in the copy range)
     assert any(100000 <= a < 200000 for a, _ in enlarged)
     assert any(a < 100000 for a, _ in enlarged)
+
+
+def test_heavy_hitters_bounded_matches_exact_groupby(dfs):
+    """The Misra-Gries two-pass result must EQUAL the full-vocabulary
+    groupBy restricted to the same n*(k+1) > N threshold — the sketch
+    bounds memory, never changes the answer."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.datapipe.corpus_stats import (
+        token_heavy_hitters_bounded,
+    )
+    from hive_nexr_spark.datapipe.textops import _tokens
+
+    docs = dfs["documents"]
+    got = {
+        (r["token"], r["n_occurrences"], r["rank"])
+        for r in token_heavy_hitters_bounded(docs, k_counters=50).collect()
+    }
+    terms = docs.select(F.explode(_tokens(F.col("text"))).alias("t"))
+    counts = {r["t"]: r["n"] for r in
+              terms.groupBy("t").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    expect_tokens = sorted(
+        ((t, n) for t, n in counts.items() if n * 51 > total),
+        key=lambda x: (-x[1], x[0]),
+    )
+    expect = {(t, n, i + 1) for i, (t, n) in enumerate(expect_tokens)}
+    assert got == expect
+    assert got, "threshold should keep at least one token on this corpus"

@@ -306,6 +306,27 @@ def test_heavy_hitters_topk_never_global_sort(dfs):
     assert "partial_count" in fplan
 
 
+def test_heavy_hitters_bounded_misra_gries_shape(dfs):
+    """The two-pass Misra-Gries plan must sketch via MapInPandas (O(k)
+    state per partition), broadcast the candidate set back onto the
+    token stream (never shuffle the vocabulary), and the recount
+    aggregation must partially combine map-side."""
+    import re
+
+    from hive_nexr_spark.datapipe.corpus_stats import (
+        token_heavy_hitters_bounded,
+    )
+
+    fplan = _formatted(token_heavy_hitters_bounded(dfs["documents"]))
+    assert "MapInPandas" in fplan
+    assert "BroadcastHashJoin" in fplan
+    assert "partial_count" in fplan
+    # the only shuffled keys are candidate tokens post-broadcast-filter;
+    # no Exchange may carry the raw document text
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex, f"document text in shuffle: {ex}"
+
+
 def test_perplexity_broadcasts_lm_table(dfs):
     """The unigram LM join must be broadcast (vocabulary-sized build
     side); the corpus-sized tf aggregation must partially combine."""
