@@ -170,6 +170,8 @@ QUERIES = {
     "events_stream_cdc_upsert": lambda spark, sf_dir:
         ev.stream_cdc_upsert(spark, sf_dir),
     "events_json_props_stats": _json_props_stats,
+    "events_mv_incremental": lambda spark, sf_dir: ev.mv_incremental_batch(
+        ensure_views(spark, sf_dir)["events"]),
     "events_stream_neardup": lambda spark, sf_dir:
         nd.stream_neardup(spark, sf_dir),
     "similarity_stream_ann_ingest": lambda spark, sf_dir:
@@ -295,6 +297,20 @@ ORACLE["events_json_props_stats"] = """
 
 # CDC merge (streaming/events.py cdc_merge_batch): latest-per-key
 # election on both sides, change wins, 'error' tombstone deletes
+# incremental MV maintenance (streaming/events.py mv_incremental_batch):
+# the oracle is the FULL recompute — the op must be bit-equal to it even
+# though its plan only merges partial aggregates
+ORACLE["events_mv_incremental"] = """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+"""
+
 ORACLE["events_cdc_merge"] = """
     WITH b1 AS (
       SELECT * FROM (

@@ -597,3 +597,58 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"),
              F.sum("sum_dec").cast("double").alias("sum_value"))
     )
+
+
+def mv_incremental_batch(events: DataFrame,
+                         delta_mod: int = 10) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a delta batch
+    into a daily rollup MV by ALGEBRAIC partial-aggregate merge, never
+    re-aggregating the base corpus. The reference era rebuilt rollups
+    with a full INSERT OVERWRITE (the same posture its hourly-report
+    queries assume); a 100 TB deployment instead keeps (count, decimal
+    sum, min, max) — all associative merge states — in the MV and folds
+    in each new batch with an MV-sized groupBy.
+
+    Deterministic spec over the events table: the "delta" is the
+    event_id % `delta_mod` >= delta_mod-2 slice (~20%), the MV is built
+    from the rest. Both sides aggregate to (day, event_type) partials;
+    the merge is a second groupBy over the UNION of the two partial
+    tables — input size is O(days x types), not O(events). The result
+    is bit-equal to a full recompute (the oracle), which is exactly the
+    property that makes the MV safe to maintain incrementally.
+
+    Output: (day, event_type, n_events, sum_value, min_value,
+    max_value, avg_value); day is a STRING (driver-canon dtype
+    symmetry, per the hypertable rollup note).
+    """
+    day = F.date_format(F.date_trunc("day", F.col("ts")),
+                        "yyyy-MM-dd").alias("day")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(day, "event_type").agg(
+            F.count("*").alias("n"),
+            # exact decimal accumulation — associative, so partials
+            # merge without order sensitivity (functions/stable.py)
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    is_delta = F.col("event_id") % delta_mod >= delta_mod - 2
+    mv = partials(events.filter(~is_delta))
+    delta = partials(events.filter(is_delta))
+    merged = (
+        mv.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n_events"),
+             F.sum("s").alias("s"),
+             F.min("mn").alias("min_value"),
+             F.max("mx").alias("max_value"))
+    )
+    return merged.select(
+        "day", "event_type", "n_events",
+        F.col("s").cast("double").alias("sum_value"),
+        "min_value", "max_value",
+        F.round(F.col("s").cast("double") / F.col("n_events"), 6)
+        .alias("avg_value"),
+    )

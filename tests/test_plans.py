@@ -837,3 +837,16 @@ def test_contiguous_ids_no_global_row_window(dfs):
     # window must sit above the bucket aggregation (HashAggregate), i.e.
     # consume the counts table, not the corpus
     assert any("b#" in p for p in parts), parts
+
+
+def test_mv_incremental_merges_partials_not_corpus(dfs):
+    """The MV merge groupBy must consume the Union of two partial
+    aggregates (MV-sized input), with map-side combine on both sides —
+    never a single re-aggregation whose merge input is the raw corpus."""
+    from hive_nexr_spark.streaming.events import mv_incremental_batch
+
+    fplan = _formatted(mv_incremental_batch(dfs["events"]))
+    assert "Union" in fplan
+    assert "partial_count" in fplan
+    # decimal accumulation keeps the merge order-insensitive
+    assert "decimal(30,6)" in fplan

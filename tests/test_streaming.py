@@ -150,3 +150,32 @@ def test_stream_ann_ingest_equals_batch_add_batch(spark, sf_dir):
     streamed = {tuple(r) for r in stream_ann_ingest(spark, sf_dir).collect()}
     batch = {tuple(r) for r in _ivf_pq_add_batch(spark, sf_dir).collect()}
     assert streamed == batch and streamed
+
+
+def test_mv_incremental_equals_full_recompute(dfs):
+    """Partial-aggregate merge must be bit-equal to aggregating the
+    whole events table in one pass — the algebraic property that makes
+    the MV safe to maintain from deltas alone."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.streaming.events import mv_incremental_batch
+
+    events = dfs["events"]
+    got = {tuple(r) for r in mv_incremental_batch(events).collect()}
+    full = (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"),
+                          "yyyy-MM-dd").alias("day"),
+            "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(30,6)")).alias("s"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+        .select("day", "event_type", "n_events",
+                F.col("s").cast("double").alias("sum_value"),
+                "min_value", "max_value",
+                F.round(F.col("s").cast("double") / F.col("n_events"), 6)
+                .alias("avg_value"))
+    )
+    assert got == {tuple(r) for r in full.collect()}
+    assert got
