@@ -5,7 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..datapipe import (chunking, corpus_stats, curation, dedup, multimodal,
+from ..datapipe import (chunking, corpus_stats, curation, dedup, layout,
+                        multimodal,
                         packing, similarity, textops)
 from .base import ensure_views
 
@@ -2158,6 +2159,12 @@ ORACLE["agg_hll_portable"] = """
            CAST(nz AS BIGINT) AS n_registers
     FROM est
 """
+
+QUERIES["layout_zorder_stats"] = _bind(layout.zorder_layout_stats, "events")
+# Morton/Z-order layout (Morton 1966): exact integer rank + bit
+# interleave, so the bucket assignment — the thing the layout write
+# range-partitions on — reproduces bit-for-bit in SQL
+ORACLE["layout_zorder_stats"] = layout.zorder_oracle_sql()
 
 QUERIES["token_heavy_hitters_bounded"] = _bind(
     corpus_stats.token_heavy_hitters_bounded, "documents")

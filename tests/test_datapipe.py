@@ -908,3 +908,19 @@ def test_heavy_hitters_bounded_matches_exact_groupby(dfs):
     expect = {(t, n, i + 1) for i, (t, n) in enumerate(expect_tokens)}
     assert got == expect
     assert got, "threshold should keep at least one token on this corpus"
+
+
+def test_zorder_buckets_are_rank_rectangles(dfs):
+    """Each leading-z-bit bucket fixes the top 2 bits of BOTH dimension
+    ranks, so it must span < 64 of the 256 rank values in each dimension
+    — the bounded-rectangle property that makes parquet min/max prune
+    files for predicates on either column."""
+    from hive_nexr_spark.datapipe.layout import zorder_layout_stats
+
+    rows = zorder_layout_stats(dfs["events"]).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["zbucket"] < 16
+        assert r["max_x"] - r["min_x"] < 64
+        assert r["max_y"] - r["min_y"] < 64
+    assert sum(r["n_events"] for r in rows) == dfs["events"].count()

@@ -850,3 +850,17 @@ def test_mv_incremental_merges_partials_not_corpus(dfs):
     assert "partial_count" in fplan
     # decimal accumulation keeps the merge order-insensitive
     assert "decimal(30,6)" in fplan
+
+
+def test_zorder_interleave_is_pure_projection(dfs):
+    """The Morton interleave must stay JVM-side (no Python eval) with the
+    dimension bounds broadcast and the bucket stats map-side combined —
+    the layout analysis costs one O(buckets) shuffle, never a sort."""
+    from hive_nexr_spark.datapipe.layout import zorder_layout_stats
+
+    fplan = _formatted(zorder_layout_stats(dfs["events"]))
+    assert "BatchEvalPython" not in fplan
+    assert "ArrowEvalPython" not in fplan
+    assert "BroadcastExchange" in fplan
+    assert "partial_count" in fplan
+    assert "Sort" not in fplan
