@@ -100,6 +100,15 @@ HEADLINE = [
     "events_stream_neardup",
     "similarity_ivf_pq_persisted",
     "dedup_bloom_filter",
+    # added round 9 (second wave): bounded-memory Misra-Gries heavy
+    # hitters (mapInPandas sketch + exact recount), the algebraic MV
+    # delta-merge, and the Morton-layout clustering analysis
+    "token_heavy_hitters_bounded",
+    "events_mv_incremental",
+    "layout_zorder_stats",
+    # the composed clean→dedup→decontaminate→pack pipeline — the single
+    # heaviest realistic job shape in the suite
+    "pipeline_pretrain_e2e",
 ]
 
 

@@ -6,8 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..datapipe import (chunking, corpus_stats, curation, dedup, layout,
-                        multimodal,
-                        packing, similarity, textops)
+                        multimodal, packing, pipeline, similarity, textops)
 from .base import ensure_views
 
 
@@ -2158,6 +2157,75 @@ ORACLE["agg_hll_portable"] = """
              AS rel_err,
            CAST(nz AS BIGINT) AS n_registers
     FROM est
+"""
+
+QUERIES["pipeline_pretrain_e2e"] = _bind(pipeline.pretrain_pipeline,
+                                         "documents")
+# end-to-end clean → exact-dedup → decontaminate → pack composition
+# (datapipe/pipeline.py): the oracle chains each stage's existing CTE
+# shape over the shared synthetic-dup corpus
+ORACLE["pipeline_pretrain_e2e"] = _CORPUS + """
+    , feats AS (
+      SELECT doc_id, text, l,
+             CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(round(
+               CASE WHEN len(l) >= 20 THEN 0.4 ELSE 0.0 END
+               + CASE WHEN (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                            / len(l)) >= 3
+                      AND (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                           / len(l)) <= 10 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN (CAST(len(list_filter(l, t -> t IN
+                     ('the','a','of','and','to','in','is','it','for','on')))
+                     AS DOUBLE) / len(l)) >= 0.05
+                 THEN 0.3 ELSE 0.0 END, 2) AS DOUBLE) AS quality,
+             len(list_filter(l, t -> t IN
+               ('the','a','of','and','to','in','is','it','for','on')))
+               AS en_votes,
+             len(list_filter(l, t -> t IN
+               ('der','die','das','und','ist','nicht','ein','zu')))
+               AS de_votes,
+             len(list_filter(l, t -> t IN
+               ('le','la','les','et','est','un','une','pas'))) AS fr_votes
+      FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS l
+            FROM corpus) t
+    ),
+    cleaned AS (
+      SELECT doc_id, text, l, n_tokens, quality FROM feats
+      WHERE quality >= 0.7 AND en_votes >= de_votes AND en_votes >= fr_votes
+    ),
+    kept AS (
+      SELECT md5(text) AS digest, min(doc_id) AS doc_id,
+             min(n_tokens) AS n_tokens, min(quality) AS quality
+      FROM cleaned GROUP BY 1
+    ),
+    bench AS (
+      SELECT DISTINCT unnest([
+               substr(md5(array_to_string(l[i:i+3], ' ')), 1, 16)
+               for i in range(1, greatest(len(l) - 3, 1) + 1)]) AS shingle
+      FROM (SELECT string_split(lower(text), ' ') AS l FROM documents
+            WHERE doc_id % 13 = 0) t
+    ),
+    flagged AS (
+      SELECT DISTINCT md5(text) AS digest
+      FROM (
+        SELECT text, unnest(list_distinct([
+                 substr(md5(array_to_string(l[i:i+3], ' ')), 1, 16)
+                 for i in range(1, greatest(len(l) - 3, 1) + 1)])) AS shingle
+        FROM cleaned) s
+      JOIN bench USING (shingle)
+    ),
+    survivors AS (
+      SELECT * FROM kept
+      WHERE digest NOT IN (SELECT digest FROM flagged)
+    )
+    SELECT doc_id, substr(digest, 1, 2) AS bucket, n_tokens, quality,
+           CAST(floor(start / 512) AS BIGINT) AS seq_id,
+           CAST(start % 512 AS BIGINT) AS tok_offset
+    FROM (
+      SELECT doc_id, digest, n_tokens, quality,
+             sum(n_tokens) OVER (PARTITION BY substr(digest, 1, 2)
+                                 ORDER BY doc_id) - n_tokens AS start
+      FROM survivors) p
 """
 
 QUERIES["layout_zorder_stats"] = _bind(layout.zorder_layout_stats, "events")

@@ -924,3 +924,25 @@ def test_zorder_buckets_are_rank_rectangles(dfs):
         assert r["max_x"] - r["min_x"] < 64
         assert r["max_y"] - r["min_y"] < 64
     assert sum(r["n_events"] for r in rows) == dfs["events"].count()
+
+
+def test_pretrain_pipeline_stage_semantics(dfs):
+    """End-to-end pipeline invariants: exact planted copies never
+    survive (keep-first dedup), benchmark-slice docs are scrubbed (they
+    trivially share their own shingles), and the packing layout is a
+    valid concat-and-chunk stream."""
+    from hive_nexr_spark.datapipe.pipeline import pretrain_pipeline
+
+    rows = pretrain_pipeline(dfs["documents"]).collect()
+    assert rows
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    # planted exact copies live at +100000; keep-first always prefers
+    # the original, which passed the identical filters
+    assert not [i for i in ids if 100000 <= i < 200000]
+    # the benchmark slice shares 100% of its own shingles -> scrubbed
+    assert not [i for i in ids if i < 100000 and i % 13 == 0]
+    for r in rows:
+        assert 0 <= r["tok_offset"] < 512
+        assert r["seq_id"] >= 0
+        assert r["quality"] >= 0.7

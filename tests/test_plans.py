@@ -864,3 +864,18 @@ def test_zorder_interleave_is_pure_projection(dfs):
     assert "BroadcastExchange" in fplan
     assert "partial_count" in fplan
     assert "Sort" not in fplan
+
+
+def test_pretrain_pipeline_text_never_shuffles(dfs):
+    """The composed pipeline must keep document text out of every
+    Exchange (digest/doc_id keys only), broadcast the benchmark shingle
+    set, and map-side combine the dedup groupBy."""
+    import re
+
+    from hive_nexr_spark.datapipe.pipeline import pretrain_pipeline
+
+    fplan = _formatted(pretrain_pipeline(dfs["documents"]))
+    assert "BroadcastHashJoin" in fplan
+    assert "partial_min" in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex, f"document text in shuffle: {ex}"
