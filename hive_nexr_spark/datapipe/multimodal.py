@@ -235,3 +235,104 @@ def sample_frames(documents: DataFrame, frame_size: int = 64,
 
     payloads = to_binary_payloads(documents).select("doc_id", "payload")
     return payloads.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def encode_wav(doc_id: int, n_samples: int = 1024,
+               sample_rate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV (RIFF/WAVE, the public
+    Microsoft/IBM container layout): samples come from an integer LCG
+    keyed on doc_id — s(i) = ((doc_id*1103515245 + i*12345) % 65536)
+    - 32768 — so the decoded waveform is reproducible in pure SQL with
+    the same formula, no audio library on either side."""
+    import struct
+
+    samples = [
+        ((doc_id * 1103515245 + i * 12345) % 65536) - 32768
+        for i in range(n_samples)
+    ]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    byte_rate = sample_rate * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                   byte_rate, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL audio decode, stdlib-only: walks the RIFF chunk list (not a
+    fixed offset — real WAVs carry LIST/fact chunks before data), parses
+    the fmt chunk, and returns (sample_rate, n_samples, pcm_bytes) for
+    16-bit mono PCM. Compressed codecs raise NotImplementedError — a
+    genuine unsupported-container signal, like `decode_image`."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"unsupported WAV encoding: fmt={audio_format} ch={channels} "
+            f"bits={bits} (only 16-bit mono PCM decodes in-container)")
+    return sample_rate, len(data) // 2, data
+
+
+AUDIO_SCHEMA = ("doc_id long, win_idx int, n int, energy long, "
+                "zero_cross int, peak int")
+
+
+def audio_window_features(documents: DataFrame, window: int = 256,
+                          n_samples: int = 1024) -> DataFrame:
+    """Windowed audio features over the WAV byte path: encode the
+    deterministic PCM payload, DECODE it back through the real RIFF
+    parser, then per `window`-sample frame emit all-INTEGER features —
+    energy = sum of squared samples, zero-crossing count, peak = max
+    absolute sample. Integer-only outputs sidestep float rounding, so
+    the whole byte pipeline hash-verifies against a SQL oracle that
+    regenerates the LCG waveform arithmetically.
+
+    100 TB shape: one Arrow-batched mapInPandas pass, numpy-vectorized
+    per payload, N windows out per row in (the UDTF shape) — and NO
+    shuffle anywhere: features are per-document-local, the plan is scan
+    → MapInPandas, full stop (asserted in tests/test_plans.py)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, wins, ns, energies, zcs, peaks = [], [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                _sr, n, pcm = decode_audio(
+                    encode_wav(int(doc_id), n_samples))
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                for w in range(n // window):
+                    seg = s[w * window:(w + 1) * window]
+                    signs = seg >= 0
+                    ids.append(int(doc_id))
+                    wins.append(w)
+                    ns.append(len(seg))
+                    energies.append(int(np.sum(seg * seg)))
+                    zcs.append(int(np.sum(signs[1:] != signs[:-1])))
+                    peaks.append(int(np.max(np.abs(seg))))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "win_idx": pd.Series(wins, dtype="int32"),
+                "n": pd.Series(ns, dtype="int32"),
+                "energy": pd.Series(energies, dtype="int64"),
+                "zero_cross": pd.Series(zcs, dtype="int32"),
+                "peak": pd.Series(peaks, dtype="int32"),
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        batches, schema=AUDIO_SCHEMA)

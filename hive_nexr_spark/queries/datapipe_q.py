@@ -2159,6 +2159,30 @@ ORACLE["agg_hll_portable"] = """
     FROM est
 """
 
+QUERIES["multimodal_audio_windows"] = _bind(
+    multimodal.audio_window_features, "documents")
+# all-integer windowed audio features over the real WAV byte path; the
+# oracle regenerates the LCG waveform arithmetically (no bytes needed)
+ORACLE["multimodal_audio_windows"] = """
+    WITH samples AS (
+      SELECT doc_id, i,
+             ((doc_id * 1103515245 + i * 12345) % 65536) - 32768 AS s
+      FROM documents, (SELECT unnest(range(0, 1024)) AS i)
+    ),
+    flagged AS (
+      SELECT doc_id, i, s, CAST(i // 256 AS INT) AS win_idx,
+             CASE WHEN i % 256 > 0 AND (s >= 0) <>
+                  (lag(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                  THEN 1 ELSE 0 END AS zc
+      FROM samples
+    )
+    SELECT doc_id, win_idx, CAST(count(*) AS INT) AS n,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(sum(zc) AS INT) AS zero_cross,
+           CAST(max(abs(s)) AS INT) AS peak
+    FROM flagged GROUP BY doc_id, win_idx
+"""
+
 QUERIES["pipeline_pretrain_e2e"] = _bind(pipeline.pretrain_pipeline,
                                          "documents")
 # end-to-end clean → exact-dedup → decontaminate → pack composition

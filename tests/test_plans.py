@@ -879,3 +879,14 @@ def test_pretrain_pipeline_text_never_shuffles(dfs):
     assert "partial_min" in fplan
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "text#" not in ex, f"document text in shuffle: {ex}"
+
+
+def test_audio_windows_no_shuffle(dfs):
+    """Per-document audio featurization must be scan → MapInPandas with
+    NO Exchange — features are document-local, nothing needs the
+    network."""
+    from hive_nexr_spark.datapipe.multimodal import audio_window_features
+
+    fplan = _formatted(audio_window_features(dfs["documents"]))
+    assert "MapInPandas" in fplan
+    assert "Exchange" not in fplan
