@@ -96,6 +96,38 @@ def _with_shingles(df: DataFrame) -> DataFrame:
     ).drop("_toks")
 
 
+def _band_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → distinct candidate pairs (doc_a, doc_b) via
+    the portable single-md5-split minhash signatures and band-bucket
+    self-join — the shared LSH front end of every minhash-family op.
+    Shuffles: by doc (signature build), by (band, bucket); the join
+    output is |bucket collisions|, never n²."""
+    hashed = sh.select("doc_id", F.md5("shingle").alias("d"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(F.substring("d", h * 5 + 1, 5)).alias(f"mh{h}")
+          for h in range(MINHASH_H)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                           for r in range(ROWS_PER_BAND)]).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5,
                       max_doc_id: int = 200) -> DataFrame:
     """MinHash + LSH near-dup pairs.
@@ -119,38 +151,7 @@ def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5,
     # tracked_persist bounds cache growth across a multi-query sweep.
     toks = tracked_persist(_with_shingles(corpus).select("doc_id", "sh"))
     sh = toks.select("doc_id", F.explode(F.col("sh")).alias("shingle"))
-    hashed = sh.select("doc_id", F.md5("shingle").alias("d"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("d", h * 5 + 1, 5)).alias(f"mh{h}")
-            for h in range(MINHASH_H)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat(
-                            *[F.col(f"mh{b * ROWS_PER_BAND + r}")
-                              for r in range(ROWS_PER_BAND)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_candidates(sh)
     verified = (
         cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
         .join(toks.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
@@ -927,4 +928,37 @@ def lsh_index_query(spark, index_dir: str, probe_docs: DataFrame,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .distinct()
+    )
+
+
+def edit_distance_pairs(documents: DataFrame, max_dist: int = 8,
+                        max_doc_id: int = 200) -> DataFrame:
+    """Near-dup pairs verified by EXACT edit distance: MinHash-band
+    candidate generation (the same portable signature machinery as
+    `minhash_lsh_pairs`, so candidates stay |bucket-collisions|, never
+    n²) followed by `levenshtein(text_a, text_b) <= max_dist` on the
+    candidate pairs only. Character-level edit distance catches the
+    small-insertion/typo duplicates set-based Jaccard underweights
+    (the planted 'zzz '-prefixed near-dups sit at distance 4).
+
+    Scale: candidate generation shuffles (band, bucket) keys only; the
+    exact verification is two id-keyed joins fetching the candidate
+    texts plus a JVM-side `levenshtein` (whole-stage codegen, no UDF).
+    Levenshtein is O(len_a x len_b) per pair — bounded by the LSH
+    candidate count, which is exactly why the bands come first.
+
+    Output: (doc_a, doc_b, edit_dist).
+    """
+    corpus = _bounded_corpus(documents, max_doc_id)
+    toks = _with_shingles(corpus).select("doc_id", "sh")
+    sh = toks.select("doc_id", F.explode(F.col("sh")).alias("shingle"))
+    cand = _band_candidates(sh)
+    texts = corpus.select("doc_id", "text")
+    return (
+        cand.join(texts.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(texts.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select("doc_a", "doc_b",
+                F.levenshtein(F.col("ta.text"), F.col("tb.text"))
+                .alias("edit_dist"))
+        .filter(F.col("edit_dist") <= max_dist)
     )

@@ -2159,6 +2159,44 @@ ORACLE["agg_hll_portable"] = """
     FROM est
 """
 
+QUERIES["dedup_edit_distance"] = _bind(dedup.edit_distance_pairs,
+                                       "documents")
+# MinHash-band candidates + exact character-level Levenshtein verify —
+# both engines implement the same classic edit distance, so the pair
+# set reproduces exactly
+ORACLE["dedup_edit_distance"] = _CORPUS + f"""
+    , subset AS (SELECT * FROM corpus WHERE doc_id % 100000 < 200)
+    , shingled AS (
+      SELECT doc_id, unnest(list_distinct([
+               array_to_string(l[i:i+2], ' ')
+               for i in range(1, greatest(len(l) - 2, 1) + 1)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM subset) t
+    )
+    , sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(substr(md5(shingle), {h * 5 + 1}, 5)) AS mh{h}"
+                        for h in range(6))}
+      FROM shingled GROUP BY doc_id
+    )
+    , bands AS (
+      SELECT doc_id, 0 AS band, mh0 || mh1 AS bucket FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+    )
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_dist
+    FROM cand JOIN subset ta ON cand.doc_a = ta.doc_id
+              JOIN subset tb ON cand.doc_b = tb.doc_id
+    WHERE levenshtein(ta.text, tb.text) <= 8
+"""
+
 QUERIES["multimodal_audio_windows"] = _bind(
     multimodal.audio_window_features, "documents")
 # all-integer windowed audio features over the real WAV byte path; the

@@ -172,6 +172,8 @@ QUERIES = {
     "events_json_props_stats": _json_props_stats,
     "events_mv_incremental": lambda spark, sf_dir: ev.mv_incremental_batch(
         ensure_views(spark, sf_dir)["events"]),
+    "events_funnel": lambda spark, sf_dir: ev.funnel_stages(
+        ensure_views(spark, sf_dir)["events"]),
     "events_stream_neardup": lambda spark, sf_dir:
         nd.stream_neardup(spark, sf_dir),
     "similarity_stream_ann_ingest": lambda spark, sf_dir:
@@ -297,6 +299,35 @@ ORACLE["events_json_props_stats"] = """
 
 # CDC merge (streaming/events.py cdc_merge_batch): latest-per-key
 # election on both sides, change wins, 'error' tombstone deletes
+# ordered funnel (streaming/events.py funnel_stages): first view, first
+# click strictly after it, first purchase strictly after that
+ORACLE["events_funnel"] = """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(1 + CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END AS INT)
+             AS reached,
+           CAST(floor(epoch(v.t1)) AS BIGINT) AS view_epoch,
+           CAST(floor(epoch(c.t2)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(p.t3)) AS BIGINT) AS purchase_epoch
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
 # incremental MV maintenance (streaming/events.py mv_incremental_batch):
 # the oracle is the FULL recompute — the op must be bit-equal to it even
 # though its plan only merges partial aggregates

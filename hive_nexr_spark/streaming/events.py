@@ -652,3 +652,48 @@ def mv_incremental_batch(events: DataFrame,
         F.round(F.col("s").cast("double") / F.col("n_events"), 6)
         .alias("avg_value"),
     )
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user, the
+    first 'view', the first 'click' strictly AFTER that view, and the
+    first 'purchase' strictly after that click — the product-analytics
+    staple the reference era wrote as nested self-joins in HiveQL.
+
+    Output: one row per user who viewed —
+    (user_id, reached ∈ {1,2,3}, view_epoch, click_epoch, purchase_epoch)
+    with the epochs in seconds (later stages NULL when never reached).
+
+    100 TB shape: each stage is ONE map-side-combinable min() aggregation
+    over its own event-type slice (the type filter pushes to the scan),
+    and all three stages key on user_id — AQE reuses the exchange across
+    the stage joins, so the funnel costs one user-keyed shuffle plus
+    per-stage filtered scans, never an events×events self-join.
+    """
+    def first_after(etype: str, prev: DataFrame, prev_col: str,
+                    out: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id").agg(F.min("ts").alias(out))
+        )
+
+    views = (events.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    clicks = first_after("click", views, "t1", "t2")
+    purchases = first_after("purchase", clicks, "t2", "t3")
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            (F.lit(1)
+             + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+             + F.when(F.col("t3").isNotNull(), 1).otherwise(0))
+            .cast("int").alias("reached"),
+            F.col("t1").cast("long").alias("view_epoch"),
+            F.col("t2").cast("long").alias("click_epoch"),
+            F.col("t3").cast("long").alias("purchase_epoch"),
+        )
+    )

@@ -982,3 +982,18 @@ def test_audio_wav_roundtrip_and_windows(dfs, spark):
         assert r["peak"] == int(np.max(np.abs(seg)))
         signs = seg >= 0
         assert r["zero_cross"] == int(np.sum(signs[1:] != signs[:-1]))
+
+
+def test_edit_distance_pairs_find_planted_dups(dfs):
+    """Exact copies sit at distance 0, the 'zzz '-prefixed near-dups at
+    distance <= 4 (one 4-char insertion vs the original's first token
+    replacement); everything reported must satisfy the threshold."""
+    from hive_nexr_spark.datapipe.dedup import edit_distance_pairs
+
+    rows = edit_distance_pairs(dfs["documents"]).collect()
+    assert rows
+    by_pair = {(r["doc_a"], r["doc_b"]): r["edit_dist"] for r in rows}
+    assert all(d <= 8 for d in by_pair.values())
+    exact = [(a, b) for (a, b), d in by_pair.items() if d == 0]
+    assert exact, "planted exact copies must surface at distance 0"
+    assert any(100000 <= b < 200000 for _, b in exact)

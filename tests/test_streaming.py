@@ -179,3 +179,37 @@ def test_mv_incremental_equals_full_recompute(dfs):
     )
     assert got == {tuple(r) for r in full.collect()}
     assert got
+
+
+def test_funnel_ordering_strictness(dfs, spark):
+    """reached=3 requires view < click < purchase in strict ts order;
+    a purchase BEFORE the first view's subsequent click must not count.
+    Verified against a driver-side recompute on a small user sample."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.streaming.events import funnel_stages
+
+    rows = funnel_stages(dfs["events"]).collect()
+    assert rows
+    by_user = {r["user_id"]: r for r in rows}
+    sample = list(by_user)[:20]
+    events = [
+        r for r in dfs["events"].select(
+            "user_id", "event_type",
+            F.col("ts").cast("long").alias("e")).collect()
+        if r["user_id"] in set(sample)
+    ]
+    for uid in sample:
+        evs = [(r["event_type"], r["e"]) for r in events
+               if r["user_id"] == uid]
+        t1 = min((e for t, e in evs if t == "view"), default=None)
+        assert t1 is not None
+        t2 = min((e for t, e in evs if t == "click" and e > t1),
+                 default=None)
+        t3 = (min((e for t, e in evs if t == "purchase" and e > t2),
+                  default=None) if t2 is not None else None)
+        got = by_user[uid]
+        assert got["view_epoch"] == t1
+        assert got["click_epoch"] == t2
+        assert got["purchase_epoch"] == t3
+        assert got["reached"] == 1 + (t2 is not None) + (t3 is not None)
