@@ -916,3 +916,52 @@ def ivf_pq_query_index(spark, index_dir: str, queries: DataFrame,
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 "rank", F.round("approx_d2", 6).alias("approx_d2"))
     )
+
+
+def knn_join(embeddings: DataFrame, k: int = 3, n_clusters: int = 8,
+             iters: int = 2, dim: int = 64) -> DataFrame:
+    """All-pairs k-nearest-neighbor JOIN: every vector gets its top-`k`
+    cosine neighbors — the bulk operator behind semantic clustering,
+    graph building, and batched retrieval (vs the `*_topk` family, which
+    serves a handful of query vectors against a corpus).
+
+    Deterministic spec (exact SQL oracle): train `n_clusters` centroids
+    with the shared Lloyd loop; assign every vector to its nearest
+    centroid (squared euclidean, ties to the lower cluster id);
+    neighbors are ranked by cosine DESC (ties to the lower neighbor id)
+    WITHIN the vector's cluster — the cluster-bounded candidate set is
+    the operator's contract, exactly like SemDedup's blocking, so recall
+    beyond the cell is traded for the Σ|cell|² bound explicitly.
+
+    100 TB shape: assignment is the zero-Exchange broadcast-nested-
+    argmin projection; the candidate self-join keys on the CLUSTER id
+    (never a corpus cartesian); the per-vector top-k is a rank window
+    partitioned by vec_id over in-cell candidates, which Spark executes
+    with WindowGroupLimit (per-partition heaps — k rows per vector
+    retained pre-shuffle, asserted in tests/test_plans.py).
+    """
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cents = _kmeans_centroids(emb, n_clusters, iters, dim).select(
+        "cluster", "cv")
+    assigned = tracked_persist(
+        emb.crossJoin(F.broadcast(_nest_centroids(cents)))
+        .select("vec_id", _nearest_cluster(F.col("v")).alias("cluster"),
+                "v")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = (_dot(F.col("a.v"), F.col("b.v"))
+           / (_norm(F.col("a.v")) * _norm(F.col("b.v"))))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+                cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"),
+                F.round("cos", 6).alias("cos_sim"))
+    )

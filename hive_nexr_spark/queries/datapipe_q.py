@@ -1272,6 +1272,43 @@ def _semdedup_sql(n_clusters: int = 8, iters: int = 2, dim: int = 64,
 QUERIES["dedup_semantic_kmeans"] = _bind(similarity.semdedup, "embeddings")
 ORACLE["dedup_semantic_kmeans"] = _semdedup_sql()
 
+
+def _knn_join_sql(k: int = 3, n_clusters: int = 8, iters: int = 2,
+                  dim: int = 64) -> str:
+    """DuckDB oracle for `similarity.knn_join`: Lloyd training,
+    nearest-centroid assignment, cluster-bounded cosine top-k."""
+    d2 = (f"list_aggregate([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) "
+          f"for i in range(1, {dim} + 1) ], 'sum')")
+    return _kmeans_cte(n_clusters, iters, dim) + f"""
+    , assigned AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cluster) AS rn
+        FROM emb e CROSS JOIN c{iters} c
+      ) r WHERE rn = 1
+    )
+    SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 6) AS cos_sim
+    FROM (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))) DESC,
+                        b.vec_id) AS rank
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    ) t WHERE rank <= {k}"""
+
+
+QUERIES["similarity_knn_join"] = _bind(similarity.knn_join, "embeddings")
+ORACLE["similarity_knn_join"] = _knn_join_sql()
+
 QUERIES["chunk_remove_boilerplate"] = _bind(chunking.remove_boilerplate,
                                             "documents")
 ORACLE["chunk_remove_boilerplate"] = _CHUNK_STARTS.format(stride=32) + """

@@ -174,6 +174,8 @@ QUERIES = {
         ensure_views(spark, sf_dir)["events"]),
     "events_funnel": lambda spark, sf_dir: ev.funnel_stages(
         ensure_views(spark, sf_dir)["events"]),
+    "events_retention_cohorts": lambda spark, sf_dir: ev.retention_cohorts(
+        ensure_views(spark, sf_dir)["events"]),
     "events_stream_neardup": lambda spark, sf_dir:
         nd.stream_neardup(spark, sf_dir),
     "similarity_stream_ann_ingest": lambda spark, sf_dir:
@@ -299,6 +301,38 @@ ORACLE["events_json_props_stats"] = """
 
 # CDC merge (streaming/events.py cdc_merge_batch): latest-per-key
 # election on both sides, change wins, 'error' tombstone deletes
+# cohort retention (streaming/events.py retention_cohorts): first-signup
+# cohorts x day offsets 0..7, distinct active members per cell
+ORACLE["events_retention_cohorts"] = """
+    WITH signups AS (
+      SELECT user_id,
+             min(strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, count(*) AS n_cohort FROM signups GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d FROM events
+    ),
+    grid AS (
+      SELECT s.cohort_day,
+             CAST(date_diff('day', CAST(s.cohort_day AS DATE),
+                            CAST(a.d AS DATE)) AS INT) AS day_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN signups s USING (user_id)
+      WHERE date_diff('day', CAST(s.cohort_day AS DATE),
+                      CAST(a.d AS DATE)) BETWEEN 0 AND 7
+      GROUP BY 1, 2
+    )
+    SELECT g.cohort_day, g.day_offset,
+           CAST(g.n_active AS BIGINT) AS n_active,
+           CAST(z.n_cohort AS BIGINT) AS n_cohort,
+           round(g.n_active / CAST(z.n_cohort AS DOUBLE), 6) AS retention
+    FROM grid g JOIN sizes z USING (cohort_day)
+"""
+
 # ordered funnel (streaming/events.py funnel_stages): first view, first
 # click strictly after it, first purchase strictly after that
 ORACLE["events_funnel"] = """

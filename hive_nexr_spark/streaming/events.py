@@ -697,3 +697,48 @@ def funnel_stages(events: DataFrame) -> DataFrame:
             F.col("t3").cast("long").alias("purchase_epoch"),
         )
     )
+
+
+def retention_cohorts(events: DataFrame, max_offset: int = 7) -> DataFrame:
+    """Cohort retention analysis: users cohorted by FIRST signup day;
+    for each cohort and each day offset 0..`max_offset`, the count of
+    cohort members active (any event) that day and the retention rate —
+    the other product-analytics staple next to `funnel_stages`.
+
+    Output: (cohort_day, day_offset, n_active, n_cohort, retention)
+    with cohort_day a STRING (driver-canon dtype symmetry) and
+    retention = round(n_active / n_cohort, 6).
+
+    100 TB shape: the cohort election is one map-side-combinable
+    min() per user; activity joins cohorts on user_id (the one
+    corpus-wide shuffle — both sides key on user_id, AQE reuses the
+    signup aggregation's exchange); the (cohort, offset) grid is tiny,
+    so the distinct-user count shuffles (cohort_day, offset, user_id)
+    triples and the cohort-size table broadcasts back onto it.
+    """
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    )
+    sizes = signups.groupBy("cohort_day").agg(
+        F.count("*").alias("n_cohort"))
+    activity = events.select("user_id", day.alias("d")).distinct()
+    grid = (
+        activity.join(signups, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"))
+        .filter((F.col("day_offset") >= 0)
+                & (F.col("day_offset") <= max_offset))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return (
+        grid.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day", "day_offset", "n_active", "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6)
+            .alias("retention"),
+        )
+    )

@@ -890,3 +890,20 @@ def test_audio_windows_no_shuffle(dfs):
     fplan = _formatted(audio_window_features(dfs["documents"]))
     assert "MapInPandas" in fplan
     assert "Exchange" not in fplan
+
+
+def test_knn_join_cluster_bounded_with_group_limit(dfs):
+    """The kNN join must key its candidate self-join on the cluster id
+    (never a corpus cartesian) and execute the per-vector top-k as a
+    WindowGroupLimit (per-partition heaps, k rows per vector retained
+    pre-shuffle)."""
+    from hive_nexr_spark.datapipe.similarity import knn_join
+
+    fplan = _formatted(knn_join(dfs["embeddings"]))
+    assert "CartesianProduct" not in fplan
+    # the only nested-loop join allowed is the 1-row nested-centroid
+    # broadcast (the zero-Exchange argmin assignment); the candidate
+    # self-join itself must be an equi-join on the cluster key
+    assert ("BroadcastHashJoin" in fplan or "SortMergeJoin" in fplan)
+    assert "cluster" in fplan
+    assert "WindowGroupLimit" in fplan

@@ -213,3 +213,21 @@ def test_funnel_ordering_strictness(dfs, spark):
         assert got["click_epoch"] == t2
         assert got["purchase_epoch"] == t3
         assert got["reached"] == 1 + (t2 is not None) + (t3 is not None)
+
+
+def test_retention_cohorts_invariants(dfs):
+    """Day-0 retention must be 1.0 for every cohort (a signup is itself
+    an event that day), n_active <= n_cohort everywhere, and offsets
+    stay in [0, 7]."""
+    from hive_nexr_spark.streaming.events import retention_cohorts
+
+    rows = retention_cohorts(dfs["events"]).collect()
+    assert rows
+    day0 = [r for r in rows if r["day_offset"] == 0]
+    assert day0
+    for r in day0:
+        assert r["n_active"] == r["n_cohort"]
+        assert r["retention"] == 1.0
+    for r in rows:
+        assert 0 <= r["day_offset"] <= 7
+        assert r["n_active"] <= r["n_cohort"]
