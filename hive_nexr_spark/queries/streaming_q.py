@@ -151,6 +151,12 @@ def _json_props_stats(spark, sf_dir):
     )
 
 
+def _dq_report(spark, sf_dir):
+    from ..datapipe.quality_checks import dq_constraint_report
+
+    return dq_constraint_report(ensure_views(spark, sf_dir))
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -176,6 +182,9 @@ QUERIES = {
         ensure_views(spark, sf_dir)["events"]),
     "events_retention_cohorts": lambda spark, sf_dir: ev.retention_cohorts(
         ensure_views(spark, sf_dir)["events"]),
+    "events_scd2_history": lambda spark, sf_dir: ev.scd2_history(
+        ensure_views(spark, sf_dir)["events"]),
+    "dq_constraint_report": lambda spark, sf_dir: _dq_report(spark, sf_dir),
     "events_stream_neardup": lambda spark, sf_dir:
         nd.stream_neardup(spark, sf_dir),
     "similarity_stream_ann_ingest": lambda spark, sf_dir:
@@ -301,6 +310,69 @@ ORACLE["events_json_props_stats"] = """
 
 # CDC merge (streaming/events.py cdc_merge_batch): latest-per-key
 # election on both sides, change wins, 'error' tombstone deletes
+# SCD Type 2 history (streaming/events.py scd2_history): purchase-event
+# versions to validity intervals via lead() per user
+ORACLE["events_scd2_history"] = """
+    SELECT user_id, event_id AS version_id, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+           CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+# Deequ-style constraint suite (datapipe/quality_checks.py): one
+# aggregation pass per table + FK anti-join counts
+ORACLE["dq_constraint_report"] = """
+    SELECT 'orders' AS table_name, 'n_rows' AS constraint,
+           CAST(count(*) AS DOUBLE) AS value FROM orders
+    UNION ALL
+    SELECT 'orders', 'orderkey_unique_ratio',
+           round(count(DISTINCT o_orderkey) / CAST(count(*) AS DOUBLE), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'totalprice_negative',
+           CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'custkey_null_frac',
+           round(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'n_rows', CAST(count(*) AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'quantity_range_violations',
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'discount_range_violations',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', 'n_rows', CAST(count(*) AS DOUBLE) FROM events
+    UNION ALL
+    SELECT 'events', 'props_null_frac',
+           round(avg(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END), 6)
+    FROM events
+    UNION ALL
+    SELECT 'events', 'value_null_frac',
+           round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6)
+    FROM events
+    UNION ALL
+    SELECT 'events', 'event_type_null_frac',
+           round(avg(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END), 6)
+    FROM events
+    UNION ALL
+    SELECT 'orders', 'custkey_fk_orphans', CAST(count(*) AS DOUBLE)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem', 'orderkey_fk_orphans', CAST(count(*) AS DOUBLE)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
 # cohort retention (streaming/events.py retention_cohorts): first-signup
 # cohorts x day offsets 0..7, distinct active members per cell
 ORACLE["events_retention_cohorts"] = """

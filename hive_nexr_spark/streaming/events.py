@@ -742,3 +742,33 @@ def retention_cohorts(events: DataFrame, max_offset: int = 7) -> DataFrame:
             .alias("retention"),
         )
     )
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history: turn the per-user
+    purchase event stream into validity-interval rows — the lakehouse
+    dimension-history build that pairs with `cdc_merge_batch` (which
+    keeps only latest state). Each purchase version of a user's value
+    gets [valid_from, valid_to) epochs, valid_to NULL on the current
+    row.
+
+    Deterministic spec: versions are the user's 'purchase' events
+    ordered by (ts, event_id); valid_from = the event's epoch,
+    valid_to = the NEXT version's epoch (lead), is_current on the last.
+
+    100 TB shape: ONE user-keyed window over the type-filtered slice
+    (the filter pushes to the scan); lead() needs exactly the sort the
+    window already pays — no self-join, no second shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value", "ts")
+    nxt = F.lead("ts").over(w)
+    return versions.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        "value",
+        F.col("ts").cast("long").alias("valid_from"),
+        nxt.cast("long").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -907,3 +907,18 @@ def test_knn_join_cluster_bounded_with_group_limit(dfs):
     assert ("BroadcastHashJoin" in fplan or "SortMergeJoin" in fplan)
     assert "cluster" in fplan
     assert "WindowGroupLimit" in fplan
+
+
+def test_dq_report_single_agg_per_table(dfs, spark, sf_dir):
+    """Every intra-table constraint must fold into one aggregation over
+    one scan per table — the formatted plan may contain at most one
+    scan of each parquet file per metric GROUP, not per constraint."""
+    from hive_nexr_spark.datapipe.quality_checks import dq_constraint_report
+    from hive_nexr_spark.queries.base import ensure_views
+
+    fplan = _formatted(dq_constraint_report(ensure_views(spark, sf_dir)))
+    # orders appears in its metric block + 2 FK checks = 3 scans max;
+    # a per-constraint rescan design would show 6+
+    assert fplan.count("orders.parquet") <= 3
+    assert fplan.count("lineitem.parquet") <= 2
+    assert fplan.count("events.parquet") <= 1

@@ -231,3 +231,24 @@ def test_retention_cohorts_invariants(dfs):
     for r in rows:
         assert 0 <= r["day_offset"] <= 7
         assert r["n_active"] <= r["n_cohort"]
+
+
+def test_scd2_intervals_tile_per_user(dfs):
+    """Per user, SCD2 validity intervals must tile: exactly one current
+    row, each valid_to equal to the next version's valid_from, no
+    overlaps."""
+    from collections import defaultdict
+
+    from hive_nexr_spark.streaming.events import scd2_history
+
+    rows = scd2_history(dfs["events"]).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for _, vs in by_user.items():
+        vs.sort(key=lambda r: (r["valid_from"], r["version_id"]))
+        assert sum(1 for r in vs if r["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for cur, nxt in zip(vs, vs[1:]):
+            assert cur["valid_to"] == nxt["valid_from"]
