@@ -99,3 +99,43 @@ def dq_constraint_report(dfs: dict[str, DataFrame]) -> DataFrame:
     for p in parts[1:] + [fk_orders, fk_lineitem]:
         out = out.unionByName(p)
     return out
+
+
+def anomaly_mad(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust per-group anomaly detection via Median Absolute Deviation:
+    for each event_type, median(value), mad = median(|value - median|),
+    and the count of values with |value - median| > `k`·mad — the
+    outlier screen that survives heavy tails where mean/stddev z-scores
+    break (Hampel's classic robust-statistics identifier, public).
+
+    Output: (event_type, n, median_value, mad, n_outliers).
+
+    Scale note: exact medians buffer a group's values in the aggregation
+    state — the engine's documented exact-percentile posture (group
+    cardinality here is event-type-sized, values spill-safe); at
+    petabyte group sizes you'd swap in the approx-percentile twin. The
+    deviation/outlier passes join the 5-row stats table back by
+    broadcast — the corpus never shuffles on anything but event_type.
+    """
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = (events.join(F.broadcast(med), "event_type")
+           .select("event_type", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("ad")))
+    stats = dev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("med").alias("med"),
+        F.percentile("ad", F.lit(0.5)).alias("mad"))
+    outliers = (
+        dev.join(F.broadcast(stats.select("event_type", "mad")),
+                 "event_type")
+        .filter(F.col("ad") > k * F.col("mad"))
+        .groupBy("event_type").agg(F.count("*").alias("n_out"))
+    )
+    return (
+        stats.join(outliers, "event_type", "left")
+        .select("event_type", "n",
+                F.round("med", 6).alias("median_value"),
+                F.round("mad", 6).alias("mad"),
+                F.coalesce("n_out", F.lit(0)).alias("n_outliers"))
+    )

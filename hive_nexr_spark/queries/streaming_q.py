@@ -157,6 +157,12 @@ def _dq_report(spark, sf_dir):
     return dq_constraint_report(ensure_views(spark, sf_dir))
 
 
+def _anomaly_mad(spark, sf_dir):
+    from ..datapipe.quality_checks import anomaly_mad
+
+    return anomaly_mad(ensure_views(spark, sf_dir)["events"])
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -184,7 +190,10 @@ QUERIES = {
         ensure_views(spark, sf_dir)["events"]),
     "events_scd2_history": lambda spark, sf_dir: ev.scd2_history(
         ensure_views(spark, sf_dir)["events"]),
+    "events_stream_mv_maintain": lambda spark, sf_dir:
+        ev.stream_mv_maintain(spark, sf_dir),
     "dq_constraint_report": lambda spark, sf_dir: _dq_report(spark, sf_dir),
+    "events_anomaly_mad": lambda spark, sf_dir: _anomaly_mad(spark, sf_dir),
     "events_stream_neardup": lambda spark, sf_dir:
         nd.stream_neardup(spark, sf_dir),
     "similarity_stream_ann_ingest": lambda spark, sf_dir:
@@ -310,6 +319,35 @@ ORACLE["events_json_props_stats"] = """
 
 # CDC merge (streaming/events.py cdc_merge_batch): latest-per-key
 # election on both sides, change wins, 'error' tombstone deletes
+# MAD anomaly screen (datapipe/quality_checks.py anomaly_mad):
+# median/MAD per event_type + k*mad outlier count; quantile_cont is the
+# established percentile-parity function (agg_percentiles)
+ORACLE["events_anomaly_mad"] = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS n, min(med) AS med,
+             quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY 1
+    ),
+    outl AS (
+      SELECT d.event_type, count(*) AS n_out
+      FROM dev d JOIN stats s USING (event_type)
+      WHERE d.ad > 3.0 * s.mad GROUP BY 1
+    )
+    SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
+           round(s.med, 6) AS median_value,
+           round(s.mad, 6) AS mad,
+           CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_outliers
+    FROM stats s LEFT JOIN outl o USING (event_type)
+"""
+
 # SCD Type 2 history (streaming/events.py scd2_history): purchase-event
 # versions to validity intervals via lead() per user
 ORACLE["events_scd2_history"] = """
@@ -478,6 +516,9 @@ ORACLE["events_cdc_merge"] = """
 
 # streaming CDC upsert: the batch twin IS the oracle (same merge spec)
 ORACLE["events_stream_cdc_upsert"] = ORACLE["events_cdc_merge"]
+# the streaming MV maintenance must equal the batch full recompute —
+# same oracle as the batch delta-merge op
+ORACLE["events_stream_mv_maintain"] = ORACLE["events_mv_incremental"]
 
 ORACLE["events_stream_interval_join"] = """
     SELECT c.event_id AS click_id, p.event_id AS purchase_id,

@@ -772,3 +772,57 @@ def scd2_history(events: DataFrame) -> DataFrame:
         nxt.cast("long").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def stream_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-view maintenance: every micro-batch of the
+    events stream folds its own PARTIAL aggregates (count, exact decimal
+    sum, min, max — all associative) into an append-staging MV; the
+    final view is one merge groupBy over the staged partials. This is
+    `mv_incremental_batch`'s algebra run under real micro-batch
+    plumbing, and the oracle is the same FULL recompute — arrival
+    batching must not change a bit.
+
+    100 TB shape: each batch aggregates DOWN to O(days x types) partial
+    rows before anything is written (map-side combine inside the batch);
+    the staging table grows by batches x grid, not by events; the final
+    merge input is staged-partials-sized. In production foreachBatch
+    would MERGE INTO the MV table keyed on (day, event_type); the
+    append-staging + compaction read stands in for the sink while the
+    per-batch partial-agg plumbing is real."""
+    from ..scratch import process_scratch_dir
+
+    day = F.date_format(F.date_trunc("day", F.col("ts")),
+                        "yyyy-MM-dd").alias("day")
+    staging = process_scratch_dir("mv")
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        (batch_df.groupBy(day, "event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum(F.col("value").cast("decimal(30,6)")).alias("s"),
+              F.min("value").alias("mn"),
+              F.max("value").alias("mx"))
+         .write.mode("append").parquet(staging))
+
+    q = read_events_stream(spark, sf_dir).writeStream.foreachBatch(
+        fold).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    staged = spark.read.parquet(staging)
+    merged = (
+        staged.groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n_events"),
+             F.sum("s").alias("s"),
+             F.min("mn").alias("min_value"),
+             F.max("mx").alias("max_value"))
+    )
+    return merged.select(
+        "day", "event_type", "n_events",
+        F.col("s").cast("double").alias("sum_value"),
+        "min_value", "max_value",
+        F.round(F.col("s").cast("double") / F.col("n_events"), 6)
+        .alias("avg_value"),
+    )

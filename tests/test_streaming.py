@@ -252,3 +252,16 @@ def test_scd2_intervals_tile_per_user(dfs):
         assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
         for cur, nxt in zip(vs, vs[1:]):
             assert cur["valid_to"] == nxt["valid_from"]
+
+
+def test_stream_mv_maintain_equals_batch(dfs, spark, sf_dir):
+    """Micro-batched MV maintenance must equal the batch delta-merge
+    (and hence the full recompute) — arrival batching cannot change
+    an associative-merge MV by a bit."""
+    from hive_nexr_spark.streaming.events import (
+        mv_incremental_batch, stream_mv_maintain)
+
+    batch = mv_incremental_batch(dfs["events"]).collect()
+    stream = stream_mv_maintain(spark, sf_dir).collect()
+    assert _key(batch) == _key(stream)
+    assert stream
