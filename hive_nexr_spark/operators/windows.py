@@ -54,3 +54,43 @@ def row_sequence(nation: DataFrame) -> DataFrame:
     return nation.select(
         F.row_number().over(w).alias("seq"), "n_nationkey", "n_name"
     )
+
+
+def moving_average_range_frame(events: DataFrame,
+                               days: int = 7) -> DataFrame:
+    """Time-series moving aggregate with a RANGE frame: per user, the
+    trailing `days`-day mean and count of daily event-value sums —
+    RANGE BETWEEN (days-1) PRECEDING AND CURRENT ROW over epoch-day
+    ordering, the physical shape rows-frames cannot express when days
+    are sparse (a ROWS frame would span calendar gaps).
+
+    Output: (user_id, day, day_sum, trail_n_days, trail_avg) with day a
+    STRING and day_sum/trail_avg from exact decimal accumulation.
+
+    100 TB shape: the daily pre-aggregation reduces the corpus to
+    O(users x days) BEFORE the window (map-side combined), and the
+    window partitions by user_id — per-user state only, no global sort.
+    """
+    from pyspark.sql import Window
+
+    day_str = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    daily = (
+        events.groupBy("user_id", day_str.alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(30,6)")).alias("s"))
+        .select("user_id", "day",
+                F.datediff(F.col("day").cast("date"),
+                           F.lit("1970-01-01").cast("date"))
+                .alias("epoch_day"),
+                "s")
+    )
+    w = (Window.partitionBy("user_id").orderBy("epoch_day")
+         .rangeBetween(-(days - 1), 0))
+    return daily.select(
+        "user_id", "day",
+        F.col("s").cast("double").alias("day_sum"),
+        F.count("*").over(w).cast("int").alias("trail_n_days"),
+        # cast the exact decimal sum to double BEFORE dividing — decimal
+        # division scale rules differ between engines, double/int doesn't
+        F.round(F.sum("s").over(w).cast("double")
+                / F.count("*").over(w), 6).alias("trail_avg"),
+    )

@@ -163,6 +163,12 @@ def _anomaly_mad(spark, sf_dir):
     return anomaly_mad(ensure_views(spark, sf_dir)["events"])
 
 
+def _moving_avg(spark, sf_dir):
+    from ..operators.windows import moving_average_range_frame
+
+    return moving_average_range_frame(ensure_views(spark, sf_dir)["events"])
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -194,6 +200,10 @@ QUERIES = {
         ev.stream_mv_maintain(spark, sf_dir),
     "dq_constraint_report": lambda spark, sf_dir: _dq_report(spark, sf_dir),
     "events_anomaly_mad": lambda spark, sf_dir: _anomaly_mad(spark, sf_dir),
+    "events_markov_transitions": lambda spark, sf_dir:
+        ev.markov_transitions(ensure_views(spark, sf_dir)["events"]),
+    "window_moving_avg_range": lambda spark, sf_dir: _moving_avg(
+        spark, sf_dir),
     "events_stream_neardup": lambda spark, sf_dir:
         nd.stream_neardup(spark, sf_dir),
     "similarity_stream_ann_ingest": lambda spark, sf_dir:
@@ -319,6 +329,44 @@ ORACLE["events_json_props_stats"] = """
 
 # CDC merge (streaming/events.py cdc_merge_batch): latest-per-key
 # election on both sides, change wins, 'error' tombstone deletes
+# first-order type-transition mining (streaming/events.py
+# markov_transitions): per-user lead pairs, global conditional probs
+ORACLE["events_markov_transitions"] = """
+    WITH pairs AS (
+      SELECT event_type AS cur_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    counted AS (
+      SELECT cur_type, next_type, count(*) AS n FROM pairs
+      WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (SELECT cur_type, sum(n) AS tot FROM counted GROUP BY 1)
+    SELECT c.cur_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+           round(c.n / CAST(t.tot AS DOUBLE), 6) AS prob
+    FROM counted c JOIN totals t USING (cur_type)
+"""
+
+# trailing 7-day RANGE-frame moving average (operators/windows.py
+# moving_average_range_frame) over user-daily decimal sums
+ORACLE["window_moving_avg_range"] = """
+    WITH daily AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS epoch_day,
+             sum(CAST(value AS DECIMAL(30,6))) AS s
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT user_id, day, CAST(s AS DOUBLE) AS day_sum,
+           CAST(count(*) OVER w AS INT) AS trail_n_days,
+           round(CAST(sum(s) OVER w AS DOUBLE)
+                 / count(*) OVER w, 6) AS trail_avg
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
 # MAD anomaly screen (datapipe/quality_checks.py anomaly_mad):
 # median/MAD per event_type + k*mad outlier count; quantile_cont is the
 # established percentile-parity function (agg_percentiles)

@@ -826,3 +826,35 @@ def stream_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s").cast("double") / F.col("n_events"), 6)
         .alias("avg_value"),
     )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order event-type transition mining: per user, consecutive
+    event pairs by (ts, event_id) order; globally, the count and
+    conditional probability P(next | current) of each transition — the
+    Markov-chain summary behind next-action prediction and funnel
+    discovery.
+
+    Output: (cur_type, next_type, n, prob) with
+    prob = round(n / Σ_next n, 6).
+
+    100 TB shape: ONE user-keyed window (lead over the per-user sort
+    the sessionizer family already pays), then a map-side-combined
+    groupBy on the 5x5 type-pair grid; the per-current totals ride in
+    as a broadcast join of a 5-row aggregate.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur_type"), "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("cur_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "cur_type")
+        .select("cur_type", "next_type", "n",
+                F.round(F.col("n") / F.col("tot").cast("double"), 6)
+                .alias("prob"))
+    )

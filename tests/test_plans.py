@@ -922,3 +922,16 @@ def test_dq_report_single_agg_per_table(dfs, spark, sf_dir):
     assert fplan.count("orders.parquet") <= 3
     assert fplan.count("lineitem.parquet") <= 2
     assert fplan.count("events.parquet") <= 1
+
+
+def test_moving_avg_preaggregates_before_window(dfs):
+    """The RANGE-frame window must consume the daily pre-aggregation
+    (partial decimal sums before the exchange), partition by user_id
+    (no single-partition global sort), and stay UDF-free."""
+    from hive_nexr_spark.operators.windows import moving_average_range_frame
+
+    fplan = _formatted(moving_average_range_frame(dfs["events"]))
+    assert "partial_sum" in fplan
+    assert "RangeFrame" in fplan
+    assert "windowspecdefinition(user_id" in fplan  # partitioned, not global
+    assert "BatchEvalPython" not in fplan
