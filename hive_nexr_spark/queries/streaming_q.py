@@ -169,6 +169,12 @@ def _moving_avg(spark, sf_dir):
     return moving_average_range_frame(ensure_views(spark, sf_dir)["events"])
 
 
+def _time_travel(spark, sf_dir):
+    from ..sources.snapshots import time_travel_versions
+
+    return time_travel_versions(spark, sf_dir)
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -204,6 +210,7 @@ QUERIES = {
         ev.markov_transitions(ensure_views(spark, sf_dir)["events"]),
     "window_moving_avg_range": lambda spark, sf_dir: _moving_avg(
         spark, sf_dir),
+    "table_time_travel": lambda spark, sf_dir: _time_travel(spark, sf_dir),
     "events_stream_neardup": lambda spark, sf_dir:
         nd.stream_neardup(spark, sf_dir),
     "similarity_stream_ann_ingest": lambda spark, sf_dir:
@@ -329,6 +336,19 @@ ORACLE["events_json_props_stats"] = """
 
 # CDC merge (streaming/events.py cdc_merge_batch): latest-per-key
 # election on both sides, change wins, 'error' tombstone deletes
+# snapshot time travel (sources/snapshots.py): both versions must equal
+# their slice-predicate recomputes — v1 must survive the v2 append
+ORACLE["table_time_travel"] = """
+    SELECT CAST(1 AS INT) AS version, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT CAST(2 AS INT), count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+    FROM orders
+"""
+
 # first-order type-transition mining (streaming/events.py
 # markov_transitions): per-user lead pairs, global conditional probs
 ORACLE["events_markov_transitions"] = """

@@ -130,3 +130,19 @@ def test_green_rotation_varies_by_round(monkeypatch):
         orders[rnd] = [k for k in keys if k in set(greens)]
     assert orders[7] != orders[8], "tier-2 order must vary by round"
     assert sorted(orders[7]) == sorted(orders[8])  # same membership
+
+
+def test_snapshot_v1_survives_v2_append(spark, sf_dir):
+    """Time-travel invariant: after the v2 append commit, an AS OF v1
+    read returns exactly the v1 rows (no rewrite), and v2 = v1 + delta."""
+    from hive_nexr_spark.sources.snapshots import time_travel_versions
+
+    rows = {r["version"]: r for r in
+            time_travel_versions(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    full = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_all = full.count()
+    n_v1 = full.filter("o_orderkey % 3 != 0").count()
+    assert rows[1]["n_rows"] == n_v1
+    assert rows[2]["n_rows"] == n_all
+    assert rows[1]["sum_totalprice"] < rows[2]["sum_totalprice"]
