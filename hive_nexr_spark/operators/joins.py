@@ -233,3 +233,65 @@ def join_skew_split(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             revenue_sum(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
         )
     )
+
+
+def tpch_q3(dfs: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped orders by revenue
+    for one market segment — the canonical filter → 3-way join → agg →
+    top-k composition.
+
+    100 TB shape: the segment filter prunes customer BEFORE its
+    broadcast; both date filters push to the parquet scans; revenue
+    accumulates in exact decimal (functions/stable.py); the top-10 is
+    TakeOrderedAndProject with a full (revenue, date, orderkey)
+    tie-break so the LIMIT is deterministic.
+    """
+    from ..functions.stable import revenue_sum
+
+    li, o, c = dfs["lineitem"], dfs["orders"], dfs["customer"]
+    cut = "1998-01-01"
+    odate = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(o.filter(F.col("o_orderdate") < cut),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(
+            c.filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", odate.alias("o_orderdate"))
+        .agg(revenue_sum(F.col("l_extendedprice"),
+                         F.col("l_discount")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def tpch_q18(dfs: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds a threshold, with customer context — the canonical
+    HAVING-subquery semi-join composition.
+
+    100 TB shape: the qualifying-orderkey set comes from ONE map-side-
+    combined groupBy over lineitem (keys only through the shuffle); it
+    semi-join-filters orders BEFORE the customer join; quantity sums are
+    exact decimal. Threshold 150 (TPC-H uses 300 at sf1; the testdata's
+    max per-order quantity is ~378, so 150 keeps the result non-empty
+    at every test sf).
+    """
+    li, o, c = dfs["lineitem"], dfs["orders"], dfs["customer"]
+    qty = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)"))
+                .alias("q"))
+           .filter(F.col("q") > 150))
+    return (
+        o.join(qty.select("l_orderkey", "q"),
+               F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
+    )

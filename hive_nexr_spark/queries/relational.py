@@ -38,6 +38,8 @@ QUERIES = {
     "join_left_anti": _bind(J.join_left_anti, "customer", "orders"),
     "join_broadcast": _bind(J.join_broadcast, "lineitem", "orders", "customer", "nation"),
     "join_multiway": _bind(J.join_multiway, "__all__"),
+    "tpch_q3": _bind(J.tpch_q3, "__all__"),
+    "tpch_q18": _bind(J.tpch_q18, "__all__"),
     "join_theta": _bind(J.join_theta, "nation"),
     "join_skew_split": _bind(J.join_skew_split, "lineitem", "orders"),
     "uniquejoin_preserve": _bind(J.uniquejoin_preserve, "__all__"),
@@ -79,6 +81,38 @@ QUERIES = {
 
 
 ORACLE = {
+    "tpch_q3": """
+        SELECT l_orderkey,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                 AS o_orderdate,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "tpch_q18": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 sum(CAST(l_quantity AS DECIMAL(30,2))) AS q
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(l_quantity AS DECIMAL(30,2))) > 150
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                 AS o_orderdate,
+               o_totalprice, CAST(q AS DOUBLE) AS sum_qty
+        FROM big JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
     "scan_project": """
         SELECT l_orderkey, l_linenumber,
                l_extendedprice * (1 - l_discount) AS net_price,

@@ -935,3 +935,17 @@ def test_moving_avg_preaggregates_before_window(dfs):
     assert "RangeFrame" in fplan
     assert "windowspecdefinition(user_id" in fplan  # partitioned, not global
     assert "BatchEvalPython" not in fplan
+
+
+def test_tpch_q3_pushdown_broadcast_topk(dfs):
+    """Q3's date filters must reach the parquet scans, the filtered
+    segment dimension must broadcast, and the LIMIT must be
+    TakeOrderedAndProject."""
+    from hive_nexr_spark.operators.joins import tpch_q3
+
+    fplan = _formatted(tpch_q3(dfs))
+    assert "TakeOrderedAndProject" in fplan
+    assert "BroadcastHashJoin" in fplan
+    assert "PushedFilters" in fplan
+    assert "l_shipdate" in fplan.split("PushedFilters")[1].splitlines()[0] \
+        or "GreaterThan(l_shipdate" in fplan
