@@ -965,3 +965,66 @@ def knn_join(embeddings: DataFrame, k: int = 3, n_clusters: int = 8,
                 F.col("rank").cast("int").alias("rank"),
                 F.round("cos", 6).alias("cos_sim"))
     )
+
+
+def pca_power_iteration(embeddings: DataFrame, iters: int = 2,
+                        dim: int = 64) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram matrix
+    via MATRIX-FREE power iteration — the in-engine linear-algebra
+    pattern beyond kmeans: w ← Σ_x x·(xᵀw), normalized, unrolled
+    `iters` times into one lazy plan (Mises & Pollaczek-Geiringer 1929;
+    the standard large-scale PCA first step — public).
+
+    Determinism (exact SQL oracle): init w = e₁; per row, xᵀw is a
+    fixed-order left fold (the `_dot` HOF ↔ DuckDB list_dot_product
+    parity every similarity oracle already relies on); EVERY cross-row
+    sum — the per-dimension Σ d·x_i and the norm's Σ s² — accumulates
+    in DECIMAL(38,12) (associative, so partition order cannot matter;
+    both engines round double→decimal ties away from zero).
+
+    Output: (dim_idx, loading) — the unit top-direction entries,
+    rounded to 6.
+
+    100 TB shape, per iteration: w broadcasts as a 1-row array (the
+    kmeans pattern); the per-dimension sums go LONG-form — explode to
+    (i, d·x_i) and groupBy(i) with map-side combine, so the shuffle
+    carries dim rows per partition and, critically, every expression
+    stays SMALL (the first cut built the 64-term norm inside each of
+    the 64 array slots of the next w — a 4096-subexpression projection
+    that failed whole-stage-codegen and fell back to interpreted eval).
+    The Gram matrix is never materialized; memory is O(dim).
+    """
+    emb = tracked_persist(
+        embeddings.select(_as_double("embedding").alias("x")))
+    w_df = emb.sparkSession.range(1).select(
+        F.array(F.lit(1.0).cast("double"),
+                *[F.lit(0.0).cast("double") for _ in range(dim - 1)])
+        .alias("w"))
+
+    for _ in range(iters):
+        d = emb.crossJoin(F.broadcast(w_df)).select(
+            "x", _dot(F.col("x"), F.col("w")).alias("d"))
+        contrib = d.select(
+            F.posexplode(
+                F.transform(F.col("x"), lambda xi: xi * F.col("d"))
+            ).alias("i", "c"))
+        sums = contrib.groupBy("i").agg(
+            F.sum(F.col("c").cast("decimal(38,12)"))
+            .cast("double").alias("s"))
+        norm = sums.agg(
+            F.sqrt(F.sum((F.col("s") * F.col("s"))
+                         .cast("decimal(38,12)")).cast("double"))
+            .alias("nrm"))
+        w_long = sums.crossJoin(F.broadcast(norm)).select(
+            "i", (F.col("s") / F.col("nrm")).alias("wv"))
+        w_df = (w_long.agg(F.array_sort(
+            F.collect_list(F.struct("i", "wv"))).alias("_sorted"))
+            .select(F.transform(F.col("_sorted"),
+                                lambda s: s["wv"]).alias("w")))
+
+    return w_df.select(
+        F.posexplode(F.col("w")).alias("dim_idx", "loading")
+    ).select(
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round("loading", 6).alias("loading"),
+    )

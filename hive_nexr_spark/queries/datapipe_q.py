@@ -1309,6 +1309,47 @@ def _knn_join_sql(k: int = 3, n_clusters: int = 8, iters: int = 2,
 QUERIES["similarity_knn_join"] = _bind(similarity.knn_join, "embeddings")
 ORACLE["similarity_knn_join"] = _knn_join_sql()
 
+
+def _pca_sql(iters: int = 2, dim: int = 64) -> str:
+    """DuckDB oracle for `similarity.pca_power_iteration`: the same
+    unrolled w ← normalize(Σ x·(xᵀw)) chain with decimal accumulation
+    for every cross-row sum (per-dimension and norm)."""
+    ctes = [f"""
+    WITH emb AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ),
+    idx AS (SELECT unnest(range(1, {dim} + 1)) AS i),
+    w0 AS (
+      SELECT [CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END
+              for i in range(1, {dim} + 1)] AS w
+    )"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+    , d{t} AS (
+      SELECT x, list_dot_product(x, w) AS d FROM emb, w{t - 1}
+    ),
+    s{t} AS (
+      SELECT i, CAST(sum(CAST(d * x[i] AS DECIMAL(38,12))) AS DOUBLE) AS s
+      FROM d{t}, idx GROUP BY i
+    ),
+    n{t} AS (
+      SELECT sqrt(CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE))
+               AS nrm
+      FROM s{t}
+    ),
+    w{t} AS (
+      SELECT list(s / nrm ORDER BY i) AS w FROM s{t}, n{t}
+    )""")
+    return "".join(ctes) + f"""
+    SELECT CAST(i - 1 AS INT) AS dim_idx, round(w[i], 6) AS loading
+    FROM w{iters}, idx
+    """
+
+
+QUERIES["similarity_pca_power"] = _bind(similarity.pca_power_iteration,
+                                        "embeddings")
+ORACLE["similarity_pca_power"] = _pca_sql()
+
 QUERIES["chunk_remove_boilerplate"] = _bind(chunking.remove_boilerplate,
                                             "documents")
 ORACLE["chunk_remove_boilerplate"] = _CHUNK_STARTS.format(stride=32) + """

@@ -997,3 +997,25 @@ def test_edit_distance_pairs_find_planted_dups(dfs):
     exact = [(a, b) for (a, b), d in by_pair.items() if d == 0]
     assert exact, "planted exact copies must surface at distance 0"
     assert any(100000 <= b < 200000 for _, b in exact)
+
+
+def test_pca_power_matches_numpy_and_is_unit(dfs):
+    """The unrolled power iteration must match a NumPy recompute of the
+    same algorithm (same init, same iteration count) to the rounding
+    the op emits, and the emitted direction must be unit-norm."""
+    import numpy as np
+
+    from hive_nexr_spark.datapipe.similarity import pca_power_iteration
+
+    rows = pca_power_iteration(dfs["embeddings"]).collect()
+    got = np.array([r["loading"] for r in
+                    sorted(rows, key=lambda r: r["dim_idx"])])
+    assert abs(np.sum(got * got) - 1.0) < 1e-4
+    x = np.array(dfs["embeddings"].select("embedding").rdd
+                 .map(lambda r: r[0]).collect(), dtype=np.float64)
+    w = np.zeros(64)
+    w[0] = 1.0
+    for _ in range(2):
+        s = x.T @ (x @ w)
+        w = s / np.sqrt(np.sum(s * s))
+    assert np.allclose(got, np.round(w, 6), atol=2e-6)
