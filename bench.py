@@ -109,6 +109,9 @@ HEADLINE = [
     # the composed clean→dedup→decontaminate→pack pipeline — the single
     # heaviest realistic job shape in the suite
     "pipeline_pretrain_e2e",
+    # round 9 third wave: the unrolled matrix-free power iteration (the
+    # iterative-linear-algebra plan shape)
+    "similarity_pca_power",
 ]
 
 
