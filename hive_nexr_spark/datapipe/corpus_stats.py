@@ -701,13 +701,18 @@ def token_heavy_hitters_bounded(documents: DataFrame,
     URLs, n-grams, user ids at 100 TB). This operator never materializes
     the vocabulary:
 
-    - Pass 1 (candidates): each partition streams its tokens through a
-      Misra-Gries summary of `k_counters` counters (Arrow-batched
-      `mapInPandas`, O(k) state regardless of partition size). The UNION
-      of per-partition candidate sets provably contains every token with
-      global count > N/(k_counters+1): a token absent from partition i's
-      summary has count_i <= n_i/(k+1), and summing over partitions
-      bounds its global count by N/(k+1).
+    - Pass 1 (candidates): each partition folds its Arrow batches into a
+      Misra-Gries summary of `k_counters` counters via the MERGEABLE-
+      summaries rule (Agarwal et al. 2013): the batch's vectorized
+      `value_counts` histogram (bounded by the Arrow batch size) is
+      added into the summary, then the (k+1)-th largest counter value is
+      subtracted from all and non-positive counters dropped — at most k
+      survive, and any single token's undercount grows by at most that
+      cut, so total undercount stays <= n_i/(k+1) per partition. The
+      UNION of per-partition candidate sets therefore provably contains
+      every token with global count > N/(k_counters+1). The per-token
+      Python work is a pandas `value_counts` per batch, never a per-row
+      loop.
     - Pass 2 (exact recount): the candidate set (<= k x n_partitions
       rows) broadcasts back onto the token stream as a semi-join filter,
       and only candidate tokens enter the groupBy — the shuffle carries
@@ -729,20 +734,17 @@ def token_heavy_hitters_bounded(documents: DataFrame,
     def mg_partition(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            for tok in pdf["token"]:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < k_counters:
-                    counters[tok] = 1
-                else:
-                    # decrement-all step; drop zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            # exact batch histogram (vectorized; memory bounded by the
+            # Arrow batch size), merged into the running summary
+            for tok, cnt in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > k_counters:
+                # mergeable-summaries reduction: subtract the (k+1)-th
+                # largest counter from all, keep the positive ones
+                vals = sorted(counters.values(), reverse=True)
+                cut = vals[k_counters]
+                counters = {t: c - cut
+                            for t, c in counters.items() if c > cut}
         yield pd.DataFrame({"token": list(counters.keys())})
 
     candidates = (
