@@ -211,6 +211,8 @@ QUERIES = {
     "window_moving_avg_range": lambda spark, sf_dir: _moving_avg(
         spark, sf_dir),
     "table_time_travel": lambda spark, sf_dir: _time_travel(spark, sf_dir),
+    "events_user_paths_topk": lambda spark, sf_dir: ev.user_paths_topk(
+        ensure_views(spark, sf_dir)["events"]),
     "events_stream_neardup": lambda spark, sf_dir:
         nd.stream_neardup(spark, sf_dir),
     "similarity_stream_ann_ingest": lambda spark, sf_dir:
@@ -336,6 +338,25 @@ ORACLE["events_json_props_stats"] = """
 
 # CDC merge (streaming/events.py cdc_merge_batch): latest-per-key
 # election on both sides, change wins, 'error' tombstone deletes
+# top user event paths (streaming/events.py user_paths_topk):
+# depth-truncated per-user sequences, global top-k with path tie-break
+ORACLE["events_user_paths_topk"] = """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 8 GROUP BY user_id
+    ),
+    counted AS (SELECT path, count(*) AS n FROM paths GROUP BY path)
+    SELECT path, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rank
+    FROM counted ORDER BY n DESC, path LIMIT 10
+"""
+
 # snapshot time travel (sources/snapshots.py): both versions must equal
 # their slice-predicate recomputes — v1 must survive the v2 append
 ORACLE["table_time_travel"] = """

@@ -858,3 +858,38 @@ def markov_transitions(events: DataFrame) -> DataFrame:
                 F.round(F.col("n") / F.col("tot").cast("double"), 6)
                 .alias("prob"))
     )
+
+
+def user_paths_topk(events: DataFrame, depth: int = 8,
+                    k: int = 10) -> DataFrame:
+    """Top event-type paths: each user's first `depth` events (by ts,
+    event_id) concatenated into a path string, then the global top-`k`
+    paths by frequency — the sequence-mining summary behind "what do
+    users actually do first" analyses.
+
+    Output: (path, n, rank), ties broken by path for determinism.
+
+    100 TB shape: a per-user rank window TRUNCATES to `depth` events
+    BEFORE any collection, so the per-user state is bounded by
+    construction (never collect_list over an unbounded event history);
+    the path table is then a map-side-combined groupBy and the top-k a
+    TakeOrderedAndProject.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= depth)
+    )
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("rn", "event_type"))).alias("seq"))
+        .select(F.array_join(
+            F.transform(F.col("seq"), lambda s: s["event_type"]),
+            ">").alias("path"))
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "path").limit(k)
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("int"))

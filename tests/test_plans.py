@@ -949,3 +949,17 @@ def test_tpch_q3_pushdown_broadcast_topk(dfs):
     assert "PushedFilters" in fplan
     assert "l_shipdate" in fplan.split("PushedFilters")[1].splitlines()[0] \
         or "GreaterThan(l_shipdate" in fplan
+
+
+def test_user_paths_truncate_before_collect(dfs):
+    """The depth-rank filter must bound per-user state BEFORE the path
+    collection (rn <= 8 below the collect_list aggregate), and the
+    top-k must be TakeOrderedAndProject."""
+    from hive_nexr_spark.streaming.events import user_paths_topk
+
+    fplan = _formatted(user_paths_topk(dfs["events"]))
+    assert "TakeOrderedAndProject" in fplan
+    assert "collect_list" in fplan
+    # the rank filter feeds the aggregate, not vice versa
+    assert fplan.index("rn") < fplan.index("collect_list") or \
+        "(rn" in fplan.split("collect_list")[0]
