@@ -752,8 +752,11 @@ def token_heavy_hitters_bounded(documents: DataFrame,
         .distinct()
     )
     # total token count WITHOUT the explode: sum of per-doc sizes,
-    # map-side combined to one row
-    total = documents.agg(
+    # map-side combined to one row. size() is NULL or -1 on a NULL text
+    # (legacy.sizeOfNull-dependent), either of which corrupts the
+    # denominator; filtering NULL texts keeps exact parity with the
+    # exploded term stream, which drops NULL rows.
+    total = documents.filter(F.col("text").isNotNull()).agg(
         F.sum(F.size(_tokens(F.col("text")))).alias("_n"))
     exact = (
         terms.join(F.broadcast(candidates), "token")

@@ -949,7 +949,10 @@ def edit_distance_pairs(documents: DataFrame, max_dist: int = 8,
 
     Output: (doc_a, doc_b, edit_dist).
     """
-    corpus = _bounded_corpus(documents, max_doc_id)
+    # persisted because three consumers rescan it: the band-candidate
+    # generator plus BOTH text-fetch joins (same recipe minhash_lsh_pairs
+    # applies to this front end)
+    corpus = tracked_persist(_bounded_corpus(documents, max_doc_id))
     toks = _with_shingles(corpus).select("doc_id", "sh")
     sh = toks.select("doc_id", F.explode(F.col("sh")).alias("shingle"))
     cand = _band_candidates(sh)

@@ -77,8 +77,13 @@ def dq_constraint_report(dfs: dict[str, DataFrame]) -> DataFrame:
                 F.when(F.col("event_type").isNull(), 1.0).otherwise(0.0))),
         ]),
     ]
+    # NULL FKs are owned by the *_null_frac metrics above, not the orphan
+    # count: a NULL foreign key is "unknown", not "dangling" (standard
+    # referential-integrity semantics, and it keeps parity with the
+    # oracle's NOT IN, which silently drops NULL LHS rows).
     fk_orders = (
         orders.select("o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
         .join(customer.select(F.col("c_custkey").alias("o_custkey")),
               "o_custkey", "left_anti")
         .agg(F.count("*").alias("v"))
@@ -88,6 +93,7 @@ def dq_constraint_report(dfs: dict[str, DataFrame]) -> DataFrame:
     )
     fk_lineitem = (
         lineitem.select("l_orderkey")
+        .filter(F.col("l_orderkey").isNotNull())
         .join(orders.select(F.col("o_orderkey").alias("l_orderkey")),
               "l_orderkey", "left_anti")
         .agg(F.count("*").alias("v"))

@@ -235,10 +235,19 @@ def join_skew_split(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
-def tpch_q3(dfs: dict[str, DataFrame]) -> DataFrame:
-    """TPC-H Q3 (shipping priority): top-10 unshipped orders by revenue
-    for one market segment — the canonical filter → 3-way join → agg →
-    top-k composition.
+def tpch_q3_variant(dfs: dict[str, DataFrame],
+                    cut: str = "1998-01-01",
+                    segment: str = "BUILDING") -> DataFrame:
+    """TPC-H Q3 VARIANT (shipping priority): top-10 unshipped orders by
+    revenue for one market segment — the canonical filter → 3-way join →
+    agg → top-k composition.
+
+    Named `_variant` because it deviates from the published spec (do NOT
+    compare against published answer sets): the testdata's orders table
+    has no o_shippriority column, so that output column is omitted, and
+    both date predicates default to `cut`=1998-01-01 (spec: 1995-03-15)
+    so the result is non-empty at every test sf. Parameterize `cut` /
+    `segment` to rerun at other substitution points.
 
     100 TB shape: the segment filter prunes customer BEFORE its
     broadcast; both date filters push to the parquet scans; revenue
@@ -249,14 +258,13 @@ def tpch_q3(dfs: dict[str, DataFrame]) -> DataFrame:
     from ..functions.stable import revenue_sum
 
     li, o, c = dfs["lineitem"], dfs["orders"], dfs["customer"]
-    cut = "1998-01-01"
     odate = F.date_format("o_orderdate", "yyyy-MM-dd")
     return (
         li.filter(F.col("l_shipdate") > cut)
         .join(o.filter(F.col("o_orderdate") < cut),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(
-            c.filter(F.col("c_mktsegment") == "BUILDING")
+            c.filter(F.col("c_mktsegment") == segment)
             .select("c_custkey")),
             F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", odate.alias("o_orderdate"))
@@ -267,23 +275,32 @@ def tpch_q3(dfs: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def tpch_q18(dfs: dict[str, DataFrame]) -> DataFrame:
-    """TPC-H Q18 (large-volume customers): orders whose total line
-    quantity exceeds a threshold, with customer context — the canonical
-    HAVING-subquery semi-join composition.
+def tpch_q18_variant(dfs: dict[str, DataFrame],
+                     threshold: int = 150) -> DataFrame:
+    """TPC-H Q18 VARIANT (large-volume customers): the 100 largest
+    orders whose total line quantity exceeds a threshold, with customer
+    context — the canonical HAVING-subquery semi-join → top-k
+    composition.
+
+    Named `_variant` because the quantity threshold defaults to 150
+    rather than the spec's 300 (the testdata's max per-order quantity is
+    ~378, so 150 keeps the result non-empty at every test sf — do NOT
+    compare against published answer sets); parameterize `threshold` to
+    run the spec point. The spec's ORDER BY o_totalprice DESC,
+    o_orderdate LIMIT 100 IS applied (with an o_orderkey tie-break so
+    the cut is deterministic).
 
     100 TB shape: the qualifying-orderkey set comes from ONE map-side-
     combined groupBy over lineitem (keys only through the shuffle); it
     semi-join-filters orders BEFORE the customer join; quantity sums are
-    exact decimal. Threshold 150 (TPC-H uses 300 at sf1; the testdata's
-    max per-order quantity is ~378, so 150 keeps the result non-empty
-    at every test sf).
+    exact decimal; the LIMIT compiles to TakeOrderedAndProject, never a
+    global sort.
     """
     li, o, c = dfs["lineitem"], dfs["orders"], dfs["customer"]
     qty = (li.groupBy("l_orderkey")
            .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)"))
                 .alias("q"))
-           .filter(F.col("q") > 150))
+           .filter(F.col("q") > threshold))
     return (
         o.join(qty.select("l_orderkey", "q"),
                F.col("o_orderkey") == F.col("l_orderkey"))
@@ -294,4 +311,6 @@ def tpch_q18(dfs: dict[str, DataFrame]) -> DataFrame:
             "o_totalprice",
             F.col("q").cast("double").alias("sum_qty"),
         )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
     )

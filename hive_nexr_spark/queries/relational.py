@@ -38,8 +38,8 @@ QUERIES = {
     "join_left_anti": _bind(J.join_left_anti, "customer", "orders"),
     "join_broadcast": _bind(J.join_broadcast, "lineitem", "orders", "customer", "nation"),
     "join_multiway": _bind(J.join_multiway, "__all__"),
-    "tpch_q3": _bind(J.tpch_q3, "__all__"),
-    "tpch_q18": _bind(J.tpch_q18, "__all__"),
+    "tpch_q3_variant": _bind(J.tpch_q3_variant, "__all__"),
+    "tpch_q18_variant": _bind(J.tpch_q18_variant, "__all__"),
     "join_theta": _bind(J.join_theta, "nation"),
     "join_skew_split": _bind(J.join_skew_split, "lineitem", "orders"),
     "uniquejoin_preserve": _bind(J.uniquejoin_preserve, "__all__"),
@@ -81,7 +81,7 @@ QUERIES = {
 
 
 ORACLE = {
-    "tpch_q3": """
+    "tpch_q3_variant": """
         SELECT l_orderkey,
                strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
                  AS o_orderdate,
@@ -99,7 +99,7 @@ ORACLE = {
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
     """,
-    "tpch_q18": """
+    "tpch_q18_variant": """
         WITH big AS (
           SELECT l_orderkey,
                  sum(CAST(l_quantity AS DECIMAL(30,2))) AS q
@@ -112,6 +112,8 @@ ORACLE = {
                o_totalprice, CAST(q AS DOUBLE) AS sum_qty
         FROM big JOIN orders ON o_orderkey = l_orderkey
         JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
     """,
     "scan_project": """
         SELECT l_orderkey, l_linenumber,

@@ -494,10 +494,12 @@ ORACLE["dq_constraint_report"] = """
     FROM events
     UNION ALL
     SELECT 'orders', 'custkey_fk_orphans', CAST(count(*) AS DOUBLE)
-    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    FROM orders WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
     UNION ALL
     SELECT 'lineitem', 'orderkey_fk_orphans', CAST(count(*) AS DOUBLE)
-    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    FROM lineitem WHERE l_orderkey IS NOT NULL
+      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
 """
 
 # cohort retention (streaming/events.py retention_cohorts): first-signup

@@ -941,9 +941,9 @@ def test_tpch_q3_pushdown_broadcast_topk(dfs):
     """Q3's date filters must reach the parquet scans, the filtered
     segment dimension must broadcast, and the LIMIT must be
     TakeOrderedAndProject."""
-    from hive_nexr_spark.operators.joins import tpch_q3
+    from hive_nexr_spark.operators.joins import tpch_q3_variant
 
-    fplan = _formatted(tpch_q3(dfs))
+    fplan = _formatted(tpch_q3_variant(dfs))
     assert "TakeOrderedAndProject" in fplan
     assert "BroadcastHashJoin" in fplan
     assert "PushedFilters" in fplan
