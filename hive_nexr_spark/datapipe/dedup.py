@@ -863,52 +863,74 @@ def hof_bands(df: DataFrame) -> DataFrame:
     ).select("doc_id", "sh", "bb.band", "bb.bucket")
 
 
-def lsh_index_build(documents: DataFrame, index_dir: str,
-                    max_doc_id: int = 200) -> None:
+def lsh_index_build(documents: DataFrame, index_root: str,
+                    max_doc_id: int = 200) -> int:
     """BUILD + PERSIST the MinHash-LSH dedup index — the batch half of
     the dedup lifecycle the ANN index already has (build → query →
-    add-batch): shingle the corpus once, persist two parquet tables:
+    add-batch): shingle the corpus once, persist two index tables under
+    a MANIFEST-VERSIONED root (`sources/index_manifest.py` — add-batch
+    is an atomic manifest bump; a restarted process reopens the index
+    from the manifest alone). Returns the committed version (1).
 
-      <index_dir>/shingles  (doc_id, sh array)  — the verify side
-      <index_dir>/bands     (doc_id, band, bucket) — the candidate side
+      shingles  (doc_id, sh array)       — the verify side
+      bands     (doc_id, band, bucket)   — the candidate side
 
     100 TB shape: at scale `bands` is the table every ingest batch
     equi-joins against (it would partition/bucket by (band, bucket));
     `shingles` is fetched by id for candidate verification only. Raw
     text never persists — the index is shingle digests and band keys."""
+    from ..sources import index_manifest as idx
+
     corpus = documents.select("doc_id", "text").filter(
         (F.col("doc_id") % 100000) < max_doc_id)
     toks = _with_shingles(corpus).select("doc_id", "sh")
-    toks.write.mode("overwrite").parquet(f"{index_dir}/shingles")
-    toks_t = documents.sparkSession.read.parquet(f"{index_dir}/shingles")
+    sdir = idx.new_data_dir(index_root, "shingles", "b00001")
+    toks.write.mode("overwrite").parquet(sdir)
+    toks_t = documents.sparkSession.read.parquet(sdir)
+    bdir = idx.new_data_dir(index_root, "bands", "b00001")
     (hof_bands(toks_t).select("doc_id", "band", "bucket")
-     .write.mode("overwrite").parquet(f"{index_dir}/bands"))
+     .write.mode("overwrite").parquet(bdir))
+    return idx.commit_manifest(index_root, {"max_doc_id": max_doc_id},
+                               {"shingles": [sdir], "bands": [bdir]})
 
 
-def lsh_index_add_batch(spark, index_dir: str,
-                        new_docs: DataFrame) -> None:
+def lsh_index_add_batch(spark, index_root: str,
+                        new_docs: DataFrame) -> int:
     """INCREMENTALLY admit a document batch into the persisted index:
-    shingle + band the batch (work proportional to the BATCH) and append
-    to both tables — after which later queries see the new documents as
-    part of the corpus. The idempotent-append landing contract shared
-    with the ANN add-batch."""
+    shingle + band the batch (work proportional to the BATCH) into NEW
+    directories and commit them in one atomic manifest bump — after
+    which later queries see the new documents as part of the corpus,
+    while readers pinned to an earlier version keep a consistent view.
+    Returns the new manifest version."""
+    from ..sources import index_manifest as idx
+
+    tag = f"b{idx.latest_version(index_root) + 1:05d}"
     toks = _with_shingles(new_docs.select("doc_id", "text")).select(
         "doc_id", "sh")
-    toks.write.mode("append").parquet(f"{index_dir}/shingles")
-    (hof_bands(toks).select("doc_id", "band", "bucket")
-     .write.mode("append").parquet(f"{index_dir}/bands"))
+    sdir = idx.new_data_dir(index_root, "shingles", tag)
+    toks.write.mode("overwrite").parquet(sdir)
+    bdir = idx.new_data_dir(index_root, "bands", tag)
+    (hof_bands(spark.read.parquet(sdir))
+     .select("doc_id", "band", "bucket")
+     .write.mode("overwrite").parquet(bdir))
+    return idx.append_table_dirs(index_root,
+                                 {"shingles": [sdir], "bands": [bdir]})
 
 
-def lsh_index_query(spark, index_dir: str, probe_docs: DataFrame,
-                    threshold: float = 0.5) -> DataFrame:
+def lsh_index_query(spark, index_root: str, probe_docs: DataFrame,
+                    threshold: float = 0.5,
+                    version: int | None = None) -> DataFrame:
     """QUERY the persisted index with a probe batch: probe docs band
     statelessly (`hof_bands`), equi-join the persisted band table on
     (band, bucket), verify exact Jaccard against the persisted shingle
     table — ids and band keys through every Exchange, the corpus never
-    re-shingled. Output: (doc_a = index doc, doc_b = probe doc,
-    jaccard), deduped across multi-band matches."""
-    bands_t = spark.read.parquet(f"{index_dir}/bands")
-    toks_t = spark.read.parquet(f"{index_dir}/shingles")
+    re-shingled. `version` pins an AS-OF index state (pre-admission
+    results reproducible forever). Output: (doc_a = index doc, doc_b =
+    probe doc, jaccard), deduped across multi-band matches."""
+    from ..sources import index_manifest as idx
+
+    bands_t = idx.read_index_table(spark, index_root, "bands", version)
+    toks_t = idx.read_index_table(spark, index_root, "shingles", version)
     probes = hof_bands(
         _with_shingles(probe_docs.select("doc_id", "text"))
         .select("doc_id", "sh")

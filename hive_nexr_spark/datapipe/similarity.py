@@ -637,14 +637,17 @@ def _nearest_code(svcol: Column) -> Column:
     ))["cluster"]
 
 
-def _pq_codebooks(sub: DataFrame, ks: int, sd: int,
-                  iters: int) -> DataFrame:
+def _pq_codebooks(sub: DataFrame, ks: int, sd: int, iters: int,
+                  init: DataFrame | None = None) -> DataFrame:
     """Per-subspace Lloyd codebooks (init = subvectors of vec_id < ks,
     squared euclidean, ties to the lower id) — the shared deterministic
     spec of pq_topk / ivf_pq_topk. Assignment is the nested-codebook
     projection; the per-(j, cluster) mean recompute is the one shuffle
-    an iteration needs."""
-    cb = sub.filter(F.col("vec_id") < ks).select(
+    an iteration needs. ``init`` overrides the seed codebook (j, cluster,
+    cv) — the residual trainer seeds from corpus residuals, whose ids
+    don't start at 0."""
+    cb = init if init is not None else sub.filter(
+        F.col("vec_id") < ks).select(
         "j", F.col("vec_id").cast("int").alias("cluster"),
         F.col("sv").alias("cv"))
     for _ in range(iters):
@@ -713,6 +716,218 @@ def _coarse_assign(vecs: DataFrame, coarse: DataFrame,
     return (
         vecs.crossJoin(F.broadcast(_nest_centroids(coarse)))
         .select("vec_id", _nearest_cluster(F.col("v")).alias(out_col))
+    )
+
+
+def _residuals(vecs: DataFrame, coarse: DataFrame) -> DataFrame:
+    """(vec_id, v) × coarse centroids → (vec_id, cell, rv) where
+    rv = v − centroid(cell): the IVFADC residual (Jégou et al. 2011
+    §IV-A — PQ spends its code budget on the part of the vector the
+    coarse quantizer did NOT explain). Cell routing is the zero-Exchange
+    nested-centroid argmin; the subtraction is a broadcast-joined
+    `zip_with` projection — no corpus shuffle anywhere."""
+    ccv = coarse.select(F.col("cluster").alias("cell"),
+                        F.col("cv").alias("_ccv"))
+    return (
+        vecs.crossJoin(F.broadcast(_nest_centroids(coarse)))
+        .select("vec_id", _nearest_cluster(F.col("v")).alias("cell"), "v")
+        .join(F.broadcast(ccv), "cell")
+        .select("vec_id", "cell",
+                F.zip_with("v", F.col("_ccv"),
+                           lambda x, y: x - y).alias("rv"))
+    )
+
+
+def _residual_codebooks(res: DataFrame, corpus: DataFrame, m: int,
+                        ks: int, sd: int, pq_iters: int
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace PQ codebooks on RESIDUAL subvectors and return
+    (codebooks, residual subvector table). Seed = residuals of the `ks`
+    LOWEST corpus vec_ids (a k-bounded TakeOrdered — queries own ids
+    < n_queries, so the raw-variant's vec_id < ks seed can't apply);
+    cluster labels are the seed vec_ids themselves (labels need not be
+    contiguous — elections tie-break to the lower label identically in
+    both engines)."""
+    subr = _pq_sub(res.select("vec_id", F.col("rv").alias("v")), m, sd)
+    init_ids = corpus.select("vec_id").orderBy("vec_id").limit(ks)
+    init_cb = (
+        subr.join(F.broadcast(init_ids), "vec_id")
+        .select("j", F.col("vec_id").cast("int").alias("cluster"),
+                F.col("sv").alias("cv"))
+    )
+    return _pq_codebooks(subr, ks, sd, pq_iters, init=init_cb), subr
+
+
+def _residual_lut(queries: DataFrame, probes: DataFrame,
+                  coarse: DataFrame, cb: DataFrame, m: int,
+                  sd: int) -> DataFrame:
+    """Per-(query, PROBED CELL) ADC lookup table — the defining IVFADC
+    twist: the query residual q − centroid(cell) differs per probed
+    cell, so each (query, cell) pair gets its own m × ks distance table
+    (Jégou et al. 2011 §IV-A eq. 17). Size n_queries × nprobe × m × ks —
+    broadcast; built from broadcasts, zero Exchange."""
+    ccv = coarse.select(F.col("cluster").alias("cell"),
+                        F.col("cv").alias("_ccv"))
+    qres = (
+        queries.join(F.broadcast(probes), "query_id")
+        .join(F.broadcast(ccv), "cell")
+        .select("query_id", "cell",
+                F.zip_with("qv", F.col("_ccv"),
+                           lambda x, y: x - y).alias("rqv"))
+    )
+    qsub = qres.select(
+        "query_id", "cell",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.slice("rqv", j * sd + 1, sd).alias("sv"))
+            for j in range(m)
+        ])).alias("s"),
+    ).select("query_id", "cell", F.col("s.j").alias("j"),
+             F.col("s.sv").alias("sv"))
+    return qsub.join(F.broadcast(cb), "j").select(
+        "query_id", "cell", "j", "cluster", _pq_d2().alias("d2"))
+
+
+def _probes(queries: DataFrame, coarse: DataFrame,
+            nprobe: int) -> DataFrame:
+    """Top-`nprobe` nearest coarse cells per query (broadcast-centroid
+    window — the shared probe-routing spec of every IVF variant)."""
+    d2q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cluster"))
+    return (
+        queries.join(F.broadcast(coarse))
+        .select("query_id", d2q.alias("d2"), "cluster")
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", F.col("cluster").alias("cell"))
+    )
+
+
+def _adc_rank(cand: DataFrame, lut: DataFrame, on_cell: bool,
+              k: int) -> DataFrame:
+    """Join candidate codes against the broadcast LUT, sum per-subspace
+    distances, rank per query. ``on_cell``: residual LUTs key on the
+    probed cell too (per-cell query residual); raw LUTs don't. Both
+    sides carry a query_id descending from the same probe lineage, so
+    the join aliases explicitly (a bare column reference resolves
+    trivially-true)."""
+    ca, lu = cand.alias("_ca"), lut.alias("_lu")
+    cond = ((F.col("_ca.query_id") == F.col("_lu.query_id"))
+            & (F.col("_ca.j") == F.col("_lu.j"))
+            & (F.col("_ca.code") == F.col("_lu.cluster")))
+    if on_cell:
+        cond = cond & (F.col("_ca.cell") == F.col("_lu.cell"))
+    scored = (
+        ca.join(F.broadcast(lu), cond)
+        .select(F.col("_ca.query_id").alias("query_id"),
+                F.col("_ca.vec_id").alias("vec_id"),
+                F.col("_lu.d2").alias("d2"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "rank", F.round("approx_d2", 6).alias("approx_d2"))
+    )
+
+
+def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
+                         n_queries: int = 10, n_cells: int = 8,
+                         coarse_iters: int = 1, nprobe: int = 2,
+                         m: int = 4, ks: int = 16, pq_iters: int = 1,
+                         dim: int = 64) -> DataFrame:
+    """TRUE IVFADC (Jégou et al. 2011 §IV-A): PQ codebooks are trained
+    on and codes encode the RESIDUALS x − centroid(cell(x)) instead of
+    raw vectors — the coarse assignment is already known from the cell
+    id, so spending PQ's code budget re-expressing it (what raw-vector
+    encoding does) is waste; residual encoding puts all dim/m·log2(ks)
+    bits on the unexplained remainder, which is why production IVFADC
+    recalls better at the same code size. The ADC LUT is built per
+    (query, probed cell) because the query residual differs per cell.
+
+    Output: (query_id, neighbor_id, rank, approx_d2, recall_residual,
+    recall_raw) — the residual-ADC top-k, with each query's MEASURED
+    recall@k against the exact-d2 top-k for BOTH encodings (the raw
+    variant recomputed under identical training spec), so the
+    residual-vs-raw tradeoff is an output, not a claim.
+
+    100 TB shape: everything `ivf_pq_topk` claims — cell routing and
+    code election are broadcast argmins, candidates key on the cell,
+    LUTs broadcast (nprobe× larger here: one per probed cell — still
+    n_queries × nprobe × m × ks rows). The recall columns add one
+    broadcast-query corpus scan (the exact baseline) and the raw-ADC
+    twin — evaluation-harness cost by design, bounded by n_queries;
+    drop them for the pure index path (`ivf_pq_build_index`, which
+    persists the residual form without the comparison)."""
+    sd = dim // m
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    coarse = tracked_persist(
+        _kmeans_centroids(emb, n_cells, coarse_iters, dim)
+        .select("cluster", "cv"))
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    probes = _probes(queries, coarse, nprobe)
+
+    # residual side
+    res = tracked_persist(_residuals(corpus, coarse))
+    cb_r, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
+    codes_r = _pq_encode(subr, cb_r).join(
+        res.select("vec_id", "cell"), "vec_id")
+    lut_r = _residual_lut(queries, probes, coarse, cb_r, m, sd)
+    topk_r = _adc_rank(codes_r.join(F.broadcast(probes), "cell"),
+                       lut_r, True, k)
+
+    # raw side (identical spec to ivf_pq_topk, sharing coarse/probes)
+    sub = _pq_sub(emb, m, sd)
+    cb = _pq_codebooks(sub, ks, sd, pq_iters)
+    codes = _pq_encode(sub.filter(F.col("vec_id") >= n_queries), cb).join(
+        res.select("vec_id", "cell"), "vec_id")
+    lut = (sub.filter(F.col("vec_id") < n_queries)
+           .withColumnRenamed("vec_id", "query_id")
+           .join(F.broadcast(cb), "j")
+           .select("query_id", "j", "cluster", _pq_d2().alias("d2")))
+    topk_raw = _adc_rank(codes.join(F.broadcast(probes), "cell"),
+                         lut, False, k)
+
+    # exact-d2 baseline → measured recall@k per query for both variants
+    d2x = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    wx = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2").asc(), F.col("neighbor_id"))
+    exact = tracked_persist(
+        corpus.join(F.broadcast(queries))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                d2x.alias("exact_d2"))
+        .withColumn("rank", F.row_number().over(wx))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id"))
+
+    def recall_of(topk: DataFrame, name: str) -> DataFrame:
+        return (
+            topk.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.round(F.count("*") / F.lit(float(k)), 6).alias(name))
+        )
+
+    return (
+        topk_r
+        .join(F.broadcast(recall_of(topk_r, "recall_residual")),
+              "query_id", "left")
+        .join(F.broadcast(recall_of(topk_raw, "recall_raw")),
+              "query_id", "left")
+        .select("query_id", "neighbor_id", "rank", "approx_d2",
+                F.coalesce("recall_residual", F.lit(0.0))
+                .alias("recall_residual"),
+                F.coalesce("recall_raw", F.lit(0.0)).alias("recall_raw"))
     )
 
 
@@ -799,123 +1014,127 @@ def _index_scratch() -> str:
     return process_scratch_dir("annidx")
 
 
-def ivf_pq_build_index(embeddings: DataFrame, index_dir: str,
+def ivf_pq_build_index(embeddings: DataFrame, index_root: str,
                        n_queries: int = 10, n_cells: int = 8,
                        coarse_iters: int = 1, m: int = 4, ks: int = 16,
-                       pq_iters: int = 1, dim: int = 64) -> None:
-    """TRAIN + ENCODE + PERSIST the IVF-PQ index — the first third of the
-    production ANN lifecycle (train → persist → query → add-batch;
+                       pq_iters: int = 1, dim: int = 64) -> int:
+    """TRAIN + ENCODE + PERSIST the IVFADC index — the first third of
+    the production ANN lifecycle (train → persist → query → add-batch;
     Jégou et al. 2011 §IV, the FAISS-style on-disk index layout is
-    public). Training uses the full input (vec_id < n_queries reserved
-    as queries, same convention as `ivf_pq_topk`); vectors
-    >= n_queries are encoded and stored. Three parquet tables:
+    public). RESIDUAL encoding throughout (§IV-A): PQ codebooks are
+    trained on x − centroid(cell(x)) over the corpus, and codes encode
+    residuals — the coarse assignment is carried by the cell id, so no
+    code budget re-expresses it. Training uses the full input (vec_id
+    < n_queries reserved as queries, same convention as `ivf_pq_topk`);
+    vectors >= n_queries are encoded and stored. Three index tables
+    under a MANIFEST-VERSIONED root (`sources/index_manifest.py` — the
+    durable commit layer; a restarted process reopens the index from the
+    manifest alone, params included):
 
-      <index_dir>/coarse     (cluster, cv)         — n_cells rows
-      <index_dir>/codebooks  (j, cluster, cv)      — m × ks rows
-      <index_dir>/codes      (vec_id, cell, j, code) — m rows/vector
+      coarse     (cluster, cv)           — n_cells rows
+      codebooks  (j, cluster, cv)        — m × ks rows, residual-trained
+      codes      (vec_id, cell, j, code) — m rows/vector
+
+    Returns the committed manifest version (always 1 for a fresh root).
 
     100 TB shape: the codes table is the only corpus-sized artifact
     (m small ints + a cell id per vector — the dim/m compression PQ
-    exists for); it is written partitioned by nothing here but would
-    partition by `cell` at scale so a query's probe list prunes files.
-    Raw vectors never leave the build step."""
+    exists for); at scale each add-batch dir would partition by `cell`
+    so a query's probe list prunes files. Raw vectors never leave the
+    build step."""
+    from ..sources import index_manifest as idx
+
     sd = dim // m
+    spark = embeddings.sparkSession
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     coarse = _kmeans_centroids(emb, n_cells, coarse_iters, dim).select(
         "cluster", "cv")
-    coarse.write.mode("overwrite").parquet(f"{index_dir}/coarse")
-    coarse_t = emb.sparkSession.read.parquet(f"{index_dir}/coarse")
+    cdir = idx.new_data_dir(index_root, "coarse", "v00001")
+    coarse.write.mode("overwrite").parquet(cdir)
+    coarse_t = spark.read.parquet(cdir)
 
-    sub = _pq_sub(emb, m, sd)
-    cb = _pq_codebooks(sub, ks, sd, pq_iters)
-    cb.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
-    cb_t = emb.sparkSession.read.parquet(f"{index_dir}/codebooks")
-
+    # residual-train the PQ codebooks on the PERSISTED coarse centroids
+    # (bit-stability: encode-at-build and encode-at-add read identical
+    # artifacts)
     corpus = emb.filter(F.col("vec_id") >= n_queries)
-    cells = _coarse_assign(corpus, coarse_t)
-    codes = _pq_encode(_pq_sub(corpus, m, sd), cb_t)
-    (codes.join(cells, "vec_id")
-     .select("vec_id", "cell", "j", "code")
-     .write.mode("overwrite").parquet(f"{index_dir}/codes"))
+    res = tracked_persist(_residuals(corpus, coarse_t))
+    cb, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
+    bdir = idx.new_data_dir(index_root, "codebooks", "v00001")
+    cb.write.mode("overwrite").parquet(bdir)
+    cb_t = spark.read.parquet(bdir)
+
+    codes = _pq_encode(subr, cb_t).join(
+        res.select("vec_id", "cell"), "vec_id")
+    kdir = idx.new_data_dir(index_root, "codes", "b00001")
+    (codes.select("vec_id", "cell", "j", "code")
+     .write.mode("overwrite").parquet(kdir))
+    return idx.commit_manifest(
+        index_root,
+        {"m": m, "dim": dim, "ks": ks, "n_cells": n_cells,
+         "n_queries": n_queries, "residual": True,
+         "coarse_iters": coarse_iters, "pq_iters": pq_iters},
+        {"coarse": [cdir], "codebooks": [bdir], "codes": [kdir]})
 
 
-def ivf_pq_add_batch(spark, index_dir: str, new_vectors: DataFrame,
-                     m: int = 4, dim: int = 64) -> None:
+def ivf_pq_add_batch(spark, index_root: str,
+                     new_vectors: DataFrame) -> int:
     """INCREMENTALLY add a vector batch to a persisted index: encode
-    against the FROZEN coarse centroids and PQ codebooks (read from the
-    index — no retraining) and append to the codes table. This is the
-    standard IVF-PQ ingestion path: codebooks drift only on explicit
-    re-train; arriving vectors pay one broadcast-argmin cell routing and
-    one broadcast-codebook encoding — work proportional to the BATCH."""
+    RESIDUALS against the FROZEN coarse centroids and PQ codebooks (read
+    from the index — no retraining; m/dim travel in the manifest) and
+    commit a new codes directory — an atomic manifest bump, so readers
+    at the previous version keep a consistent view and a crash mid-write
+    leaves the index at the old version. Work proportional to the BATCH:
+    one broadcast-argmin cell routing + residual subtraction + one
+    broadcast-codebook encoding. Returns the new manifest version."""
+    from ..sources import index_manifest as idx
+
+    p = idx.read_manifest(index_root)["params"]
+    m, dim = p["m"], p["dim"]
     sd = dim // m
-    coarse_t = spark.read.parquet(f"{index_dir}/coarse")
-    cb_t = spark.read.parquet(f"{index_dir}/codebooks")
+    coarse_t = idx.read_index_table(spark, index_root, "coarse")
+    cb_t = idx.read_index_table(spark, index_root, "codebooks")
     emb = new_vectors.select("vec_id", _as_double("embedding").alias("v"))
-    cells = _coarse_assign(emb, coarse_t)
-    codes = _pq_encode(_pq_sub(emb, m, sd), cb_t)
-    (codes.join(cells, "vec_id")
-     .select("vec_id", "cell", "j", "code")
-     .write.mode("append").parquet(f"{index_dir}/codes"))
+    res = tracked_persist(_residuals(emb, coarse_t))
+    codes = _pq_encode(
+        _pq_sub(res.select("vec_id", F.col("rv").alias("v")), m, sd),
+        cb_t).join(res.select("vec_id", "cell"), "vec_id")
+    kdir = idx.new_data_dir(index_root, "codes",
+                            f"b{idx.latest_version(index_root) + 1:05d}")
+    (codes.select("vec_id", "cell", "j", "code")
+     .write.mode("overwrite").parquet(kdir))
+    return idx.append_table_dirs(index_root, {"codes": [kdir]})
 
 
-def ivf_pq_query_index(spark, index_dir: str, queries: DataFrame,
-                       k: int = 3, nprobe: int = 2, m: int = 4,
-                       dim: int = 64) -> DataFrame:
-    """QUERY the persisted index — no training, no corpus aggregation:
-    the plan reads the three index tables plus the query vectors. Probe
-    routing is a broadcast-centroid window top-nprobe; the ADC LUT
-    (queries × m × ks) broadcasts; candidates key on the CELL id; the
-    per-query ranking touches only probed cells' codes. Bit-equal to
-    `ivf_pq_topk` on the same data by construction (same election
-    tie-breaks, same d2 accumulation order).
+def ivf_pq_query_index(spark, index_root: str, queries: DataFrame,
+                       k: int = 3, nprobe: int = 2,
+                       version: int | None = None) -> DataFrame:
+    """QUERY the persisted IVFADC index — no training, no corpus
+    aggregation: the plan reads the manifest's three index tables plus
+    the query vectors (m/dim come from the manifest params; `version`
+    time-travels to an earlier index state — pre-add-batch results are
+    reproducible forever). Probe routing is a broadcast-centroid window
+    top-nprobe; the per-(query, probed cell) residual ADC LUT
+    (n_queries × nprobe × m × ks) broadcasts; candidates key on the
+    CELL id; the per-query ranking touches only probed cells' codes.
+    Bit-equal to the in-plan residual scoring on the same data by
+    construction (same election tie-breaks, same d2 accumulation order).
 
     `queries`: (query_id, qv array<double>)."""
+    from ..sources import index_manifest as idx
+
+    p = idx.read_manifest(index_root, version)["params"]
+    m, dim = p["m"], p["dim"]
     sd = dim // m
-    coarse_t = spark.read.parquet(f"{index_dir}/coarse")
-    cb_t = spark.read.parquet(f"{index_dir}/codebooks")
-    codes_t = spark.read.parquet(f"{index_dir}/codes")
+    coarse_t = idx.read_index_table(spark, index_root, "coarse", version)
+    cb_t = idx.read_index_table(spark, index_root, "codebooks", version)
+    codes_t = idx.read_index_table(spark, index_root, "codes", version)
 
-    d2q = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("cluster"))
-    probes = (
-        queries.join(F.broadcast(coarse_t))
-        .select("query_id", d2q.alias("d2"), "cluster")
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", F.col("cluster").alias("cell"))
-    )
-    qsub = queries.select(
-        F.col("query_id"),
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("j"),
-                     F.slice("qv", j * sd + 1, sd).alias("sv"))
-            for j in range(m)
-        ])).alias("s"),
-    ).select("query_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
-    lut = qsub.join(F.broadcast(cb_t), "j").select(
-        "query_id", "j", "cluster", _pq_d2().alias("d2"))
-
-    cand = codes_t.join(F.broadcast(probes), "cell")
-    scored = (
-        cand.join(F.broadcast(lut),
-                  (cand["query_id"] == lut["query_id"])
-                  & (cand["j"] == lut["j"])
-                  & (cand["code"] == lut["cluster"]))
-        .select(cand["query_id"].alias("query_id"), "vec_id", "d2")
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("d2").alias("approx_d2"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_d2").asc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                "rank", F.round("approx_d2", 6).alias("approx_d2"))
-    )
+    # n_queries × nprobe rows, consumed by both the LUT and the
+    # candidate join — persisted so the query set is scanned once
+    probes = tracked_persist(_probes(queries, coarse_t, nprobe))
+    lut = _residual_lut(queries, probes, coarse_t, cb_t, m, sd)
+    return _adc_rank(codes_t.join(F.broadcast(probes), "cell"),
+                     lut, True, k)
 
 
 def knn_join(embeddings: DataFrame, k: int = 3, n_clusters: int = 8,

@@ -2728,6 +2728,250 @@ QUERIES["similarity_ivf_pq_topk"] = _bind(similarity.ivf_pq_topk,
 ORACLE["similarity_ivf_pq_topk"] = _ivf_pq_sql()
 
 
+def _ivf_pq_residual_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
+                         coarse_iters: int = 1, nprobe: int = 2, m: int = 4,
+                         ks: int = 16, pq_iters: int = 1, dim: int = 64,
+                         train_pred: str | None = None,
+                         with_recall: bool = False) -> str:
+    """DuckDB oracle for the RESIDUAL (true IVFADC) encoding: the coarse
+    CTE chain + residual computation, PQ codebooks trained on residual
+    subvectors (seed = the ks lowest TRAIN-corpus vec_ids), residual
+    codes, and the per-(query, probed cell) ADC LUT. ``with_recall``
+    appends the exact-d2 top-k baseline, the raw-encoding twin (the
+    `_ivf_pq_sql` chain verbatim), and per-query recall@k columns for
+    both — mirroring `similarity.ivf_pq_residual_topk`'s output.
+    ``train_pred`` restricts TRAINING (coarse + PQ + seed) to matching
+    rows while encode/probe read everything — the add-batch contract."""
+    sd = dim // m
+    d2s = (f"list_aggregate([ (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) "
+           f"for i in range(1, {sd} + 1) ], 'sum')")
+    rsubs = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, rv[{j * sd + 1}:{(j + 1) * sd}] AS sv "
+        "FROM resid"
+        for j in range(m))
+    if train_pred is None:
+        kmeans = _kmeans_cte(n_cells, coarse_iters, dim)
+        tsubr, tpred = "subr", "TRUE"
+        subrt_cte = ""
+    else:
+        emb_sql = f"""emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), embt AS (SELECT * FROM emb WHERE {train_pred})"""
+        kmeans = _kmeans_cte(n_cells, coarse_iters, dim,
+                             emb_sql=emb_sql, src="embt")
+        tsubr, tpred = "subrt", train_pred
+        subrt_cte = f"""
+    , subrt AS (SELECT * FROM subr WHERE {train_pred})"""
+    ci = coarse_iters
+    parts = [kmeans, f"""
+    , cells AS (
+      SELECT vec_id, cluster AS cell FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_aggregate([ (e.v[i] - c.cv[i])
+                          * (e.v[i] - c.cv[i])
+                          for i in range(1, {dim} + 1) ], 'sum'),
+                          c.cluster) AS rn
+        FROM emb e CROSS JOIN c{ci} c
+        WHERE e.vec_id >= {n_queries}
+      ) r WHERE rn = 1
+    )
+    , probes AS (
+      SELECT query_id, cluster AS cell FROM (
+        SELECT e.vec_id AS query_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_aggregate([ (e.v[i] - c.cv[i])
+                          * (e.v[i] - c.cv[i])
+                          for i in range(1, {dim} + 1) ], 'sum'),
+                          c.cluster) AS rn
+        FROM emb e CROSS JOIN c{ci} c
+        WHERE e.vec_id < {n_queries}
+      ) r WHERE rn <= {nprobe}
+    )
+    , resid AS (
+      SELECT ce.vec_id, ce.cell,
+             [ e.v[i] - cc.cv[i] for i in range(1, {dim} + 1) ] AS rv
+      FROM cells ce JOIN emb e USING (vec_id)
+      JOIN c{ci} cc ON cc.cluster = ce.cell
+    )
+    , subr AS ({rsubs}){subrt_cte}
+    , seed AS (
+      SELECT vec_id FROM cells WHERE {tpred}
+      ORDER BY vec_id LIMIT {ks}
+    )
+    , rcb0 AS (
+      SELECT j, CAST(vec_id AS INT) AS cluster, sv AS cv
+      FROM subr WHERE vec_id IN (SELECT vec_id FROM seed)
+    )"""]
+    for it in range(1, pq_iters + 1):
+        parts.append(f"""
+    , ra{it} AS (
+      SELECT j, cluster, sv FROM (
+        SELECT s.vec_id, s.j, s.sv, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2s}, c.cluster) AS rn
+        FROM {tsubr} s JOIN rcb{it - 1} c USING (j)
+      ) r WHERE rn = 1
+    )
+    , rp{it} AS (
+      SELECT j, cluster, t.i AS i, sum(sv[t.i]) / count(*) AS mu
+      FROM ra{it} CROSS JOIN range(1, {sd} + 1) AS t(i)
+      GROUP BY j, cluster, t.i
+    )
+    , rcb{it} AS (
+      SELECT j, cluster, list(mu ORDER BY i) AS cv
+      FROM rp{it} GROUP BY j, cluster
+    )""")
+    parts.append(f"""
+    , rcodes AS (
+      SELECT vec_id, j, cluster AS code FROM (
+        SELECT s.vec_id, s.j, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2s}, c.cluster) AS rn
+        FROM subr s JOIN rcb{pq_iters} c USING (j)
+      ) r WHERE rn = 1
+    )
+    , qres AS (
+      SELECT p.query_id, p.cell,
+             [ q.v[i] - cc.cv[i] for i in range(1, {dim} + 1) ] AS rv
+      FROM probes p JOIN emb q ON q.vec_id = p.query_id
+      JOIN c{ci} cc ON cc.cluster = p.cell
+    )
+    , qsubr AS ({" UNION ALL ".join(
+        f"SELECT query_id, cell, {j} AS j, "
+        f"rv[{j * sd + 1}:{(j + 1) * sd}] AS sv FROM qres"
+        for j in range(m))})
+    , rlut AS (
+      SELECT s.query_id, s.cell, s.j, c.cluster, {d2s} AS d2
+      FROM qsubr s JOIN rcb{pq_iters} c USING (j)
+    )
+    , radc AS (
+      SELECT l.query_id, co.vec_id, sum(l.d2) AS approx_d2
+      FROM rcodes co
+      JOIN cells ce ON ce.vec_id = co.vec_id
+      JOIN rlut l ON l.cell = ce.cell
+                 AND l.j = co.j AND l.cluster = co.code
+      GROUP BY l.query_id, co.vec_id
+    )
+    , rtopk AS (
+      SELECT query_id, vec_id, approx_d2,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_d2, vec_id)
+                  AS INT) AS rank
+      FROM radc
+    )""")
+    if not with_recall:
+        parts.append(f"""
+    SELECT query_id, vec_id AS neighbor_id, rank,
+           round(approx_d2, 6) AS approx_d2
+    FROM rtopk WHERE rank <= {k}""")
+        return "".join(parts)
+    # raw-encoding twin (the _ivf_pq_sql chain) + exact baseline + recall
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, v[{j * sd + 1}:{(j + 1) * sd}] AS sv "
+        "FROM emb"
+        for j in range(m))
+    parts.append(f"""
+    , sub AS ({subs})
+    , cb0 AS (
+      SELECT j, CAST(vec_id AS INT) AS cluster, sv AS cv
+      FROM sub WHERE vec_id < {ks}
+    )""")
+    for it in range(1, pq_iters + 1):
+        parts.append(f"""
+    , pa{it} AS (
+      SELECT j, cluster, sv FROM (
+        SELECT s.vec_id, s.j, s.sv, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2s}, c.cluster) AS rn
+        FROM sub s JOIN cb{it - 1} c USING (j)
+      ) r WHERE rn = 1
+    )
+    , pp{it} AS (
+      SELECT j, cluster, t.i AS i, sum(sv[t.i]) / count(*) AS mu
+      FROM pa{it} CROSS JOIN range(1, {sd} + 1) AS t(i)
+      GROUP BY j, cluster, t.i
+    )
+    , cb{it} AS (
+      SELECT j, cluster, list(mu ORDER BY i) AS cv
+      FROM pp{it} GROUP BY j, cluster
+    )""")
+    parts.append(f"""
+    , codes AS (
+      SELECT vec_id, j, cluster AS code FROM (
+        SELECT s.vec_id, s.j, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2s}, c.cluster) AS rn
+        FROM sub s JOIN cb{pq_iters} c USING (j)
+        WHERE s.vec_id >= {n_queries}
+      ) r WHERE rn = 1
+    )
+    , lut AS (
+      SELECT s.vec_id AS query_id, s.j, c.cluster, {d2s} AS d2
+      FROM sub s JOIN cb{pq_iters} c USING (j)
+      WHERE s.vec_id < {n_queries}
+    )
+    , adc AS (
+      SELECT l.query_id, co.vec_id, sum(l.d2) AS approx_d2
+      FROM codes co
+      JOIN cells ce ON ce.vec_id = co.vec_id
+      JOIN probes p ON p.cell = ce.cell
+      JOIN lut l ON l.query_id = p.query_id
+                AND l.j = co.j AND l.cluster = co.code
+      GROUP BY l.query_id, co.vec_id
+    )
+    , rawtopk AS (
+      SELECT query_id, vec_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_d2, vec_id)
+                  AS INT) AS rank
+      FROM adc
+    )
+    , exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_aggregate([ (q.v[i] - e.v[i])
+                          * (q.v[i] - e.v[i])
+                          for i in range(1, {dim} + 1) ], 'sum'),
+                          e.vec_id) AS rn
+        FROM emb q CROSS JOIN emb e
+        WHERE q.vec_id < {n_queries} AND e.vec_id >= {n_queries}
+      ) r WHERE rn <= {k}
+    )
+    , rec_res AS (
+      SELECT t.query_id,
+             round(count(e.vec_id) * 1.0 / {k}, 6) AS recall_residual
+      FROM rtopk t LEFT JOIN exact e
+        ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+      WHERE t.rank <= {k}
+      GROUP BY t.query_id
+    )
+    , rec_raw AS (
+      SELECT t.query_id,
+             round(count(e.vec_id) * 1.0 / {k}, 6) AS recall_raw
+      FROM rawtopk t LEFT JOIN exact e
+        ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+      WHERE t.rank <= {k}
+      GROUP BY t.query_id
+    )
+    SELECT t.query_id, t.vec_id AS neighbor_id, t.rank,
+           round(t.approx_d2, 6) AS approx_d2,
+           rr.recall_residual,
+           coalesce(rw.recall_raw, 0.0) AS recall_raw
+    FROM rtopk t
+    JOIN rec_res rr ON rr.query_id = t.query_id
+    LEFT JOIN rec_raw rw ON rw.query_id = t.query_id
+    WHERE t.rank <= {k}""")
+    return "".join(parts)
+
+
+QUERIES["similarity_ivf_pq_residual"] = _bind(
+    similarity.ivf_pq_residual_topk, "embeddings")
+ORACLE["similarity_ivf_pq_residual"] = _ivf_pq_residual_sql(
+    with_recall=True)
+
+
 def _queries_of(emb, n_queries: int = 10):
     return (emb.select("vec_id",
                        F.col("embedding").cast("array<double>").alias("qv"))
@@ -2736,9 +2980,11 @@ def _queries_of(emb, n_queries: int = 10):
 
 
 def _ivf_pq_persisted(spark, sf_dir):
-    """The persisted-index lifecycle: TRAIN+ENCODE to parquet index
-    tables, then QUERY purely from them. Same oracle as the in-plan
-    variant — bit-equality is the correctness contract."""
+    """The persisted-index lifecycle: TRAIN+ENCODE (residual/IVFADC
+    form) to manifest-versioned parquet index tables, then QUERY purely
+    from them. Oracle = the residual chain — bit-equality between the
+    persisted path and the in-plan residual scoring is the correctness
+    contract."""
     emb = ensure_views(spark, sf_dir)["embeddings"]
     d = similarity._index_scratch()
     similarity.ivf_pq_build_index(emb, d)
@@ -2746,15 +2992,16 @@ def _ivf_pq_persisted(spark, sf_dir):
 
 
 QUERIES["similarity_ivf_pq_persisted"] = _ivf_pq_persisted
-ORACLE["similarity_ivf_pq_persisted"] = _ivf_pq_sql()
+ORACLE["similarity_ivf_pq_persisted"] = _ivf_pq_residual_sql()
 
 
 def _ivf_pq_add_batch(spark, sf_dir):
     """Incremental ingestion: build the index from the EVEN half of the
     corpus (training sees queries + that half), add the odd half against
-    the frozen codebooks, query the combined index. The oracle trains on
-    the same subset and encodes everything — encoding is deterministic
-    given codebooks, so when it happened (build vs add) cannot matter."""
+    the frozen coarse/codebooks (an atomic manifest bump), query the
+    combined index. The oracle trains on the same subset and encodes
+    everything — residual encoding is deterministic given the frozen
+    artifacts, so when it happened (build vs add) cannot matter."""
     emb = ensure_views(spark, sf_dir)["embeddings"]
     d = similarity._index_scratch()
     initial = emb.filter((F.col("vec_id") < 10)
@@ -2767,5 +3014,5 @@ def _ivf_pq_add_batch(spark, sf_dir):
 
 
 QUERIES["similarity_ivf_pq_add_batch"] = _ivf_pq_add_batch
-ORACLE["similarity_ivf_pq_add_batch"] = _ivf_pq_sql(
+ORACLE["similarity_ivf_pq_add_batch"] = _ivf_pq_residual_sql(
     train_pred="vec_id < 10 OR vec_id % 2 = 0")

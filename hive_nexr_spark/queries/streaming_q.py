@@ -689,10 +689,11 @@ ORACLE["events_stream_neardup"] = _lsh_match_sql(
     _LSH_ORIGINALS, _LSH_INCOMING)
 
 
-# streaming ANN ingest shares the batch add-batch lifecycle's oracle:
-# frozen-codebook encoding is deterministic, so arrival path (build vs
-# stream micro-batch) cannot change the index contents
-from .datapipe_q import _ivf_pq_sql as _ivf_pq_sql_gen  # noqa: E402
+# streaming ANN ingest shares the batch add-batch lifecycle's oracle
+# (residual/IVFADC form since r10): frozen-artifact residual encoding is
+# deterministic, so arrival path (build vs stream micro-batch) cannot
+# change the index contents
+from .datapipe_q import _ivf_pq_residual_sql as _ivf_pq_sql_gen  # noqa: E402
 
 ORACLE["similarity_stream_ann_ingest"] = _ivf_pq_sql_gen(
     train_pred="vec_id < 10 OR vec_id % 2 = 0")

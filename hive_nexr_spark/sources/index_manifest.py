@@ -1,0 +1,101 @@
+"""Durable, manifest-versioned index persistence.
+
+The index analogue of the snapshot-table lifecycle (`snapshots.py`): an
+index is a set of NAMED parquet tables (e.g. IVF-PQ's coarse/codebooks/
+codes, LSH's shingles/bands) plus a params dict, and every mutation —
+initial build, incremental add-batch — is an ATOMIC manifest commit:
+
+    <root>/manifest/v00001.json   {"version", "params", "tables"}
+    <root>/<table dirs...>        immutable parquet data
+
+`tables` maps table name → list of data directories visible at that
+version. Add-batch writes a NEW directory and commits a manifest whose
+entry appends it — existing data files are never rewritten, a reader
+holding an older version keeps a consistent view, and a RESTARTED
+process reopens the index from the manifest alone (no in-memory handle;
+params like m/dim/residual travel with the index, so the reopening
+session doesn't have to re-specify them). Commit atomicity is
+write-temp + `os.replace` — a crashed writer leaves at most a `.tmp`
+file, never a torn manifest. This is the public Iceberg/FAISS-on-disk
+layout idea re-expressed for index tables; the reference era's nearest
+analogue is rebuilding a Hive index table wholesale
+(`ql/index/compact/CompactIndexHandler.java` as spec for WHAT an index
+rebuild lifecycle covers).
+
+Concurrency contract: one writer at a time (the engine's documented
+single-committer posture, same as the snapshot table); readers are
+lock-free at any version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _mdir(root: str) -> str:
+    return os.path.join(root, "manifest")
+
+
+def latest_version(root: str) -> int:
+    """Highest committed manifest version; 0 if the index doesn't exist
+    yet (a fresh root is version 0 — the first commit creates v1)."""
+    d = _mdir(root)
+    if not os.path.isdir(d):
+        return 0
+    vs = [int(f[1:-5]) for f in os.listdir(d)
+          if f.startswith("v") and f.endswith(".json")]
+    return max(vs, default=0)
+
+
+def read_manifest(root: str, version: int | None = None) -> dict:
+    """Load one manifest (default: latest). Raises FileNotFoundError on
+    a missing/expired version — the reader's signal to re-resolve."""
+    v = latest_version(root) if version is None else version
+    with open(os.path.join(_mdir(root), f"v{v:05d}.json")) as fh:
+        return json.load(fh)
+
+
+def commit_manifest(root: str, params: dict,
+                    tables: dict[str, list[str]]) -> int:
+    """Atomically commit the next manifest version. `tables` is the
+    FULL visibility map for the new version (callers extend the previous
+    manifest's lists for append semantics). Returns the new version."""
+    d = _mdir(root)
+    os.makedirs(d, exist_ok=True)
+    v = latest_version(root) + 1
+    path = os.path.join(d, f"v{v:05d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": v, "params": params, "tables": tables}, fh)
+    os.replace(tmp, path)
+    return v
+
+
+def append_table_dirs(root: str, new_dirs: dict[str, list[str]]) -> int:
+    """Add-batch commit: next version = previous tables with `new_dirs`
+    appended per table (tables absent from `new_dirs` carry over
+    unchanged). Params carry over verbatim."""
+    man = read_manifest(root)
+    tables = {k: list(v) for k, v in man["tables"].items()}
+    for name, dirs in new_dirs.items():
+        tables.setdefault(name, [])
+        tables[name] = tables[name] + list(dirs)
+    return commit_manifest(root, man["params"], tables)
+
+
+def new_data_dir(root: str, table: str, tag: str) -> str:
+    """A fresh data directory path for one table write (not created —
+    Spark's parquet writer creates it). Uniqueness comes from the tag
+    (callers pass the target version / batch ordinal)."""
+    return os.path.join(root, f"{table}_{tag}")
+
+
+def read_index_table(spark: SparkSession, root: str, name: str,
+                     version: int | None = None) -> DataFrame:
+    """Scan exactly the directories the manifest lists for `name` —
+    the AS-OF read path; old versions stay consistent after add-batch."""
+    dirs = read_manifest(root, version)["tables"][name]
+    return spark.read.parquet(*dirs)

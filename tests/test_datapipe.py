@@ -626,11 +626,15 @@ def test_bpe_trained_apply_uses_learned_pieces(dfs):
 
 
 def test_ivf_pq_persisted_lifecycle_bit_equal(dfs, spark):
-    """TRAIN→persist→QUERY must return exactly the in-plan ivf_pq_topk
-    rows, and build+ADD-BATCH (frozen codebooks) must equal building the
-    index from the full corpus with the same training subset — i.e. the
-    moment of encoding cannot matter."""
+    """TRAIN→persist→QUERY (residual/IVFADC form) must return exactly
+    the in-plan residual scoring's rows; build+ADD-BATCH (frozen
+    artifacts) must equal building with the same training subset — the
+    moment of encoding cannot matter; the manifest must version every
+    commit so v1 (pre-add) stays queryable AS-OF forever; and a
+    'restarted' session must reopen the index from the manifest alone
+    (params travel with the index — no m/dim re-specification)."""
     from hive_nexr_spark.datapipe import similarity
+    from hive_nexr_spark.sources import index_manifest as idx
 
     emb = dfs["embeddings"]
     queries = (emb.select("vec_id",
@@ -640,35 +644,57 @@ def test_ivf_pq_persisted_lifecycle_bit_equal(dfs, spark):
                .select(F.col("vec_id").alias("query_id"), "qv"))
 
     d1 = similarity._index_scratch()
-    similarity.ivf_pq_build_index(emb, d1)
+    v1 = similarity.ivf_pq_build_index(emb, d1)
+    assert v1 == 1
     persisted = {tuple(r) for r in
                  similarity.ivf_pq_query_index(spark, d1, queries).collect()}
-    inplan = {tuple(r) for r in similarity.ivf_pq_topk(emb).collect()}
+    inplan = {tuple(r)[:4] for r in
+              similarity.ivf_pq_residual_topk(emb).collect()}
     assert persisted == inplan and persisted
 
     # add-batch: encode-at-add must equal encode-at-build given the same
-    # frozen codebooks (trained on queries + even half)
+    # frozen artifacts (trained on queries + even half)
     initial = emb.filter((F.col("vec_id") < 10) | (F.col("vec_id") % 2 == 0))
     added = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 1))
     d2 = similarity._index_scratch()
     similarity.ivf_pq_build_index(initial, d2)
-    n_before = spark.read.parquet(f"{d2}/codes").count()
-    similarity.ivf_pq_add_batch(spark, d2, added)
-    n_after = spark.read.parquet(f"{d2}/codes").count()
+    pre_add = {tuple(r) for r in
+               similarity.ivf_pq_query_index(spark, d2, queries).collect()}
+    n_before = idx.read_index_table(spark, d2, "codes").count()
+    v2 = similarity.ivf_pq_add_batch(spark, d2, added)
+    assert v2 == 2
+    n_after = idx.read_index_table(spark, d2, "codes").count()
     assert n_after == n_before + added.count() * 4  # m=4 codes per vector
     combined = {tuple(r) for r in
                 similarity.ivf_pq_query_index(spark, d2, queries).collect()}
     assert combined and combined != persisted  # different training set
-    # encode the added half at BUILD time instead: must be identical
-    added_codes = {tuple(r) for r in spark.read.parquet(f"{d2}/codes")
+    # AS-OF: version 1 still answers exactly the pre-add result
+    asof = {tuple(r) for r in
+            similarity.ivf_pq_query_index(spark, d2, queries,
+                                          version=1).collect()}
+    assert asof == pre_add
+    # 'restart': a handle built from the manifest alone (no state from
+    # the build calls) must see the full post-add index
+    man = idx.read_manifest(d2)
+    assert man["params"]["residual"] and man["version"] == 2
+    reopened = {tuple(r) for r in
+                similarity.ivf_pq_query_index(spark, d2, queries).collect()}
+    assert reopened == combined
+    # encode the added half at BUILD time instead: must be identical.
+    # d3 reuses d2's FROZEN coarse/codebook dirs via a fresh manifest
+    # (the artifacts are immutable — sharing them is the point).
+    added_codes = {tuple(r) for r in
+                   idx.read_index_table(spark, d2, "codes")
                    .filter("vec_id % 2 = 1").collect()}
     d3 = similarity._index_scratch()
-    import shutil
-    shutil.copytree(f"{d2}/coarse", f"{d3}/coarse")
-    shutil.copytree(f"{d2}/codebooks", f"{d3}/codebooks")
+    man2 = idx.read_manifest(d2)
+    idx.commit_manifest(d3, man2["params"],
+                        {"coarse": man2["tables"]["coarse"],
+                         "codebooks": man2["tables"]["codebooks"],
+                         "codes": []})
     similarity.ivf_pq_add_batch(spark, d3, added)
-    re_encoded = {tuple(r) for r in spark.read.parquet(f"{d3}/codes")
-                  .collect()}
+    re_encoded = {tuple(r) for r in
+                  idx.read_index_table(spark, d3, "codes").collect()}
     assert re_encoded == added_codes
 
 
@@ -865,11 +891,14 @@ def test_lsh_index_lifecycle(dfs, spark):
             neardup_batch_twin(spark, "/root/testdata/sf0.001").collect()}
     assert got == twin and got
 
-    n_before = spark.read.parquet(f"{d}/bands").count()
+    from hive_nexr_spark.sources import index_manifest as idx
+
+    n_before = idx.read_index_table(spark, d, "bands").count()
     exacts = dedup._bounded_corpus(docs, 200).filter(
         (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000))
-    dedup.lsh_index_add_batch(spark, d, exacts)
-    assert (spark.read.parquet(f"{d}/bands").count()
+    v2 = dedup.lsh_index_add_batch(spark, d, exacts)
+    assert v2 == 2
+    assert (idx.read_index_table(spark, d, "bands").count()
             == n_before + exacts.count() * 3)  # 3 bands per doc
     nears = dedup._bounded_corpus(docs, 200).filter(
         F.col("doc_id") >= 200000)
@@ -879,6 +908,10 @@ def test_lsh_index_lifecycle(dfs, spark):
     # +100000 copy (doc_a in the copy range)
     assert any(100000 <= a < 200000 for a, _ in enlarged)
     assert any(a < 100000 for a, _ in enlarged)
+    # AS-OF version 1 (pre-admission) must still answer the original set
+    asof = {tuple(r) for r in
+            dedup.lsh_index_query(spark, d, incoming, version=1).collect()}
+    assert asof == got
 
 
 def test_heavy_hitters_bounded_matches_exact_groupby(dfs):

@@ -785,6 +785,23 @@ def test_ivf_pq_query_index_reads_only_index_tables(dfs, spark):
     assert "partial_sum" in fplan  # the ADC accumulation map-side combines
 
 
+def test_ivf_pq_residual_lut_broadcast_no_python(dfs):
+    """True-IVFADC residual scoring: the per-(query, probed cell) ADC
+    LUT must BROADCAST (never shuffle corpus-sized data to meet it),
+    candidates must key on the cell id, and the whole plan must stay
+    JVM-side (no BatchEvalPython) with the ADC sum map-side combined."""
+    from hive_nexr_spark.datapipe.similarity import ivf_pq_residual_topk
+
+    fplan = _formatted(ivf_pq_residual_topk(dfs["embeddings"]))
+    assert "BatchEvalPython" not in fplan
+    assert "CartesianProduct" not in fplan
+    assert "BroadcastHashJoin" in fplan
+    assert "partial_sum" in fplan
+    # the residual LUT keys on (query_id, cell, j, cluster): its join
+    # condition references the cell — the per-probed-cell LUT contract
+    assert "cell" in fplan
+
+
 def test_bloom_filter_bit_keyed_joins_only(dfs):
     """Bloom dedup: membership keys on int bit positions (left semi) and
     the exact-membership column on digests — no cartesian, no Python,
