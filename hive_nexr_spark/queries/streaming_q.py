@@ -175,6 +175,18 @@ def _time_travel(spark, sf_dir):
     return time_travel_versions(spark, sf_dir)
 
 
+def _time_travel_delete(spark, sf_dir):
+    from ..sources.snapshots import time_travel_delete
+
+    return time_travel_delete(spark, sf_dir)
+
+
+def _compaction(spark, sf_dir):
+    from ..sources.snapshots import compaction_stats
+
+    return compaction_stats(spark, sf_dir)
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -211,6 +223,9 @@ QUERIES = {
     "window_moving_avg_range": lambda spark, sf_dir: _moving_avg(
         spark, sf_dir),
     "table_time_travel": lambda spark, sf_dir: _time_travel(spark, sf_dir),
+    "table_time_travel_delete": lambda spark, sf_dir:
+        _time_travel_delete(spark, sf_dir),
+    "table_compaction": lambda spark, sf_dir: _compaction(spark, sf_dir),
     "events_user_paths_topk": lambda spark, sf_dir: ev.user_paths_topk(
         ensure_views(spark, sf_dir)["events"]),
     "events_stream_neardup": lambda spark, sf_dir:
@@ -368,6 +383,43 @@ ORACLE["table_time_travel"] = """
     SELECT CAST(2 AS INT), count(*),
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
     FROM orders
+"""
+
+# snapshot DELETE lifecycle (sources/snapshots.py time_travel_delete):
+# v1/v2 must return their PRE-delete contents (the tombstone is listed
+# only from v3 on); v3 = all rows minus the deleted keys
+ORACLE["table_time_travel_delete"] = """
+    SELECT CAST(1 AS INT) AS version, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT CAST(2 AS INT), count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT CAST(3 AS INT), count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+# compaction (sources/snapshots.py compaction_stats): v4's DATA must be
+# bit-identical to v3's (layout changes, content doesn't — same
+# aggregate both rows) while the manifest footprint collapses from
+# (2 data dirs, 1 tombstone dir) to (1, 0) — deterministic by
+# construction of the fixture's commit sequence
+ORACLE["table_compaction"] = """
+    SELECT CAST(3 AS INT) AS version, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_totalprice,
+           CAST(2 AS INT) AS n_data_dirs,
+           CAST(1 AS INT) AS n_tombstone_dirs
+    FROM orders WHERE o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT CAST(4 AS INT), count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE),
+           CAST(1 AS INT), CAST(0 AS INT)
+    FROM orders WHERE o_orderkey % 5 <> 0
 """
 
 # first-order type-transition mining (streaming/events.py

@@ -24,24 +24,197 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _load_manifest(base: str, version: int) -> dict:
+    with open(os.path.join(base, f"v{version}.json")) as fh:
+        man = json.load(fh)
+    man.setdefault("deletes", [])
+    man.setdefault("key", None)
+    return man
+
+
+def _write_manifest(base: str, man: dict) -> None:
+    """Atomic manifest write (temp + rename): a crashed committer leaves
+    the table at the previous version, never a torn manifest."""
+    path = os.path.join(base, f"v{man['version']}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, path)
+
+
 def _commit(base: str, version: int, new_dir: str | None) -> list[str]:
     """Append-only commit: manifest v<N> = v<N-1> dirs + the new delta
-    dir. Returns the committed dir list."""
+    dir (delete/tombstone state carries over). Returns the committed
+    dir list."""
     prev: list[str] = []
+    deletes: list[str] = []
+    key = None
     if version > 1:
-        with open(os.path.join(base, f"v{version - 1}.json")) as fh:
-            prev = json.load(fh)["dirs"]
+        man = _load_manifest(base, version - 1)
+        prev, deletes, key = man["dirs"], man["deletes"], man["key"]
     dirs = prev + ([new_dir] if new_dir else [])
-    with open(os.path.join(base, f"v{version}.json"), "w") as fh:
-        json.dump({"version": version, "dirs": dirs}, fh)
+    _write_manifest(base, {"version": version, "dirs": dirs,
+                           "deletes": deletes, "key": key})
     return dirs
 
 
+def commit_delete(spark: SparkSession, base: str, keys: DataFrame,
+                  key_col: str) -> int:
+    """MERGE-ON-READ delete (the Iceberg v2 'equality delete file'
+    idea): the keys-to-drop are written as a TOMBSTONE parquet dir — no
+    data file is rewritten — and the next manifest lists it under
+    `deletes`; readers anti-join tombstone keys at scan time. Old
+    versions (no tombstone listed) keep returning the rows. Delete cost
+    is O(|keys|) regardless of table size — the 100 TB property
+    copy-on-write lacks. Returns the new version."""
+    v = _latest(base) + 1
+    tdir = os.path.join(base, f"tombstones_v{v}")
+    keys.select(key_col).write.parquet(tdir)
+    man = _load_manifest(base, v - 1)
+    _write_manifest(base, {"version": v, "dirs": man["dirs"],
+                           "deletes": man["deletes"] + [tdir],
+                           "key": key_col})
+    return v
+
+
+def compact(spark: SparkSession, base: str) -> int:
+    """COMPACTION (merge-on-read → rewritten baseline): materialize the
+    current visible rows (deltas merged, tombstones applied) into ONE
+    new data directory and commit a manifest that lists only it, with no
+    tombstones. Earlier manifests are untouched, so every pre-compaction
+    version stays readable — compaction changes the LAYOUT, never
+    visible data (the read path asserts this by construction: the new
+    manifest's scan is the old manifest's scan, materialized). At scale
+    this runs per partition and binpacks small delta files; tombstone
+    scans stop paying the anti-join after it. Returns the new version."""
+    v = _latest(base) + 1
+    cdir = os.path.join(base, f"compacted_v{v}")
+    read_version(spark, base, v - 1).write.parquet(cdir)
+    man = _load_manifest(base, v - 1)
+    _write_manifest(base, {"version": v, "dirs": [cdir],
+                           "deletes": [], "key": man["key"]})
+    return v
+
+
+def expire_snapshots(base: str, keep_from: int) -> list[str]:
+    """SNAPSHOT EXPIRY: drop manifests with version < `keep_from`, then
+    delete any data/tombstone directory no surviving manifest
+    references. Kept versions are bit-identical afterward (their
+    manifests list only surviving dirs); expired versions raise on read
+    — the storage-reclaim half of the lifecycle (Iceberg
+    expire_snapshots semantics). Returns the removed directories."""
+    import shutil
+
+    latest = _latest(base)
+    keep = [_load_manifest(base, v) for v in range(keep_from, latest + 1)]
+    referenced = {d for m in keep for d in m["dirs"] + m["deletes"]}
+    removed: list[str] = []
+    for v in range(1, keep_from):
+        path = os.path.join(base, f"v{v}.json")
+        if os.path.exists(path):
+            os.remove(path)
+    for entry in os.listdir(base):
+        full = os.path.join(base, entry)
+        if (os.path.isdir(full) and full not in referenced
+                and not entry.startswith("v")):
+            shutil.rmtree(full)
+            removed.append(full)
+    return removed
+
+
+def _latest(base: str) -> int:
+    vs = [int(f[1:-5]) for f in os.listdir(base)
+          if f.startswith("v") and f.endswith(".json")
+          and not f.endswith(".tmp")]
+    return max(vs, default=0)
+
+
 def read_version(spark: SparkSession, base: str, version: int) -> DataFrame:
-    """`AS OF` read: scan exactly the manifest's directory list."""
-    with open(os.path.join(base, f"v{version}.json")) as fh:
-        dirs = json.load(fh)["dirs"]
-    return spark.read.parquet(*dirs)
+    """`AS OF` read: scan exactly the manifest's directory list, then
+    anti-join any tombstoned keys (merge-on-read — the delete files are
+    small, the anti-join keys on the declared key column only)."""
+    man = _load_manifest(base, version)
+    df = spark.read.parquet(*man["dirs"])
+    if man["deletes"]:
+        tombs = spark.read.parquet(*man["deletes"])
+        df = df.join(F.broadcast(tombs), man["key"], "left_anti")
+    return df
+
+
+def _version_stats(spark: SparkSession, base: str,
+                   version: int) -> DataFrame:
+    return read_version(spark, base, version).agg(
+        F.lit(version).alias("version"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double").alias("sum_totalprice"),
+    ).select("version", "n_rows", "sum_totalprice")
+
+
+def _build_delete_table(spark: SparkSession, sf_dir: str) -> str:
+    """Shared 3-version fixture: v1 = the o_orderkey % 3 != 0 slice,
+    v2 = + the remaining slice as a delta dir, v3 = merge-on-read DELETE
+    of o_orderkey % 5 == 0 (tombstone dir, no data rewrite)."""
+    from ..scratch import process_scratch_dir
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = process_scratch_dir("snapdel")
+    os.makedirs(base, exist_ok=True)
+    v1_dir = os.path.join(base, "data_v1")
+    orders.filter(F.col("o_orderkey") % 3 != 0).write.parquet(v1_dir)
+    _commit(base, 1, v1_dir)
+    delta_dir = os.path.join(base, "data_v2_delta")
+    orders.filter(F.col("o_orderkey") % 3 == 0).write.parquet(delta_dir)
+    _commit(base, 2, delta_dir)
+    commit_delete(spark, base,
+                  orders.filter(F.col("o_orderkey") % 5 == 0)
+                  .select("o_orderkey"), "o_orderkey")
+    return base
+
+
+def time_travel_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DELETE lifecycle: build v1 (partial), v2 (append), v3
+    (merge-on-read delete of the o_orderkey % 5 == 0 keys — a tombstone
+    commit, zero data files rewritten), then time-travel-read all three
+    and report (version, n_rows, sum_totalprice) each. v1/v2 must return
+    their pre-delete contents bit-for-bit (the tombstone is only listed
+    from v3 on); v3's scan anti-joins the broadcast tombstone keys.
+
+    100 TB shape: delete cost is O(|deleted keys|) — the tombstone
+    write — and read overhead is one broadcast anti-join until
+    compaction folds it in; the alternative (copy-on-write) rewrites
+    every file containing a hit."""
+    base = _build_delete_table(spark, sf_dir)
+    out = _version_stats(spark, base, 1)
+    for v in (2, 3):
+        out = out.unionByName(_version_stats(spark, base, v))
+    return out
+
+
+def compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION on the delete-bearing table: v4 materializes v3's
+    visible rows into ONE directory and drops the tombstone from the
+    manifest. Output rows for v3 (pre) and v4 (post): the data stats
+    MUST be identical (compaction changes layout, not content — the
+    oracle pins both rows to the same aggregate) while the manifest
+    footprint collapses to one data dir and zero tombstone dirs; v1-v3
+    remain readable afterward (pytest-pinned, with expiry semantics)."""
+    base = _build_delete_table(spark, sf_dir)
+    compact(spark, base)
+
+    def stats(v: int) -> DataFrame:
+        man = _load_manifest(base, v)
+        return read_version(spark, base, v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double").alias("sum_totalprice"),
+            F.lit(len(man["dirs"])).alias("n_data_dirs"),
+            F.lit(len(man["deletes"])).alias("n_tombstone_dirs"),
+        ).select("version", "n_rows", "sum_totalprice",
+                 "n_data_dirs", "n_tombstone_dirs")
+
+    return stats(3).unionByName(stats(4))
 
 
 def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -146,3 +146,49 @@ def test_snapshot_v1_survives_v2_append(spark, sf_dir):
     assert rows[1]["n_rows"] == n_v1
     assert rows[2]["n_rows"] == n_all
     assert rows[1]["sum_totalprice"] < rows[2]["sum_totalprice"]
+
+
+def test_snapshot_delete_compaction_expiry_lifecycle(spark, sf_dir):
+    """The full snapshot lifecycle: merge-on-read DELETE leaves every
+    pre-delete version readable bit-for-bit; COMPACTION rewrites layout
+    (1 data dir, 0 tombstones) without changing visible data, and v1-v3
+    stay readable after it; EXPIRY drops old manifests + unreferenced
+    dirs while kept versions remain bit-identical and expired ones
+    raise."""
+    import pytest as _pytest
+
+    from hive_nexr_spark.sources import snapshots as sn
+
+    base = sn._build_delete_table(spark, sf_dir)
+    full = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_all = full.count()
+    n_v1 = full.filter("o_orderkey % 3 != 0").count()
+    n_live = full.filter("o_orderkey % 5 != 0").count()
+
+    # pre-delete versions survive the delete commit
+    assert sn.read_version(spark, base, 1).count() == n_v1
+    assert sn.read_version(spark, base, 2).count() == n_all
+    assert sn.read_version(spark, base, 3).count() == n_live
+
+    v4 = sn.compact(spark, base)
+    assert v4 == 4
+    man4 = sn._load_manifest(base, 4)
+    assert len(man4["dirs"]) == 1 and man4["deletes"] == []
+    v3_rows = {r["o_orderkey"] for r in
+               sn.read_version(spark, base, 3)
+               .select("o_orderkey").collect()}
+    v4_rows = {r["o_orderkey"] for r in
+               sn.read_version(spark, base, 4)
+               .select("o_orderkey").collect()}
+    assert v3_rows == v4_rows  # layout changed, content didn't
+    # pre-compaction versions still readable
+    assert sn.read_version(spark, base, 1).count() == n_v1
+    assert sn.read_version(spark, base, 2).count() == n_all
+
+    removed = sn.expire_snapshots(base, keep_from=4)
+    # v4 references only the compacted dir: the two data dirs + the
+    # tombstone dir all become unreferenced and are reclaimed
+    assert len(removed) == 3
+    assert sn.read_version(spark, base, 4).count() == n_live
+    with _pytest.raises(FileNotFoundError):
+        sn.read_version(spark, base, 2)
