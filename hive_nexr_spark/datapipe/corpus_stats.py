@@ -472,6 +472,234 @@ def bpe_apply_tokenize(documents: DataFrame, max_piece_len: int = 3,
     )
 
 
+def _unigram_words(documents: DataFrame, max_word_len: int) -> DataFrame:
+    """Distinct-word table for the unigram trainer: (w, n) for words of
+    length 1..`max_word_len` (longer words are excluded from TRAINING
+    and fall back to per-char counts at apply time — documented)."""
+    return (
+        documents.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= max_word_len))
+        .groupBy("w").agg(F.count("*").alias("n"))
+    )
+
+
+def _unigram_lp(vocab: DataFrame, score_col: str) -> DataFrame:
+    """(piece, <score>) → (piece, lp) with lp = floor(1e6·ln(score/T))
+    as a BIGINT — log-probs quantized to MICRO-NATS. The quantization is
+    the cross-engine determinism device: Spark's Math.log and DuckDB's
+    libm ln differ by 1 ulp on ~1% of integer inputs (measured), so raw
+    double scores could flip Viterbi argmax tie-breaks between engines;
+    integer scores make every DP comparison exact (a flip now needs the
+    true value within ~2e-9 of a micro-nat boundary — negligible)."""
+    tot = vocab.agg(F.sum(score_col).alias("_t"))
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .select("piece",
+                F.floor(F.lit(1000000.0)
+                        * F.log(F.col(score_col) / F.col("_t")))
+                .cast("long").alias("lp"))
+    )
+
+
+def _unigram_viterbi(wc: DataFrame, vocab_lp: DataFrame,
+                     max_piece_len: int) -> DataFrame:
+    """Exact Viterbi segmentation of each distinct word under the piece
+    unigram model (Kudo 2018 §3.2, hard-EM E-step): maximize Σ lp over
+    segmentations, ties broken by the SMALLEST piece at each backward
+    step. Two JVM `aggregate` folds per word — forward best-score DP
+    (the accumulator is the growing best[] array), then backward
+    reconstruction (integer-exact equality against best[], so the
+    tie-break reproduces bit-for-bit in the SQL oracle). The piece
+    table rides along as ONE broadcast map literal; zero Python UDFs;
+    all work is on the distinct-word table.
+
+    Output: (w, n, ps array<string>) — the argmax segmentation."""
+    G = max_piece_len
+    lpm = vocab_lp.agg(F.map_from_entries(
+        F.collect_list(F.struct("piece", "lp"))).alias("_lpm"))
+    forward = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, i: F.concat(acc, F.array(F.array_max(F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(G), i)),
+                lambda g: F.element_at(acc, (i - g + 1).cast("int"))
+                + F.element_at(F.col("_lpm"),
+                               F.col("w").substr(i - g + 1, g)),
+            ),
+            lambda x: x.isNotNull())))),
+    )
+    df = (wc.crossJoin(F.broadcast(lpm))
+          .select("w", "n", "_lpm", forward.alias("_best")))
+
+    def pick_g(pos):
+        # smallest g whose edge reproduces best[pos] exactly (integer
+        # scores — cross-engine-exact equality)
+        return F.array_min(F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(G), pos)),
+                lambda g: F.when(
+                    F.element_at(F.col("_best"),
+                                 (pos - g + 1).cast("int"))
+                    + F.element_at(F.col("_lpm"),
+                                   F.col("w").substr(pos - g + 1, g))
+                    == F.element_at(F.col("_best"),
+                                    (pos + 1).cast("int")),
+                    g,
+                ).otherwise(F.lit(None).cast("int"))),
+            lambda x: x.isNotNull()))
+
+    backward = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.struct(F.length("w").cast("int").alias("pos"),
+                 F.array().cast("array<string>").alias("ps")),
+        lambda st, _: F.when(st["pos"] <= F.lit(0), st).otherwise(
+            F.struct(
+                (st["pos"] - pick_g(st["pos"])).cast("int").alias("pos"),
+                F.concat(
+                    st["ps"],
+                    F.array(F.col("w").substr(
+                        st["pos"] - pick_g(st["pos"]) + 1,
+                        pick_g(st["pos"])))).alias("ps"),
+            )),
+        lambda st: st["ps"],
+    )
+    return df.select("w", "n", backward.alias("ps"))
+
+
+def _unigram_train_chain(documents: DataFrame, em_iters: int = 2,
+                         max_piece_len: int = 4, seed_multi: int = 300,
+                         keep_multi: int = 200, max_word_len: int = 20
+                         ) -> tuple[DataFrame, DataFrame]:
+    """The unrolled unigram-LM trainer (Kudo 2018, arXiv 1804.10959 —
+    the SentencePiece alternative beside BPE), hard-EM variant:
+
+      seed: all substrings (len 1..G) of the distinct-word vocabulary,
+            frequency-weighted; ALL single chars + top `seed_multi`
+            multi-char pieces by (count DESC, piece ASC)
+      E:    Viterbi-segment every distinct word under the current
+            micro-nat piece scores (`_unigram_viterbi`)
+      M:    piece count = Σ_w n_w · uses_in_w; PRUNE to all single
+            chars + top `keep_multi` multi-char pieces by (count DESC,
+            piece ASC); re-score with add-one smoothing (sc = cnt + 1,
+            so never-used single chars stay finite — coverage is
+            guaranteed because single chars are never pruned, Kudo's
+            own invariant)
+
+    Deviations from the paper, chosen for deterministic cross-engine
+    oracles and documented as spec: hard (Viterbi) counts instead of
+    forward-backward expectations; fixed-size (count, piece)-ranked
+    pruning instead of likelihood-loss ranking; micro-nat integer
+    scores (`_unigram_lp`).
+
+    Returns (final vocab (piece, cnt, sc) + its lp table joined in,
+    the distinct-word table). Each level's vocab is a few-hundred-row
+    table; every level is persisted so the unrolled DAG stays linear.
+
+    100 TB shape — the same Sennrich/Kudo leverage as the BPE trainer:
+    one corpus-sized word count up front, then every EM step runs over
+    the DISTINCT WORD table (~log corpus) with the piece table riding
+    as a broadcast map; the corpus never reshuffles."""
+    from ._cache import tracked_persist, tracked_persist_extend
+
+    wc = tracked_persist(_unigram_words(documents, max_word_len))
+    grams = wc.select(
+        "w", "n",
+        F.explode(F.sequence(F.lit(1), F.lit(max_piece_len))).alias("g"),
+    ).filter(F.length("w") >= F.col("g")).select(
+        "n",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("w") - F.col("g") + 1),
+            lambda s: F.col("w").substr(s, F.col("g")),
+        )).alias("piece"),
+    )
+    seed = grams.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    chars = seed.filter(F.length("piece") == 1).select("piece")
+    chars = tracked_persist(chars)
+    multis = (seed.filter(F.length("piece") > 1)
+              .orderBy(F.col("cnt").desc(), "piece").limit(seed_multi)
+              .select("piece"))
+    vocab = tracked_persist(
+        seed.join(chars.unionByName(multis), "piece")
+        .select("piece", F.col("cnt").alias("sc")))
+    final_cnt = None
+    for _ in range(em_iters):
+        lp = _unigram_lp(vocab, "sc")
+        segs = _unigram_viterbi(wc, lp, max_piece_len)
+        cnt = (segs.select("n", F.explode("ps").alias("piece"))
+               .groupBy("piece").agg(F.sum("n").alias("cnt")))
+        kept_multi = (cnt.filter(F.length("piece") > 1)
+                      .orderBy(F.col("cnt").desc(), "piece")
+                      .limit(keep_multi).select("piece"))
+        kept = chars.unionByName(kept_multi)
+        vocab = (kept.join(cnt, "piece", "left")
+                 .select("piece",
+                         F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                         (F.coalesce("cnt", F.lit(0)) + 1).alias("sc")))
+        vocab = tracked_persist_extend(vocab)
+        final_cnt = vocab
+    return final_cnt, wc
+
+
+def unigram_train(documents: DataFrame, em_iters: int = 2,
+                  max_piece_len: int = 4, top_k: int = 30) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING — the model table a SentencePiece-
+    style tokenizer ships. Output: the top `top_k` pieces of the final
+    vocabulary by Viterbi usage: (rank, piece, piece_len, n_viterbi,
+    prob) where n_viterbi is the raw hard-EM count and prob the
+    smoothed unigram probability (rounded 6)."""
+    vocab, _wc = _unigram_train_chain(documents, em_iters, max_piece_len)
+    tot = vocab.agg(F.sum("sc").alias("_t"))
+    w = Window.orderBy(F.col("n_viterbi").desc(), F.col("piece"))
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("piece"),
+            F.length("piece").cast("int").alias("piece_len"),
+            F.col("cnt").alias("n_viterbi"),
+            F.round(F.col("sc") / F.col("_t"), 6).alias("prob"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "piece", "piece_len", "n_viterbi", "prob")
+    )
+
+
+def unigram_apply(documents: DataFrame, em_iters: int = 2,
+                  max_piece_len: int = 4,
+                  max_word_len: int = 20) -> DataFrame:
+    """APPLY the trained unigram model: Viterbi-segment every corpus
+    word under the final piece scores (the inference mode of Kudo 2018
+    — argmax instead of sampling). Words longer than `max_word_len`
+    fall back to per-char pieces (they were excluded from training).
+
+    Output: (doc_id, n_ws_tokens, n_unigram_tokens, pieces_per_word) —
+    schema-compatible with the BPE application modes, so all three
+    tokenizers are directly comparable.
+
+    100 TB shape: everything the trainer claims, plus ONE broadcast
+    (word → piece count) join and a doc-keyed sum for the corpus pass."""
+    vocab, wc = _unigram_train_chain(documents, em_iters, max_piece_len)
+    lp = _unigram_lp(vocab, "sc")
+    wp = _unigram_viterbi(wc, lp, max_piece_len).select(
+        "w", F.size("ps").alias("np"))
+    per_word = documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    return (
+        per_word.filter(F.length("w") >= 1)
+        .join(F.broadcast(wp), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum(F.coalesce("np", F.length("w")))
+            .alias("n_unigram_tokens"),
+            F.round(F.sum(F.coalesce("np", F.length("w")))
+                    / F.count("*"), 6).alias("pieces_per_word"),
+        )
+    )
+
+
 def corpus_summary(documents: DataFrame) -> DataFrame:
     """One-pass corpus data card: document/token counts, length stats,
     per-language totals, and the exact-duplicate rate — the summary block

@@ -1655,6 +1655,172 @@ ORACLE["tokenize_bpe_trained"] = ("""
     GROUP BY doc_id
 """)
 
+def _unigram_sql(mode: str, em_iters: int = 2, G: int = 4,
+                 seed_multi: int = 300, keep_multi: int = 200,
+                 max_word_len: int = 20, top_k: int = 30) -> str:
+    """DuckDB mirror of the unrolled unigram-LM trainer
+    (`corpus_stats._unigram_train_chain`): the Viterbi forward DP is a
+    `list_reduce` whose accumulator is the growing best[] array (init
+    via the list_prepend trick), the backward reconstruction a
+    struct-accumulator reduce with the same smallest-g integer-exact
+    tie-break; piece scores are micro-nat BIGINTs so every DP
+    comparison is exact in both engines. ``mode``: 'train' emits the
+    final vocab table, 'apply' the per-document piece counts."""
+    # DuckDB 1.0's lambda machinery is unusable for this DP (verified:
+    # a STRUCT accumulator whose field is a growing list silently fails
+    # to accumulate inside list_reduce, and nested lambdas that
+    # reference outer columns misalign rows under vectorized execution
+    # at corpus scale), so the Viterbi folds are RECURSIVE CTEs with the
+    # g-candidates unrolled as LEFT JOINs — zero lambdas anywhere.
+    SENT = "-4000000000000000"
+
+    def fwd_cands(r: int) -> tuple[str, str]:
+        cands = ", ".join(
+            f"coalesce(f.best[CAST(f.i + 2 - {g} AS INT)] + l{g}.lp, "
+            f"{SENT})"
+            for g in range(1, G + 1))
+        joins = "".join(
+            f"""
+      LEFT JOIN lp{r - 1} l{g}
+        ON f.i + 1 >= {g}
+       AND l{g}.piece = substr(f.w, CAST(f.i + 2 - {g} AS INT), {g})"""
+            for g in range(1, G + 1))
+        return cands, joins
+
+    def bwd_parts(r: int) -> tuple[str, str]:
+        whens = "\n              ".join(
+            f"WHEN coalesce(b.best[CAST(b.pos - {g - 1} AS INT)] + "
+            f"l{g}.lp, {SENT}) = b.best[CAST(b.pos + 1 AS INT)] "
+            f"THEN {g}"
+            for g in range(1, G))
+        joins = "".join(
+            f"""
+      LEFT JOIN lp{r - 1} l{g}
+        ON b.pos >= {g}
+       AND l{g}.piece = substr(b.w, CAST(b.pos - {g - 1} AS INT), {g})"""
+            for g in range(1, G))
+        return whens, joins
+
+    def viterbi_ctes(r: int) -> str:
+        cands, fjoins = fwd_cands(r)
+        whens, bjoins = bwd_parts(r)
+        return f"""
+    , fwd{r} AS (
+      SELECT w, n, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM wc
+      UNION ALL
+      SELECT f.w, f.n, f.i + 1 AS i,
+             list_append(f.best, greatest({cands})) AS best
+      FROM fwd{r} f{fjoins}
+      WHERE f.i < length(f.w)
+    )
+    , bwd{r} AS (
+      SELECT w, n, best, CAST(length(w) AS BIGINT) AS pos,
+             CAST(NULL AS VARCHAR) AS piece
+      FROM fwd{r} WHERE i = length(w)
+      UNION ALL
+      SELECT t.w, t.n, t.best, t.pos - t.gp AS pos,
+             substr(t.w, CAST(t.pos - t.gp + 1 AS INT),
+                    CAST(t.gp AS INT)) AS piece
+      FROM (
+        SELECT b.w, b.n, b.best, b.pos,
+               CASE {whens}
+                    ELSE {G} END AS gp
+        FROM bwd{r} b{bjoins}
+        WHERE b.pos > 0
+      ) t
+    )
+    , seg{r} AS MATERIALIZED (
+      SELECT w, n, piece FROM bwd{r} WHERE piece IS NOT NULL
+    )"""
+
+    parts = [f"""
+    WITH RECURSIVE twords AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    wc AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM twords
+      WHERE length(w) BETWEEN 1 AND {max_word_len} GROUP BY w
+    ),
+    grams AS (
+      SELECT substr(w, CAST(s AS INT), CAST(g AS INT)) AS piece, n
+      FROM wc, range(1, {G} + 1) tg(g),
+           range(1, {max_word_len} + 1) ts(s)
+      WHERE s + g - 1 <= length(w)
+    ),
+    seed AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+             FROM grams GROUP BY piece),
+    chars AS (SELECT piece FROM seed WHERE length(piece) = 1),
+    multis0 AS (SELECT piece FROM seed WHERE length(piece) > 1
+                ORDER BY cnt DESC, piece LIMIT {seed_multi}),
+    v0 AS (
+      SELECT s.piece, s.cnt AS sc FROM seed s
+      JOIN (SELECT piece FROM chars
+            UNION ALL SELECT piece FROM multis0) k USING (piece)
+    ),
+    lp0 AS MATERIALIZED (
+      SELECT piece, CAST(floor(1000000 * ln(sc * 1.0
+               / (SELECT sum(sc) FROM v0))) AS BIGINT) AS lp
+      FROM v0
+    )"""]
+    for r in range(1, em_iters + 1):
+        parts.append(viterbi_ctes(r))
+        parts.append(f"""
+    , cnt{r} AS MATERIALIZED (
+      SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+      FROM seg{r} GROUP BY piece
+    )
+    , keepm{r} AS (SELECT piece FROM cnt{r} WHERE length(piece) > 1
+                   ORDER BY cnt DESC, piece LIMIT {keep_multi})
+    , v{r} AS MATERIALIZED (
+      SELECT k.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+             CAST(coalesce(c.cnt, 0) + 1 AS BIGINT) AS sc
+      FROM (SELECT piece FROM chars
+            UNION ALL SELECT piece FROM keepm{r}) k
+      LEFT JOIN cnt{r} c USING (piece)
+    )
+    , lp{r} AS MATERIALIZED (
+      SELECT piece, CAST(floor(1000000 * ln(sc * 1.0
+               / (SELECT sum(sc) FROM v{r}))) AS BIGINT) AS lp
+      FROM v{r}
+    )""")
+    n = em_iters
+    if mode == "train":
+        parts.append(f"""
+    SELECT rank, piece, piece_len, n_viterbi, prob FROM (
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT)
+               AS rank,
+             piece, CAST(length(piece) AS INT) AS piece_len,
+             cnt AS n_viterbi,
+             round(sc * 1.0 / (SELECT sum(sc) FROM v{n}), 6) AS prob
+      FROM v{n}
+    ) t WHERE rank <= {top_k}""")
+        return "".join(parts)
+    parts.append(viterbi_ctes(n + 1))
+    parts.append(f"""
+    , wnp AS MATERIALIZED (SELECT w, CAST(count(*) AS INT) AS np
+              FROM seg{n + 1} GROUP BY w)
+    , dwords AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(coalesce(np, length(w))) AS BIGINT)
+             AS n_unigram_tokens,
+           round(sum(coalesce(np, length(w))) * 1.0 / count(*), 6)
+             AS pieces_per_word
+    FROM (SELECT doc_id, w FROM dwords WHERE length(w) >= 1) d
+    LEFT JOIN wnp USING (w) GROUP BY doc_id""")
+    return "".join(parts)
+
+
+QUERIES["tokenize_unigram_train"] = _bind(corpus_stats.unigram_train,
+                                          "documents")
+ORACLE["tokenize_unigram_train"] = _unigram_sql("train")
+
+QUERIES["tokenize_unigram_apply"] = _bind(corpus_stats.unigram_apply,
+                                          "documents")
+ORACLE["tokenize_unigram_apply"] = _unigram_sql("apply")
+
 QUERIES["text_hash_embeddings"] = _bind(textops.hash_embedding_stats,
                                         "documents")
 # in-engine feature-hashing embeddings (Weinberger et al. 2009): signed

@@ -604,6 +604,104 @@ def test_bpe_train_merges_matches_reference_algorithm(dfs):
     assert top.n_occurrences == got[0].n_occurrences
 
 
+def test_unigram_train_matches_reference_algorithm(dfs):
+    """The in-engine unigram-LM trainer (hard-EM Viterbi, Kudo 2018)
+    must equal a direct Python transcription: same seed vocab, same
+    micro-nat integer scores, same smallest-g backward tie-break, same
+    (count DESC, piece) pruning — and the apply op must reproduce the
+    transcription's per-word piece counts."""
+    import math
+    from collections import Counter
+
+    from hive_nexr_spark.datapipe.corpus_stats import (unigram_apply,
+                                                       unigram_train)
+
+    G, SEED_M, KEEP_M, MAXW, EM = 4, 300, 200, 20, 2
+    wc: Counter = Counter()
+    for (t,) in dfs["documents"].select("text").collect():
+        for w in t.lower().split(" "):
+            if 1 <= len(w) <= MAXW:
+                wc[w] += 1
+    seed: Counter = Counter()
+    for w, n in wc.items():
+        for g in range(1, G + 1):
+            for s in range(len(w) - g + 1):
+                seed[w[s:s + g]] += n
+    chars = sorted(p for p in seed if len(p) == 1)
+    multis = sorted((p for p in seed if len(p) > 1),
+                    key=lambda p: (-seed[p], p))[:SEED_M]
+    vocab = {p: seed[p] for p in chars + multis}
+
+    def lps(v):
+        T = sum(v.values())
+        return {p: math.floor(1e6 * math.log(c / T))
+                for p, c in v.items()}
+
+    def viterbi(w, lp):
+        best = [0]
+        for i in range(1, len(w) + 1):
+            best.append(max(
+                best[i - g] + lp[w[i - g:i]]
+                for g in range(1, min(G, i) + 1) if w[i - g:i] in lp))
+        ps, pos = [], len(w)
+        while pos > 0:
+            for g in range(1, min(G, pos) + 1):
+                p = w[pos - g:pos]
+                if p in lp and best[pos - g] + lp[p] == best[pos]:
+                    ps.append(p)
+                    pos -= g
+                    break
+        return ps
+
+    final = None
+    for _ in range(EM):
+        lp = lps(vocab)
+        cnt: Counter = Counter()
+        for w, n in wc.items():
+            for p in viterbi(w, lp):
+                cnt[p] += n
+        keptm = sorted((p for p in cnt if len(p) > 1),
+                       key=lambda p: (-cnt[p], p))[:KEEP_M]
+        final = {p: cnt.get(p, 0) for p in chars + keptm}
+        vocab = {p: c + 1 for p, c in final.items()}
+    T = sum(vocab.values())
+    expect = sorted(final.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = unigram_train(dfs["documents"]).orderBy("rank").collect()
+    assert [(r.piece, r.n_viterbi) for r in got] == expect
+    assert all(abs(r.prob - round((final[r.piece] + 1) / T, 6)) < 1e-9
+               for r in got)
+    # multi-char pieces were actually learned (compression happened)
+    assert any(r.piece_len > 1 for r in got)
+
+    # apply: per-doc totals equal the transcription's Viterbi sizes
+    lp_f = lps(vocab)
+    napp = {w: len(viterbi(w, lp_f)) for w in wc}
+    rows = unigram_apply(dfs["documents"]).collect()
+    docs = {r.doc_id: r for r in rows}
+    for (d, t) in dfs["documents"].select("doc_id", "text").collect()[:20]:
+        words = [w for w in t.lower().split(" ") if len(w) >= 1]
+        exp_tok = sum(napp.get(w, len(w)) for w in words)
+        assert docs[d].n_ws_tokens == len(words)
+        assert docs[d].n_unigram_tokens == exp_tok
+
+
+def test_unigram_plan_vocab_bounded_no_python(dfs):
+    """The trainer's plan must stay JVM-side (no BatchEvalPython) and
+    apply's corpus pass must be a broadcast (word → piece-count) join."""
+    from hive_nexr_spark.datapipe.corpus_stats import (unigram_apply,
+                                                       unigram_train)
+
+    def _fmt(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+
+    tplan = _fmt(unigram_train(dfs["documents"]))
+    assert "BatchEvalPython" not in tplan
+    aplan = _fmt(unigram_apply(dfs["documents"]))
+    assert "BatchEvalPython" not in aplan
+    assert "BroadcastHashJoin" in aplan
+
+
 def test_bpe_trained_apply_uses_learned_pieces(dfs):
     """Applying the learned merge table must compress the corpus (fewer
     BPE tokens than characters, at most n_ws_tokens * longest-word) and
