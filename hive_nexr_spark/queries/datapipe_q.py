@@ -2733,6 +2733,93 @@ QUERIES["quality_classifier_train"] = _bind(
     curation.quality_classifier_train, "documents")
 ORACLE["quality_classifier_train"] = _clf_train_sql()
 
+
+def _clf_ngram_sql(steps: int = 3, lr: float = 0.5,
+                   dim: int = 1024) -> str:
+    """DuckDB oracle for `curation.quality_classifier_train_ngram`:
+    hashed unigram+bigram sparse features (the md5 bucket/sign idiom of
+    the hash-embedding oracle), full-batch logistic GD unrolled as
+    chained CTEs over the (b, w) weight table — only observed buckets
+    carry weight rows; unobserved ones stay 0 forever (gradient 0), so
+    the summaries equal Spark's dense broadcast array form."""
+    parts = [f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_concat(ts,
+        [ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))])) AS t
+      FROM toks
+    ),
+    pb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % {dim} AS INT)
+               AS b,
+             CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM grams
+    ),
+    sv AS MATERIALIZED (
+      SELECT doc_id, b, sum(s) AS sv FROM pb GROUP BY 1, 2
+    ),
+    ngr AS MATERIALIZED (
+      SELECT doc_id, 2 * len(ts) - 1 AS ng,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM toks
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, b, sv * 1.0 / ng AS v
+      FROM sv JOIN ngr USING (doc_id)
+      UNION ALL
+      SELECT doc_id, {dim} AS b, 1.0 AS v FROM ngr
+    ),
+    nd AS (SELECT count(*) AS n FROM ngr),
+    w0 AS (SELECT DISTINCT b, 0.0 AS w FROM feats)"""]
+    for t in range(1, steps + 1):
+        parts.append(f"""
+    , z{t} AS (
+      SELECT f.doc_id, sum(f.v * w.w) AS z
+      FROM feats f JOIN w{t - 1} w USING (b) GROUP BY 1
+    )
+    , r{t} AS (
+      SELECT l.doc_id, 1.0 / (1.0 + exp(-z.z)) - l.y AS r
+      FROM ngr l JOIN z{t} z USING (doc_id)
+    )
+    , g{t} AS (
+      SELECT f.b, sum(r.r * f.v) / (SELECT n FROM nd) AS g
+      FROM feats f JOIN r{t} r USING (doc_id) GROUP BY 1
+    )
+    , w{t} AS MATERIALIZED (
+      SELECT w.b, w.w - {lr} * coalesce(g.g, 0.0) AS w
+      FROM w{t - 1} w LEFT JOIN g{t} g USING (b)
+    )""")
+    parts.append(f"""
+    , zf AS (
+      SELECT f.doc_id, sum(f.v * w.w) AS z
+      FROM feats f JOIN w{steps} w USING (b) GROUP BY 1
+    )
+    , ll AS (
+      SELECT count(*) AS n_docs,
+             round(avg(-(l.y * ln(1.0 / (1.0 + exp(-z.z)))
+                         + (1.0 - l.y)
+                           * ln(1.0 - 1.0 / (1.0 + exp(-z.z))))), 6)
+               AS logloss
+      FROM ngr l JOIN zf z USING (doc_id)
+    )
+    SELECT CAST(ll.n_docs AS BIGINT) AS n_docs,
+           (SELECT count(DISTINCT b) FROM sv) AS n_buckets,
+           (SELECT round(w, 6) FROM w{steps} WHERE b = {dim}) AS w_bias,
+           (SELECT round(sqrt(sum(w * w)), 6) FROM w{steps}) AS w_l2,
+           ll.logloss
+    FROM ll""")
+    return "".join(parts)
+
+
+QUERIES["quality_classifier_train_ngram"] = _bind(
+    curation.quality_classifier_train_ngram, "documents")
+ORACLE["quality_classifier_train_ngram"] = _clf_ngram_sql()
+
 QUERIES["text_html_strip"] = _bind(textops.html_strip_extract, "documents")
 # HTML main-text extraction over planted markup: the identical regex
 # chain in DuckDB's RE2 ('s' flag for dot-matches-newline)

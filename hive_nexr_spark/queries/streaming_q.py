@@ -169,6 +169,12 @@ def _moving_avg(spark, sf_dir):
     return moving_average_range_frame(ensure_views(spark, sf_dir)["events"])
 
 
+def _stream_decontaminate(spark, sf_dir):
+    from ..streaming.decontaminate import stream_decontaminate
+
+    return stream_decontaminate(spark, sf_dir)
+
+
 def _time_travel(spark, sf_dir):
     from ..sources.snapshots import time_travel_versions
 
@@ -230,6 +236,8 @@ QUERIES = {
         ensure_views(spark, sf_dir)["events"]),
     "events_stream_neardup": lambda spark, sf_dir:
         nd.stream_neardup(spark, sf_dir),
+    "events_stream_decontaminate": lambda spark, sf_dir:
+        _stream_decontaminate(spark, sf_dir),
     "similarity_stream_ann_ingest": lambda spark, sf_dir:
         ai.stream_ann_ingest(spark, sf_dir),
 }
@@ -383,6 +391,34 @@ ORACLE["table_time_travel"] = """
     SELECT CAST(2 AS INT), count(*),
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
     FROM orders
+"""
+
+# streaming decontamination gate (streaming/decontaminate.py): per
+# arriving document, does its 4-gram shingle set overlap the broadcast
+# benchmark (doc_id % 13 == 0) set — the stream twin of the
+# pipeline_pretrain_e2e decontaminate stage; shingles are 16-hex md5
+# slices of word 4-grams (the decontaminate_benchmark idiom)
+ORACLE["events_stream_decontaminate"] = """
+    WITH sh AS (
+      SELECT doc_id, list_distinct([
+               substr(md5(array_to_string(l[i:i+3], ' ')), 1, 16)
+               for i in range(1, greatest(len(l) - 3, 1) + 1)
+             ]) AS shs
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents) t
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE doc_id % 13 = 0
+    ),
+    hits AS (
+      SELECT DISTINCT e.doc_id
+      FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh) e
+      JOIN bench b USING (shingle)
+    )
+    SELECT s.doc_id,
+           s.doc_id IN (SELECT doc_id FROM hits) AS contaminated,
+           CAST(len(shs) AS INT) AS n_shingles
+    FROM sh s
 """
 
 # snapshot DELETE lifecycle (sources/snapshots.py time_travel_delete):

@@ -685,6 +685,31 @@ def test_unigram_train_matches_reference_algorithm(dfs):
         assert docs[d].n_unigram_tokens == exp_tok
 
 
+def test_ngram_classifier_beats_surface_baseline(dfs):
+    """Hashed unigram+bigram features (the fastText/DCLM shape) must fit
+    the same lang=='en' label strictly better than the 6 surface
+    features under the identical optimizer (full-batch GD, same steps/
+    lr) — richer features, lower logloss; and the plan must keep the
+    weight vector broadcast with zero Python."""
+    from hive_nexr_spark.datapipe.curation import (
+        quality_classifier_train, quality_classifier_train_ngram)
+
+    ngram = quality_classifier_train_ngram(dfs["documents"]).collect()[0]
+    surface = quality_classifier_train(dfs["documents"]).collect()[0]
+    assert ngram.logloss < surface.logloss
+    assert ngram.n_docs == dfs["documents"].count()
+    assert 0 < ngram.n_buckets <= 1024
+    assert ngram.w_l2 > 0
+
+    def _fmt(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+
+    plan = _fmt(quality_classifier_train_ngram(dfs["documents"]))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_unigram_plan_vocab_bounded_no_python(dfs):
     """The trainer's plan must stay JVM-side (no BatchEvalPython) and
     apply's corpus pass must be a broadcast (word → piece-count) join."""

@@ -140,6 +140,27 @@ def test_stream_neardup_equals_batch_twin(spark, sf_dir):
     assert exact_expected <= got_exact
 
 
+def test_stream_decontaminate_equals_batch_twin(spark, sf_dir):
+    """The streaming decontamination gate must equal the batch twin
+    row-for-row (one output row per arriving document), every benchmark
+    document must flag itself (shares its own shingles), and some
+    non-benchmark documents must pass the gate clean."""
+    from hive_nexr_spark.streaming import decontaminate as dc
+
+    stream_rows = {(r.doc_id, r.contaminated, r.n_shingles)
+                   for r in dc.stream_decontaminate(spark, sf_dir)
+                   .collect()}
+    twin_rows = {(r.doc_id, r.contaminated, r.n_shingles)
+                 for r in dc.decontaminate_batch_twin(spark, sf_dir)
+                 .collect()}
+    assert stream_rows == twin_rows
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(stream_rows) == n_docs  # exactly one row per document
+    flags = {d: c for d, c, _ in stream_rows}
+    assert all(flags[d] for d in flags if d % 13 == 0)
+    assert any(not c for c in flags.values())
+
+
 def test_stream_ann_ingest_equals_batch_add_batch(spark, sf_dir):
     """Streaming frozen-codebook ingestion must produce exactly the
     batch add-batch lifecycle's query results — arrival path cannot
