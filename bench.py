@@ -27,7 +27,6 @@ HEADLINE = [
     "agg_multi_distinct",
     "subquery_from",
     "window_topk_per_group",
-    "having_filter",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_full",
@@ -42,11 +41,9 @@ HEADLINE = [
     # headline class not otherwise covered); same-set round-over-round
     # comparisons use the intersection of query keys
     "pack_sequences",
-    # added round 5 (curation family): decontamination's broadcast shingle
-    # join, TF-IDF's two corpus aggregations, the repetition filters'
-    # 2-gram explode, the shuffle-free mixture sample, and the
-    # higher-order-function quantization projection
-    "decontaminate_benchmark",
+    # added round 5 (curation family): TF-IDF's two corpus aggregations,
+    # the repetition filters' 2-gram explode, the shuffle-free mixture
+    # sample, and the higher-order-function quantization projection
     "tfidf_topk_terms",
     "text_repetition_filters",
     "domain_mix_sample",
@@ -58,9 +55,6 @@ HEADLINE = [
     # machinery, not operator throughput. Same-set round-over-round
     # comparisons use the intersection of query keys (BENCH_NOTES.md).
     "chunk_documents",
-    "chunk_dedup_exact",
-    "token_heavy_hitters",
-    "perplexity_unigram",
     "stratified_sample_sources",
     "kmeans_embeddings",
     # added round 7: the trained-quantizer ANN variant (kmeans → IVF
@@ -112,6 +106,26 @@ HEADLINE = [
     # round 9 third wave: the unrolled matrix-free power iteration (the
     # iterative-linear-algebra plan shape)
     "similarity_pca_power",
+    # round 10: true-IVFADC residual encoding with its measured
+    # recall@k comparison (the round's showcase — coarse train + both PQ
+    # chains + the exact-d2 baseline, evaluation-harness cost by
+    # design), the unigram-LM trainer's unrolled hard-EM Viterbi loop,
+    # the sparse hashed-n-gram logistic GD loop, and the streaming
+    # decontamination gate (listener fingerprint). To stay inside the
+    # 1,800-char final-line guard, five redundant keys retired — each
+    # plan shape still covered: having_filter (⊂ agg_q1/subquery_from),
+    # chunk_dedup_exact (⊂ dedup_exact + chunk_documents),
+    # token_heavy_hitters (superseded by the bounded-memory variant),
+    # perplexity_unigram (ladder covered by perplexity_bigram),
+    # decontaminate_benchmark (the same broadcast-shingle-overlap shape
+    # now measured by events_stream_decontaminate and inside
+    # pipeline_pretrain_e2e). Like-for-like round comparisons use key
+    # intersections (BENCH_NOTES.md), so retirements shrink the shared
+    # set but never skew it.
+    "similarity_ivf_pq_residual",
+    "tokenize_unigram_train",
+    "quality_classifier_train_ngram",
+    "events_stream_decontaminate",
 ]
 
 

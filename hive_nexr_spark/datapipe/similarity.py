@@ -856,7 +856,13 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
     recall_raw) — the residual-ADC top-k, with each query's MEASURED
     recall@k against the exact-d2 top-k for BOTH encodings (the raw
     variant recomputed under identical training spec), so the
-    residual-vs-raw tradeoff is an output, not a claim.
+    residual-vs-raw tradeoff is an output, not a claim. Measurement
+    note: on the UNIFORM synthetic testdata the coarse quantizer
+    explains ~no variance (residual ≈ raw − a near-constant), so the
+    two recalls land within small-sample noise of each other
+    (n_queries × k Bernoulli trials); the residual advantage Jégou et
+    al. report materializes on CLUSTERED real embeddings, which is
+    exactly why the op measures instead of assuming.
 
     100 TB shape: everything `ivf_pq_topk` claims — cell routing and
     code election are broadcast argmins, candidates key on the cell,
