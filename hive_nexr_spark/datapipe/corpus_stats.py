@@ -999,3 +999,185 @@ def token_heavy_hitters_bounded(documents: DataFrame,
         F.round(F.col("n_occurrences") / F.col("_n").cast("double"),
                 6).alias("share"),
     ).withColumn("rank", F.row_number().over(w))
+
+
+def countmin_token_freq(documents: DataFrame, d: int = 4, w: int = 512,
+                        probe_k: int = 15) -> DataFrame:
+    """PORTABLE Count-Min sketch (Cormode & Muthukrishnan 2005 — public):
+    d=`d` salted hash rows x w=`w` counter buckets; a token's estimate is
+    the MIN over its d cells, never below the true count (one-sided
+    error <= eps*N with prob 1-delta at w=e/eps, d=ln(1/delta)). The
+    frequency-sketch companion to `hll_distinct_tokens` (distincts) and
+    `token_heavy_hitters_bounded` (exact top-k): where Misra-Gries keeps
+    only heavy keys, Count-Min answers point queries for ANY key from
+    d*w integers. Hashes are salted md5 slices, so the whole sketch —
+    cells AND estimates — reproduces bit-for-bit in any engine (the
+    portable-sketch idiom of `hll_distinct_tokens`).
+
+    Output: the `probe_k` most frequent tokens with
+    (rank, token, n_exact, cm_estimate, overcount); cm_estimate >=
+    n_exact always (pytest pins the one-sided guarantee).
+
+    100 TB shape: ONE corpus-sized map-side-combined token count (the
+    same first pass every corpus-stats op pays), then everything is
+    vocabulary-bounded: the cell table is d*w rows built from the
+    distinct-token table, probes are a broadcast k-row TakeOrdered, and
+    the estimate join keys on (row, bucket) against the d*w-row cell
+    table. At production scale the exact-count column drops and the
+    sketch merges across shards by cell-wise addition (it is a linear
+    sketch — the property that makes it streamable and shard-mergeable).
+    """
+    tf = (
+        documents.select(F.explode(_tokens(F.col("text"))).alias("t"))
+        .groupBy("t").agg(F.count("*").alias("n"))
+    )
+
+    def bucket(r: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"cm{r}:"), F.col("t")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                % w).alias("bucket")
+
+    hashed = tf.select(
+        "t", "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
+            for r in range(d)
+        ])).alias("cell"),
+    ).select("t", "n", F.col("cell.r").alias("r"),
+             F.col("cell.bucket").alias("bucket"))
+    cells = hashed.groupBy("r", "bucket").agg(
+        F.sum("n").alias("cell_n"))
+    probes = (
+        tf.orderBy(F.col("n").desc(), "t").limit(probe_k)
+        .withColumnRenamed("n", "n_exact")
+    )
+    probe_cells = hashed.join(
+        F.broadcast(probes.select("t")), "t").select("t", "r", "bucket")
+    est = (
+        probe_cells.join(cells, ["r", "bucket"])
+        .groupBy("t").agg(F.min("cell_n").alias("cm_estimate"))
+    )
+    w_rank = Window.orderBy(F.col("n_exact").desc(), F.col("t"))
+    return (
+        probes.join(F.broadcast(est), "t")
+        .select(
+            F.row_number().over(w_rank).alias("rank"),
+            F.col("t").alias("token"),
+            "n_exact",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+def wordpiece_train_merges(documents: DataFrame,
+                           n_merges: int = 6) -> DataFrame:
+    """WordPiece merge-loop training (Schuster & Nakajima 2012; the
+    likelihood-scored variant documented publicly in the HuggingFace
+    tokenizers course) — completes the tokenizer-trainer trio beside
+    `bpe_train_merges` (frequency argmax) and `unigram_train` (EM prune):
+    WordPiece picks the pair maximizing
+    score = count(pair) / (count(lhs) * count(rhs)) — frequency
+    NORMALIZED by the parts' own frequencies, so it prefers pairs whose
+    parts rarely occur apart (a likelihood-ratio argmax) where BPE takes
+    raw frequency.
+
+    Output: (step, lhs, rhs, merged, n_occurrences, score_micro) — the
+    score floored to integer 1e-12 units BEFORE the argmax so the
+    election is exact integer comparison in any engine (the micro-nat
+    idiom; ties break lexicographically on (lhs, rhs)).
+
+    100 TB shape — the BPE trainer's chain (all per-step work on the
+    DISTINCT-WORD vocab table) with one extra ingredient, per-symbol
+    counts, obtained WITHOUT a second corpus-of-vocab pass: each level
+    aggregates ONE exploded (sym, next-sym) table — zip_with null-pads
+    the tail, so the (sym, NULL) rows make the symbol marginal — and
+    both the pair counts (rhs NOT NULL) and the symbol counts (groupBy
+    lhs) read that single persisted aggregate. Symbol counts then ride
+    as a 1-ROW BROADCAST MAP (map_from_entries — the zero-Exchange
+    broadcast-array idiom of the kmeans/PQ family) cross-joined onto
+    the pair rows, so scoring adds NO join and NO exchange. Net: each
+    unrolled level references the previous through only TWO edges
+    (fold + entries) — fewer than the BPE trainer's three — which is
+    what keeps the 6-level plan tree compact; 1-row TakeOrdered argmax
+    broadcast; JVM `aggregate` fold re-segmentation. Unlike the BPE
+    trainer (3 cross-references/level, tolerable at its plan size),
+    this chain TRUNCATES LINEAGE per level with a lazy localCheckpoint
+    on the vocab table: each unrolled level becomes a leaf in the next
+    level's plan, so the 6-level tree stays O(levels) — the standard
+    posture for iterative Spark algorithms (at cluster scale the
+    checkpoint goes to reliable storage; the checkpointed state is the
+    VOCAB table, ~log corpus, never corpus data). Zero Python UDFs."""
+    from ._cache import tracked_persist_extend
+
+    US = "\x1f"
+    vocab = (
+        documents.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter((F.length("w") >= 2) & ~F.col("w").contains(US))
+        .groupBy("w").agg(F.count("*").alias("n"))
+        .select("w", F.split("w", "").alias("syms"), "n")
+    )
+    vocab = vocab.localCheckpoint(eager=False)
+
+    out = None
+    for step in range(1, n_merges + 1):
+        syms = F.col("syms")
+        # ONE aggregate feeds both statistics: zip_with null-pads the
+        # shorter successor array, so every symbol occurrence emits a
+        # row — (sym, next) for pair counts, (sym, NULL) closing each
+        # word so groupBy(lhs) is the exact symbol marginal
+        entries = (
+            vocab.select(
+                "n",
+                F.explode(F.zip_with(
+                    syms,
+                    F.slice(syms, 2, F.size(syms) - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )).alias("p"),
+            )
+            .groupBy(F.col("p.lhs").alias("lhs"),
+                     F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        entries = tracked_persist_extend(entries)
+        sym_map = (
+            entries.groupBy("lhs").agg(F.sum("cnt").alias("ns"))
+            .agg(F.map_from_entries(F.collect_list(
+                F.struct(F.col("lhs").alias("sym"), "ns"))).alias("_smap"))
+        )
+        score = F.floor(
+            F.col("n_occurrences").cast("double") * 1e12
+            / (F.element_at("_smap", F.col("lhs")).cast("double")
+               * F.element_at("_smap", F.col("rhs")).cast("double"))
+        ).alias("score_micro")
+        best = (
+            entries.filter(F.col("rhs").isNotNull())
+            .withColumnRenamed("cnt", "n_occurrences")
+            .crossJoin(F.broadcast(sym_map))
+            .select("lhs", "rhs", "n_occurrences", score)
+            .orderBy(F.col("score_micro").desc(), "lhs", "rhs")
+            .limit(1)
+        )
+        row = best.select(
+            F.lit(step).alias("step"), "lhs", "rhs",
+            F.concat("lhs", "rhs").alias("merged"),
+            "n_occurrences", "score_micro")
+        out = row if out is None else out.unionByName(row)
+        folded = F.aggregate(
+            F.slice(syms, 2, F.size(syms) - 1),
+            F.element_at(syms, 1),
+            lambda acc, s: F.when(
+                (F.substring_index(acc, US, -1) == F.col("lhs"))
+                & (s == F.col("rhs")),
+                F.concat(acc, s),
+            ).otherwise(F.concat(acc, F.lit(US), s)),
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select("w", F.split(folded, US).alias("syms"), "n")
+        )
+        if step < n_merges:
+            vocab = vocab.localCheckpoint(eager=False)
+
+    return out

@@ -855,3 +855,80 @@ def weighted_sample_topk(documents: DataFrame, k: int = 100) -> DataFrame:
     win = Window.orderBy(F.col("_p").desc(), "doc_id")
     return (ranked.withColumn("rank", F.row_number().over(win))
             .select("doc_id", "weight", "priority", "rank"))
+
+
+def bm25_topk(documents: DataFrame, k: int = 10, k1: float = 1.2,
+              b: float = 0.75) -> DataFrame:
+    """BM25 document ranking (Robertson & Zaragoza 2009 — public; the
+    +1-smoothed idf form Lucene uses) — the retrieval scorer a
+    training-data pipeline runs for targeted selection (rank the corpus
+    against a benchmark/topic query, keep the head) and the natural
+    sibling of `tfidf_topk` (which scores terms WITHIN a document; BM25
+    ranks DOCUMENTS for a query).
+
+    The query is derived deterministically from the corpus itself —
+    the terms ranked 5..7 by document frequency (mid-head terms: present
+    in many but not all documents) — standing in for a user query so the
+    op is self-contained and oracle-checkable.
+
+    score(D, Q) = sum over q in Q of
+      idf(q) * tf(q,D)*(k1+1) / (tf(q,D) + k1*(1 - b + b*|D|/avgdl)),
+      idf(q) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Per-term scores are floored to integer MICRO-units before the
+    per-document sum, so the aggregation is exact integer arithmetic —
+    immune to float summation order — and the ranking reproduces
+    bit-for-bit in any engine (the micro-nat idiom of the unigram
+    trainer).
+
+    Output: (rank, doc_id, n_query_hits, score_micro, bm25), top-`k` by
+    (score desc, doc_id).
+
+    100 TB shape: one corpus-sized (doc_id, term) aggregation and one
+    doc-length aggregation (both map-side combined); df table and the
+    3-row query are vocabulary-bounded broadcasts; the scored stream is
+    FILTERED to query terms before touching doc lengths, so the scoring
+    join carries |Q| rows per matching document, not the corpus; final
+    top-k is TakeOrderedAndProject — per-partition heaps, no global
+    sort."""
+    terms = documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("_n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("_avgdl"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # TakeOrdered(7) FIRST so the rank window runs over 7 rows, never the
+    # vocabulary (a global unpartitioned window over 100M terms would
+    # single-partition the vocab)
+    qw = Window.orderBy(F.col("df").desc(), F.col("term"))
+    qterms = (df_tbl.orderBy(F.col("df").desc(), "term").limit(7)
+              .withColumn("_r", F.row_number().over(qw))
+              .filter((F.col("_r") >= 5) & (F.col("_r") <= 7))
+              .select("term", "df"))
+    qtf = tf.join(F.broadcast(qterms), "term")
+    scored = (
+        qtf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(1.0 + (F.col("_n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = (F.col("tf").cast("double") + k1
+            * (1.0 - b + b * F.col("dl").cast("double") / F.col("_avgdl")))
+    term_score = idf * (F.col("tf").cast("double") * (k1 + 1.0)) / norm
+    per_doc = (
+        scored.select("doc_id",
+                      F.floor(term_score * 1e6).alias("_micro"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_query_hits"),
+             F.sum("_micro").alias("score_micro"))
+    )
+    topk = per_doc.orderBy(
+        F.col("score_micro").desc(), "doc_id").limit(k)
+    rw = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return topk.select(
+        F.row_number().over(rw).alias("rank"),
+        "doc_id", "n_query_hits", "score_micro",
+        F.round(F.col("score_micro") / 1e6, 6).alias("bm25"),
+    )

@@ -3269,3 +3269,218 @@ def _ivf_pq_add_batch(spark, sf_dir):
 QUERIES["similarity_ivf_pq_add_batch"] = _ivf_pq_add_batch
 ORACLE["similarity_ivf_pq_add_batch"] = _ivf_pq_residual_sql(
     train_pred="vec_id < 10 OR vec_id % 2 = 0")
+
+
+QUERIES["agg_countmin_portable"] = _bind(corpus_stats.countmin_token_freq,
+                                         "documents")
+# portable Count-Min sketch (Cormode & Muthukrishnan 2005): salted
+# md5-slice rows, so the cells AND the min-estimates reproduce in DuckDB
+# bit-for-bit; the one-sided overcount is measured against exact counts
+ORACLE["agg_countmin_portable"] = """
+    WITH tf AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+      ) GROUP BY t
+    ),
+    hashed AS (
+      SELECT t, n, r,
+             ('0x' || substr(md5('cm' || r || ':' || t), 1, 8))::BIGINT
+               % 512 AS bucket
+      FROM tf, range(0, 4) tr(r)
+    ),
+    cells AS (
+      SELECT r, bucket, CAST(sum(n) AS BIGINT) AS cell_n
+      FROM hashed GROUP BY r, bucket
+    ),
+    probes AS (
+      SELECT t, n AS n_exact FROM tf ORDER BY n DESC, t LIMIT 15
+    ),
+    est AS (
+      SELECT h.t, min(c.cell_n) AS cm_estimate
+      FROM hashed h
+      JOIN probes p USING (t)
+      JOIN cells c ON c.r = h.r AND c.bucket = h.bucket
+      GROUP BY h.t
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_exact DESC, t) AS INT)
+             AS rank,
+           t AS token, n_exact, cm_estimate,
+           cm_estimate - n_exact AS overcount
+    FROM probes JOIN est USING (t)
+"""
+
+QUERIES["retrieval_bm25_topk"] = _bind(curation.bm25_topk, "documents")
+# BM25 (Robertson & Zaragoza 2009, Lucene's +1-smoothed idf): per-term
+# scores floored to integer micro-units BEFORE the per-document sum, so
+# the ranking is exact integer arithmetic in both engines
+ORACLE["retrieval_bm25_topk"] = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM terms GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    df_tbl AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY term),
+    qterms AS (
+      SELECT term, df FROM (
+        SELECT term, df,
+               row_number() OVER (ORDER BY df DESC, term) AS _r
+        FROM df_tbl
+      ) WHERE _r BETWEEN 5 AND 7
+    ),
+    micro AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75
+                           + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl))
+               * 1e6) AS BIGINT) AS _micro
+      FROM tf t
+      JOIN qterms q USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_query_hits,
+             CAST(sum(_micro) AS BIGINT) AS score_micro
+      FROM micro GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, n_query_hits, score_micro,
+           round(score_micro / 1e6, 6) AS bm25
+    FROM per_doc ORDER BY score_micro DESC, doc_id LIMIT 10
+"""
+
+
+def _wordpiece_train_oracle_sql(mode: str = "train",
+                                n_merges: int = 6) -> str:
+    """DuckDB mirror of the WordPiece merge loop
+    (`corpus_stats.wordpiece_train_merges`): the BPE chain with a
+    likelihood argmax — per level, symbol counts s{k} join the pair
+    table and the winner maximizes floor(1e12 * n_pair / (n_lhs*n_rhs))
+    (integer election, lexicographic tie-break), then the same
+    list_reduce fold re-segments the vocab. ``mode``: 'train' emits the
+    merge table, 'apply' the greedy longest-match per-document counts
+    (the tokenize_bpe_trained walk over the learned pieces)."""
+    levels = "".join(f""",
+    s{k} AS MATERIALIZED (
+      SELECT sym, CAST(sum(n) AS BIGINT) AS ns
+      FROM (SELECT n, unnest(syms) AS sym FROM v{k - 1})
+      GROUP BY sym
+    ),
+    p{k} AS (
+      SELECT pr[1] AS lhs, pr[2] AS rhs,
+             CAST(sum(n) AS BIGINT) AS n_occurrences
+      FROM (SELECT n, unnest(list_zip(syms[1:len(syms)-1], syms[2:]))
+                     AS pr FROM v{k - 1})
+      GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT p.lhs, p.rhs, p.n_occurrences,
+             CAST(floor(CAST(p.n_occurrences AS DOUBLE) * 1e12
+                  / (CAST(sl.ns AS DOUBLE) * CAST(sr.ns AS DOUBLE)))
+               AS BIGINT) AS score_micro
+      FROM p{k} p
+      JOIN s{k} sl ON sl.sym = p.lhs
+      JOIN s{k} sr ON sr.sym = p.rhs
+      ORDER BY score_micro DESC, p.lhs, p.rhs LIMIT 1
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT w, string_split(list_reduce(syms,
+               (acc, s) -> CASE WHEN string_split(acc, chr(31))[-1] = b.lhs
+                                 AND s = b.rhs
+                           THEN acc || s ELSE acc || chr(31) || s END),
+             chr(31)) AS syms, n
+      FROM v{k - 1}, b{k} b
+    )""" for k in range(1, n_merges + 1))
+    head = f"""
+    WITH {"RECURSIVE " if mode == "apply" else ""}twords AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    v0 AS (
+      SELECT w, regexp_split_to_array(w, '') AS syms,
+             CAST(count(*) AS BIGINT) AS n
+      FROM twords WHERE length(w) >= 2 AND NOT contains(w, chr(31))
+      GROUP BY w
+    ){levels}"""
+    if mode == "train":
+        union = " UNION ALL ".join(
+            f"SELECT {k} AS step, lhs, rhs, lhs || rhs AS merged, "
+            f"n_occurrences, score_micro FROM b{k}"
+            for k in range(1, n_merges + 1))
+        return head + "\n    " + union
+    vocab = " UNION ".join(
+        f"SELECT lhs || rhs AS piece FROM b{k}"
+        for k in range(1, n_merges + 1))
+    return head + f""",
+    vocab AS (
+      {vocab}
+    ),
+    grange AS (
+      SELECT unnest(range(2, (SELECT max(len(piece)) FROM vocab) + 1))
+             AS g
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+    pos AS (
+      SELECT w, unnest(range(1, len(w) + 1)) AS p FROM wc
+      WHERE len(w) >= 1
+    ),
+    cand AS (
+      SELECT w, p, max(g) AS gmax FROM (
+        SELECT w, p, g, substr(w, p, CAST(g AS INT)) AS piece
+        FROM pos, grange WHERE p + g - 1 <= len(w)
+      ) c WHERE piece IN (SELECT piece FROM vocab)
+      GROUP BY w, p
+    ),
+    walk AS (
+      SELECT w, len(w) AS l, 1 AS pos, 0 AS cnt FROM wc WHERE len(w) >= 1
+      UNION ALL
+      SELECT walk.w, walk.l, walk.pos + coalesce(c.gmax, 1), walk.cnt + 1
+      FROM walk LEFT JOIN cand c ON c.w = walk.w AND c.p = walk.pos
+      WHERE walk.pos <= walk.l
+    ),
+    pieces AS (SELECT w, max(cnt) AS n_pieces FROM walk GROUP BY w)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(coalesce(p.n_pieces, 0)) AS BIGINT)
+             AS n_subword_tokens,
+           round(sum(coalesce(p.n_pieces, 0)) * 1.0 / count(*), 6)
+             AS pieces_per_word
+    FROM words LEFT JOIN pieces p USING (w)
+    GROUP BY doc_id"""
+
+
+QUERIES["tokenize_wordpiece_train"] = _bind(
+    corpus_stats.wordpiece_train_merges, "documents")
+ORACLE["tokenize_wordpiece_train"] = _wordpiece_train_oracle_sql("train")
+
+
+def _wordpiece_trained_apply(documents):
+    merges = corpus_stats.wordpiece_train_merges(documents)
+    return corpus_stats.bpe_apply_tokenize(
+        documents, pieces=merges.select(F.col("merged").alias("piece"))
+    ).withColumnRenamed("n_bpe_tokens", "n_subword_tokens")
+
+
+QUERIES["tokenize_wordpiece_trained"] = _bind(_wordpiece_trained_apply,
+                                              "documents")
+# the learned WordPiece vocab fed through the greedy longest-match
+# application (the standard WordPiece inference mode)
+ORACLE["tokenize_wordpiece_trained"] = _wordpiece_train_oracle_sql("apply")

@@ -1175,3 +1175,97 @@ def test_pca_power_matches_numpy_and_is_unit(dfs):
         s = x.T @ (x @ w)
         w = s / np.sqrt(np.sum(s * s))
     assert np.allclose(got, np.round(w, 6), atol=2e-6)
+
+
+def test_countmin_one_sided_overcount_and_probe_set(dfs):
+    """Count-Min's defining guarantee: the estimate NEVER undercounts
+    (min over d salted rows >= true count); probes are exactly the
+    top-15 tokens by exact frequency with dense ranks."""
+    from hive_nexr_spark.datapipe.corpus_stats import countmin_token_freq
+
+    rows = countmin_token_freq(dfs["documents"]).collect()
+    assert sorted(r.rank for r in rows) == list(range(1, 16))
+    assert all(r.cm_estimate >= r.n_exact for r in rows)
+    assert all(r.overcount == r.cm_estimate - r.n_exact for r in rows)
+    exact_top = (
+        dfs["documents"]
+        .selectExpr("explode(split(lower(text), ' ')) AS t")
+        .groupBy("t").count()
+        .orderBy(F.col("count").desc(), "t").limit(15).collect())
+    assert {(r.token, r.n_exact) for r in rows} == \
+        {(r.t, r["count"]) for r in exact_top}
+
+
+def test_bm25_ranks_docs_with_query_terms(dfs):
+    """BM25 invariants: dense ranks, every hit count within the 3-term
+    query budget, integer micro-score consistent with the emitted float,
+    and every returned document actually contains a query term."""
+    from hive_nexr_spark.datapipe.curation import bm25_topk
+
+    rows = bm25_topk(dfs["documents"]).collect()
+    assert sorted(r.rank for r in rows) == list(range(1, 11))
+    micros = [r.score_micro for r in rows]
+    assert micros == sorted(micros, reverse=True)
+    assert all(1 <= r.n_query_hits <= 3 for r in rows)
+    assert all(abs(r.bm25 - r.score_micro / 1e6) < 1e-9 for r in rows)
+    # reconstruct the deterministic query (df ranks 5..7) and check hits
+    tf = (dfs["documents"]
+          .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS term")
+          .groupBy("doc_id", "term").count())
+    qterms = [r.term for r in (
+        tf.groupBy("term").count()
+        .orderBy(F.col("count").desc(), "term").limit(7).collect())][4:7]
+    hit_docs = {r.doc_id for r in tf.filter(
+        F.col("term").isin(qterms)).select("doc_id").collect()}
+    assert all(r.doc_id in hit_docs for r in rows)
+
+
+def test_wordpiece_train_matches_reference_algorithm(dfs):
+    """The in-engine WordPiece merge loop must equal a direct Python
+    transcription of the likelihood-scored trainer (Schuster & Nakajima
+    2012; HF tokenizers-course formulation): score = floor(1e12 *
+    n_pair / (n_lhs * n_rhs)), integer argmax, lexicographic
+    tie-break, same greedy non-overlapping re-segmentation."""
+    from collections import Counter
+
+    from hive_nexr_spark.datapipe.corpus_stats import wordpiece_train_merges
+
+    got = wordpiece_train_merges(dfs["documents"]).orderBy("step").collect()
+    assert [r.step for r in got] == [1, 2, 3, 4, 5, 6]
+    assert all(r.merged == r.lhs + r.rhs for r in got)
+
+    vocab: Counter = Counter()
+    for (t,) in dfs["documents"].select("text").collect():
+        for w in t.lower().split(" "):
+            if len(w) >= 2 and "\x1f" not in w:
+                vocab[w] += 1
+    vsyms = {w: list(w) for w in vocab}
+    expect = []
+    for _ in range(6):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for w, n in vocab.items():
+            s = vsyms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+            for sym in s:
+                sc[sym] += n
+        scored = {
+            p: int(float(cnt) * 1e12 // (float(sc[p[0]]) * float(sc[p[1]])))
+            for p, cnt in pc.items()
+        }
+        (a, b) = min(scored, key=lambda p: (-scored[p], p))
+        expect.append((a, b, pc[(a, b)], scored[(a, b)]))
+        for w in vocab:
+            s = vsyms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vsyms[w] = out
+    assert [(r.lhs, r.rhs, r.n_occurrences, r.score_micro)
+            for r in got] == expect

@@ -980,3 +980,48 @@ def test_user_paths_truncate_before_collect(dfs):
     # the rank filter feeds the aggregate, not vice versa
     assert fplan.index("rn") < fplan.index("collect_list") or \
         "(rn" in fplan.split("collect_list")[0]
+
+
+def test_countmin_sketch_vocab_bounded_shape(dfs):
+    """Count-Min: the corpus pays ONE map-side-combined token count;
+    everything downstream (cells, probes, estimates) is vocab-bounded
+    with the probe set broadcast — no Exchange may carry document
+    text."""
+    import re
+
+    from hive_nexr_spark.datapipe.corpus_stats import countmin_token_freq
+
+    fplan = _formatted(countmin_token_freq(dfs["documents"]))
+    assert "partial_count" in fplan
+    assert "BroadcastHashJoin" in fplan
+    assert "TakeOrderedAndProject" in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex, f"document text in shuffle: {ex}"
+
+
+def test_bm25_filters_to_query_terms_before_scoring(dfs):
+    """BM25: the 3-term query joins BROADCAST onto the tf stream, the
+    final top-k is TakeOrderedAndProject (no global sort), and the
+    per-(doc,term) aggregation partially combines map-side."""
+    from hive_nexr_spark.datapipe.curation import bm25_topk
+
+    fplan = _formatted(bm25_topk(dfs["documents"]))
+    assert "partial_count" in fplan
+    assert "BroadcastHashJoin" in fplan
+    assert "TakeOrderedAndProject" in fplan
+    assert "BatchEvalPython" not in fplan
+
+
+def test_wordpiece_train_plan_truncated_and_jvm_only(dfs):
+    """The WordPiece trainer must stay JVM-side (no Python eval in the
+    chain), elect merges via TakeOrderedAndProject, and — the property
+    that keeps a 6-level unrolled trainer plannable — truncate lineage
+    per level: the executed plan's size must stay bounded instead of
+    growing a subtree copy per cross-reference per level."""
+    from hive_nexr_spark.datapipe.corpus_stats import wordpiece_train_merges
+
+    df = wordpiece_train_merges(dfs["documents"])
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert len(plan) < 400_000, f"unrolled plan re-expanding: {len(plan)}"
