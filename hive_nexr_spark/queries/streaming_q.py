@@ -175,6 +175,18 @@ def _stream_decontaminate(spark, sf_dir):
     return stream_decontaminate(spark, sf_dir)
 
 
+def _table_changes(spark, sf_dir):
+    from ..sources.snapshots import table_changes_diff
+
+    return table_changes_diff(spark, sf_dir)
+
+
+def _partition_evolution(spark, sf_dir):
+    from ..sources.snapshots import partition_evolution_stats
+
+    return partition_evolution_stats(spark, sf_dir)
+
+
 def _time_travel(spark, sf_dir):
     from ..sources.snapshots import time_travel_versions
 
@@ -232,6 +244,8 @@ QUERIES = {
     "table_time_travel_delete": lambda spark, sf_dir:
         _time_travel_delete(spark, sf_dir),
     "table_compaction": lambda spark, sf_dir: _compaction(spark, sf_dir),
+    "table_changes_diff": _table_changes,
+    "table_partition_evolution": _partition_evolution,
     "events_user_paths_topk": lambda spark, sf_dir: ev.user_paths_topk(
         ensure_views(spark, sf_dir)["events"]),
     "events_stream_neardup": lambda spark, sf_dir:
@@ -785,3 +799,47 @@ from .datapipe_q import _ivf_pq_residual_sql as _ivf_pq_sql_gen  # noqa: E402
 
 ORACLE["similarity_stream_ann_ingest"] = _ivf_pq_sql_gen(
     train_pred="vec_id < 10 OR vec_id % 2 = 0")
+
+
+# manifest-diff CDC read (sources/snapshots.py changes_between): the
+# v1->v2 window is a pure append (inserts = the delta slice), v2->v3 a
+# merge-on-read delete (deletes = the tombstoned keys' rows); computed
+# engine-side from added dirs/tombstones only, never a content diff
+ORACLE["table_changes_diff"] = """
+    SELECT CAST(1 AS INT) AS from_version, CAST(2 AS INT) AS to_version,
+           'insert' AS change_type, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT CAST(1 AS INT), CAST(2 AS INT), 'delete',
+           CAST(0 AS BIGINT), 0.0
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(3 AS INT), 'insert',
+           CAST(0 AS BIGINT), 0.0
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(3 AS INT), 'delete', count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 5 = 0
+"""
+
+# partition-spec evolution (sources/snapshots.py
+# partition_evolution_stats): one month predicate, three layouts — the
+# legacy unpartitioned slice, the month()-partitioned delta (directory
+# pruning, plan-asserted), and their union
+ORACLE["table_partition_evolution"] = """
+    SELECT 'legacy_unpartitioned' AS layout, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+      AND strftime(o_orderdate, '%Y-%m') = '1997-06'
+    UNION ALL
+    SELECT 'evolved_partitioned', count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 3 = 0
+      AND strftime(o_orderdate, '%Y-%m') = '1997-06'
+    UNION ALL
+    SELECT 'combined', count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+    FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-06'
+"""

@@ -251,3 +251,126 @@ def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_rows", "sum_totalprice")
 
     return stats(1).unionByName(stats(2))
+
+
+def _change_stats(df: DataFrame, v_from: int, v_to: int,
+                  kind: str) -> DataFrame:
+    return df.agg(
+        F.lit(v_from).alias("from_version"),
+        F.lit(v_to).alias("to_version"),
+        F.lit(kind).alias("change_type"),
+        F.count("*").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double"), F.lit(0.0)).alias("sum_totalprice"),
+    ).select("from_version", "to_version", "change_type", "n_rows",
+             "sum_totalprice")
+
+
+def changes_between(spark: SparkSession, base: str, v_from: int,
+                    v_to: int) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL CDC read between two snapshot versions (the Iceberg
+    `table_changes` / Delta CDF idea) — and crucially, computed from the
+    MANIFEST DIFF, never by comparing table contents: inserted rows are
+    read from exactly the data directories the target manifest added
+    (anti-joined against its tombstones, in case a row was added and
+    deleted within the window), deleted rows are the source version's
+    rows matching the newly-added tombstone keys (a broadcast semi-join
+    — delete files are small by construction). Work is proportional to
+    the CHANGED data plus one keyed lookup, not to table size — the
+    property that makes incremental consumers (downstream MVs, sync
+    jobs) viable on a 100 TB table where a full-diff would re-scan
+    everything. Returns (inserted_df, deleted_df)."""
+    m_from = _load_manifest(base, v_from)
+    m_to = _load_manifest(base, v_to)
+    new_dirs = [d for d in m_to["dirs"] if d not in m_from["dirs"]]
+    new_tombs = [d for d in m_to["deletes"] if d not in m_from["deletes"]]
+    some_dir = m_from["dirs"][0]
+    schema_src = spark.read.parquet(some_dir)
+    if new_dirs:
+        inserted = spark.read.parquet(*new_dirs)
+        if m_to["deletes"]:
+            tombs = spark.read.parquet(*m_to["deletes"])
+            inserted = inserted.join(F.broadcast(tombs), m_to["key"],
+                                     "left_anti")
+    else:
+        inserted = schema_src.limit(0)
+    if new_tombs:
+        keys = spark.read.parquet(*new_tombs)
+        deleted = read_version(spark, base, v_from).join(
+            F.broadcast(keys), m_to["key"], "left_semi")
+    else:
+        deleted = schema_src.limit(0)
+    return inserted, deleted
+
+
+def table_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read over the 3-version delete fixture: report inserted and
+    deleted row stats for the v1→v2 window (an append: inserts = the
+    delta slice, zero deletes) and the v2→v3 window (a merge-on-read
+    delete: zero inserts, deletes = the tombstoned keys' rows). The
+    oracle recomputes all four rows from the slice predicates; any
+    full-table rewrite sneaking into a commit would break the window
+    attribution."""
+    base = _build_delete_table(spark, sf_dir)
+    out = None
+    for v_from, v_to in ((1, 2), (2, 3)):
+        ins, dels = changes_between(spark, base, v_from, v_to)
+        for kind, df in (("insert", ins), ("delete", dels)):
+            stats = _change_stats(df, v_from, v_to, kind)
+            out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def partition_evolution_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION (Iceberg's hidden-partitioning property):
+    v1 of the snapshot table was written UNPARTITIONED; the v2 delta is
+    laid out by a month() TRANSFORM of o_orderdate. Readers apply one
+    logical predicate (a month filter); on the evolved delta it becomes
+    a PARTITION filter (directory pruning — the scan never opens other
+    months' files, plan-asserted), on the legacy dir a data filter.
+    Old data is NEVER rewritten when the spec changes — at 100 TB,
+    re-laying-out history to change a partition scheme is exactly the
+    migration this mechanism exists to avoid.
+
+    Output: (layout, n_rows, sum_totalprice) for the legacy scan, the
+    pruned evolved scan, and the combined table, for one month."""
+    import os as _os
+
+    from ..scratch import process_scratch_dir
+
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    base = process_scratch_dir("snapevo")
+    _os.makedirs(base, exist_ok=True)
+    v1_dir = _os.path.join(base, "data_v1")
+    orders.filter(F.col("o_orderkey") % 3 != 0).write.parquet(v1_dir)
+    _commit(base, 1, v1_dir)
+    delta_dir = _os.path.join(base, "data_v2_delta")
+    (orders.filter(F.col("o_orderkey") % 3 == 0)
+     .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+     .write.partitionBy("o_month").parquet(delta_dir))
+    _commit(base, 2, delta_dir)
+
+    month = "1997-06"
+    legacy = (
+        spark.read.parquet(v1_dir)
+        .filter(F.date_format("o_orderdate", "yyyy-MM") == month))
+    evolved = (
+        spark.read.parquet(delta_dir)
+        .filter(F.col("o_month") == month))
+
+    def stats(df: DataFrame, layout: str) -> DataFrame:
+        return df.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                .cast("double"), F.lit(0.0)).alias("sum_totalprice"),
+        ).select("layout", "n_rows", "sum_totalprice")
+
+    combined = legacy.select("o_orderkey", "o_totalprice").unionByName(
+        evolved.select("o_orderkey", "o_totalprice"))
+    return (stats(legacy, "legacy_unpartitioned")
+            .unionByName(stats(evolved, "evolved_partitioned"))
+            .unionByName(stats(combined, "combined")))

@@ -192,3 +192,45 @@ def test_snapshot_delete_compaction_expiry_lifecycle(spark, sf_dir):
     assert sn.read_version(spark, base, 4).count() == n_live
     with _pytest.raises(FileNotFoundError):
         sn.read_version(spark, base, 2)
+
+
+def test_changes_between_manifest_diff_scans_only_changes(spark, sf_dir):
+    """CDC reads must be computed from the MANIFEST diff: the v1→v2
+    insert scan may touch only the delta directory (never v1's data),
+    window attribution must be exact (append window has zero deletes,
+    delete window zero inserts), and deleted rows are exactly the
+    tombstoned keys' rows."""
+    from hive_nexr_spark.sources import snapshots as sn
+
+    base = sn._build_delete_table(spark, sf_dir)
+    ins12, del12 = sn.changes_between(spark, base, 1, 2)
+    plan = ins12._jdf.queryExecution().executedPlan().toString()
+    assert "data_v2_delta" in plan
+    assert "data_v1" not in plan, "insert scan touched unchanged data"
+    full = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert ins12.count() == full.filter("o_orderkey % 3 = 0").count()
+    assert del12.count() == 0
+    ins23, del23 = sn.changes_between(spark, base, 2, 3)
+    assert ins23.count() == 0
+    got = {r.o_orderkey for r in del23.select("o_orderkey").collect()}
+    want = {r.o_orderkey for r in full.filter("o_orderkey % 5 = 0")
+            .select("o_orderkey").collect()}
+    assert got == want
+
+
+def test_partition_evolution_prunes_evolved_scan(spark, sf_dir):
+    """Partition-spec evolution: the month predicate must reach the
+    evolved delta as a PARTITION filter (directory pruning), legacy
+    data stays readable unrewritten, and combined = legacy + evolved."""
+    from hive_nexr_spark.sources.snapshots import partition_evolution_stats
+
+    df = partition_evolution_stats(spark, sf_dir)
+    fplan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in fplan
+    seg = fplan[fplan.index("PartitionFilters"):]
+    assert "o_month" in seg.splitlines()[0]
+    rows = {r.layout: r for r in df.collect()}
+    assert rows["combined"].n_rows == (
+        rows["legacy_unpartitioned"].n_rows
+        + rows["evolved_partitioned"].n_rows)
