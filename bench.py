@@ -126,6 +126,14 @@ HEADLINE = [
     "tokenize_unigram_train",
     "quality_classifier_train_ngram",
     "events_stream_decontaminate",
+    # round 10 (second wave): the WordPiece trainer (the unrolled-loop
+    # shape with per-level lineage truncation — a different plan class
+    # than the persist-linear BPE chain), BM25 retrieval (broadcast
+    # query onto the tf stream + TakeOrdered), and the Count-Min cell
+    # build (vocab-bounded linear-sketch aggregation)
+    "tokenize_wordpiece_train",
+    "retrieval_bm25_topk",
+    "agg_countmin_portable",
 ]
 
 

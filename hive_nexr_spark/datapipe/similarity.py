@@ -1253,3 +1253,95 @@ def pca_power_iteration(embeddings: DataFrame, iters: int = 2,
         F.col("dim_idx").cast("int").alias("dim_idx"),
         F.round("loading", 6).alias("loading"),
     )
+
+
+def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
+                       shortlist: int = 10, n_queries: int = 10,
+                       n_cells: int = 8, coarse_iters: int = 1,
+                       nprobe: int = 2, m: int = 4, ks: int = 16,
+                       pq_iters: int = 1, dim: int = 64) -> DataFrame:
+    """IVFADC+R — re-ranking with the original vectors (Jégou et al.
+    2011 §V): the residual-ADC index produces a SHORTLIST of
+    `shortlist` candidates per query (cheap, code-table-only), then
+    exactly those candidates are re-scored with TRUE distances against
+    the stored vectors and the top-`k` re-ranked. This is the standard
+    production recipe: ADC absorbs the corpus-scale work, the exact pass
+    touches only n_queries x shortlist rows, and recall recovers most of
+    what quantization lost at a fixed, tiny extra cost.
+
+    Output: (query_id, neighbor_id, rank, exact_d2, recall_reranked,
+    recall_adc) — both recalls MEASURED against the exact-d2 top-k, so
+    the re-ranking gain is an output, not a claim (pytest pins
+    recall_reranked >= recall_adc per query — re-ranking a superset can
+    never do worse).
+
+    100 TB shape: everything the residual index claims, plus ONE keyed
+    join of the (n_queries x shortlist)-row candidate list against the
+    vector store on vec_id — prunable, broadcast-query scored, never a
+    corpus scan. The exact-baseline recall columns are
+    evaluation-harness cost, bounded by n_queries, dropped in the pure
+    serving path."""
+    sd = dim // m
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    coarse = tracked_persist(
+        _kmeans_centroids(emb, n_cells, coarse_iters, dim)
+        .select("cluster", "cv"))
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    probes = _probes(queries, coarse, nprobe)
+
+    res = tracked_persist(_residuals(corpus, coarse))
+    cb_r, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
+    codes_r = _pq_encode(subr, cb_r).join(
+        res.select("vec_id", "cell"), "vec_id")
+    lut_r = _residual_lut(queries, probes, coarse, cb_r, m, sd)
+    short = tracked_persist(_adc_rank(
+        codes_r.join(F.broadcast(probes), "cell"), lut_r, True,
+        shortlist))
+
+    d2x = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    rer = (
+        short.select("query_id", "neighbor_id")
+        .join(corpus.withColumnRenamed("vec_id", "neighbor_id"),
+              "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id", d2x.alias("exact_d2"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2").asc(), F.col("neighbor_id"))
+    topk_rr = (rer.withColumn("rank", F.row_number().over(wr))
+               .filter(F.col("rank") <= k))
+
+    wx = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2").asc(), F.col("neighbor_id"))
+    exact = tracked_persist(
+        corpus.join(F.broadcast(queries))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                d2x.alias("exact_d2"))
+        .withColumn("rank", F.row_number().over(wx))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id"))
+
+    def recall_of(topk: DataFrame, name: str) -> DataFrame:
+        return (
+            topk.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.round(F.count("*") / F.lit(float(k)), 6).alias(name))
+        )
+
+    adc_topk = short.filter(F.col("rank") <= k)
+    return (
+        topk_rr
+        .join(F.broadcast(recall_of(topk_rr, "recall_reranked")),
+              "query_id", "left")
+        .join(F.broadcast(recall_of(adc_topk, "recall_adc")),
+              "query_id", "left")
+        .select("query_id", "neighbor_id", "rank",
+                F.round("exact_d2", 6).alias("exact_d2"),
+                F.coalesce("recall_reranked", F.lit(0.0))
+                .alias("recall_reranked"),
+                F.coalesce("recall_adc", F.lit(0.0)).alias("recall_adc"))
+    )

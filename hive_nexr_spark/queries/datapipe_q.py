@@ -2985,7 +2985,8 @@ def _ivf_pq_residual_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
                          coarse_iters: int = 1, nprobe: int = 2, m: int = 4,
                          ks: int = 16, pq_iters: int = 1, dim: int = 64,
                          train_pred: str | None = None,
-                         with_recall: bool = False) -> str:
+                         with_recall: bool = False,
+                         rerank_shortlist: int | None = None) -> str:
     """DuckDB oracle for the RESIDUAL (true IVFADC) encoding: the coarse
     CTE chain + residual computation, PQ codebooks trained on residual
     subvectors (seed = the ks lowest TRAIN-corpus vec_ids), residual
@@ -3113,6 +3114,66 @@ def _ivf_pq_residual_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
                   AS INT) AS rank
       FROM radc
     )""")
+    if rerank_shortlist is not None:
+        # IVFADC+R (Jégou et al. 2011 §V): exact-rescore the ADC
+        # shortlist only, then rank; recall measured for both the
+        # re-ranked and the ADC-only top-k
+        parts.append(f"""
+    , short AS (
+      SELECT query_id, vec_id FROM rtopk WHERE rank <= {rerank_shortlist}
+    )
+    , rer AS (
+      SELECT s.query_id, s.vec_id,
+             list_aggregate([ (q.v[i] - e.v[i]) * (q.v[i] - e.v[i])
+                      for i in range(1, {dim} + 1) ], 'sum') AS exact_d2
+      FROM short s
+      JOIN emb q ON q.vec_id = s.query_id
+      JOIN emb e ON e.vec_id = s.vec_id
+    )
+    , rrtop AS (
+      SELECT query_id, vec_id, exact_d2,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY exact_d2, vec_id)
+                  AS INT) AS rank
+      FROM rer
+    )
+    , exactk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_aggregate([ (q.v[i] - e.v[i])
+                          * (q.v[i] - e.v[i])
+                          for i in range(1, {dim} + 1) ], 'sum'),
+                          e.vec_id) AS rn
+        FROM emb q CROSS JOIN emb e
+        WHERE q.vec_id < {n_queries} AND e.vec_id >= {n_queries}
+      ) r WHERE rn <= {k}
+    )
+    , rec_rr AS (
+      SELECT t.query_id,
+             round(count(e.vec_id) * 1.0 / {k}, 6) AS recall_reranked
+      FROM rrtop t LEFT JOIN exactk e
+        ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+      WHERE t.rank <= {k}
+      GROUP BY t.query_id
+    )
+    , rec_adc AS (
+      SELECT t.query_id,
+             round(count(e.vec_id) * 1.0 / {k}, 6) AS recall_adc
+      FROM rtopk t LEFT JOIN exactk e
+        ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+      WHERE t.rank <= {k}
+      GROUP BY t.query_id
+    )
+    SELECT t.query_id, t.vec_id AS neighbor_id, t.rank,
+           round(t.exact_d2, 6) AS exact_d2,
+           rr.recall_reranked,
+           coalesce(ra.recall_adc, 0.0) AS recall_adc
+    FROM rrtop t
+    JOIN rec_rr rr ON rr.query_id = t.query_id
+    LEFT JOIN rec_adc ra ON ra.query_id = t.query_id
+    WHERE t.rank <= {k}""")
+        return "".join(parts)
     if not with_recall:
         parts.append(f"""
     SELECT query_id, vec_id AS neighbor_id, rank,
@@ -3484,3 +3545,12 @@ QUERIES["tokenize_wordpiece_trained"] = _bind(_wordpiece_trained_apply,
 # the learned WordPiece vocab fed through the greedy longest-match
 # application (the standard WordPiece inference mode)
 ORACLE["tokenize_wordpiece_trained"] = _wordpiece_train_oracle_sql("apply")
+
+
+QUERIES["similarity_ivf_pq_rerank"] = _bind(
+    similarity.ivf_pq_rerank_topk, "embeddings")
+# IVFADC+R (Jégou et al. 2011 §V): exact re-scoring of the ADC
+# shortlist only — recall measured for both the re-ranked and ADC-only
+# top-k against the exact baseline
+ORACLE["similarity_ivf_pq_rerank"] = _ivf_pq_residual_sql(
+    rerank_shortlist=10)

@@ -1269,3 +1269,25 @@ def test_wordpiece_train_matches_reference_algorithm(dfs):
             vsyms[w] = out
     assert [(r.lhs, r.rhs, r.n_occurrences, r.score_micro)
             for r in got] == expect
+
+
+def test_ivf_pq_rerank_never_loses_to_adc(dfs):
+    """IVFADC+R invariant: exact re-scoring of a shortlist SUPERSET of
+    the ADC top-k can never recall worse than the ADC top-k itself —
+    pinned per query; ranks dense 1..k, exact_d2 nondecreasing within a
+    query."""
+    from collections import defaultdict
+
+    from hive_nexr_spark.datapipe.similarity import ivf_pq_rerank_topk
+
+    rows = ivf_pq_rerank_topk(dfs["embeddings"]).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        d2s = [r.exact_d2 for r in rs]
+        assert d2s == sorted(d2s)
+        assert rs[0].recall_reranked >= rs[0].recall_adc, \
+            f"query {q}: rerank lost recall"
