@@ -1181,3 +1181,62 @@ def wordpiece_train_merges(documents: DataFrame,
             vocab = vocab.localCheckpoint(eager=False)
 
     return out
+
+
+def zipf_fit(documents: DataFrame, top_r: int = 100) -> DataFrame:
+    """Zipf rank-frequency diagnostic (Zipf 1949; the standard corpus
+    health check — natural language lands near slope -1 on log-log
+    rank/frequency; templated or synthetic text drifts flat or cliffy):
+    OLS fit of ln(freq) on ln(rank) over the top-`top_r` ranks, with
+    intercept and R².
+
+    Cross-engine exactness: each per-rank moment term (x, y, x², y²,
+    xy) is floored to integer NANO-units BEFORE summation, so the five
+    OLS moments are exact BIGINT sums (float-order-immune) and the
+    slope/intercept/R² derive from identical doubles in any engine —
+    the micro-nat idiom applied to regression.
+
+    Output: one row (n_ranks, zipf_slope, intercept, r2).
+
+    100 TB shape: ONE corpus-sized map-side-combined token count, a
+    TakeOrdered(top_r) head (per-partition heaps, no global sort), a
+    rank window over top_r rows only, and a 1-row integer aggregate."""
+    tf = (
+        documents.select(F.explode(_tokens(F.col("text"))).alias("t"))
+        .groupBy("t").agg(F.count("*").alias("n"))
+    )
+    top = tf.orderBy(F.col("n").desc(), "t").limit(top_r)
+    w = Window.orderBy(F.col("n").desc(), F.col("t"))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    nano = 1e9
+    terms = (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.floor(x * nano).alias("sx"),
+            F.floor(y * nano).alias("sy"),
+            F.floor(x * x * nano).alias("sxx"),
+            F.floor(y * y * nano).alias("syy"),
+            F.floor(x * y * nano).alias("sxy"),
+        )
+    )
+    sums = terms.agg(
+        F.count("*").alias("r_n"),
+        (F.sum("sx") / nano).alias("ex"),
+        (F.sum("sy") / nano).alias("ey"),
+        (F.sum("sxx") / nano).alias("exx"),
+        (F.sum("syy") / nano).alias("eyy"),
+        (F.sum("sxy") / nano).alias("exy"),
+    )
+    rr = F.col("r_n").cast("double")
+    sxx_c = rr * F.col("exx") - F.col("ex") * F.col("ex")
+    syy_c = rr * F.col("eyy") - F.col("ey") * F.col("ey")
+    sxy_c = rr * F.col("exy") - F.col("ex") * F.col("ey")
+    slope = sxy_c / sxx_c
+    return sums.select(
+        F.col("r_n").cast("int").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.col("ey") / rr - slope * F.col("ex") / rr, 6)
+        .alias("intercept"),
+        F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6).alias("r2"),
+    )

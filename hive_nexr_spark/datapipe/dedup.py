@@ -987,3 +987,74 @@ def edit_distance_pairs(documents: DataFrame, max_dist: int = 8,
                 .alias("edit_dist"))
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def containment_pairs(documents: DataFrame, threshold: float = 0.8,
+                      max_doc_id: int = 200,
+                      df_cap: int = 50) -> DataFrame:
+    """DIRECTED shingle-containment near-dup pairs (Broder 1997's
+    containment coefficient beside his resemblance/Jaccard):
+    c(A→B) = |S(A) ∩ S(B)| / |S(A)|. The asymmetric measure catches
+    what Jaccard structurally misses — a short document quoted inside
+    a much longer one has high containment but LOW Jaccard (the union
+    is dominated by B), so the symmetric near-dup family never flags
+    it; containment is the right tool for quote/subset/boilerplate
+    leakage.
+
+    Candidates come from a shingle INVERTED-INDEX self-join (two docs
+    sharing any rare shingle become a candidate), with a document-
+    frequency cap: shingles present in more than `df_cap` documents
+    are dropped from CANDIDATE GENERATION only (the classic
+    stop-shingle rule — ultra-common shingles generate quadratic
+    bucket blowup and identify nothing); verification then computes
+    the EXACT containment over the FULL shingle arrays, so values are
+    exact and only pairs sharing nothing but ultra-common shingles can
+    be missed (documented recall tradeoff, mirrored exactly in the
+    oracle).
+
+    Output: (contained_id, container_id, containment, n_sh_contained,
+    n_sh_container), containment >= `threshold`, both directions
+    emitted when both clear it.
+
+    100 TB shape: shingle df table is map-side combined and the cap
+    keeps every inverted-index posting list <= df_cap (bounded join
+    fan-out per shingle — the blowup guard); verification joins the
+    |candidates| pair set back to the persisted shingle arrays, never
+    n²; `_bounded_corpus` caps the ORACLE's brute-force twin, not the
+    operator."""
+    from ._cache import tracked_persist_extend
+
+    corpus = _bounded_corpus(documents, max_doc_id)
+    toks = tracked_persist(_with_shingles(corpus).select("doc_id", "sh"))
+    sh = toks.select("doc_id", F.explode(F.col("sh")).alias("shingle"))
+    # df FIRST (map-side-combined count — bounded state even on hot
+    # shingles), THEN the cap, THEN the posting self-join: a
+    # collect_set-style posting list would accumulate every doc of a
+    # hot shingle before the cap could drop it
+    df_tbl = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+              .filter(F.col("df") <= df_cap))
+    rare = tracked_persist_extend(
+        sh.join(df_tbl.select("shingle"), "shingle"))
+    cand = (
+        rare.alias("a").join(
+            rare.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+    verified = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(toks.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            F.col("doc_a").alias("contained_id"),
+            F.col("doc_b").alias("container_id"),
+            (F.size(F.array_intersect(F.col("ta.sh"), F.col("tb.sh")))
+             / F.size(F.col("ta.sh"))).alias("containment"),
+            F.size(F.col("ta.sh")).alias("n_sh_contained"),
+            F.size(F.col("tb.sh")).alias("n_sh_container"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn("containment", F.round("containment", 6))
+    )
+    return verified

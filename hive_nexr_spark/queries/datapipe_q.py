@@ -3554,3 +3554,89 @@ QUERIES["similarity_ivf_pq_rerank"] = _bind(
 # top-k against the exact baseline
 ORACLE["similarity_ivf_pq_rerank"] = _ivf_pq_residual_sql(
     rerank_shortlist=10)
+
+
+QUERIES["corpus_zipf_fit"] = _bind(corpus_stats.zipf_fit, "documents")
+# Zipf rank-frequency OLS: per-rank moment terms floored to integer
+# nano-units before summation, so the regression is float-order-immune
+# and reproduces bit-for-bit
+ORACLE["corpus_zipf_fit"] = """
+    WITH tf AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+      ) GROUP BY t
+    ),
+    top AS (SELECT t, n FROM tf ORDER BY n DESC, t LIMIT 100),
+    ranked AS (
+      SELECT n, CAST(row_number() OVER (ORDER BY n DESC, t) AS DOUBLE)
+               AS rank
+      FROM top
+    ),
+    terms AS (
+      SELECT CAST(floor(ln(rank) * 1e9) AS BIGINT) AS sx,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS sy,
+             CAST(floor(ln(rank) * ln(rank) * 1e9) AS BIGINT) AS sxx,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                        * 1e9) AS BIGINT) AS syy,
+             CAST(floor(ln(rank) * ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT)
+               AS sxy
+      FROM ranked
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS r_n,
+             sum(sx) / 1e9 AS ex, sum(sy) / 1e9 AS ey,
+             sum(sxx) / 1e9 AS exx, sum(syy) / 1e9 AS eyy,
+             sum(sxy) / 1e9 AS exy
+      FROM terms
+    )
+    SELECT CAST(r_n AS INT) AS n_ranks,
+           round((CAST(r_n AS DOUBLE) * exy - ex * ey)
+                 / (CAST(r_n AS DOUBLE) * exx - ex * ex), 6)
+             AS zipf_slope,
+           round(ey / CAST(r_n AS DOUBLE)
+                 - ((CAST(r_n AS DOUBLE) * exy - ex * ey)
+                    / (CAST(r_n AS DOUBLE) * exx - ex * ex))
+                   * ex / CAST(r_n AS DOUBLE), 6) AS intercept,
+           round((CAST(r_n AS DOUBLE) * exy - ex * ey)
+                 * (CAST(r_n AS DOUBLE) * exy - ex * ey)
+                 / ((CAST(r_n AS DOUBLE) * exx - ex * ex)
+                    * (CAST(r_n AS DOUBLE) * eyy - ey * ey)), 6) AS r2
+    FROM sums
+"""
+
+
+QUERIES["dedup_containment"] = _bind(dedup.containment_pairs, "documents")
+# directed shingle containment (Broder 1997): candidates from the
+# df-capped inverted index, EXACT c(A->B) = |A∩B|/|A| verified on the
+# full shingle arrays — the asymmetric quote/subset detector Jaccard
+# structurally misses
+ORACLE["dedup_containment"] = _CORPUS + """
+    , subset AS (SELECT * FROM corpus WHERE doc_id % 100000 < 200)
+    , shingled AS (
+      SELECT doc_id, list_distinct([
+               array_to_string(l[i:i+2], ' ')
+               for i in range(1, greatest(len(l) - 2, 1) + 1)
+             ]) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM subset) t
+    ),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    df_tbl AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50
+    ),
+    rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df_tbl USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    )
+    SELECT c.doc_a AS contained_id, c.doc_b AS container_id,
+           round(len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh), 6)
+             AS containment,
+           CAST(len(ta.sh) AS INT) AS n_sh_contained,
+           CAST(len(tb.sh) AS INT) AS n_sh_container
+    FROM cand c
+    JOIN shingled ta ON ta.doc_id = c.doc_a
+    JOIN shingled tb ON tb.doc_id = c.doc_b
+    WHERE len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh) >= 0.8
+"""

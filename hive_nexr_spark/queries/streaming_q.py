@@ -219,6 +219,8 @@ QUERIES = {
     "events_stream_interval_join": lambda spark, sf_dir:
         ev.click_purchase_interval_join_stream(spark, sf_dir),
     "events_asof_join": _asof_join,
+    "events_asof_join_tolerance": lambda spark, sf_dir:
+        ev.asof_enrich_tolerance(ensure_views(spark, sf_dir)["events"]),
     "events_cdc_merge": lambda spark, sf_dir: ev.cdc_merge_batch(
         ensure_views(spark, sf_dir)["events"]),
     "events_stream_cdc_upsert": lambda spark, sf_dir:
@@ -322,6 +324,30 @@ ORACLE = {
     # gaps are exact)
     "events_asof_join": """
         SELECT event_id, user_id, asof_event_id, gap_us FROM (
+          SELECT event_id, user_id, side,
+                 last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                   OVER w AS asof_event_id,
+                 epoch_us(ts) - last_value(
+                     CASE WHEN side = 0 THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER w AS gap_us
+          FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+            FROM events WHERE event_type IN ('click', 'purchase')
+          ) m
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ) t WHERE side = 1
+    """,
+    "events_asof_join_tolerance": """
+        SELECT event_id, user_id,
+               CASE WHEN gap_us <= 600000000 THEN asof_event_id END
+                 AS asof_event_id,
+               CASE WHEN gap_us <= 600000000 THEN gap_us END AS gap_us,
+               asof_event_id IS NOT NULL
+                 AND NOT coalesce(gap_us <= 600000000, FALSE)
+                 AS dropped_by_tolerance
+        FROM (
           SELECT event_id, user_id, side,
                  last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
                    OVER w AS asof_event_id,

@@ -893,3 +893,29 @@ def user_paths_topk(events: DataFrame, depth: int = 8,
     top = counts.orderBy(F.col("n").desc(), "path").limit(k)
     wr = Window.orderBy(F.col("n").desc(), F.col("path"))
     return top.withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
+def asof_enrich_tolerance(events: DataFrame, left_type: str = "purchase",
+                          right_type: str = "click",
+                          tolerance_s: int = 600) -> DataFrame:
+    """As-of join WITH A TOLERANCE (pandas merge_asof(tolerance=...)
+    parity — the other half of the time-series as-of API): a left event
+    matches the latest preceding right event ONLY if the gap is within
+    `tolerance_s`; staler matches are dropped to NULL, and the op
+    reports which rows lost their match to the tolerance (a real
+    distinction for attribution pipelines: "no click ever" vs "the last
+    click was too old to credit").
+
+    Same UNION-WINDOW physical plan as `asof_enrich_batch` (one keyed
+    exchange + per-user sort, no range-join blowup at any scale) — the
+    tolerance is a pure post-window projection, costing nothing."""
+    base = asof_enrich_batch(events, left_type, right_type)
+    within = F.col("gap_us") <= tolerance_s * 1_000_000
+    return base.select(
+        "event_id", "user_id",
+        F.when(within, F.col("asof_event_id")).alias("asof_event_id"),
+        F.when(within, F.col("gap_us")).alias("gap_us"),
+        (F.col("asof_event_id").isNotNull()
+         & ~F.coalesce(within, F.lit(False)))
+        .alias("dropped_by_tolerance"),
+    )

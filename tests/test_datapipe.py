@@ -1291,3 +1291,64 @@ def test_ivf_pq_rerank_never_loses_to_adc(dfs):
         assert d2s == sorted(d2s)
         assert rs[0].recall_reranked >= rs[0].recall_adc, \
             f"query {q}: rerank lost recall"
+
+
+def test_zipf_fit_power_law_diagnostics(dfs):
+    """Zipf fit sanity: 100 ranks fitted, negative log-log slope (rank-1
+    tokens are the most frequent by construction), R² in (0, 1]."""
+    from hive_nexr_spark.datapipe.corpus_stats import zipf_fit
+
+    r = zipf_fit(dfs["documents"]).collect()[0]
+    # n_ranks = min(top_r, vocabulary) — the tiny test fixture's vocab
+    # is below top_r, the op must fit whatever exists
+    assert 1 < r.n_ranks <= 100
+    assert r.zipf_slope < 0
+    assert 0.0 < r.r2 <= 1.0
+
+
+def test_containment_finds_planted_subsets(dfs):
+    """Containment dedup: planted exact copies (doc+100000) must show
+    containment 1.0 in BOTH directions; the 'zzz '-prefixed plants
+    (doc+200000) contain their originals fully (original's shingles ⊂
+    plant's) — the asymmetric case Jaccard misses; every emitted value
+    respects the threshold and the |∩| <= |contained| bound."""
+    from hive_nexr_spark.datapipe.dedup import containment_pairs
+
+    rows = containment_pairs(dfs["documents"]).collect()
+    got = {(r.contained_id, r.container_id): r for r in rows}
+    assert all(0.8 <= r.containment <= 1.0 for r in rows)
+    exact = [(a, b) for (a, b) in got if b == a + 100000]
+    assert exact, "no planted exact-copy pairs found"
+    assert all(got[p].containment == 1.0 for p in exact)
+    # asymmetric plants: original fully contained in its prefixed copy
+    asym = [(a, b) for (a, b) in got if b == a + 200000]
+    assert asym, "no asymmetric (prefixed) containment pairs found"
+    for a, b in asym:
+        r = got[(a, b)]
+        assert r.containment >= 0.8
+        assert r.n_sh_contained <= r.n_sh_container + 3
+
+
+def test_asof_tolerance_nulls_stale_matches(dfs):
+    """Tolerance as-of: every row flagged dropped_by_tolerance has its
+    match nulled; surviving matches respect the tolerance; rows equal
+    the plain as-of join's rows with stale matches masked."""
+    from hive_nexr_spark.streaming.events import (asof_enrich_batch,
+                                                  asof_enrich_tolerance)
+
+    tol = 600 * 1_000_000
+    base = {r.event_id: r for r in
+            asof_enrich_batch(dfs["events"]).collect()}
+    rows = asof_enrich_tolerance(dfs["events"]).collect()
+    assert len(rows) == len(base)
+    n_dropped = 0
+    for r in rows:
+        b = base[r.event_id]
+        if r.dropped_by_tolerance:
+            n_dropped += 1
+            assert r.asof_event_id is None and r.gap_us is None
+            assert b.asof_event_id is not None and b.gap_us > tol
+        elif r.asof_event_id is not None:
+            assert r.gap_us <= tol
+            assert r.asof_event_id == b.asof_event_id
+    assert n_dropped > 0, "fixture produced no tolerance drops"
