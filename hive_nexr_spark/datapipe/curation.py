@@ -573,6 +573,31 @@ def domain_temperature_mix(documents: DataFrame, total: int = 200,
     )
 
 
+def _surface_feats(documents: DataFrame) -> DataFrame:
+    """The 6 surface features + label shared by the classifier trainer
+    and its evaluation op (x0 bias, log token count, stopword share,
+    avg-word-length penalty, duplicate-token share, digit share;
+    y = lang=='en')."""
+    from .textops import EN_STOPWORDS
+
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    return documents.select(
+        F.lit(1.0).alias("x0"),
+        F.log(n.cast("double") + 1.0).alias("x1"),
+        (F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+         / n).cast("double").alias("x2"),
+        F.abs((F.length(F.regexp_replace(F.col("text"), " ", "")) / n)
+              .cast("double") - 5.0).alias("x3"),
+        (1.0 - F.size(F.array_distinct(toks)) / n).cast("double")
+        .alias("x4"),
+        ((F.length("text")
+          - F.length(F.regexp_replace(F.col("text"), r"[0-9]", "")))
+         / F.length("text")).cast("double").alias("x5"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+
+
 def quality_classifier_train(documents: DataFrame, steps: int = 3,
                              lr: float = 0.5) -> DataFrame:
     """TRAIN the quality classifier in-engine: full-batch logistic
@@ -597,25 +622,8 @@ def quality_classifier_train(documents: DataFrame, steps: int = 3,
     ONCE total instead of once per step — the same shingle-persist
     discipline `minhash_lsh_pairs` uses."""
     from ._cache import tracked_persist
-    from .textops import EN_STOPWORDS
 
-    toks = _tokens(F.col("text"))
-    n = F.size(toks)
-    feats = documents.select(
-        F.lit(1.0).alias("x0"),
-        F.log(n.cast("double") + 1.0).alias("x1"),
-        (F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-         / n).cast("double").alias("x2"),
-        F.abs((F.length(F.regexp_replace(F.col("text"), " ", "")) / n)
-              .cast("double") - 5.0).alias("x3"),
-        (1.0 - F.size(F.array_distinct(toks)) / n).cast("double")
-        .alias("x4"),
-        ((F.length("text")
-          - F.length(F.regexp_replace(F.col("text"), r"[0-9]", "")))
-         / F.length("text")).cast("double").alias("x5"),
-        (F.col("lang") == "en").cast("double").alias("y"),
-    )
-    feats = tracked_persist(feats)
+    feats = tracked_persist(_surface_feats(documents))
     weights = feats.sparkSession.createDataFrame(
         [(0.0,) * 6], "w0 double, w1 double, w2 double, w3 double, "
                       "w4 double, w5 double")
@@ -931,4 +939,80 @@ def bm25_topk(documents: DataFrame, k: int = 10, k1: float = 1.2,
         F.row_number().over(rw).alias("rank"),
         "doc_id", "n_query_hits", "score_micro",
         F.round(F.col("score_micro") / 1e6, 6).alias("bm25"),
+    )
+
+
+def quality_classifier_eval(documents: DataFrame, steps: int = 3,
+                            lr: float = 0.5) -> DataFrame:
+    """EVALUATE the trained quality classifier — the metrics report a
+    model gate ships with: ROC-AUC plus precision/recall/accuracy at
+    the 0.5 threshold, against the same trusted label the trainer
+    distilled from. Scoring uses the trainer's PUBLISHED (6dp-rounded)
+    weights — evaluation measures the artifact you deploy, not the
+    internal float state.
+
+    AUC is computed by the tie-aware histogram method (the Mann-Whitney
+    rank-sum identity): scores round to 6dp, (n_pos, n_neg) per distinct
+    score, AUC = Σ_s n_pos(s)·(cum_neg_below(s) + n_neg(s)/2) / (P·N).
+    Every contribution is an exact multiple of 0.5 (integer counts), so
+    the sum is float-order-immune and reproduces bit-for-bit.
+
+    Output: one row (n_pos, n_neg, auc, precision_at_half,
+    recall_at_half, accuracy).
+
+    100 TB shape: one feature scan + the trainer's unrolled steps, then
+    a map-side-combined groupBy(score) HISTOGRAM — bounded by distinct
+    6dp scores, ≪ corpus — whose cumulative window runs on that tiny
+    table (the curriculum_shards discipline: no global row sort ever);
+    confusion counts are one more 1-row aggregate."""
+    from ._cache import tracked_persist_extend
+
+    trained = quality_classifier_train(documents, steps, lr)
+    weights = trained.select(
+        *[F.col(c).alias(f"w{j}") for j, c in enumerate(
+            ["w_bias", "w_log_n", "w_stop", "w_avg_pen",
+             "w_dup", "w_digit"])])
+    feats = _surface_feats(documents)
+    z = sum((F.col(f"w{j}") * F.col(f"x{j}") for j in range(1, 6)),
+            F.col("w0") * F.col("x0"))
+    scored = tracked_persist_extend(
+        feats.crossJoin(F.broadcast(weights))
+        .select(F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("s"),
+                F.col("y")))
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("np_s"),
+        F.sum(1.0 - F.col("y")).alias("nn_s"))
+    wcum = (Window.orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    contrib = (F.col("np_s")
+               * (F.coalesce(F.sum("nn_s").over(wcum), F.lit(0.0))
+                  + F.col("nn_s") / 2.0))
+    auc_parts = hist.select(contrib.alias("c"), "np_s", "nn_s").agg(
+        F.sum("c").alias("num"),
+        F.sum("np_s").alias("n_pos"),
+        F.sum("nn_s").alias("n_neg"))
+    conf = scored.agg(
+        F.sum(F.when((F.col("s") >= 0.5) & (F.col("y") == 1.0), 1)
+              .otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("s") >= 0.5) & (F.col("y") == 0.0), 1)
+              .otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("s") < 0.5) & (F.col("y") == 1.0), 1)
+              .otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("s") < 0.5) & (F.col("y") == 0.0), 1)
+              .otherwise(0)).alias("tn"))
+    return (
+        auc_parts.crossJoin(F.broadcast(conf))
+        .select(
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+            F.round(F.col("num") / (F.col("n_pos") * F.col("n_neg")), 6)
+            .alias("auc"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6)
+            .alias("precision_at_half"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6)
+            .alias("recall_at_half"),
+            F.round((F.col("tp") + F.col("tn"))
+                    / (F.col("tp") + F.col("fp") + F.col("fn")
+                       + F.col("tn")), 6).alias("accuracy"),
+        )
     )

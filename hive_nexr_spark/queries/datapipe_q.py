@@ -3640,3 +3640,55 @@ ORACLE["dedup_containment"] = _CORPUS + """
     JOIN shingled tb ON tb.doc_id = c.doc_b
     WHERE len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh) >= 0.8
 """
+
+
+def _clf_eval_sql(steps: int = 3, lr: float = 0.5) -> str:
+    """DuckDB oracle for `curation.quality_classifier_eval`: the
+    `_clf_train_sql` CTE chain, then scoring with the 6dp-ROUNDED
+    published weights, the tie-aware histogram AUC (every contribution
+    an exact multiple of 0.5 — float-order-immune), and the 0.5
+    confusion counts."""
+    z = " + ".join(f"w.w{j} * f.x{j}" for j in range(6))
+    train = _clf_train_sql(steps, lr)
+    chain = train.split("\n    SELECT round(w.w0")[0]
+    wr = ", ".join(f"round(w{j}, 6) AS w{j}" for j in range(6))
+    return chain + f"""
+    , wr AS (SELECT {wr} FROM s{steps})
+    , scored AS (
+      SELECT round(1.0 / (1.0 + exp(-({z}))), 6) AS s, f.y
+      FROM feats f, wr w
+    )
+    , hist AS (
+      SELECT s, sum(y) AS np_s, sum(1.0 - y) AS nn_s
+      FROM scored GROUP BY s
+    )
+    , contribs AS (
+      SELECT np_s, nn_s,
+             np_s * (coalesce(sum(nn_s) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0.0) + nn_s / 2.0) AS c
+      FROM hist
+    )
+    , auc AS (
+      SELECT sum(c) AS num, sum(np_s) AS n_pos, sum(nn_s) AS n_neg
+      FROM contribs
+    )
+    , conf AS (
+      SELECT sum(CASE WHEN s >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN s >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN s < 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS fn,
+             sum(CASE WHEN s < 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS tn
+      FROM scored
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round(num / (n_pos * n_neg), 6) AS auc,
+           round(tp / (tp + fp), 6) AS precision_at_half,
+           round(tp / (tp + fn), 6) AS recall_at_half,
+           round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM auc, conf"""
+
+
+QUERIES["quality_classifier_eval"] = _bind(
+    curation.quality_classifier_eval, "documents")
+ORACLE["quality_classifier_eval"] = _clf_eval_sql()

@@ -221,6 +221,8 @@ QUERIES = {
     "events_asof_join": _asof_join,
     "events_asof_join_tolerance": lambda spark, sf_dir:
         ev.asof_enrich_tolerance(ensure_views(spark, sf_dir)["events"]),
+    "events_stream_asof": lambda spark, sf_dir:
+        ev.stream_asof_enrich(spark, sf_dir),
     "events_cdc_merge": lambda spark, sf_dir: ev.cdc_merge_batch(
         ensure_views(spark, sf_dir)["events"]),
     "events_stream_cdc_upsert": lambda spark, sf_dir:
@@ -831,6 +833,12 @@ ORACLE["similarity_stream_ann_ingest"] = _ivf_pq_sql_gen(
 # v1->v2 window is a pure append (inserts = the delta slice), v2->v3 a
 # merge-on-read delete (deletes = the tombstoned keys' rows); computed
 # engine-side from added dirs/tombstones only, never a content diff
+
+# streaming as-of vs the static click index (streaming/events.py
+# stream_asof_enrich): the index holds ALL clicks, so arrival order
+# cannot matter and the result equals the batch union-window as-of
+ORACLE["events_stream_asof"] = ORACLE["events_asof_join"]
+
 ORACLE["table_changes_diff"] = """
     SELECT CAST(1 AS INT) AS from_version, CAST(2 AS INT) AS to_version,
            'insert' AS change_type, count(*) AS n_rows,

@@ -919,3 +919,74 @@ def asof_enrich_tolerance(events: DataFrame, left_type: str = "purchase",
          & ~F.coalesce(within, F.lit(False)))
         .alias("dropped_by_tolerance"),
     )
+
+
+def _asof_static_index(events: DataFrame,
+                       right_type: str = "click") -> DataFrame:
+    """Per-user SORTED array of static right-side events — the broadcast
+    /keyed as-of index a stream probes: one row per user carrying
+    [(ts_us, event_id), ...] ascending."""
+    return (
+        events.filter(F.col("event_type") == right_type)
+        .select("user_id",
+                F.struct(F.unix_micros("ts").alias("ts_us"),
+                         F.col("event_id").alias("r_id")).alias("e"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("idx"))
+    )
+
+
+def _asof_probe(lefts: DataFrame, index: DataFrame) -> DataFrame:
+    """Shared batch/stream as-of probe: per left row, the latest index
+    entry at or before its timestamp — a stream-static equi-join on
+    user_id plus a per-row array filter + element_at(-1). Stateless:
+    no streaming aggregation, no watermark state."""
+    ts_us = F.unix_micros("ts")
+    eligible = F.filter(F.col("idx"), lambda e: e.ts_us <= ts_us)
+    last = F.element_at(eligible, -1)
+    return (
+        lefts.join(index, "user_id", "left")
+        .select(
+            "event_id", "user_id",
+            last.getField("r_id").alias("asof_event_id"),
+            (ts_us - last.getField("ts_us")).alias("gap_us"),
+        )
+    )
+
+
+def stream_asof_enrich(spark: SparkSession, sf_dir: str,
+                       left_type: str = "purchase",
+                       right_type: str = "click") -> DataFrame:
+    """STREAMING as-of join against a STATIC right-side index (the
+    trade↔quote operator under arrival semantics — the streaming twin of
+    `asof_enrich_batch`, restricted to a static right side the way
+    `events_stream_neardup` matches against a static corpus index):
+    arriving `left_type` events are enriched with the latest indexed
+    `right_type` event at or before their timestamp.
+
+    Scale design: the union-window batch plan needs total per-user
+    order, which a stream cannot replay; instead the static side
+    pre-aggregates to ONE sorted array per user (bounded by a user's
+    right-side history) and each arriving row pays one keyed equi-join
+    probe + an O(log n)-ish array scan — per-batch work ∝ batch,
+    ZERO streaming state. A fully stream-stream as-of needs watermarked
+    interval state (the `events_stream_interval_join` machinery) and
+    deliberately stays a separate op."""
+    import uuid
+
+    from ..datapipe._cache import tracked_persist
+    from ..queries.base import ensure_views
+
+    events = ensure_views(spark, sf_dir)["events"]
+    index = tracked_persist(_asof_static_index(events, right_type))
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == left_type)
+    probed = _asof_probe(stream, index)
+    name = f"stream_asof_{uuid.uuid4().hex[:8]}"
+    q = (probed.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1352,3 +1352,21 @@ def test_asof_tolerance_nulls_stale_matches(dfs):
             assert r.gap_us <= tol
             assert r.asof_event_id == b.asof_event_id
     assert n_dropped > 0, "fixture produced no tolerance drops"
+
+
+def test_classifier_eval_metrics_consistent(dfs):
+    """Evaluation metrics sanity: totals cover the corpus, AUC is a
+    valid probability strictly above coin-flip on the separable fixture
+    labels, and the confusion-derived rates stay in [0, 1]."""
+    from hive_nexr_spark.datapipe.curation import quality_classifier_eval
+
+    r = quality_classifier_eval(dfs["documents"]).collect()[0]
+    n_docs = dfs["documents"].count()
+    assert r.n_pos + r.n_neg == n_docs
+    assert 0.5 < r.auc <= 1.0
+    # precision/recall are NULL when the 0.5 threshold predicts no
+    # positives at the tiny fixture (0/0 → NULL in BOTH engines —
+    # verified parity); bounds apply whenever defined
+    for m in (r.precision_at_half, r.recall_at_half, r.accuracy):
+        assert m is None or 0.0 <= m <= 1.0
+    assert r.accuracy is not None

@@ -286,3 +286,17 @@ def test_stream_mv_maintain_equals_batch(dfs, spark, sf_dir):
     stream = stream_mv_maintain(spark, sf_dir).collect()
     assert _key(batch) == _key(stream)
     assert stream
+
+
+def test_stream_asof_equals_batch_asof(spark, sf_dir):
+    """The streaming as-of (static click index) must equal the batch
+    union-window as-of row-for-row: the index holds every click, so
+    arrival order cannot change any match."""
+    from hive_nexr_spark.queries.base import ensure_views
+    from hive_nexr_spark.streaming.events import (asof_enrich_batch,
+                                                  stream_asof_enrich)
+
+    got = {tuple(r) for r in stream_asof_enrich(spark, sf_dir).collect()}
+    want = {tuple(r) for r in asof_enrich_batch(
+        ensure_views(spark, sf_dir)["events"]).collect()}
+    assert got == want
