@@ -1025,3 +1025,44 @@ def test_wordpiece_train_plan_truncated_and_jvm_only(dfs):
     assert "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert len(plan) < 400_000, f"unrolled plan re-expanding: {len(plan)}"
+
+
+def test_containment_posting_join_keys_on_shingle(dfs):
+    """Containment dedup: the df table must partially combine map-side
+    (bounded state even on hot shingles), the posting self-join keys on
+    the shingle, and no Exchange carries document text."""
+    import re
+
+    from hive_nexr_spark.datapipe.dedup import containment_pairs
+
+    fplan = _formatted(containment_pairs(dfs["documents"]))
+    assert "partial_count" in fplan
+    assert "BatchEvalPython" not in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex, f"document text in shuffle: {ex}"
+
+
+def test_zipf_fit_takeordered_head_no_global_sort(dfs):
+    """Zipf fit: the top-R head must be TakeOrderedAndProject (never a
+    global Sort of the vocabulary), the token count map-side combined,
+    and the moment aggregation a 1-row integer aggregate."""
+    from hive_nexr_spark.datapipe.corpus_stats import zipf_fit
+
+    fplan = _formatted(zipf_fit(dfs["documents"]))
+    assert "TakeOrderedAndProject" in fplan
+    assert "partial_count" in fplan
+    assert "BatchEvalPython" not in fplan
+
+
+def test_asof_tolerance_single_exchange(dfs):
+    """Tolerance as-of: same physical plan class as the base as-of —
+    exactly ONE user_id exchange feeds the window, the tolerance being
+    a post-window projection."""
+    import re
+
+    from hive_nexr_spark.streaming.events import asof_enrich_tolerance
+
+    fplan = _formatted(asof_enrich_tolerance(dfs["events"]))
+    exchanges = re.findall(r"hashpartitioning\(user_id", fplan)
+    assert len(set(exchanges)) == 1
+    assert "RunningWindowFunction" in fplan or "Window" in fplan
