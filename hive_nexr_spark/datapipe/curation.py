@@ -899,9 +899,18 @@ def bm25_topk(documents: DataFrame, k: int = 10, k1: float = 1.2,
     join carries |Q| rows per matching document, not the corpus; final
     top-k is TakeOrderedAndProject — per-partition heaps, no global
     sort."""
+    from ._cache import tracked_persist
+
     terms = documents.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds THREE consumers (doc lengths, document frequencies, the
+    # query-term scoring join): persist it so the corpus is tokenized and
+    # tf-aggregated exactly once, not once per branch (ReuseExchange is
+    # not guaranteed across these shapes) — the same single-scan
+    # discipline as the classifier feature map and edit-distance front
+    # ends. tests/test_plans.py pins the documents-scan count.
+    tf = tracked_persist(
+        terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("_n_docs"),

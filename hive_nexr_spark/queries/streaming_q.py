@@ -98,7 +98,10 @@ def _bucketed_smb_join(spark, sf_dir):
     physical plan)."""
     dfs = ensure_views(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    lt, ot = f"li_b_{tag}", f"ord_b_{tag}"
+    # database-qualified: this write must not depend on the session's
+    # current database (a qfile that USEs — or drops — its own db would
+    # otherwise redirect/poison an unqualified saveAsTable)
+    lt, ot = f"default.li_b_{tag}", f"default.ord_b_{tag}"
     for name, df, key in ((lt, dfs["lineitem"], "l_orderkey"),
                           (ot, dfs["orders"], "o_orderkey")):
         if not spark.catalog.tableExists(name):
@@ -108,7 +111,7 @@ def _bucketed_smb_join(spark, sf_dir):
 
             loc = os.path.join(
                 spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-                name,
+                name.removeprefix("default."),
             )
             shutil.rmtree(loc, ignore_errors=True)
             (df.write.bucketBy(8, key).sortBy(key).mode("overwrite")

@@ -3772,6 +3772,17 @@ def run_qfile(spark: SparkSession, qfile: str,
                     else:
                         capture.append(last_select)
     finally:
+        # Mirror of the pre-run `USE default` reset above: a qfile that
+        # ends inside its own database — exim_01_nonpart.q even DROPs the
+        # database while it is current — must not leak a stale (possibly
+        # dropped) current database into the shared session, or the next
+        # unqualified saveAsTable/CREATE TABLE dies with SCHEMA_NOT_FOUND
+        # (CliDriver resets the session per test; we reset per file both
+        # on entry AND on exit so non-qfile queries are safe in between).
+        try:
+            spark.sql("USE default")
+        except Exception:
+            pass
         # QTestUtil.cleanUp parity: a file that errors mid-run (negative
         # corpus) must not leak its explicit locks into later files
         hql.locks.clear()

@@ -111,6 +111,24 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
         df.limit(5).collect()
 
 
+def test_qfile_db_leak_then_unqualified_write(spark, sf_dir):
+    """Regression (round-10 red): exim_01_nonpart.q DROPs its own database
+    (`importer`) while it is still the session's current database; the
+    qfile runner must restore `USE default` on exit (sources/qtest.py
+    finally block) so the next unqualified/default-db write — the SMB
+    bucketed-table build — doesn't die with SCHEMA_NOT_FOUND. Runs the two
+    keys in exactly the order that went red, with the bucketed tables
+    dropped first so the saveAsTable path actually executes."""
+    qs = entry_mod.queries()
+    tag = "sf0_001"
+    for t in (f"default.li_b_{tag}", f"default.ord_b_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    qs["qfile_exim_nonpart"](spark, sf_dir).limit(5).collect()
+    assert spark.catalog.currentDatabase() == "default"
+    qs["bucketed_smb_join"](spark, sf_dir).limit(5).collect()
+    assert spark.catalog.currentDatabase() == "default"
+
+
 def test_green_rotation_varies_by_round(monkeypatch):
     """Tier-2 (green) ordering rotates with the round number so every
     long-green key cycles through the driver's 50-slot window instead of

@@ -1010,6 +1010,12 @@ def test_bm25_filters_to_query_terms_before_scoring(dfs):
     assert "BroadcastHashJoin" in fplan
     assert "TakeOrderedAndProject" in fplan
     assert "BatchEvalPython" not in fplan
+    # Single-scan discipline (r10 verdict #4a): tf feeds three consumers
+    # (dl, df, scoring) through a tracked_persist — every branch reads the
+    # cache (InMemoryTableScan), and the documents parquet appears in at
+    # most ONE scan subtree instead of once per branch.
+    assert fplan.count("InMemoryTableScan") >= 3, fplan[:2000]
+    assert fplan.count("documents.parquet") <= 1
 
 
 def test_wordpiece_train_plan_truncated_and_jvm_only(dfs):
