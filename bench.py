@@ -298,14 +298,29 @@ def main() -> None:
     # on their OWN earlier line AND persisted to a sidecar file next to bench.py
     # so they survive regardless of tail-capture length.
     metrics_payload = json.dumps({"metrics": metrics, "sf": sf_val})
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_METRICS.json"
-    )
-    try:
-        with open(sidecar, "w") as fh:
-            fh.write(metrics_payload + "\n")
-    except OSError:
-        pass  # sidecar is best-effort; stdout line below is authoritative
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecars = [os.path.join(here, "BENCH_METRICS.json")]
+    # Round-stamped fingerprint sidecar (r10 verdict #2): BENCH_METRICS.json
+    # is gitignored (per-run scratch), so plan-fingerprint history was not
+    # artifact-durable round-over-round. At the official bench sf (>= 0.1)
+    # also write BENCH_METRICS_r{N}.json — committed each round alongside
+    # BENCH_r{N}.json so wall-clock drift can be judged against plan
+    # fingerprints without archaeology. Smoke-sf runs (0.001/0.01) skip the
+    # round file so local iteration never shadows the real record.
+    if isinstance(sf_val, float) and sf_val >= 0.1:
+        try:
+            from hive_nexr_spark.queries import _next_round_no
+
+            sidecars.append(
+                os.path.join(here, f"BENCH_METRICS_r{_next_round_no()}.json"))
+        except Exception:
+            pass
+    for sidecar in sidecars:
+        try:
+            with open(sidecar, "w") as fh:
+                fh.write(metrics_payload + "\n")
+        except OSError:
+            pass  # sidecar is best-effort; stdout line below is authoritative
     print(metrics_payload)
     print(
         json.dumps(

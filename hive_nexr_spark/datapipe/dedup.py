@@ -39,9 +39,15 @@ def with_synthetic_dups(documents: DataFrame) -> DataFrame:
 
 
 def _bounded_corpus(documents: DataFrame, max_doc_id: int) -> DataFrame:
-    """The standard bounded dup corpus every pairwise operator runs on:
-    synthetic dups planted, then capped to doc_id % 100000 < max_doc_id
-    (the cap bounds the ORACLE's brute-force twin, not the operator)."""
+    """The standard bounded dup corpus the pairwise BASELINE operators run
+    on: synthetic dups planted, then capped to doc_id % 100000 < max_doc_id.
+    The cap DOES bound the operator's input — it exists because each of
+    these baselines is oracle-checked against a brute-force O(n²) DuckDB
+    twin that only stays tractable on a bounded corpus. The production
+    path for each family is its `_full` sibling (max_doc_id >= the
+    synthetic-dup modulus → no cap), whose candidate generation is
+    banded/bucketed/df-capped and whose oracle runs the SAME bounded-
+    fan-out algorithm, not brute force."""
     return with_synthetic_dups(documents).filter(
         (F.col("doc_id") % 100000) < max_doc_id)
 
@@ -917,6 +923,28 @@ def lsh_index_add_batch(spark, index_root: str,
                                  {"shingles": [sdir], "bands": [bdir]})
 
 
+def lsh_index_delete(spark, index_root: str, keys: DataFrame) -> int:
+    """MERGE-ON-READ delete for the persisted LSH dedup index — the
+    lifecycle half the snapshot table (`sources/snapshots.py:61`) and
+    the ANN index already have: removing documents from the corpus must
+    tombstone their shingle/band rows without rewriting any index data.
+
+    `keys` is a one-column (doc_id) DataFrame of documents to remove.
+    They are written as a TOMBSTONE parquet dir — work O(|keys|)
+    regardless of index size — and committed as one atomic manifest
+    bump appending to a `tombstones` index table. Queries at the new
+    version anti-join tombstoned doc_ids out of candidate generation;
+    every PRE-delete version lists no (or fewer) tombstone dirs and
+    stays AS-OF readable with the deleted documents still matching.
+    Returns the new manifest version."""
+    from ..sources import index_manifest as idx
+
+    tag = f"b{idx.latest_version(index_root) + 1:05d}"
+    tdir = idx.new_data_dir(index_root, "tombstones", tag)
+    keys.select("doc_id").write.mode("overwrite").parquet(tdir)
+    return idx.append_table_dirs(index_root, {"tombstones": [tdir]})
+
+
 def lsh_index_query(spark, index_root: str, probe_docs: DataFrame,
                     threshold: float = 0.5,
                     version: int | None = None) -> DataFrame:
@@ -924,13 +952,22 @@ def lsh_index_query(spark, index_root: str, probe_docs: DataFrame,
     statelessly (`hof_bands`), equi-join the persisted band table on
     (band, bucket), verify exact Jaccard against the persisted shingle
     table — ids and band keys through every Exchange, the corpus never
-    re-shingled. `version` pins an AS-OF index state (pre-admission
-    results reproducible forever). Output: (doc_a = index doc, doc_b =
-    probe doc, jaccard), deduped across multi-band matches."""
+    re-shingled. `version` pins an AS-OF index state (pre-admission /
+    pre-delete results reproducible forever). Tombstoned documents
+    (`lsh_index_delete`) are anti-joined out of the band table before
+    candidate generation — one broadcast of the O(|deleted|) key set,
+    which also suppresses their shingle fetch (verification is keyed by
+    surviving candidates). Output: (doc_a = index doc, doc_b = probe
+    doc, jaccard), deduped across multi-band matches."""
     from ..sources import index_manifest as idx
 
     bands_t = idx.read_index_table(spark, index_root, "bands", version)
     toks_t = idx.read_index_table(spark, index_root, "shingles", version)
+    tomb_dirs = idx.read_manifest(index_root, version)["tables"].get(
+        "tombstones", [])
+    if tomb_dirs:
+        tombs = spark.read.parquet(*tomb_dirs).select("doc_id")
+        bands_t = bands_t.join(F.broadcast(tombs), "doc_id", "left_anti")
     probes = hof_bands(
         _with_shingles(probe_docs.select("doc_id", "text"))
         .select("doc_id", "sh")
@@ -1020,8 +1057,11 @@ def containment_pairs(documents: DataFrame, threshold: float = 0.8,
     keeps every inverted-index posting list <= df_cap (bounded join
     fan-out per shingle — the blowup guard); verification joins the
     |candidates| pair set back to the persisted shingle arrays, never
-    n²; `_bounded_corpus` caps the ORACLE's brute-force twin, not the
-    operator."""
+    n². With the default `max_doc_id` the corpus is `_bounded_corpus`-
+    capped (this is the oracle-baseline configuration); the declared
+    `dedup_containment_full` key runs the identical plan with
+    max_doc_id >= the synthetic-dup modulus — the uncapped
+    full-corpus path you'd run at 100 TB."""
     from ._cache import tracked_persist_extend
 
     corpus = _bounded_corpus(documents, max_doc_id)

@@ -196,6 +196,47 @@ def hash_planes(tables: int, bits: int, dim: int) -> list[list[list[float]]]:
     ]
 
 
+def clustered_embeddings(spark, n_vecs: int = 120, dim: int = 64,
+                         n_centers: int = 8, scale: float = 4.0,
+                         noise: float = 0.1) -> DataFrame:
+    """Deterministic CLUSTERED embedding fixture — a mixture of
+    `n_centers` well-separated uniform-ball clusters, generated entirely
+    in-engine from md5 (no data file, no RNG state): vector i belongs to
+    center i % n_centers; coordinate j is
+
+        scale * u('c:' || center || ':' || j)          (the center)
+      + noise * (u('n:' || i || ':' || j) - 0.5)       (the jitter)
+
+    where u(s) = first 60 bits of md5(s) as a double in [0,1) — the
+    engine-portable hash-uniform idiom the sampling operators use, so
+    DuckDB regenerates the identical table from the same expression.
+
+    Why it exists: the uniform synthetic `embeddings.parquet` has no
+    cluster structure, so a coarse quantizer explains ~no variance and
+    residual-vs-raw PQ recall lands within noise (`ivf_pq_residual_topk`
+    docstring). On THIS fixture the coarse centroids absorb the
+    inter-center offsets (center distance ~ scale·sqrt(dim/6) >> noise),
+    so residual encoding spends its code budget on the jitter that
+    actually ranks neighbors — the measurable Jégou §IV-A gain the
+    residual op was built to demonstrate (pinned in pytest).
+
+    Output: (vec_id, embedding array<double>), vec_id 0..n_vecs-1."""
+    u = lambda s: (F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                   .cast("double") / F.lit(float(1 << 60)))
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.lit(scale) * u(F.concat_ws(
+                ":", F.lit("c"), (F.col("id") % n_centers).cast("string"),
+                j.cast("string")))
+            + F.lit(noise) * (u(F.concat_ws(
+                ":", F.lit("n"), F.col("id").cast("string"),
+                j.cast("string"))) - F.lit(0.5)),
+        ).alias("embedding"),
+    )
+
+
 def with_synthetic_vec_dups(embeddings: DataFrame, dim: int = 64,
                             eps: float = 0.05) -> DataFrame:
     """Deterministic near-dup vector corpus: originals ∪ perturbed copies

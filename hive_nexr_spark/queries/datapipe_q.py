@@ -2090,6 +2090,33 @@ ORACLE["dedup_lsh_index_add_batch"] = _lsh_match_sql(
     f"{_LSH_ORIGINALS} UNION ALL {_LSH_EXACTS}", _LSH_NEARS)
 
 
+def _lsh_index_delete(spark, sf_dir):
+    """Index lifecycle with merge-on-read DELETE: build from the bounded
+    originals, tombstone the doc_id % 4 == 0 quarter (one O(|keys|)
+    manifest bump — no index data rewritten), then probe with the exact
+    copies of the EVEN originals. Copies of deleted originals
+    (doc_id % 4 == 0) must no longer match; copies of surviving evens
+    (doc_id % 4 == 2) still do — equivalent to an index built without
+    the deleted docs, which is exactly what the oracle builds."""
+    docs = ensure_views(spark, sf_dir)["documents"]
+    d = similarity._index_scratch()
+    dedup.lsh_index_build(docs, d)
+    bounded = dedup._bounded_corpus(docs, 200)
+    dedup.lsh_index_delete(
+        spark, d,
+        bounded.filter((F.col("doc_id") < 100000)
+                       & (F.col("doc_id") % 4 == 0)).select("doc_id"))
+    return dedup.lsh_index_query(
+        spark, d,
+        bounded.filter((F.col("doc_id") >= 100000)
+                       & (F.col("doc_id") < 200000)))
+
+
+QUERIES["dedup_lsh_index_delete"] = _lsh_index_delete
+ORACLE["dedup_lsh_index_delete"] = _lsh_match_sql(
+    f"{_LSH_ORIGINALS} AND doc_id % 4 <> 0", _LSH_EXACTS)
+
+
 QUERIES["tokenize_bpe_merge_order"] = _bind(
     corpus_stats.bpe_apply_merge_order, "documents")
 # merge-ORDER application: the train chain's FINAL vocabulary state (v6,
@@ -2681,10 +2708,11 @@ ORACLE["dedup_canonical"] = _CORPUS + """
 """
 
 
-def _clf_train_sql(steps: int = 3, lr: float = 0.5) -> str:
-    """DuckDB oracle for `curation.quality_classifier_train`: identical
-    feature math (the quality_classifier_scores oracle's feat CTE) with
-    the gradient steps unrolled as chained CTEs."""
+def _clf_train_chain(steps: int = 3, lr: float = 0.5) -> str:
+    """The trainer's CTE chain ONLY (feats + unrolled gradient steps,
+    ending at CTE ``s{steps}``) — shared verbatim by the train oracle's
+    final SELECT and the eval oracle's scoring chain, so neither has to
+    string-split the other's formatted SQL (r10 advisor finding)."""
     z = " + ".join(f"w.w{j} * f.x{j}" for j in range(6))
     parts = ["""
     WITH feats AS (
@@ -2716,17 +2744,24 @@ def _clf_train_sql(steps: int = 3, lr: float = 0.5) -> str:
         parts.append(f"""
     , g{t} AS (SELECT {gs} FROM feats f, s{t - 1} w)
     , s{t} AS (SELECT {ws} FROM s{t - 1} w, g{t} g)""")
+    return "".join(parts)
+
+
+def _clf_train_sql(steps: int = 3, lr: float = 0.5) -> str:
+    """DuckDB oracle for `curation.quality_classifier_train`: identical
+    feature math (the quality_classifier_scores oracle's feat CTE) with
+    the gradient steps unrolled as chained CTEs (`_clf_train_chain`)."""
+    z = " + ".join(f"w.w{j} * f.x{j}" for j in range(6))
     p = f"1.0 / (1.0 + exp(-({z})))"
     names = ["w_bias", "w_log_n", "w_stop", "w_avg_pen", "w_dup", "w_digit"]
     sel = ", ".join(f"round(w.w{j}, 6) AS {nm}"
                     for j, nm in enumerate(names))
-    parts.append(f"""
+    return _clf_train_chain(steps, lr) + f"""
     SELECT {sel},
            round(avg(-(f.y * ln({p}) + (1.0 - f.y) * ln(1.0 - ({p})))), 6)
              AS logloss
     FROM feats f, s{steps} w
-    GROUP BY {", ".join(f"w.w{j}" for j in range(6))}""")
-    return "".join(parts)
+    GROUP BY {", ".join(f"w.w{j}" for j in range(6))}"""
 
 
 QUERIES["quality_classifier_train"] = _bind(
@@ -2986,7 +3021,8 @@ def _ivf_pq_residual_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
                          ks: int = 16, pq_iters: int = 1, dim: int = 64,
                          train_pred: str | None = None,
                          with_recall: bool = False,
-                         rerank_shortlist: int | None = None) -> str:
+                         rerank_shortlist: int | None = None,
+                         emb_sql: str | None = None) -> str:
     """DuckDB oracle for the RESIDUAL (true IVFADC) encoding: the coarse
     CTE chain + residual computation, PQ codebooks trained on residual
     subvectors (seed = the ks lowest TRAIN-corpus vec_ids), residual
@@ -3004,7 +3040,9 @@ def _ivf_pq_residual_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
         "FROM resid"
         for j in range(m))
     if train_pred is None:
-        kmeans = _kmeans_cte(n_cells, coarse_iters, dim)
+        # emb_sql overrides the corpus CTE (the clustered fixture key
+        # regenerates its md5-derived table instead of reading parquet)
+        kmeans = _kmeans_cte(n_cells, coarse_iters, dim, emb_sql=emb_sql)
         tsubr, tpred = "subr", "TRUE"
         subrt_cte = ""
     else:
@@ -3284,6 +3322,44 @@ QUERIES["similarity_ivf_pq_residual"] = _bind(
     similarity.ivf_pq_residual_topk, "embeddings")
 ORACLE["similarity_ivf_pq_residual"] = _ivf_pq_residual_sql(
     with_recall=True)
+
+
+def _clustered_emb_sql(n_vecs: int = 120, dim: int = 64,
+                       n_centers: int = 8, scale: float = 4.0,
+                       noise: float = 0.1) -> str:
+    """DuckDB regeneration of `similarity.clustered_embeddings` — the
+    identical md5-uniform expression per coordinate, so the fixture is
+    bit-equal across engines (same 60-bit-integer-to-double idiom as the
+    sampling oracles)."""
+    u_c = ("CAST(('0x' || substr(md5('c:' || (t.vec_id % "
+           f"{n_centers}) || ':' || j), 1, 15))::BIGINT AS DOUBLE)"
+           " / 1152921504606846976.0")
+    u_n = ("CAST(('0x' || substr(md5('n:' || t.vec_id || ':' || j), 1, 15))"
+           "::BIGINT AS DOUBLE) / 1152921504606846976.0")
+    return f"""emb AS (
+      SELECT vec_id,
+             [ CAST({scale} AS DOUBLE) * ({u_c})
+               + CAST({noise} AS DOUBLE) * (({u_n}) - CAST(0.5 AS DOUBLE))
+               for j in range(0, {dim}) ] AS v
+      FROM range(0, {n_vecs}) AS t(vec_id)
+    )"""
+
+
+def _ivf_pq_clustered(spark, sf_dir):
+    """`ivf_pq_residual_topk` over the deterministic clustered fixture
+    (mixture of 8 well-separated md5-derived centers) at a finer code
+    budget (m=8 subspaces, 2 PQ iterations): the configuration where
+    residual (IVFADC) encoding measurably out-recalls raw encoding —
+    the Jégou §IV-A gain the op was built to demonstrate, vacuous on
+    the uniform `embeddings.parquet` (both ≈ noise there). The recall
+    gap is pinned in tests/test_datapipe.py."""
+    emb = similarity.clustered_embeddings(spark)
+    return similarity.ivf_pq_residual_topk(emb, m=8, pq_iters=2)
+
+
+QUERIES["similarity_ivf_pq_clustered"] = _ivf_pq_clustered
+ORACLE["similarity_ivf_pq_clustered"] = _ivf_pq_residual_sql(
+    with_recall=True, m=8, pq_iters=2, emb_sql=_clustered_emb_sql())
 
 
 def _queries_of(emb, n_queries: int = 10):
@@ -3605,7 +3681,16 @@ ORACLE["corpus_zipf_fit"] = """
 """
 
 
+def _containment_full(documents):
+    # max_doc_id >= the synthetic-dup modulus → no subset cap: the whole
+    # corpus goes through the df-capped inverted index (the 100 TB shape;
+    # completes the family invariant — every pairwise op has a bounded
+    # oracle baseline AND a full-corpus path)
+    return dedup.containment_pairs(documents, max_doc_id=100000)
+
+
 QUERIES["dedup_containment"] = _bind(dedup.containment_pairs, "documents")
+QUERIES["dedup_containment_full"] = _bind(_containment_full, "documents")
 # directed shingle containment (Broder 1997): candidates from the
 # df-capped inverted index, EXACT c(A->B) = |A∩B|/|A| verified on the
 # full shingle arrays — the asymmetric quote/subset detector Jaccard
@@ -3641,16 +3726,48 @@ ORACLE["dedup_containment"] = _CORPUS + """
     WHERE len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh) >= 0.8
 """
 
+# full-corpus twin: identical df-capped inverted-index algorithm with the
+# subset cap removed (the oracle mirrors the SAME bounded-fan-out candidate
+# generation — never brute force — so it scales with the corpus too)
+ORACLE["dedup_containment_full"] = _CORPUS + """
+    , shingled AS (
+      SELECT doc_id, list_distinct([
+               array_to_string(l[i:i+2], ' ')
+               for i in range(1, greatest(len(l) - 2, 1) + 1)
+             ]) AS sh
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM corpus) t
+    ),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+    df_tbl AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50
+    ),
+    rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df_tbl USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    )
+    SELECT c.doc_a AS contained_id, c.doc_b AS container_id,
+           round(len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh), 6)
+             AS containment,
+           CAST(len(ta.sh) AS INT) AS n_sh_contained,
+           CAST(len(tb.sh) AS INT) AS n_sh_container
+    FROM cand c
+    JOIN shingled ta ON ta.doc_id = c.doc_a
+    JOIN shingled tb ON tb.doc_id = c.doc_b
+    WHERE len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh) >= 0.8
+"""
+
 
 def _clf_eval_sql(steps: int = 3, lr: float = 0.5) -> str:
     """DuckDB oracle for `curation.quality_classifier_eval`: the
-    `_clf_train_sql` CTE chain, then scoring with the 6dp-ROUNDED
+    `_clf_train_chain` CTE chain, then scoring with the 6dp-ROUNDED
     published weights, the tie-aware histogram AUC (every contribution
     an exact multiple of 0.5 — float-order-immune), and the 0.5
     confusion counts."""
     z = " + ".join(f"w.w{j} * f.x{j}" for j in range(6))
-    train = _clf_train_sql(steps, lr)
-    chain = train.split("\n    SELECT round(w.w0")[0]
+    chain = _clf_train_chain(steps, lr)
     wr = ", ".join(f"round(w{j}, 6) AS w{j}" for j in range(6))
     return chain + f"""
     , wr AS (SELECT {wr} FROM s{steps})

@@ -280,12 +280,24 @@ def changes_between(spark: SparkSession, base: str, v_from: int,
     the CHANGED data plus one keyed lookup, not to table size — the
     property that makes incremental consumers (downstream MVs, sync
     jobs) viable on a 100 TB table where a full-diff would re-scan
-    everything. Returns (inserted_df, deleted_df)."""
+    everything. Returns (inserted_df, deleted_df).
+
+    Semantics note (deliberate divergence from Iceberg sequence-number
+    CDC): this table's equality tombstones are UNSEQUENCED — read_version
+    applies every tombstone to every data dir — so a key deleted in an
+    earlier version and re-inserted in this window stays invisible to
+    the read path, and the insert CDC consistently omits it (we
+    anti-join against ALL of the target's tombstones, not just the
+    window's). Re-inserting a previously-deleted key requires a
+    compaction first (which clears tombstones); Iceberg/Delta instead
+    scope deletes to older files via sequence numbers."""
     m_from = _load_manifest(base, v_from)
     m_to = _load_manifest(base, v_to)
     new_dirs = [d for d in m_to["dirs"] if d not in m_from["dirs"]]
     new_tombs = [d for d in m_to["deletes"] if d not in m_from["deletes"]]
-    some_dir = m_from["dirs"][0]
+    # schema source for empty frames: any manifest dir (the source
+    # version may be an EMPTY table with no data dirs yet)
+    some_dir = (m_from["dirs"] or m_to["dirs"])[0]
     schema_src = spark.read.parquet(some_dir)
     if new_dirs:
         inserted = spark.read.parquet(*new_dirs)

@@ -943,7 +943,11 @@ def _asof_probe(lefts: DataFrame, index: DataFrame) -> DataFrame:
     no streaming aggregation, no watermark state."""
     ts_us = F.unix_micros("ts")
     eligible = F.filter(F.col("idx"), lambda e: e.ts_us <= ts_us)
-    last = F.element_at(eligible, -1)
+    # try_element_at: NULL on the empty array (a purchase before any
+    # click) regardless of spark.sql.ansi.enabled — plain element_at(-1)
+    # would throw INVALID_ARRAY_INDEX under ANSI mode (the Spark 4
+    # default), silently coupling this op to the session's non-ANSI pin
+    last = F.try_element_at(eligible, F.lit(-1))
     return (
         lefts.join(index, "user_id", "left")
         .select(

@@ -1037,6 +1037,71 @@ def test_lsh_index_lifecycle(dfs, spark):
     assert asof == got
 
 
+def test_lsh_index_delete_tombstones_and_asof(dfs, spark):
+    """Merge-on-read DELETE on the persisted LSH index: tombstoned
+    documents stop matching at the new version, no index data file is
+    rewritten (the manifest bump only ADDS a tombstone dir), and the
+    pre-delete version stays AS-OF readable with the deleted documents
+    still matching."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.datapipe import dedup, similarity
+    from hive_nexr_spark.sources import index_manifest as idx
+
+    docs = dfs["documents"]
+    d = similarity._index_scratch()
+    dedup.lsh_index_build(docs, d)
+    bounded = dedup._bounded_corpus(docs, 200)
+    exacts = bounded.filter((F.col("doc_id") >= 100000)
+                            & (F.col("doc_id") < 200000))
+    before = {(r.doc_a, r.doc_b) for r in
+              dedup.lsh_index_query(spark, d, exacts).collect()}
+    # every exact copy matches its even origin pre-delete
+    assert any(a % 4 == 0 for a, _ in before)
+    dirs_v1 = set(idx.read_manifest(d, 1)["tables"]["bands"])
+    v2 = dedup.lsh_index_delete(
+        spark, d,
+        bounded.filter((F.col("doc_id") < 100000)
+                       & (F.col("doc_id") % 4 == 0)).select("doc_id"))
+    assert v2 == 2
+    man2 = idx.read_manifest(d, 2)
+    # no data rewrite: the band dirs are byte-identical references,
+    # the only new table is the tombstone dir
+    assert set(man2["tables"]["bands"]) == dirs_v1
+    assert man2["tables"]["tombstones"]
+    after = {(r.doc_a, r.doc_b) for r in
+             dedup.lsh_index_query(spark, d, exacts).collect()}
+    assert not any(a % 4 == 0 and a < 100000 for a, _ in after)
+    assert after == {(a, b) for a, b in before
+                     if not (a < 100000 and a % 4 == 0)}
+    # AS-OF the pre-delete version: deleted docs still match
+    asof = {(r.doc_a, r.doc_b) for r in
+            dedup.lsh_index_query(spark, d, exacts, version=1).collect()}
+    assert asof == before
+
+
+def test_residual_beats_raw_on_clustered_fixture(spark):
+    """The measurement `ivf_pq_residual_topk` was built to produce —
+    vacuous on the uniform synthetic embeddings (r10 verdict): on the
+    deterministic clustered fixture (8 well-separated md5-derived
+    centers; the coarse quantizer absorbs the inter-center offsets)
+    residual/IVFADC encoding must out-recall raw encoding at the same
+    code budget (Jégou et al. 2011 §IV-A). Fixture and pipeline are
+    fully deterministic, so the pinned values are exact, not a flaky
+    statistical bound (measured: residual 0.633 vs raw 0.433)."""
+    from hive_nexr_spark.datapipe import similarity
+
+    emb = similarity.clustered_embeddings(spark)
+    out = similarity.ivf_pq_residual_topk(emb, m=8, pq_iters=2)
+    rows = (out.select("query_id", "recall_residual", "recall_raw")
+            .distinct().collect())
+    assert len(rows) == 10
+    rr = sum(r.recall_residual for r in rows) / len(rows)
+    rw = sum(r.recall_raw for r in rows) / len(rows)
+    assert rr > rw + 0.1, (rr, rw)
+    assert rr >= 0.6, rr
+
+
 def test_heavy_hitters_bounded_matches_exact_groupby(dfs):
     """The Misra-Gries two-pass result must EQUAL the full-vocabulary
     groupBy restricted to the same n*(k+1) > N threshold — the sketch

@@ -1048,6 +1048,24 @@ def test_containment_posting_join_keys_on_shingle(dfs):
         assert "text#" not in ex, f"document text in shuffle: {ex}"
 
 
+def test_containment_full_same_bounded_fanout_plan(dfs):
+    """The full-corpus containment twin must keep exactly the bounded
+    baseline's plan shape — df-cap filter before the posting self-join
+    (the fan-out guard that makes the corpus-wide run safe), map-side
+    combined df counts, and no document text in any Exchange."""
+    import re
+
+    from hive_nexr_spark.datapipe.dedup import containment_pairs
+
+    fplan = _formatted(containment_pairs(dfs["documents"], max_doc_id=100000))
+    assert "partial_count" in fplan
+    # the stop-shingle cap must sit in the plan (df <= 50 posting bound)
+    assert re.search(r"\(df#\d+L? <= 50\)", fplan), fplan[:2000]
+    assert "BatchEvalPython" not in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex, f"document text in shuffle: {ex}"
+
+
 def test_zipf_fit_takeordered_head_no_global_sort(dfs):
     """Zipf fit: the top-R head must be TakeOrderedAndProject (never a
     global Sort of the vocabulary), the token count map-side combined,
