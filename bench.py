@@ -29,6 +29,7 @@ HEADLINE = [
     "window_topk_per_group",
     "dedup_exact",
     "dedup_minhash_lsh_full",
+    "dedup_containment_full",
     "dedup_simhash_banded",
     "similarity_ivf_topk",
     "dedup_embedding_lsh_full",
