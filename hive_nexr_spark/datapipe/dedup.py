@@ -945,6 +945,35 @@ def lsh_index_delete(spark, index_root: str, keys: DataFrame) -> int:
     return idx.append_table_dirs(index_root, {"tombstones": [tdir]})
 
 
+def lsh_index_compact(spark, index_root: str) -> int:
+    """COMPACTION for the persisted LSH dedup index (merge-on-read →
+    rewritten baseline; the `sources/snapshots.py:80` recipe over the
+    index-manifest layer): materialize the VISIBLE shingle/band rows
+    (tombstones applied) into one fresh directory per table and commit
+    a manifest listing only those, with no tombstones — queries stop
+    paying the anti-join, content never changes (pytest pins query
+    equality pre/post; pre-compaction versions stay AS-OF readable).
+    At scale this also binpacks the per-add-batch small files. Returns
+    the new manifest version."""
+    from ..sources import index_manifest as idx
+
+    man = idx.read_manifest(index_root)
+    tag = f"b{man['version'] + 1:05d}c"
+    sh = spark.read.parquet(*man["tables"]["shingles"])
+    bd = spark.read.parquet(*man["tables"]["bands"])
+    tomb_dirs = man["tables"].get("tombstones", [])
+    if tomb_dirs:
+        tombs = spark.read.parquet(*tomb_dirs).select("doc_id")
+        sh = sh.join(F.broadcast(tombs), "doc_id", "left_anti")
+        bd = bd.join(F.broadcast(tombs), "doc_id", "left_anti")
+    sdir = idx.new_data_dir(index_root, "shingles", tag)
+    sh.write.mode("overwrite").parquet(sdir)
+    bdir = idx.new_data_dir(index_root, "bands", tag)
+    bd.write.mode("overwrite").parquet(bdir)
+    return idx.commit_manifest(index_root, man["params"],
+                               {"shingles": [sdir], "bands": [bdir]})
+
+
 def lsh_index_query(spark, index_root: str, probe_docs: DataFrame,
                     threshold: float = 0.5,
                     version: int | None = None) -> DataFrame:

@@ -2117,6 +2117,32 @@ ORACLE["dedup_lsh_index_delete"] = _lsh_match_sql(
     f"{_LSH_ORIGINALS} AND doc_id % 4 <> 0", _LSH_EXACTS)
 
 
+def _lsh_index_compact(spark, sf_dir):
+    """Full index lifecycle: build → tombstone the doc_id % 4 == 0
+    quarter → COMPACT (tombstones materialized away, one fresh dir per
+    table, no anti-join left in the read path) → probe with the exact
+    copies. Compaction changes layout, never content — the result (and
+    oracle) is identical to the pre-compaction delete key."""
+    docs = ensure_views(spark, sf_dir)["documents"]
+    d = similarity._index_scratch()
+    dedup.lsh_index_build(docs, d)
+    bounded = dedup._bounded_corpus(docs, 200)
+    dedup.lsh_index_delete(
+        spark, d,
+        bounded.filter((F.col("doc_id") < 100000)
+                       & (F.col("doc_id") % 4 == 0)).select("doc_id"))
+    dedup.lsh_index_compact(spark, d)
+    return dedup.lsh_index_query(
+        spark, d,
+        bounded.filter((F.col("doc_id") >= 100000)
+                       & (F.col("doc_id") < 200000)))
+
+
+QUERIES["dedup_lsh_index_compact"] = _lsh_index_compact
+ORACLE["dedup_lsh_index_compact"] = _lsh_match_sql(
+    f"{_LSH_ORIGINALS} AND doc_id % 4 <> 0", _LSH_EXACTS)
+
+
 QUERIES["tokenize_bpe_merge_order"] = _bind(
     corpus_stats.bpe_apply_merge_order, "documents")
 # merge-ORDER application: the train chain's FINAL vocabulary state (v6,

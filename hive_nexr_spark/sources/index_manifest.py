@@ -93,6 +93,33 @@ def new_data_dir(root: str, table: str, tag: str) -> str:
     return os.path.join(root, f"{table}_{tag}")
 
 
+def expire_versions(root: str, keep_from: int) -> list[str]:
+    """INDEX-VERSION EXPIRY (the `snapshots.expire_snapshots` semantics
+    for index roots): drop manifests with version < `keep_from`, then
+    delete any data directory no surviving manifest references. Kept
+    versions are bit-identical afterward; expired versions raise
+    FileNotFoundError on read — the storage-reclaim half of the index
+    lifecycle. Returns the removed directories."""
+    import shutil
+
+    latest = latest_version(root)
+    keep = [read_manifest(root, v) for v in range(keep_from, latest + 1)]
+    referenced = {d for m in keep for dirs in m["tables"].values()
+                  for d in dirs}
+    removed: list[str] = []
+    for v in range(1, keep_from):
+        path = os.path.join(_mdir(root), f"v{v:05d}.json")
+        if os.path.exists(path):
+            os.remove(path)
+    for entry in os.listdir(root):
+        full = os.path.join(root, entry)
+        if (os.path.isdir(full) and entry != "manifest"
+                and full not in referenced):
+            shutil.rmtree(full)
+            removed.append(full)
+    return removed
+
+
 def read_index_table(spark: SparkSession, root: str, name: str,
                      version: int | None = None) -> DataFrame:
     """Scan exactly the directories the manifest lists for `name` —

@@ -1079,6 +1079,33 @@ def test_lsh_index_delete_tombstones_and_asof(dfs, spark):
             dedup.lsh_index_query(spark, d, exacts, version=1).collect()}
     assert asof == before
 
+    # COMPACT: tombstones materialized away — content identical, the
+    # new manifest lists exactly one fresh dir per table and no
+    # tombstone table; pre-compaction versions stay AS-OF readable
+    v3 = dedup.lsh_index_compact(spark, d)
+    assert v3 == 3
+    man3 = idx.read_manifest(d, 3)
+    assert "tombstones" not in man3["tables"]
+    assert len(man3["tables"]["bands"]) == 1
+    assert not set(man3["tables"]["bands"]) & dirs_v1
+    compacted = {(r.doc_a, r.doc_b) for r in
+                 dedup.lsh_index_query(spark, d, exacts).collect()}
+    assert compacted == after
+    assert {(r.doc_a, r.doc_b) for r in
+            dedup.lsh_index_query(spark, d, exacts, version=1).collect()
+            } == before
+
+    # EXPIRE everything below v3: v1/v2 manifests + their now-
+    # unreferenced dirs are gone, expired reads raise, v3 unchanged
+    removed = idx.expire_versions(d, keep_from=3)
+    assert removed  # the v1 band/shingle dirs and the tombstone dir
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        idx.read_manifest(d, 1)
+    assert {(r.doc_a, r.doc_b) for r in
+            dedup.lsh_index_query(spark, d, exacts).collect()} == after
+
 
 def test_residual_beats_raw_on_clustered_fixture(spark):
     """The measurement `ivf_pq_residual_topk` was built to produce —
