@@ -261,6 +261,8 @@ QUERIES = {
         _stream_decontaminate(spark, sf_dir),
     "similarity_stream_ann_ingest": lambda spark, sf_dir:
         ai.stream_ann_ingest(spark, sf_dir),
+    "dedup_stream_ingest_gate": lambda spark, sf_dir:
+        nd.stream_dedup_ingest(spark, sf_dir),
 }
 
 _WINDOW_SQL = """
@@ -820,6 +822,31 @@ from .datapipe_q import (_LSH_INCOMING, _LSH_ORIGINALS,  # noqa: E402
 
 ORACLE["events_stream_neardup"] = _lsh_match_sql(
     _LSH_ORIGINALS, _LSH_INCOMING)
+
+
+# streaming dedup ingestion gate: per-arrival admission decisions against
+# the FROZEN historical-corpus index — the pair matcher aggregated per
+# arriving doc, every arrival carried through (admitted = no match)
+_GATE_ARRIVALS = _LSH_INCOMING + """
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= 200 AND doc_id < 250
+"""
+ORACLE["dedup_stream_ingest_gate"] = f"""
+    WITH pairs AS ({_lsh_match_sql(_LSH_ORIGINALS, _GATE_ARRIVALS)}),
+    arrivals AS ({_GATE_ARRIVALS}),
+    m AS (
+      SELECT doc_b AS doc_id, CAST(count(*) AS INT) AS n_index_matches,
+             max(jaccard) AS best_jaccard
+      FROM pairs GROUP BY doc_b
+    )
+    SELECT a.doc_id,
+           coalesce(m.n_index_matches, 0) AS n_index_matches,
+           round(coalesce(m.best_jaccard, 0.0), 6) AS best_jaccard,
+           CAST(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+             AS admitted
+    FROM arrivals a LEFT JOIN m ON a.doc_id = m.doc_id
+"""
 
 
 # streaming ANN ingest shares the batch add-batch lifecycle's oracle

@@ -131,6 +131,122 @@ def stream_neardup(spark: SparkSession, sf_dir: str,
     return spark.table(name).distinct()
 
 
+def _ingest_arrivals(docs: DataFrame, max_doc_id: int) -> DataFrame:
+    """The ingestion gate's arrival mix: the planted duplicates
+    (`_incoming` — must be REJECTED) plus a genuinely NOVEL slice, the
+    originals in [200, 250) that the index build (doc_id < max_doc_id
+    = 200) never saw — these must be ADMITTED. Stateless projections +
+    a self-union, so the same builder serves the stream and the batch
+    twin."""
+    novel = docs.select("doc_id", "text").filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 250))
+    return _incoming(docs, max_doc_id).unionByName(novel)
+
+
+def _gate_decisions(spark: SparkSession, index_root: str,
+                    batch: DataFrame, threshold: float,
+                    frozen_version: int) -> DataFrame:
+    """Per-document admission decision against the FROZEN index version:
+    probe (the persisted-index band join + exact-Jaccard verify), then
+    aggregate matches per arriving doc. Output: (doc_id,
+    n_index_matches, best_jaccard, admitted 0/1)."""
+    from ..datapipe import dedup as dd
+
+    pairs = dd.lsh_index_query(spark, index_root, batch, threshold,
+                               version=frozen_version)
+    m = (pairs.groupBy(F.col("doc_b").alias("doc_id"))
+         .agg(F.count("*").cast("int").alias("n_index_matches"),
+              F.max("jaccard").alias("best_jaccard")))
+    return (
+        batch.select("doc_id").join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_index_matches", F.lit(0)).cast("int")
+            .alias("n_index_matches"),
+            F.round(F.coalesce("best_jaccard", F.lit(0.0)), 6)
+            .alias("best_jaccard"),
+            F.when(F.col("n_index_matches").isNull(), 1).otherwise(0)
+            .cast("int").alias("admitted"),
+        )
+    )
+
+
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.5,
+                        max_doc_id: int = 200) -> DataFrame:
+    """STREAMING DEDUP INGESTION GATE — the production shape a 100 TB
+    pipeline runs at the front door: each arriving micro-batch is probed
+    against the PERSISTED LSH index of the historical corpus
+    (`dedup.lsh_index_query`); documents with no match >= `threshold`
+    are ADMITTED into the index via one atomic add-batch manifest bump
+    (work proportional to the admitted batch), matched documents are
+    rejected. The decision table (one row per arrival) is the output a
+    downstream writer would route on.
+
+    Determinism contract (the `stream_ann_ingest` recipe): decisions
+    probe the FROZEN build version only, so the decision table is
+    independent of micro-batch boundaries — when (and with whom) a
+    document arrives cannot change its verdict, and the batch twin
+    (`dedup_ingest_batch_twin`) equals the stream row-for-row.
+    Intra-stream duplicates OF EACH OTHER are therefore both admitted
+    and left to the periodic offline dedup pass — the standard posture
+    for a streaming gate (the historical index is the contract; the
+    batch MinHash job owns intra-window dups).
+
+    100 TB shape: per batch — stateless band projection on the batch,
+    one (band, bucket) equi-join against the persisted band table, one
+    id-keyed shingle fetch for verification, one O(batch) parquet
+    append; ZERO streaming state, no watermark. Landing-table append is
+    the idempotent pattern shared with `events.stream_cdc_upsert`."""
+    from ..datapipe import dedup as dd
+    from ..queries.base import ensure_views
+    from ..scratch import process_scratch_dir
+
+    docs = ensure_views(spark, sf_dir)["documents"]
+    index_root = process_scratch_dir(
+        f"dedup_ingest_{uuid.uuid4().hex[:8]}")
+    frozen_v = dd.lsh_index_build(docs, index_root, max_doc_id=max_doc_id)
+    landing = os.path.join(index_root, "decisions")
+
+    stream = read_documents_stream(spark, sf_dir)
+    arrivals = _ingest_arrivals(stream, max_doc_id)
+
+    def gate(batch_df: DataFrame, _bid: int) -> None:
+        dec = _gate_decisions(spark, index_root, batch_df, threshold,
+                              frozen_v)
+        admitted = batch_df.join(
+            dec.filter(F.col("admitted") == 1).select("doc_id"),
+            "doc_id", "left_semi")
+        if admitted.head(1):
+            dd.lsh_index_add_batch(spark, index_root, admitted)
+        dec.write.mode("append").parquet(landing)
+
+    q = arrivals.writeStream.foreachBatch(gate).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(landing)
+
+
+def dedup_ingest_batch_twin(spark: SparkSession, sf_dir: str,
+                            threshold: float = 0.5,
+                            max_doc_id: int = 200) -> DataFrame:
+    """The one-shot batch computation of the same decision table — the
+    value oracle for the streaming gate (decisions depend only on the
+    frozen index, so batching cannot matter)."""
+    from ..datapipe import dedup as dd
+    from ..datapipe.similarity import _index_scratch
+    from ..queries.base import ensure_views
+
+    docs = ensure_views(spark, sf_dir)["documents"]
+    index_root = _index_scratch()
+    frozen_v = dd.lsh_index_build(docs, index_root, max_doc_id=max_doc_id)
+    arrivals = _ingest_arrivals(docs.select("doc_id", "text"), max_doc_id)
+    return _gate_decisions(spark, index_root, arrivals, threshold,
+                           frozen_v)
+
+
 def neardup_batch_twin(spark: SparkSession, sf_dir: str,
                        threshold: float = 0.5,
                        max_doc_id: int = 200) -> DataFrame:

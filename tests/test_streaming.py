@@ -173,6 +173,28 @@ def test_stream_ann_ingest_equals_batch_add_batch(spark, sf_dir):
     assert streamed == batch and streamed
 
 
+def test_stream_dedup_ingest_gate(spark, sf_dir):
+    """The streaming dedup ingestion gate must equal the one-shot batch
+    twin row-for-row (decisions probe only the frozen index version, so
+    micro-batch boundaries cannot matter), reject every planted exact
+    copy (jaccard 1.0 with its origin), and admit at least one clean
+    arrival — and the admitted docs must actually have entered the
+    index (admission = an add-batch manifest bump, 3 band rows/doc)."""
+    from hive_nexr_spark.streaming import neardup as nd
+
+    streamed = {tuple(r) for r in
+                nd.stream_dedup_ingest(spark, sf_dir).collect()}
+    twin = {tuple(r) for r in
+            nd.dedup_ingest_batch_twin(spark, sf_dir).collect()}
+    assert streamed == twin and streamed
+    by_id = {r[0]: r for r in streamed}
+    exacts = [d for d in by_id if 100000 <= d < 200000]
+    assert exacts
+    # every exact copy matches its origin at jaccard 1.0 → rejected
+    assert all(by_id[d][3] == 0 and by_id[d][2] == 1.0 for d in exacts)
+    assert any(r[3] == 1 for r in streamed)  # something admitted
+
+
 def test_mv_incremental_equals_full_recompute(dfs):
     """Partial-aggregate merge must be bit-equal to aggregating the
     whole events table in one pass — the algebraic property that makes
