@@ -184,6 +184,12 @@ def _table_changes(spark, sf_dir):
     return table_changes_diff(spark, sf_dir)
 
 
+def _merge_upsert(spark, sf_dir):
+    from ..sources.snapshots import merge_upsert_stats
+
+    return merge_upsert_stats(spark, sf_dir)
+
+
 def _partition_evolution(spark, sf_dir):
     from ..sources.snapshots import partition_evolution_stats
 
@@ -252,6 +258,7 @@ QUERIES = {
         _time_travel_delete(spark, sf_dir),
     "table_compaction": lambda spark, sf_dir: _compaction(spark, sf_dir),
     "table_changes_diff": _table_changes,
+    "table_merge_upsert": _merge_upsert,
     "table_partition_evolution": _partition_evolution,
     "events_user_paths_topk": lambda spark, sf_dir: ev.user_paths_topk(
         ensure_views(spark, sf_dir)["events"]),
@@ -484,6 +491,35 @@ ORACLE["table_time_travel_delete"] = """
     SELECT CAST(3 AS INT), count(*),
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
     FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+# MERGE upsert (sources/snapshots.py merge_upsert_stats): v4 = the v3
+# visible set minus old copies of % 7 == 0 keys, plus every % 7 == 0 row
+# at price + 1000 — including the % 5 == 0 ∩ % 7 == 0 keys deleted at v3
+# (reinsert-after-delete under sequenced tombstones)
+ORACLE["table_merge_upsert"] = """
+    WITH vis3 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    vis4 AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 1000 FROM orders
+      WHERE o_orderkey % 7 = 0
+    )
+    SELECT CAST(3 AS INT) AS version, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_totalprice,
+           CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reinserted
+    FROM vis3
+    UNION ALL
+    SELECT CAST(4 AS INT), count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE),
+           CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM vis4
 """
 
 # compaction (sources/snapshots.py compaction_stats): v4's DATA must be

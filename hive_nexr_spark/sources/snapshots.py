@@ -29,7 +29,24 @@ def _load_manifest(base: str, version: int) -> dict:
         man = json.load(fh)
     man.setdefault("deletes", [])
     man.setdefault("key", None)
+    # sequence maps (Iceberg v2 data-sequence-number semantics, added
+    # r11): dir_seqs/delete_seqs stamp each data dir / tombstone dir
+    # with the version that committed it; an equality tombstone applies
+    # only to data dirs with a STRICTLY SMALLER sequence. Manifests
+    # written before the maps existed default to "tombstones apply to
+    # everything" (tomb seq = +inf, dir seq = -1) — the old behavior.
+    man.setdefault("dir_seqs", {})
+    man.setdefault("delete_seqs", {})
     return man
+
+
+def _applicable_tombs(man: dict, data_dir: str) -> tuple[str, ...]:
+    """The tombstone dirs whose sequence EXCEEDS this data dir's — the
+    only deletes a reader applies to it."""
+    dseq = man["dir_seqs"].get(data_dir, -1)
+    return tuple(sorted(
+        t for t in man["deletes"]
+        if man["delete_seqs"].get(t, float("inf")) > dseq))
 
 
 def _write_manifest(base: str, man: dict) -> None:
@@ -49,12 +66,19 @@ def _commit(base: str, version: int, new_dir: str | None) -> list[str]:
     prev: list[str] = []
     deletes: list[str] = []
     key = None
+    dir_seqs: dict[str, int] = {}
+    delete_seqs: dict[str, int] = {}
     if version > 1:
         man = _load_manifest(base, version - 1)
         prev, deletes, key = man["dirs"], man["deletes"], man["key"]
+        dir_seqs, delete_seqs = man["dir_seqs"], man["delete_seqs"]
     dirs = prev + ([new_dir] if new_dir else [])
+    if new_dir:
+        dir_seqs = {**dir_seqs, new_dir: version}
     _write_manifest(base, {"version": version, "dirs": dirs,
-                           "deletes": deletes, "key": key})
+                           "deletes": deletes, "key": key,
+                           "dir_seqs": dir_seqs,
+                           "delete_seqs": delete_seqs})
     return dirs
 
 
@@ -66,14 +90,48 @@ def commit_delete(spark: SparkSession, base: str, keys: DataFrame,
     `deletes`; readers anti-join tombstone keys at scan time. Old
     versions (no tombstone listed) keep returning the rows. Delete cost
     is O(|keys|) regardless of table size — the 100 TB property
-    copy-on-write lacks. Returns the new version."""
+    copy-on-write lacks. The tombstone carries the committing version
+    as its SEQUENCE — it applies only to data dirs committed earlier,
+    so a later re-insert of the key is visible (Iceberg v2 semantics).
+    Returns the new version."""
     v = _latest(base) + 1
     tdir = os.path.join(base, f"tombstones_v{v}")
     keys.select(key_col).write.parquet(tdir)
     man = _load_manifest(base, v - 1)
     _write_manifest(base, {"version": v, "dirs": man["dirs"],
                            "deletes": man["deletes"] + [tdir],
-                           "key": key_col})
+                           "key": key_col,
+                           "dir_seqs": man["dir_seqs"],
+                           "delete_seqs": {**man["delete_seqs"],
+                                           tdir: v}})
+    return v
+
+
+def commit_merge_upsert(spark: SparkSession, base: str,
+                        updates: DataFrame, key_col: str) -> int:
+    """MERGE INTO (upsert) as ONE atomic commit — the write shape every
+    CDC-fed lakehouse table needs: the update rows land as a new data
+    dir (sequence = v) AND their keys as a tombstone (sequence = v).
+    Sequenced semantics make this correct without rewriting anything:
+    the tombstone hides the OLD copies of matched keys (their dirs have
+    smaller sequences) while the new rows — same sequence, not smaller —
+    survive; unmatched keys are plain inserts. Cost is O(|updates|)
+    regardless of table size, the merge-on-read property copy-on-write
+    MERGE lacks. A key deleted earlier and re-upserted becomes visible
+    again (re-insert-after-delete — exactly what unsequenced tombstones
+    could not express). Returns the new version."""
+    v = _latest(base) + 1
+    udir = os.path.join(base, f"upsert_v{v}")
+    updates.write.parquet(udir)
+    tdir = os.path.join(base, f"tombstones_v{v}")
+    updates.select(key_col).write.parquet(tdir)
+    man = _load_manifest(base, v - 1)
+    _write_manifest(base, {"version": v, "dirs": man["dirs"] + [udir],
+                           "deletes": man["deletes"] + [tdir],
+                           "key": key_col,
+                           "dir_seqs": {**man["dir_seqs"], udir: v},
+                           "delete_seqs": {**man["delete_seqs"],
+                                           tdir: v}})
     return v
 
 
@@ -92,7 +150,8 @@ def compact(spark: SparkSession, base: str) -> int:
     read_version(spark, base, v - 1).write.parquet(cdir)
     man = _load_manifest(base, v - 1)
     _write_manifest(base, {"version": v, "dirs": [cdir],
-                           "deletes": [], "key": man["key"]})
+                           "deletes": [], "key": man["key"],
+                           "dir_seqs": {cdir: v}, "delete_seqs": {}})
     return v
 
 
@@ -131,14 +190,30 @@ def _latest(base: str) -> int:
 
 def read_version(spark: SparkSession, base: str, version: int) -> DataFrame:
     """`AS OF` read: scan exactly the manifest's directory list, then
-    anti-join any tombstoned keys (merge-on-read — the delete files are
-    small, the anti-join keys on the declared key column only)."""
+    anti-join tombstoned keys (merge-on-read — the delete files are
+    small, the anti-join keys on the declared key column only).
+    SEQUENCED: a tombstone applies only to data dirs with a smaller
+    sequence, so dirs are grouped by applicable-tombstone set — each
+    group is one multi-dir parquet scan with (at most) one broadcast
+    anti-join, and dirs newer than every tombstone scan clean. The
+    common shapes collapse to one or two groups: append-only tables
+    have none tombstoned; a MERGE's own dir is the lone clean group."""
+    from functools import reduce
+
     man = _load_manifest(base, version)
-    df = spark.read.parquet(*man["dirs"])
-    if man["deletes"]:
-        tombs = spark.read.parquet(*man["deletes"])
-        df = df.join(F.broadcast(tombs), man["key"], "left_anti")
-    return df
+    if not man["deletes"]:
+        return spark.read.parquet(*man["dirs"])
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for d in man["dirs"]:
+        groups.setdefault(_applicable_tombs(man, d), []).append(d)
+    parts = []
+    for tombs, dirs in groups.items():
+        df = spark.read.parquet(*dirs)
+        if tombs:
+            tk = spark.read.parquet(*tombs)
+            df = df.join(F.broadcast(tk), man["key"], "left_anti")
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _version_stats(spark: SparkSession, base: str,
@@ -282,15 +357,14 @@ def changes_between(spark: SparkSession, base: str, v_from: int,
     jobs) viable on a 100 TB table where a full-diff would re-scan
     everything. Returns (inserted_df, deleted_df).
 
-    Semantics note (deliberate divergence from Iceberg sequence-number
-    CDC): this table's equality tombstones are UNSEQUENCED — read_version
-    applies every tombstone to every data dir — so a key deleted in an
-    earlier version and re-inserted in this window stays invisible to
-    the read path, and the insert CDC consistently omits it (we
-    anti-join against ALL of the target's tombstones, not just the
-    window's). Re-inserting a previously-deleted key requires a
-    compaction first (which clears tombstones); Iceberg/Delta instead
-    scope deletes to older files via sequence numbers."""
+    SEQUENCED semantics (Iceberg v2 data-sequence numbers, r11): an
+    inserted row is anti-joined only against tombstones whose sequence
+    EXCEEDS its dir's — a row added and deleted within the window
+    disappears from the insert CDC, while a key deleted in an EARLIER
+    version and re-inserted in this window is correctly reported as an
+    insert (older deletes never apply to newer files)."""
+    from functools import reduce
+
     m_from = _load_manifest(base, v_from)
     m_to = _load_manifest(base, v_to)
     new_dirs = [d for d in m_to["dirs"] if d not in m_from["dirs"]]
@@ -300,11 +374,17 @@ def changes_between(spark: SparkSession, base: str, v_from: int,
     some_dir = (m_from["dirs"] or m_to["dirs"])[0]
     schema_src = spark.read.parquet(some_dir)
     if new_dirs:
-        inserted = spark.read.parquet(*new_dirs)
-        if m_to["deletes"]:
-            tombs = spark.read.parquet(*m_to["deletes"])
-            inserted = inserted.join(F.broadcast(tombs), m_to["key"],
-                                     "left_anti")
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for d in new_dirs:
+            groups.setdefault(_applicable_tombs(m_to, d), []).append(d)
+        parts = []
+        for tombs, dirs in groups.items():
+            df = spark.read.parquet(*dirs)
+            if tombs:
+                tk = spark.read.parquet(*tombs)
+                df = df.join(F.broadcast(tk), m_to["key"], "left_anti")
+            parts.append(df)
+        inserted = reduce(lambda a, b: a.unionByName(b), parts)
     else:
         inserted = schema_src.limit(0)
     if new_tombs:
@@ -314,6 +394,38 @@ def changes_between(spark: SparkSession, base: str, v_from: int,
     else:
         deleted = schema_src.limit(0)
     return inserted, deleted
+
+
+def merge_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the 3-version delete fixture: v4 upserts every
+    o_orderkey % 7 == 0 row with o_totalprice raised by 1000 — one
+    atomic commit that UPDATES the live copies (their old rows are
+    tombstone-hidden, the new rows survive their own same-sequence
+    tombstone) and RE-INSERTS the % 5 == 0 ∩ % 7 == 0 keys deleted at
+    v3 (visible again because the v3 tombstone's sequence is below the
+    upsert dir's — the case unsequenced tombstones cannot express).
+
+    Output: (version, n_rows, sum_totalprice, n_reinserted) for v3 and
+    v4; n_reinserted counts visible % 5 == 0 keys (0 at v3). The oracle
+    recomputes both versions from slice predicates; v1..v3 reads are
+    covered by the sibling keys and must be unchanged by the upsert."""
+    base = _build_delete_table(spark, sf_dir)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000)
+    commit_merge_upsert(spark, base, updates, "o_orderkey")
+
+    def stats(v: int) -> DataFrame:
+        return read_version(spark, base, v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double").alias("sum_totalprice"),
+            F.sum(F.when(F.col("o_orderkey") % 5 == 0, 1).otherwise(0))
+            .cast("bigint").alias("n_reinserted"),
+        ).select("version", "n_rows", "sum_totalprice", "n_reinserted")
+
+    return stats(3).unionByName(stats(4))
 
 
 def table_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

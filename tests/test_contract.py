@@ -236,6 +236,42 @@ def test_changes_between_manifest_diff_scans_only_changes(spark, sf_dir):
     assert got == want
 
 
+def test_merge_upsert_sequenced_reinsert_after_delete(spark, sf_dir):
+    """Sequenced tombstones (Iceberg v2 data-sequence semantics): a
+    MERGE upsert's own rows survive their same-sequence tombstone, old
+    copies of matched keys vanish, a key DELETED at v3 and re-upserted
+    at v4 is visible again, pre-upsert versions are untouched, and the
+    v3→v4 CDC reports the upsert rows as inserts (older deletes never
+    apply to newer files)."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.sources import snapshots as sn
+
+    base = sn._build_delete_table(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000)
+    v4 = sn.commit_merge_upsert(spark, base, updates, "o_orderkey")
+    assert v4 == 4
+    vis4 = sn.read_version(spark, base, 4)
+    n7 = updates.count()
+    # exactly one copy of each %7 key, at the updated price
+    assert vis4.filter("o_orderkey % 7 = 0").count() == n7
+    # reinsert-after-delete: %5==0 keys visible again iff re-upserted
+    assert (vis4.filter("o_orderkey % 5 = 0").count()
+            == orders.filter("o_orderkey % 5 = 0 AND o_orderkey % 7 = 0")
+            .count()) > 0
+    # v3 untouched by the upsert
+    assert sn.read_version(spark, base, 3).filter(
+        "o_orderkey % 5 = 0").count() == 0
+    # CDC: the upsert dir's rows are the window's inserts (none hidden
+    # by the older v3 tombstone), deletes = the matched keys' old rows
+    ins34, del34 = sn.changes_between(spark, base, 3, 4)
+    assert ins34.count() == n7
+    assert del34.count() == orders.filter(
+        "o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0").count()
+
+
 def test_partition_evolution_prunes_evolved_scan(spark, sf_dir):
     """Partition-spec evolution: the month predicate must reach the
     evolved delta as a PARTITION filter (directory pruning), legacy
