@@ -15,7 +15,7 @@ fallback (the reference's `hive.groupby.skewindata` two-stage plan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.stable import charge_sum, dmean, dsum, revenue_sum
@@ -152,6 +152,77 @@ def percentile_approx_hist(lineitem: DataFrame) -> DataFrame:
         F.expr(
             "aggregate(histogram_numeric(l_quantity, 5), '', (s, x) -> s || round(x.x, 2) || ':' || x.y || ';')"
         ).alias("hist"),
+    )
+
+
+def quantile_binned_sketch(lineitem: DataFrame,
+                           qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                           nbins: int = 4096) -> DataFrame:
+    """PORTABLE approximate quantiles via a fixed-bin histogram sketch —
+    the hash-verified member of the approximate-percentile family, the
+    upgrade `agg_hll_portable` gave approximate distincts: unlike
+    `percentile_approx` (Ben-Haim/Tom-Tov, engine-specific merge order →
+    rows-only check), every number here reproduces bit-for-bit in the
+    SQL oracle. Two passes: (1) exact (min, max, n) one-row aggregate,
+    broadcast; (2) integer per-bin counts — a LINEAR sketch (shards/
+    micro-batches merge by cell addition, the Count-Min property) with
+    state bounded by `nbins` regardless of data size. The q-quantile
+    estimate is the lower edge of the bin where the cumulative count
+    crosses ceil(q·n); its error is bounded by one bin width
+    (range/nbins) BY CONSTRUCTION, and the output carries the MEASURED
+    |est − exact| per q against the exact interpolated percentile (the
+    established `agg_percentiles` parity surface) — the evaluation
+    harness, bounded cost, like the ANN recall columns.
+
+    Output: (q, est, exact, abs_err, bin_width), one row per quantile.
+
+    100 TB shape: two corpus scans (both map-side combined: a 1-row
+    min/max/count and a ≤nbins-row bin count), a ≤nbins-row window on
+    the driver-scale bin table, broadcast stats everywhere; the exact
+    baseline is one JVM percentile aggregate kept for the error
+    measurement — drop it and the sketch alone is strictly two cheap
+    passes. Degenerate range (mx == mn) is the caller's precondition."""
+    x = F.col("l_extendedprice").cast("double")
+    stats = lineitem.agg(F.min(x).alias("mn"), F.max(x).alias("mx"),
+                         F.count(x).alias("n"))
+    binned = (
+        lineitem.crossJoin(F.broadcast(stats))
+        .select(F.least(
+            F.lit(nbins - 1),
+            F.floor((x - F.col("mn")) / (F.col("mx") - F.col("mn"))
+                    * nbins)).cast("bigint").alias("bin"))
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("c").over(wcum))
+    qrows = stats.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        "mn", "mx", "n",
+    ).select("q", "mn", "mx",
+             F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("r"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
+    est = (
+        qrows.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+        .groupBy("q", "mn", "mx")
+        .agg(F.min("bin").alias("bin"))
+        .select("q", (F.col("mn") + F.col("bin") * width).alias("est"),
+                width.alias("bin_width"))
+    )
+    exact_row = lineitem.agg(*[
+        F.percentile(x, F.lit(float(q))).alias(f"e{i}")
+        for i, q in enumerate(qs)])
+    exact = exact_row.select(F.explode(F.array(*[
+        F.struct(F.lit(float(q)).alias("q"),
+                 F.col(f"e{i}").alias("exact"))
+        for i, q in enumerate(qs)])).alias("s")).select("s.q", "s.exact")
+    return (
+        est.join(F.broadcast(exact), "q")
+        .select("q", F.round("est", 6).alias("est"),
+                F.round("exact", 6).alias("exact"),
+                F.round(F.abs(F.col("est") - F.col("exact")), 6)
+                .alias("abs_err"),
+                F.round("bin_width", 6).alias("bin_width"))
     )
 
 

@@ -51,6 +51,7 @@ QUERIES = {
     "agg_salted_skew": _bind(agg.salted_groupby, "lineitem"),
     "agg_rollup": _bind(agg.grouping_rollup, "lineitem"),
     "agg_percentiles": _bind(agg.percentiles, "lineitem"),
+    "agg_quantile_binned": _bind(agg.quantile_binned_sketch, "lineitem"),
     "agg_percentile_approx": _bind(agg.percentile_approx_hist, "lineitem"),
     "agg_approx_count_distinct": _bind(agg.approx_count_distinct, "lineitem"),
     "agg_histogram_bins": _bind(agg.histogram_bins, "lineitem"),
@@ -317,6 +318,55 @@ ORACLE = {
                quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS p50,
                quantile_cont(CAST(l_quantity AS BIGINT), 0.9) AS p90
         FROM lineitem GROUP BY l_returnflag
+    """,
+    # binned-histogram quantile sketch: identical two-pass construction
+    # (exact min/max/n, integer bin counts, lower-edge estimate at
+    # ceil(q*n)) with exact quantile_cont as the measured-error baseline
+    "agg_quantile_binned": """
+        WITH st AS (
+          SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                 max(CAST(l_extendedprice AS DOUBLE)) AS mx,
+                 count(*) AS n
+          FROM lineitem
+        ),
+        b AS (
+          SELECT least(4095, CAST(floor(
+                   (CAST(l_extendedprice AS DOUBLE) - st.mn)
+                   / (st.mx - st.mn) * 4096) AS BIGINT)) AS bin
+          FROM lineitem, st
+        ),
+        c AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+        cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM c),
+        ranks AS (
+          SELECT q, CAST(ceil(q * st.n) AS BIGINT) AS r, st.mn, st.mx
+          FROM (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE])
+                  AS q) qs, st
+        ),
+        est AS (
+          SELECT q, mn, mx, min(bin) AS bin
+          FROM ranks JOIN cum ON cum.cum >= ranks.r
+          GROUP BY q, mn, mx
+        ),
+        ex AS (
+          SELECT 0.5::DOUBLE AS q,
+                 quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+                   AS exact FROM lineitem
+          UNION ALL
+          SELECT 0.9::DOUBLE,
+                 quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9)
+          FROM lineitem
+          UNION ALL
+          SELECT 0.99::DOUBLE,
+                 quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+          FROM lineitem
+        )
+        SELECT e.q,
+               round(e.mn + e.bin * ((e.mx - e.mn) / 4096.0), 6) AS est,
+               round(x.exact, 6) AS exact,
+               round(abs((e.mn + e.bin * ((e.mx - e.mn) / 4096.0))
+                         - x.exact), 6) AS abs_err,
+               round((e.mx - e.mn) / 4096.0, 6) AS bin_width
+        FROM est e JOIN ex x ON e.q = x.q
     """,
     "sort_by": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "distribute_cluster_by": """

@@ -960,6 +960,22 @@ def test_decontaminate_embedding_catches_planted_leaks(dfs):
     assert all(by_pair[p] == 1.0 for p in exact)
 
 
+def test_quantile_binned_error_within_one_bin(dfs):
+    """The binned quantile sketch's construction guarantee: the estimate
+    (lower edge of the crossing bin) sits within one bin width of the
+    exact interpolated percentile, for every requested quantile; the
+    measured abs_err column must respect it."""
+    from hive_nexr_spark.operators.aggregates import quantile_binned_sketch
+
+    rows = quantile_binned_sketch(dfs["lineitem"]).collect()
+    assert {round(r.q, 2) for r in rows} == {0.5, 0.9, 0.99}
+    for r in rows:
+        # one bin from the crossing rank + one from the exact
+        # percentile's (n-1)·q interpolation landing a rank earlier
+        assert r.abs_err <= 2 * r.bin_width + 1e-9, (r.q, r.abs_err,
+                                                     r.bin_width)
+
+
 def test_hll_portable_estimate_accuracy(dfs):
     """The portable HLL's estimate must land within the theoretical
     error envelope for m=1024 registers (sigma = 1.04/sqrt(m) ~ 3.25%;
