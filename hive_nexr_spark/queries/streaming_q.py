@@ -190,6 +190,12 @@ def _merge_upsert(spark, sf_dir):
     return merge_upsert_stats(spark, sf_dir)
 
 
+def _cdc_mv(spark, sf_dir):
+    from ..sources.snapshots import cdc_incremental_mv
+
+    return cdc_incremental_mv(spark, sf_dir)
+
+
 def _partition_evolution(spark, sf_dir):
     from ..sources.snapshots import partition_evolution_stats
 
@@ -259,6 +265,7 @@ QUERIES = {
     "table_compaction": lambda spark, sf_dir: _compaction(spark, sf_dir),
     "table_changes_diff": _table_changes,
     "table_merge_upsert": _merge_upsert,
+    "table_cdc_incremental_mv": _cdc_mv,
     "table_partition_evolution": _partition_evolution,
     "events_user_paths_topk": lambda spark, sf_dir: ev.user_paths_topk(
         ensure_views(spark, sf_dir)["events"]),
@@ -520,6 +527,24 @@ ORACLE["table_merge_upsert"] = """
            CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT)
     FROM vis4
+"""
+
+# CDC-maintained MV (sources/snapshots.py cdc_incremental_mv): the
+# oracle computes the v4 aggregate DIRECTLY from slice predicates — the
+# hash match proves the engine's incremental fold (bootstrap + three
+# CDC windows) equals a full recompute
+ORACLE["table_cdc_incremental_mv"] = """
+    WITH vis4 AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice + 1000 FROM orders
+      WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderpriority, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM vis4 GROUP BY o_orderpriority
 """
 
 # compaction (sources/snapshots.py compaction_stats): v4's DATA must be

@@ -428,6 +428,53 @@ def merge_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(3).unionByName(stats(4))
 
 
+def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-MV maintenance from CDC windows — the
+    consumption pattern `changes_between` exists FOR: a downstream
+    materialized view (count + revenue per o_orderpriority) bootstraps
+    from ONE full scan of v1, then follows the table through the append
+    (v2), the merge-on-read delete (v3), and the MERGE upsert (v4 —
+    inserts AND deletes in one window) by folding in ONLY each window's
+    inserted/deleted rows: MV += agg(inserts) − agg(deletes). Sums ride
+    DECIMAL(30,2) so the add/subtract algebra is exact, not float-drift;
+    counts are integer.
+
+    Output: the maintained MV at v4 — (o_orderpriority, n_rows,
+    sum_totalprice). The oracle computes the v4 aggregate DIRECTLY from
+    the slice predicates, so the hash match proves incremental == full
+    recompute cross-engine (also pinned engine-side in pytest).
+
+    100 TB shape: per refresh the MV touches the CHANGED rows plus the
+    bounded group table — never rescans the corpus; that is the entire
+    point of manifest-diff CDC (a full-diff refresh would re-read 100 TB
+    per window)."""
+    from functools import reduce
+
+    base = _build_delete_table(spark, sf_dir)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000)
+    commit_merge_upsert(spark, base, updates, "o_orderkey")
+
+    def agg_of(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            (F.count("*") * F.lit(sign)).alias("dn"),
+            (F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+             * F.lit(sign)).alias("ds"))
+
+    parts = [agg_of(read_version(spark, base, 1), 1)]
+    for v_from, v_to in ((1, 2), (2, 3), (3, 4)):
+        ins, dels = changes_between(spark, base, v_from, v_to)
+        parts.append(agg_of(ins, 1))
+        parts.append(agg_of(dels, -1))
+    return (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dn").alias("n_rows"),
+             F.sum("ds").cast("double").alias("sum_totalprice"))
+    )
+
+
 def table_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC read over the 3-version delete fixture: report inserted and
     deleted row stats for the v1→v2 window (an append: inserts = the

@@ -272,6 +272,34 @@ def test_merge_upsert_sequenced_reinsert_after_delete(spark, sf_dir):
         "o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0").count()
 
 
+def test_cdc_incremental_mv_equals_full_recompute(spark, sf_dir):
+    """The CDC-maintained MV (bootstrap at v1 + three windows of
+    inserted/deleted rows, including the upsert window's simultaneous
+    inserts and deletes) must equal aggregating read_version(v4)
+    directly — exact decimal algebra, no float drift."""
+    from hive_nexr_spark.sources.snapshots import cdc_incremental_mv
+
+    inc = {tuple(r) for r in cdc_incremental_mv(spark, sf_dir).collect()}
+    # full recompute over the final visible set
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.sources import snapshots as sn
+
+    base = sn._build_delete_table(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sn.commit_merge_upsert(
+        spark, base,
+        orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000), "o_orderkey")
+    full = {tuple(r) for r in
+            sn.read_version(spark, base, 4)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                 .cast("double").alias("sum_totalprice")).collect()}
+    assert inc == full and inc
+
+
 def test_partition_evolution_prunes_evolved_scan(spark, sf_dir):
     """Partition-spec evolution: the month predicate must reach the
     evolved delta as a PARTITION filter (directory pruning), legacy
