@@ -1078,6 +1078,42 @@ def test_zipf_fit_takeordered_head_no_global_sort(dfs):
     assert "BatchEvalPython" not in fplan
 
 
+def test_dedup_ingest_gate_plan_ids_only(dfs, spark, sf_dir):
+    """The ingestion gate's per-batch decision plan: JVM-only (no
+    BatchEvalPython), candidates from a (band, bucket) equi-join, and no
+    document text in any Exchange — the arriving batch's text stays in
+    projections."""
+    import re
+
+    from hive_nexr_spark.streaming.neardup import dedup_ingest_batch_twin
+
+    fplan = _formatted(dedup_ingest_batch_twin(spark, sf_dir))
+    assert "BatchEvalPython" not in fplan
+    for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
+        assert "text#" not in ex, f"document text in shuffle: {ex}"
+
+
+def test_merge_upsert_read_groups_scans_by_tombstone_set(spark, sf_dir):
+    """Sequenced read path: after a MERGE upsert the visible set is two
+    scan groups (old dirs anti-joined against both tombstones, the
+    upsert dir clean) — the plan must carry broadcast anti-joins and at
+    most one scan of each data dir."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.sources import snapshots as sn
+
+    base = sn._build_delete_table(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sn.commit_merge_upsert(
+        spark, base,
+        orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000), "o_orderkey")
+    fplan = _formatted(sn.read_version(spark, base, 4))
+    assert fplan.count("LeftAnti") >= 1
+    assert fplan.count("data_v1") == 1  # each data dir scanned once
+    assert fplan.count("upsert_v4") == 1
+
+
 def test_asof_tolerance_single_exchange(dfs):
     """Tolerance as-of: same physical plan class as the base as-of —
     exactly ONE user_id exchange feeds the window, the tolerance being
