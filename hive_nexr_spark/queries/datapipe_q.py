@@ -3649,6 +3649,61 @@ QUERIES["tokenize_wordpiece_trained"] = _bind(_wordpiece_trained_apply,
 ORACLE["tokenize_wordpiece_trained"] = _wordpiece_train_oracle_sql("apply")
 
 
+def _tokenizer_compare(documents):
+    """Tokenizer SELECTION table — the eval a pipeline runs before
+    committing a tokenizer: corpus-level compression (words, pieces,
+    pieces-per-word) for the three trained tokenizer families side by
+    side under their standard configs (frequency-vocab BPE-style
+    longest-match, the trained WordPiece vocab, the unigram-LM Viterbi).
+    Lower pieces_per_word = better compression at this vocab budget;
+    the per-family numbers are exactly the sibling apply keys' sums, so
+    this table is the decision artifact, not new math."""
+    rolls = []
+    for name, df, pieces_col in (
+        ("bpe_freq_vocab", corpus_stats.bpe_apply_tokenize(documents),
+         "n_bpe_tokens"),
+        ("wordpiece", _wordpiece_trained_apply(documents),
+         "n_subword_tokens"),
+        ("unigram_lm", corpus_stats.unigram_apply(documents),
+         "n_unigram_tokens"),
+    ):
+        rolls.append(df.agg(
+            F.lit(name).alias("tokenizer"),
+            F.sum("n_ws_tokens").cast("bigint").alias("n_words"),
+            F.sum(pieces_col).cast("bigint").alias("n_pieces"),
+            F.round(F.sum(pieces_col) * 1.0 / F.sum("n_ws_tokens"), 6)
+            .alias("pieces_per_word"),
+        ).select("tokenizer", "n_words", "n_pieces", "pieces_per_word"))
+    out = rolls[0]
+    for r in rolls[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _tokenizer_compare_sql() -> str:
+    def roll(name: str, inner: str, pieces_col: str) -> str:
+        return f"""
+    SELECT '{name}' AS tokenizer,
+           CAST(sum(n_ws_tokens) AS BIGINT) AS n_words,
+           CAST(sum({pieces_col}) AS BIGINT) AS n_pieces,
+           round(sum({pieces_col}) * 1.0 / sum(n_ws_tokens), 6)
+             AS pieces_per_word
+    FROM ({inner})"""
+
+    return " UNION ALL ".join([
+        roll("bpe_freq_vocab", ORACLE["tokenize_bpe_apply"],
+             "n_bpe_tokens"),
+        roll("wordpiece", ORACLE["tokenize_wordpiece_trained"],
+             "n_subword_tokens"),
+        roll("unigram_lm", ORACLE["tokenize_unigram_apply"],
+             "n_unigram_tokens"),
+    ])
+
+
+QUERIES["tokenize_compare_eval"] = _bind(_tokenizer_compare, "documents")
+ORACLE["tokenize_compare_eval"] = _tokenizer_compare_sql()
+
+
 QUERIES["similarity_ivf_pq_rerank"] = _bind(
     similarity.ivf_pq_rerank_topk, "embeddings")
 # IVFADC+R (Jégou et al. 2011 §V): exact re-scoring of the ADC
