@@ -1902,6 +1902,26 @@ def run_qfile(spark: SparkSession, qfile: str,
     # a previous qfile may have left the session in its own database
     # (`USE some_db` without switching back) — CliDriver resets per test
     spark.sql("USE default")
+    # tables whose DDL pins an ABSOLUTE /tmp LOCATION (load_fs.q:
+    # 'file:/tmp/load_overwrite') are GLOBAL filesystem state; the
+    # reference's test harness ran against a fresh scratch FS, so a
+    # previous process's leftovers must not leak into this run's counts
+    # — clear them first. The dest-table prefixing pass below rewrites a
+    # location whose basename IS the table name right along with it
+    # ('/tmp/load_overwrite' → '/tmp/qt_<file>_load_overwrite'), so the
+    # PREFIXED path is the one the table actually writes — clean both
+    # (the unprefixed one is where a DIFFERENT runner version may have
+    # left files). This was the load_fs.q mismatch: the prefixed dir
+    # accumulated one copy of the kv files per historical sweep.
+    for m in re.finditer(r"location\s+'file:(/tmp/[^']+)'", text,
+                         re.IGNORECASE):
+        import shutil
+
+        p = m.group(1)
+        shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(os.path.join(os.path.dirname(p),
+                                   prefix + os.path.basename(p)),
+                      ignore_errors=True)
     # constructs that reject temp views (CREATE TABLE LIKE, persistent
     # CREATE VIEW, partition DDL) need the fixtures as REAL tables
     has_views = bool(re.search(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW", text,
