@@ -308,12 +308,22 @@ def main() -> None:
     # BENCH_r{N}.json so wall-clock drift can be judged against plan
     # fingerprints without archaeology. Smoke-sf runs (0.001/0.01) skip the
     # round file so local iteration never shadows the real record.
+    # The round label is EXPLICIT when the caller knows it
+    # (SPARK_GRAFT_BENCH_ROUND — the recording chain sets it) because the
+    # _next_round_no() inference depends on sweep ordering: an official-sf
+    # re-run AFTER the round's CORRECTNESS file lands would otherwise
+    # mislabel the sidecar as next round's (r11 advisor finding).
     if isinstance(sf_val, float) and sf_val >= 0.1:
         try:
-            from hive_nexr_spark.queries import _next_round_no
+            round_env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+            if round_env:
+                round_no = int(round_env)
+            else:
+                from hive_nexr_spark.queries import _next_round_no
 
+                round_no = _next_round_no()
             sidecars.append(
-                os.path.join(here, f"BENCH_METRICS_r{_next_round_no()}.json"))
+                os.path.join(here, f"BENCH_METRICS_r{round_no}.json"))
         except Exception:
             pass
     for sidecar in sidecars:

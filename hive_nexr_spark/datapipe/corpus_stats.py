@@ -919,65 +919,57 @@ def hll_distinct_tokens(documents: DataFrame, b_bits: int = 10) -> DataFrame:
 
 def token_heavy_hitters_bounded(documents: DataFrame,
                                 k_counters: int = 200) -> DataFrame:
-    """EXACT frequent-token mining with BOUNDED memory: the classic
-    two-pass Misra-Gries shape (Misra & Gries 1982; merged-summary
-    guarantee per Agarwal et al. 2013 — both public).
+    """EXACT frequent-token mining with a BOUNDED result shuffle: the
+    two-pass candidates-then-recount shape behind Misra-Gries frequent
+    mining (Misra & Gries 1982; merged-summary guarantee per Agarwal et
+    al. 2013 — both public), with pass 1 expressed ENTIRELY JVM-side
+    (r12 — replaced the engine's one headline `mapInPandas` path, whose
+    Python-worker pool start dominated its wall at toy scale).
 
-    `token_heavy_hitters` hash-aggregates the full vocabulary — fine
-    when the vocabulary fits an executor hash map, the wrong plan when
-    it doesn't (per-token corpora with quasi-unbounded distinct keys:
-    URLs, n-grams, user ids at 100 TB). This operator never materializes
-    the vocabulary:
-
-    - Pass 1 (candidates): each partition folds its Arrow batches into a
-      Misra-Gries summary of `k_counters` counters via the MERGEABLE-
-      summaries rule (Agarwal et al. 2013): the batch's vectorized
-      `value_counts` histogram (bounded by the Arrow batch size) is
-      added into the summary, then the (k+1)-th largest counter value is
-      subtracted from all and non-positive counters dropped — at most k
-      survive, and any single token's undercount grows by at most that
-      cut, so total undercount stays <= n_i/(k+1) per partition. The
-      UNION of per-partition candidate sets therefore provably contains
-      every token with global count > N/(k_counters+1). The per-token
-      Python work is a pandas `value_counts` per batch, never a per-row
-      loop.
-    - Pass 2 (exact recount): the candidate set (<= k x n_partitions
-      rows) broadcasts back onto the token stream as a semi-join filter,
-      and only candidate tokens enter the groupBy — the shuffle carries
-      a bounded key set, not the vocabulary.
+    - Pass 1 (candidates): any token with global count > N/(k+1) must
+      exceed n_i/(k+1) in at least one partition i (if it cleared the
+      per-partition threshold nowhere, summing gives count <= N/(k+1)).
+      So candidates = tokens with per-partition count*(k+1) >
+      n_partition, computed as ONE grouping-sets aggregation over
+      (spark_partition_id, token) — the (pid) grand-total rows ride the
+      same Expand+combine, so counts and totals see the SAME partition
+      assignment by construction. At most k_counters tokens per
+      partition can clear the threshold, so the candidate set is
+      <= k x n_partitions rows — bounded, like the Misra-Gries summary
+      union it replaces. (A strict-O(k)-memory pass 1 is the same rule
+      with a custom mergeable-summary UDAF; Spark's spill-capable hash
+      aggregate is the idiomatic stand-in, and the one exchange carries
+      map-side-combined per-partition distinct tokens — the same volume
+      the plain `token_heavy_hitters` combine ships.)
+    - Pass 2 (exact recount): the bounded candidate set broadcasts back
+      onto the token stream as a semi-join filter, and only candidate
+      tokens enter the groupBy — the recount shuffle carries a bounded
+      key set, not the vocabulary.
     - Threshold filter: keep tokens with n*(k+1) > N (pure-integer
       compare, so the SQL oracle reproduces it bit-for-bit). The result
       is EXACT — same rows a full groupBy would produce for the same
-      predicate — but the plan's memory is O(k) per partition.
+      predicate.
 
     Output: (token, n_occurrences, share, rank) like
     `token_heavy_hitters`, restricted to tokens above the N/(k+1)
     frequency threshold.
     """
-    import pandas as pd  # noqa: PLC0415 — worker-side import pattern
-
     terms = documents.select(
         F.explode(_tokens(F.col("text"))).alias("token"))
 
-    def mg_partition(batches):
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            # exact batch histogram (vectorized; memory bounded by the
-            # Arrow batch size), merged into the running summary
-            for tok, cnt in pdf["token"].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(cnt)
-            if len(counters) > k_counters:
-                # mergeable-summaries reduction: subtract the (k+1)-th
-                # largest counter from all, keep the positive ones
-                vals = sorted(counters.values(), reverse=True)
-                cut = vals[k_counters]
-                counters = {t: c - cut
-                            for t, c in counters.items() if c > cut}
-        yield pd.DataFrame({"token": list(counters.keys())})
-
+    per_part = (
+        terms.withColumn("_pid", F.spark_partition_id())
+        .groupingSets([[F.col("_pid"), F.col("token")], [F.col("_pid")]],
+                      F.col("_pid"), F.col("token"))
+        .agg(F.count("*").alias("c"), F.grouping("token").alias("_g"))
+    )
+    part_totals = per_part.filter(F.col("_g") == 1).select(
+        "_pid", F.col("c").alias("n_i"))
     candidates = (
-        terms.mapInPandas(mg_partition, schema="token string")
-        .distinct()
+        per_part.filter(F.col("_g") == 0)
+        .join(F.broadcast(part_totals), "_pid")
+        .filter(F.col("c") * (k_counters + 1) > F.col("n_i"))
+        .select("token").distinct()
     )
     # total token count WITHOUT the explode: sum of per-doc sizes,
     # map-side combined to one row. size() is NULL or -1 on a NULL text

@@ -936,6 +936,12 @@ def lsh_index_delete(spark, index_root: str, keys: DataFrame) -> int:
     version anti-join tombstoned doc_ids out of candidate generation;
     every PRE-delete version lists no (or fewer) tombstone dirs and
     stays AS-OF readable with the deleted documents still matching.
+
+    SEQUENCED (r12, `index_manifest.applicable_tombs`): the tombstone
+    carries its commit version and applies only to index dirs committed
+    EARLIER — so delete(X) followed by `lsh_index_add_batch` re-adding X
+    makes X matchable again at HEAD (the re-add's dirs have a larger
+    sequence), while reads pinned before the re-add still exclude it.
     Returns the new manifest version."""
     from ..sources import index_manifest as idx
 
@@ -959,19 +965,39 @@ def lsh_index_compact(spark, index_root: str) -> int:
 
     man = idx.read_manifest(index_root)
     tag = f"b{man['version'] + 1:05d}c"
-    sh = spark.read.parquet(*man["tables"]["shingles"])
-    bd = spark.read.parquet(*man["tables"]["bands"])
-    tomb_dirs = man["tables"].get("tombstones", [])
-    if tomb_dirs:
-        tombs = spark.read.parquet(*tomb_dirs).select("doc_id")
-        sh = sh.join(F.broadcast(tombs), "doc_id", "left_anti")
-        bd = bd.join(F.broadcast(tombs), "doc_id", "left_anti")
+    sh = _index_scan_sequenced(spark, man, "shingles")
+    bd = _index_scan_sequenced(spark, man, "bands")
     sdir = idx.new_data_dir(index_root, "shingles", tag)
     sh.write.mode("overwrite").parquet(sdir)
     bdir = idx.new_data_dir(index_root, "bands", tag)
     bd.write.mode("overwrite").parquet(bdir)
     return idx.commit_manifest(index_root, man["params"],
                                {"shingles": [sdir], "bands": [bdir]})
+
+
+def _index_scan_sequenced(spark, man: dict, table: str) -> DataFrame:
+    """Scan one manifest table with SEQUENCED tombstones applied
+    (`index_manifest.applicable_tombs` — the `snapshots.read_version`
+    recipe): dirs are grouped by applicable-tombstone set, each group
+    is one multi-dir parquet scan with at most one broadcast anti-join
+    on doc_id, and dirs newer than every tombstone scan clean. A doc
+    deleted then re-admitted survives — its re-add dirs outsequence the
+    tombstone. Common shapes collapse to 1-2 groups."""
+    from functools import reduce
+
+    from ..sources import index_manifest as idx
+
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for d in man["tables"][table]:
+        groups.setdefault(idx.applicable_tombs(man, d), []).append(d)
+    parts = []
+    for tombs, dirs in groups.items():
+        df = spark.read.parquet(*dirs)
+        if tombs:
+            tk = spark.read.parquet(*tombs).select("doc_id")
+            df = df.join(F.broadcast(tk), "doc_id", "left_anti")
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def lsh_index_query(spark, index_root: str, probe_docs: DataFrame,
@@ -984,19 +1010,18 @@ def lsh_index_query(spark, index_root: str, probe_docs: DataFrame,
     re-shingled. `version` pins an AS-OF index state (pre-admission /
     pre-delete results reproducible forever). Tombstoned documents
     (`lsh_index_delete`) are anti-joined out of the band table before
-    candidate generation — one broadcast of the O(|deleted|) key set,
-    which also suppresses their shingle fetch (verification is keyed by
-    surviving candidates). Output: (doc_a = index doc, doc_b = probe
-    doc, jaccard), deduped across multi-band matches."""
+    candidate generation — one broadcast of the O(|deleted|) key set
+    per sequence group, SEQUENCED so a deleted-then-re-admitted doc
+    matches again from its re-add dirs (`_index_scan_sequenced`); the
+    shingle fetch applies the same scan, so verification never reads a
+    stale pre-delete array for a re-admitted doc. Output: (doc_a =
+    index doc, doc_b = probe doc, jaccard), deduped across multi-band
+    matches."""
     from ..sources import index_manifest as idx
 
-    bands_t = idx.read_index_table(spark, index_root, "bands", version)
-    toks_t = idx.read_index_table(spark, index_root, "shingles", version)
-    tomb_dirs = idx.read_manifest(index_root, version)["tables"].get(
-        "tombstones", [])
-    if tomb_dirs:
-        tombs = spark.read.parquet(*tomb_dirs).select("doc_id")
-        bands_t = bands_t.join(F.broadcast(tombs), "doc_id", "left_anti")
+    man = idx.read_manifest(index_root, version)
+    bands_t = _index_scan_sequenced(spark, man, "bands")
+    toks_t = _index_scan_sequenced(spark, man, "shingles")
     probes = hof_bands(
         _with_shingles(probe_docs.select("doc_id", "text"))
         .select("doc_id", "sh")
@@ -1084,13 +1109,16 @@ def containment_pairs(documents: DataFrame, threshold: float = 0.8,
 
     100 TB shape: shingle df table is map-side combined and the cap
     keeps every inverted-index posting list <= df_cap (bounded join
-    fan-out per shingle — the blowup guard); verification joins the
-    |candidates| pair set back to the persisted shingle arrays, never
-    n². With the default `max_doc_id` the corpus is `_bounded_corpus`-
-    capped (this is the oracle-baseline configuration); the declared
-    `dedup_containment_full` key runs the identical plan with
-    max_doc_id >= the synthetic-dup modulus — the uncapped
-    full-corpus path you'd run at 100 TB."""
+    fan-out per shingle — the blowup guard); the CONTAINED side of the
+    candidate join carries only its ascending-df PREFIX postings (r12 —
+    a lossless PPJoin-style prune, see the inline proof), so the
+    candidate set and the verify shuffle shrink ~1/(1-t)× with zero
+    recall change; verification joins the |candidates| pair set back to
+    the persisted shingle arrays, never n². With the default
+    `max_doc_id` the corpus is `_bounded_corpus`-capped (this is the
+    oracle-baseline configuration); the declared `dedup_containment_full`
+    key runs the identical plan with max_doc_id >= the synthetic-dup
+    modulus — the uncapped full-corpus path you'd run at 100 TB."""
     from ._cache import tracked_persist_extend
 
     corpus = _bounded_corpus(documents, max_doc_id)
@@ -1100,12 +1128,35 @@ def containment_pairs(documents: DataFrame, threshold: float = 0.8,
     # shingles), THEN the cap, THEN the posting self-join: a
     # collect_set-style posting list would accumulate every doc of a
     # hot shingle before the cap could drop it
-    df_tbl = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-              .filter(F.col("df") <= df_cap))
+    df_all = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = tracked_persist_extend(
-        sh.join(df_tbl.select("shingle"), "shingle"))
+        sh.join(df_all.filter(F.col("df") <= df_cap).select("shingle"),
+                "shingle"))
+    # CONTAINED-side prefix prune (r12, the PPJoin prefix principle of
+    # `jaccard_prefix_filter_pairs` adapted to the directed measure):
+    # for c(A→B) >= t at most (1-t)·|A| of A's shingles miss B, so A
+    # must share one of its first |A| - ceil(t·|A|) + 1 shingles in
+    # ascending-df order. LOSSLESS vs the df-cap rule: if the pair
+    # shares ANY rare shingle, every prefix shingle has df <= that
+    # shared one's (df-ascending order) hence is itself rare, and >= 1
+    # prefix shingle is in B — so prefix∩rare finds exactly the df-cap
+    # candidates that can verify; only the candidate volume (and the
+    # verify shuffle) shrinks ~1/(1-t)×. sh arrays are distinct, so the
+    # window count IS |S(A)|.
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wl = Window.partitionBy("doc_id")
+    pref = (
+        sh.join(df_all, "shingle")
+        .select("doc_id", "shingle", "df",
+                F.row_number().over(w).alias("pos"),
+                F.count("*").over(wl).alias("len"))
+        .filter(F.col("pos")
+                <= F.col("len")
+                - F.ceil(F.round(F.lit(threshold) * F.col("len"), 6)) + 1)
+        .filter(F.col("df") <= df_cap)
+        .select("doc_id", "shingle"))
     cand = (
-        rare.alias("a").join(
+        pref.alias("a").join(
             rare.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") != F.col("b.doc_id")))

@@ -2143,6 +2143,39 @@ ORACLE["dedup_lsh_index_compact"] = _lsh_match_sql(
     f"{_LSH_ORIGINALS} AND doc_id % 4 <> 0", _LSH_EXACTS)
 
 
+def _lsh_index_reinsert(spark, sf_dir):
+    """Index lifecycle with DELETE-THEN-RE-ADMIT — the sequence the
+    streaming ingest gate makes likely (a doc is removed, then a later
+    batch legitimately re-ingests it): build → tombstone the
+    doc_id % 4 == 0 quarter → `lsh_index_add_batch` re-admits the
+    doc_id % 8 == 0 half of the deleted docs → probe with the exact
+    copies of the evens. SEQUENCED tombstones (r12) make the re-added
+    docs matchable at HEAD — their re-add dirs outsequence the
+    tombstone — so the visible index is originals with
+    doc_id % 4 != 0 OR doc_id % 8 == 0, which is exactly what the
+    oracle builds. Under the pre-r12 unsequenced semantics the
+    re-admitted half stayed invisible (silently lost data)."""
+    docs = ensure_views(spark, sf_dir)["documents"]
+    d = similarity._index_scratch()
+    dedup.lsh_index_build(docs, d)
+    bounded = dedup._bounded_corpus(docs, 200)
+    deleted = bounded.filter((F.col("doc_id") < 100000)
+                             & (F.col("doc_id") % 4 == 0))
+    dedup.lsh_index_delete(spark, d, deleted.select("doc_id"))
+    dedup.lsh_index_add_batch(
+        spark, d, deleted.filter(F.col("doc_id") % 8 == 0))
+    return dedup.lsh_index_query(
+        spark, d,
+        bounded.filter((F.col("doc_id") >= 100000)
+                       & (F.col("doc_id") < 200000)))
+
+
+QUERIES["dedup_lsh_index_reinsert"] = _lsh_index_reinsert
+ORACLE["dedup_lsh_index_reinsert"] = _lsh_match_sql(
+    f"{_LSH_ORIGINALS} AND (doc_id % 4 <> 0 OR doc_id % 8 = 0)",
+    _LSH_EXACTS)
+
+
 QUERIES["tokenize_bpe_merge_order"] = _bind(
     corpus_stats.bpe_apply_merge_order, "documents")
 # merge-ORDER application: the train chain's FINAL vocabulary state (v6,

@@ -895,18 +895,28 @@ _GATE_ARRIVALS = _LSH_INCOMING + """
 """
 ORACLE["dedup_stream_ingest_gate"] = f"""
     WITH pairs AS ({_lsh_match_sql(_LSH_ORIGINALS, _GATE_ARRIVALS)}),
+    bpairs AS ({_lsh_match_sql(_GATE_ARRIVALS, _GATE_ARRIVALS)}),
     arrivals AS ({_GATE_ARRIVALS}),
     m AS (
       SELECT doc_b AS doc_id, CAST(count(*) AS INT) AS n_index_matches,
              max(jaccard) AS best_jaccard
       FROM pairs GROUP BY doc_b
+    ),
+    bm AS (
+      SELECT doc_b AS doc_id,
+             CAST(count(DISTINCT doc_a) AS INT) AS n_batch_matches,
+             min(doc_a) AS batch_dup_of
+      FROM bpairs WHERE doc_a <> doc_b GROUP BY doc_b
     )
     SELECT a.doc_id,
            coalesce(m.n_index_matches, 0) AS n_index_matches,
            round(coalesce(m.best_jaccard, 0.0), 6) AS best_jaccard,
            CAST(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
-             AS admitted
+             AS admitted,
+           coalesce(bm.n_batch_matches, 0) AS n_batch_matches,
+           bm.batch_dup_of
     FROM arrivals a LEFT JOIN m ON a.doc_id = m.doc_id
+    LEFT JOIN bm ON a.doc_id = bm.doc_id
 """
 
 

@@ -24,7 +24,23 @@ rebuild lifecycle covers).
 
 Concurrency contract: one writer at a time (the engine's documented
 single-committer posture, same as the snapshot table); readers are
-lock-free at any version.
+lock-free at any version. The manifest write itself ENFORCES the
+minimal optimistic-concurrency guard: version files are created
+exclusively (hard-link commit — `os.link` fails with FileExistsError
+if the version already exists), so two committers racing the same
+`latest+1` cannot silently clobber each other — the loser raises
+`ManifestConflictError` and must re-read + retry.
+
+SEQUENCED tombstones (Iceberg v2 data-sequence-number semantics,
+r12 — the recipe `snapshots._applicable_tombs` established at r11,
+propagated here): every data directory is stamped with the manifest
+version that committed it (`seqs`); a tombstone dir applies only to
+data dirs with a STRICTLY SMALLER sequence. This is what makes
+delete-then-re-admit correct: a doc_id tombstoned at v3 and re-added
+at v4 is visible at HEAD because the v3 tombstone never applies to
+the v4 dirs. Manifests written before `seqs` existed default to the
+legacy "tombstones apply to everything" (dir seq = -1, tomb seq =
++inf).
 """
 
 from __future__ import annotations
@@ -33,6 +49,11 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ManifestConflictError(RuntimeError):
+    """Two committers raced the same manifest version: the loser's
+    exclusive create failed. Re-read the latest manifest and retry."""
 
 
 def _mdir(root: str) -> str:
@@ -55,22 +76,59 @@ def read_manifest(root: str, version: int | None = None) -> dict:
     a missing/expired version — the reader's signal to re-resolve."""
     v = latest_version(root) if version is None else version
     with open(os.path.join(_mdir(root), f"v{v:05d}.json")) as fh:
-        return json.load(fh)
+        man = json.load(fh)
+    man.setdefault("seqs", {})
+    return man
+
+
+def applicable_tombs(man: dict, data_dir: str,
+                     tomb_table: str = "tombstones") -> tuple[str, ...]:
+    """The tombstone dirs whose commit sequence EXCEEDS this data dir's
+    — the only deletes a reader applies to it (Iceberg v2 semantics;
+    mirrors `snapshots._applicable_tombs`). Pre-seqs manifests degrade
+    to the legacy everything-applies behavior."""
+    seqs = man.get("seqs", {})
+    dseq = seqs.get(data_dir, -1)
+    return tuple(sorted(
+        t for t in man["tables"].get(tomb_table, [])
+        if seqs.get(t, float("inf")) > dseq))
 
 
 def commit_manifest(root: str, params: dict,
                     tables: dict[str, list[str]]) -> int:
     """Atomically commit the next manifest version. `tables` is the
     FULL visibility map for the new version (callers extend the previous
-    manifest's lists for append semantics). Returns the new version."""
+    manifest's lists for append semantics). Directories not present in
+    the previous manifest's `seqs` are stamped with the NEW version —
+    the data-sequence number tombstone applicability keys on.
+
+    The version file is created EXCLUSIVELY (write temp, hard-link to
+    the final name — `os.link` raises if it exists, and the temp is
+    always removed): a crashed writer leaves the table at the previous
+    version, and a concurrent committer racing the same `latest+1`
+    raises `ManifestConflictError` instead of clobbering. Returns the
+    new version."""
     d = _mdir(root)
     os.makedirs(d, exist_ok=True)
     v = latest_version(root) + 1
+    prev_seqs: dict[str, int] = {}
+    if v > 1:
+        prev_seqs = read_manifest(root, v - 1).get("seqs", {})
+    all_dirs = [p for dirs in tables.values() for p in dirs]
+    seqs = {p: prev_seqs.get(p, v) for p in all_dirs}
     path = os.path.join(d, f"v{v:05d}.json")
-    tmp = path + ".tmp"
+    tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
-        json.dump({"version": v, "params": params, "tables": tables}, fh)
-    os.replace(tmp, path)
+        json.dump({"version": v, "params": params, "tables": tables,
+                   "seqs": seqs}, fh)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ManifestConflictError(
+            f"manifest v{v} already committed under {root}; "
+            "re-read the latest version and retry") from None
+    finally:
+        os.remove(tmp)
     return v
 
 
@@ -99,10 +157,19 @@ def expire_versions(root: str, keep_from: int) -> list[str]:
     delete any data directory no surviving manifest references. Kept
     versions are bit-identical afterward; expired versions raise
     FileNotFoundError on read — the storage-reclaim half of the index
-    lifecycle. Returns the removed directories."""
+    lifecycle. Returns the removed directories.
+
+    `keep_from` must be <= the latest committed version: a higher value
+    would leave the kept-manifest set EMPTY and reclaim every data
+    directory — silent total destruction on what is clearly an invalid
+    retention point — so it raises instead."""
     import shutil
 
     latest = latest_version(root)
+    if keep_from > latest:
+        raise ValueError(
+            f"keep_from={keep_from} exceeds latest committed version "
+            f"{latest} under {root}: refusing to expire every manifest")
     keep = [read_manifest(root, v) for v in range(keep_from, latest + 1)]
     referenced = {d for m in keep for dirs in m["tables"].values()
                   for d in dirs}

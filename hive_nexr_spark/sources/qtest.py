@@ -1917,11 +1917,15 @@ def run_qfile(spark: SparkSession, qfile: str,
                          re.IGNORECASE):
         import shutil
 
-        p = m.group(1)
-        shutil.rmtree(p, ignore_errors=True)
-        shutil.rmtree(os.path.join(os.path.dirname(p),
-                                   prefix + os.path.basename(p)),
-                      ignore_errors=True)
+        # the path comes verbatim from UNTRUSTED qfile text: resolve
+        # symlinks/.. and delete only if it truly lands under /tmp
+        # (a 'file:/tmp/../home/x' location must not escape)
+        for p in (m.group(1),
+                  os.path.join(os.path.dirname(m.group(1)),
+                               prefix + os.path.basename(m.group(1)))):
+            rp = os.path.realpath(p)
+            if rp.startswith("/tmp/") and rp != "/tmp":
+                shutil.rmtree(rp, ignore_errors=True)
     # constructs that reject temp views (CREATE TABLE LIKE, persistent
     # CREATE VIEW, partition DDL) need the fixtures as REAL tables
     has_views = bool(re.search(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW", text,

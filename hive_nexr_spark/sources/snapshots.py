@@ -50,13 +50,27 @@ def _applicable_tombs(man: dict, data_dir: str) -> tuple[str, ...]:
 
 
 def _write_manifest(base: str, man: dict) -> None:
-    """Atomic manifest write (temp + rename): a crashed committer leaves
-    the table at the previous version, never a torn manifest."""
+    """Atomic + EXCLUSIVE manifest write (write temp, hard-link to the
+    final name): a crashed committer leaves the table at the previous
+    version, never a torn manifest — and a concurrent committer racing
+    the same version number raises `ManifestConflictError` instead of
+    silently clobbering (the minimal optimistic-concurrency guard; the
+    documented posture is single-writer, and this makes a violation
+    loud). Losers re-read the latest version and retry."""
+    from .index_manifest import ManifestConflictError
+
     path = os.path.join(base, f"v{man['version']}.json")
-    tmp = path + ".tmp"
+    tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(man, fh)
-    os.replace(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ManifestConflictError(
+            f"snapshot v{man['version']} already committed under {base}; "
+            "re-read the latest version and retry") from None
+    finally:
+        os.remove(tmp)
 
 
 def _commit(base: str, version: int, new_dir: str | None) -> list[str]:
@@ -161,10 +175,18 @@ def expire_snapshots(base: str, keep_from: int) -> list[str]:
     references. Kept versions are bit-identical afterward (their
     manifests list only surviving dirs); expired versions raise on read
     — the storage-reclaim half of the lifecycle (Iceberg
-    expire_snapshots semantics). Returns the removed directories."""
+    expire_snapshots semantics). Returns the removed directories.
+
+    `keep_from` must be <= the latest committed version — a higher value
+    would empty the kept set and reclaim every data dir (see
+    `index_manifest.expire_versions`)."""
     import shutil
 
     latest = _latest(base)
+    if keep_from > latest:
+        raise ValueError(
+            f"keep_from={keep_from} exceeds latest committed version "
+            f"{latest} under {base}: refusing to expire every manifest")
     keep = [_load_manifest(base, v) for v in range(keep_from, latest + 1)]
     referenced = {d for m in keep for d in m["dirs"] + m["deletes"]}
     removed: list[str] = []
@@ -370,7 +392,15 @@ def changes_between(spark: SparkSession, base: str, v_from: int,
     new_dirs = [d for d in m_to["dirs"] if d not in m_from["dirs"]]
     new_tombs = [d for d in m_to["deletes"] if d not in m_from["deletes"]]
     # schema source for empty frames: any manifest dir (the source
-    # version may be an EMPTY table with no data dirs yet)
+    # version may be an EMPTY table with no data dirs yet). When BOTH
+    # versions list no data dirs (delete-only commits against a
+    # not-yet-loaded table) there is no parquet schema to borrow — the
+    # window's change sets are empty by construction, so return two
+    # empty key-column frames instead of dereferencing a dir.
+    if not m_from["dirs"] and not m_to["dirs"]:
+        key = m_to["key"] or "key"
+        empty = spark.createDataFrame([], f"{key} string")
+        return empty, empty
     some_dir = (m_from["dirs"] or m_to["dirs"])[0]
     schema_src = spark.read.parquet(some_dir)
     if new_dirs:

@@ -149,7 +149,18 @@ def _gate_decisions(spark: SparkSession, index_root: str,
     """Per-document admission decision against the FROZEN index version:
     probe (the persisted-index band join + exact-Jaccard verify), then
     aggregate matches per arriving doc. Output: (doc_id,
-    n_index_matches, best_jaccard, admitted 0/1)."""
+    n_index_matches, best_jaccard, admitted 0/1, n_batch_matches,
+    batch_dup_of).
+
+    The last two columns (r12) SURFACE intra-batch duplicates — arrivals
+    that near-dup EACH OTHER within this batch, which the frozen-index
+    contract deliberately admits both of (the offline pass owns them):
+    a within-batch band self-join + exact-Jaccard verify, n_batch_matches
+    = distinct batch peers >= threshold, batch_dup_of = the smallest such
+    peer id (NULL when none). They describe the batch itself, so they
+    are the one part of the table that depends on batching; the
+    frozen-index columns (n_index_matches, best_jaccard, admitted)
+    remain batch-boundary-independent — the determinism contract."""
     from ..datapipe import dedup as dd
 
     pairs = dd.lsh_index_query(spark, index_root, batch, threshold,
@@ -157,8 +168,28 @@ def _gate_decisions(spark: SparkSession, index_root: str,
     m = (pairs.groupBy(F.col("doc_b").alias("doc_id"))
          .agg(F.count("*").cast("int").alias("n_index_matches"),
               F.max("jaccard").alias("best_jaccard")))
+    pb = _hof_bands(
+        _with_shingles(batch.select("doc_id", "text"))
+        .select("doc_id", "sh"))
+    bpairs = (
+        pb.alias("x").join(
+            pb.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")))
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("y.doc_id").alias("peer"),
+            (F.size(F.array_intersect("x.sh", "y.sh"))
+             / F.size(F.array_union("x.sh", "y.sh"))).alias("j"))
+        .filter(F.col("j") >= threshold))
+    bm = (bpairs.groupBy("doc_id")
+          .agg(F.count_distinct("peer").cast("int")
+               .alias("n_batch_matches"),
+               F.min("peer").alias("batch_dup_of")))
     return (
         batch.select("doc_id").join(m, "doc_id", "left")
+        .join(bm, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_index_matches", F.lit(0)).cast("int")
@@ -167,6 +198,9 @@ def _gate_decisions(spark: SparkSession, index_root: str,
             .alias("best_jaccard"),
             F.when(F.col("n_index_matches").isNull(), 1).otherwise(0)
             .cast("int").alias("admitted"),
+            F.coalesce("n_batch_matches", F.lit(0)).cast("int")
+            .alias("n_batch_matches"),
+            F.col("batch_dup_of"),
         )
     )
 
@@ -191,7 +225,12 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str,
     Intra-stream duplicates OF EACH OTHER are therefore both admitted
     and left to the periodic offline dedup pass — the standard posture
     for a streaming gate (the historical index is the contract; the
-    batch MinHash job owns intra-window dups).
+    batch MinHash job owns intra-window dups) — but since r12 they are
+    SURFACED: each decision row carries (n_batch_matches, batch_dup_of)
+    from a within-batch band self-join, so the downstream router can see
+    which admitted docs arrived alongside their own near-dups. These two
+    columns describe the micro-batch itself (the documented exception to
+    the batch-boundary-independence of the frozen-index columns).
 
     100 TB shape: per batch — stateless band projection on the batch,
     one (band, bucket) equi-join against the persisted band table, one

@@ -1123,6 +1123,141 @@ def test_lsh_index_delete_tombstones_and_asof(dfs, spark):
             dedup.lsh_index_query(spark, d, exacts).collect()} == after
 
 
+def test_lsh_index_reinsert_after_delete_sequenced(dfs, spark):
+    """SEQUENCED index tombstones (r12, the snapshots._applicable_tombs
+    recipe propagated): delete(X) → add_batch re-admitting X must make X
+    matchable again at HEAD (the re-add dirs outsequence the tombstone),
+    while the pre-delete version still matches everything, the
+    post-delete/pre-re-add version excludes X, and compaction preserves
+    the HEAD content. This is exactly the delete-then-re-ingest flow the
+    streaming gate makes likely — silently lost under the pre-r12
+    unsequenced anti-join."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.datapipe import dedup, similarity
+    from hive_nexr_spark.sources import index_manifest as idx
+
+    docs = dfs["documents"]
+    d = similarity._index_scratch()
+    dedup.lsh_index_build(docs, d)
+    bounded = dedup._bounded_corpus(docs, 200)
+    exacts = bounded.filter((F.col("doc_id") >= 100000)
+                            & (F.col("doc_id") < 200000))
+    before = {(r.doc_a, r.doc_b) for r in
+              dedup.lsh_index_query(spark, d, exacts).collect()}
+    deleted = bounded.filter((F.col("doc_id") < 100000)
+                             & (F.col("doc_id") % 4 == 0))
+    v2 = dedup.lsh_index_delete(spark, d, deleted.select("doc_id"))
+    v3 = dedup.lsh_index_add_batch(
+        spark, d, deleted.filter(F.col("doc_id") % 8 == 0))
+    assert (v2, v3) == (2, 3)
+    # the tombstone (seq 2) applies to the build dirs (seq 1) but NOT
+    # the re-add dirs (seq 3) — recorded in the manifest's seqs map
+    man3 = idx.read_manifest(d, 3)
+    tomb = man3["tables"]["tombstones"][0]
+    assert man3["seqs"][tomb] == 2
+    assert all(man3["seqs"][b] in (1, 3)
+               for b in man3["tables"]["bands"])
+    head = {(r.doc_a, r.doc_b) for r in
+            dedup.lsh_index_query(spark, d, exacts).collect()}
+    expect_head = {(a, b) for a, b in before
+                   if a >= 100000 or a % 4 != 0 or a % 8 == 0}
+    assert head == expect_head
+    assert any(a % 8 == 0 and a < 100000 for a, _ in head)  # re-admitted
+    assert not any(a % 4 == 0 and a % 8 != 0 and a < 100000
+                   for a, _ in head)  # still-deleted half stays out
+    # AS-OF correctness on every version
+    asof1 = {(r.doc_a, r.doc_b) for r in
+             dedup.lsh_index_query(spark, d, exacts, version=1).collect()}
+    assert asof1 == before
+    asof2 = {(r.doc_a, r.doc_b) for r in
+             dedup.lsh_index_query(spark, d, exacts, version=2).collect()}
+    assert asof2 == {(a, b) for a, b in before
+                     if a >= 100000 or a % 4 != 0}
+    # compaction materializes the sequenced visibility away — content
+    # identical, no tombstone table left
+    dedup.lsh_index_compact(spark, d)
+    compacted = {(r.doc_a, r.doc_b) for r in
+                 dedup.lsh_index_query(spark, d, exacts).collect()}
+    assert compacted == head
+    assert "tombstones" not in idx.read_manifest(d)["tables"]
+
+
+def test_index_manifest_guards(dfs, spark, tmp_path):
+    """The r12 manifest-layer guards: (a) a version collision between
+    two committers raises ManifestConflictError instead of silently
+    clobbering (exclusive create — the minimal optimistic-concurrency
+    check under the documented single-writer posture); (b)
+    expire_versions with keep_from beyond the latest version raises
+    ValueError instead of deleting every manifest and data dir."""
+    import pytest as _pytest
+
+    from hive_nexr_spark.sources import index_manifest as idx
+
+    import os as _os
+
+    root = str(tmp_path / "idx")
+    v1 = idx.commit_manifest(root, {"p": 1}, {"t": []})
+    assert v1 == 1
+    # the race: a second committer that read the table BEFORE v1 landed
+    # computes the same next version — monkeypatch latest_version to
+    # reproduce its stale read; the loser must raise, not clobber
+    orig = idx.latest_version
+    try:
+        idx.latest_version = lambda r: 0
+        with _pytest.raises(idx.ManifestConflictError):
+            idx.commit_manifest(root, {"p": 2}, {"t": []})
+    finally:
+        idx.latest_version = orig
+    # no torn/partial state: v1 still loads, no stray tmp files
+    assert idx.read_manifest(root, 1)["params"] == {"p": 1}
+    assert not [f for f in _os.listdir(_os.path.join(root, "manifest"))
+                if ".tmp" in f]
+    with _pytest.raises(ValueError):
+        idx.expire_versions(root, keep_from=5)
+
+
+def test_snapshot_guards_and_empty_cdc_window(spark, tmp_path):
+    """Snapshot-layer r12 guards: version-collision commits raise
+    (exclusive manifest create), expire_snapshots rejects keep_from
+    beyond latest, and a CDC window where BOTH versions carry no data
+    dirs (delete-only commits on a not-yet-loaded table) returns two
+    EMPTY frames instead of IndexError."""
+    import pytest as _pytest
+
+    from hive_nexr_spark.sources import index_manifest as idx
+    from hive_nexr_spark.sources import snapshots as sn
+
+    base = str(tmp_path / "snap")
+    import os as _os
+
+    _os.makedirs(base)
+    # two delete-only commits on an empty table: v1/v2 tombstones only
+    keys = spark.createDataFrame([(1,), (2,)], "o_orderkey bigint")
+    t1 = _os.path.join(base, "tombstones_v1")
+    keys.write.parquet(t1)
+    sn._write_manifest(base, {"version": 1, "dirs": [], "deletes": [t1],
+                              "key": "o_orderkey", "dir_seqs": {},
+                              "delete_seqs": {t1: 1}})
+    t2 = _os.path.join(base, "tombstones_v2")
+    keys.write.parquet(t2)
+    sn._write_manifest(base, {"version": 2, "dirs": [],
+                              "deletes": [t1, t2], "key": "o_orderkey",
+                              "dir_seqs": {},
+                              "delete_seqs": {t1: 1, t2: 2}})
+    ins, dels = sn.changes_between(spark, base, 1, 2)
+    assert ins.count() == 0 and dels.count() == 0
+    # collision: same version re-committed → conflict, not clobber
+    with _pytest.raises(idx.ManifestConflictError):
+        sn._write_manifest(base, {"version": 2, "dirs": [],
+                                  "deletes": [], "key": "o_orderkey",
+                                  "dir_seqs": {}, "delete_seqs": {}})
+    # keep_from beyond latest refuses instead of deleting everything
+    with _pytest.raises(ValueError):
+        sn.expire_snapshots(base, keep_from=9)
+    assert _os.path.isdir(t1) and _os.path.isdir(t2)
+
+
 def test_residual_beats_raw_on_clustered_fixture(spark):
     """The measurement `ivf_pq_residual_topk` was built to produce —
     vacuous on the uniform synthetic embeddings (r10 verdict): on the

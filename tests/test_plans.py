@@ -307,10 +307,11 @@ def test_heavy_hitters_topk_never_global_sort(dfs):
 
 
 def test_heavy_hitters_bounded_misra_gries_shape(dfs):
-    """The two-pass Misra-Gries plan must sketch via MapInPandas (O(k)
-    state per partition), broadcast the candidate set back onto the
-    token stream (never shuffle the vocabulary), and the recount
-    aggregation must partially combine map-side."""
+    """The two-pass frequent-mining plan must run pass 1 ENTIRELY
+    JVM-side (r12: the grouping-sets per-partition candidate rule
+    replaced the engine's one headline MapInPandas path — zero Python
+    workers allowed), broadcast the bounded candidate set back onto the
+    token stream, and partially combine map-side."""
     import re
 
     from hive_nexr_spark.datapipe.corpus_stats import (
@@ -318,11 +319,12 @@ def test_heavy_hitters_bounded_misra_gries_shape(dfs):
     )
 
     fplan = _formatted(token_heavy_hitters_bounded(dfs["documents"]))
-    assert "MapInPandas" in fplan
+    assert "MapInPandas" not in fplan
+    assert "Expand" in fplan  # the (pid, token) / (pid) grouping sets
     assert "BroadcastHashJoin" in fplan
     assert "partial_count" in fplan
-    # the only shuffled keys are candidate tokens post-broadcast-filter;
-    # no Exchange may carry the raw document text
+    # the only shuffled keys are per-partition combine rows and candidate
+    # tokens post-broadcast-filter; no Exchange may carry document text
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "text#" not in ex, f"document text in shuffle: {ex}"
 
@@ -1044,6 +1046,10 @@ def test_containment_posting_join_keys_on_shingle(dfs):
     fplan = _formatted(containment_pairs(dfs["documents"]))
     assert "partial_count" in fplan
     assert "BatchEvalPython" not in fplan
+    # r12: the contained side must be prefix-pruned (lossless PPJoin
+    # bound) before the posting self-join — the pos <= len - ceil(t*len)
+    # + 1 filter must sit in the plan
+    assert re.search(r"pos#\d+ <= ", fplan), fplan[:2000]
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "text#" not in ex, f"document text in shuffle: {ex}"
 
@@ -1061,6 +1067,8 @@ def test_containment_full_same_bounded_fanout_plan(dfs):
     assert "partial_count" in fplan
     # the stop-shingle cap must sit in the plan (df <= 50 posting bound)
     assert re.search(r"\(df#\d+L? <= 50\)", fplan), fplan[:2000]
+    # and so must the r12 contained-side prefix prune
+    assert re.search(r"pos#\d+ <= ", fplan), fplan[:2000]
     assert "BatchEvalPython" not in fplan
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "text#" not in ex, f"document text in shuffle: {ex}"
