@@ -993,6 +993,79 @@ def token_heavy_hitters_bounded(documents: DataFrame,
     ).withColumn("rank", F.row_number().over(w))
 
 
+def kmv_corpus_overlap(documents: DataFrame, k: int = 128) -> DataFrame:
+    """PORTABLE bottom-k (KMV) distinct sketch with SET OPERATIONS
+    (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007 — both public):
+    the k smallest hash values of a set estimate its distinct count as
+    (k-1)·M/h_k, and — the property the other sketches here lack —
+    bottom-k sketches are CLOSED under union, so two corpus sketches
+    estimate |A∪B|, Jaccard (the fraction of the union sketch present
+    in both sides), and |A∩B| without ever comparing the corpora
+    row-by-row. This is the sketch a 100 TB pipeline uses to answer
+    "how much does this new crawl overlap what we already have" from
+    two k-row summaries instead of a corpus-sized join.
+
+    Fixture: corpus A = documents with doc_id % 2 == 0, B = % 3 == 0
+    (true overlap = % 6 == 0); elements hash via the first 12 hex chars
+    of md5(doc_id) — engine-portable, so the DuckDB oracle reproduces
+    every bit, including the estimator arithmetic. Each sketch is
+    TakeOrdered(k) — O(k) memory per partition, no full sort; the exact
+    counts computed alongside are the measured-error oracle (house
+    style: sketch + exact + rel_err).
+
+    Output: one row per measure ∈ {distinct_a, distinct_b, union,
+    intersection} — (measure, n_exact, estimate, rel_err). Sketches
+    smaller than k ARE their sets (estimate = exact by construction).
+    """
+    m_scale = float(16 ** 12)
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                16, 10).cast("long"))
+    base = documents.select("doc_id", h.alias("h"))
+    a = base.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    b = base.filter(F.col("doc_id") % 3 == 0).select("h").distinct()
+    u = a.unionByName(b).distinct()
+    k_u = u.orderBy("h").limit(k)
+
+    def sketch_row(s: DataFrame, measure: str) -> DataFrame:
+        sk = (s.orderBy("h").limit(k)
+              .agg(F.count("*").alias("n_sk"), F.max("h").alias("hk")))
+        ex = s.agg(F.count("*").alias("n_exact"))
+        est = F.when(
+            F.col("n_sk") < k, F.col("n_sk").cast("double")
+        ).otherwise(F.lit(float(k - 1)) * F.lit(m_scale) / F.col("hk"))
+        return ex.crossJoin(F.broadcast(sk)).select(
+            F.lit(measure).alias("measure"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round(est, 4).alias("estimate"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6)
+            .alias("rel_err"))
+
+    # intersection: coincidences of BOTH sides inside the union sketch,
+    # scaled by the union estimate (m/n_kU collapses to the exact count
+    # when the union sketch is unsaturated)
+    inter_exact = a.join(b, "h", "left_semi")
+    m_hits = (k_u.join(a, "h", "left_semi").join(b, "h", "left_semi")
+              .agg(F.count("*").alias("m")))
+    ku_stats = k_u.agg(F.count("*").alias("n_ku"), F.max("h").alias("hk"))
+    est_u = F.when(
+        F.col("n_ku") < k, F.col("n_ku").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(m_scale) / F.col("hk"))
+    est_i = F.col("m") / F.col("n_ku") * est_u
+    inter_row = (
+        inter_exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(F.broadcast(m_hits))
+        .crossJoin(F.broadcast(ku_stats))
+        .select(F.lit("intersection").alias("measure"),
+                F.col("n_exact").cast("bigint").alias("n_exact"),
+                F.round(est_i, 4).alias("estimate"),
+                F.round(F.abs(est_i - F.col("n_exact"))
+                        / F.col("n_exact"), 6).alias("rel_err")))
+    return (sketch_row(a, "distinct_a")
+            .unionByName(sketch_row(b, "distinct_b"))
+            .unionByName(sketch_row(u, "union"))
+            .unionByName(inter_row))
+
+
 def countmin_token_freq(documents: DataFrame, d: int = 4, w: int = 512,
                         probe_k: int = 15) -> DataFrame:
     """PORTABLE Count-Min sketch (Cormode & Muthukrishnan 2005 — public):

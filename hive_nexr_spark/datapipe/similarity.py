@@ -55,6 +55,67 @@ def brute_force_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10) -> 
     )
 
 
+def mips_topk(embeddings: DataFrame, k: int = 3,
+              n_queries: int = 10) -> DataFrame:
+    """Maximum-Inner-Product Search via the ORDER-PRESERVING cosine
+    reduction (Bachrach et al. RecSys 2014; Shrivastava & Li NIPS 2014
+    — both public): retrieval scores documents by raw inner product
+    (BM25-weighted embeddings, recommender factors), which cosine ANN
+    machinery can't serve directly because long vectors win on dot but
+    lose on angle. The fix: augment every corpus vector with one extra
+    coordinate sqrt(Phi² − |x|²) (Phi = max corpus norm) and every query
+    with 0 — all augmented corpus vectors then share norm Phi, so
+    cosine against the augmented query ranks EXACTLY like the raw inner
+    product, and the entire existing cosine stack (sign-LSH, IVF-PQ)
+    becomes a MIPS index for free.
+
+    The engine ranks by the transformed cosine — the augmented norm and
+    zero-extended dot computed literally, not algebraically simplified —
+    while the oracle ranks by the raw inner product directly: the
+    row-hash match IS the order-equivalence demonstration. Output:
+    (query_id, neighbor_id, inner_product, rank).
+
+    100 TB shape: Phi is a one-row broadcast aggregate off the corpus
+    scan; scoring is corpus × broadcast(queries) with JVM-side
+    zip_with/aggregate math (no Python), per-query ranking windows
+    partition by the bounded query set."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # persisted: two consumers rescan it (the Phi aggregate and the
+    # scoring join) — at scale Phi is computed once per corpus version
+    # and stored with it, exactly this plan's cache materialization
+    corpus = tracked_persist(emb.filter(F.col("vec_id") >= n_queries))
+    phi2 = corpus.agg(
+        F.max(F.aggregate(F.col("v"), F.lit(0.0).cast("double"),
+                          lambda acc, x: acc + x * x)).alias("phi2"))
+    n2x = F.aggregate(F.col("v"), F.lit(0.0).cast("double"),
+                      lambda acc, x: acc + x * x)
+    aug = F.sqrt(F.greatest(F.col("phi2") - n2x, F.lit(0.0)))
+    # augmented dot: q' carries 0 in the extra coordinate, so the term
+    # aug * 0 rides along literally; augmented corpus norm is computed
+    # from the components, not collapsed to sqrt(phi2)
+    dot_aug = _dot(F.col("qv"), F.col("v")) + aug * F.lit(0.0)
+    norm_aug = F.sqrt(n2x + aug * aug)
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .crossJoin(F.broadcast(phi2))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qv"), F.col("v")).alias("ip"),
+            (dot_aug / (norm_aug * _norm(F.col("qv"))))
+            .alias("cos_aug")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_aug").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("ip", 6).alias("inner_product"), "rank")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, n_planes: int = 4, n_queries: int = 10,
              k: int = 1, dim: int = 64) -> DataFrame:
     """Approximate NN via sign-LSH: bucket = sign bits of dot products with

@@ -3505,6 +3505,96 @@ ORACLE["agg_countmin_portable"] = """
     FROM probes JOIN est USING (t)
 """
 
+QUERIES["sketch_kmv_overlap"] = _bind(corpus_stats.kmv_corpus_overlap,
+                                      "documents")
+# portable bottom-k (KMV) distinct sketch with set operations
+# (Bar-Yossef et al. 2002 / Beyer et al. 2007): the k smallest
+# md5-derived hashes per corpus; union-mergeable, so |A∪B|, Jaccard and
+# |A∩B| come from two k-row summaries — every hash, threshold and
+# estimator arithmetic reproduced bit-for-bit (k=128, M=16^12;
+# 127.0 * 281474976710656 mirrors the engine's (k-1)*M literal order)
+ORACLE["sketch_kmv_overlap"] = """
+    WITH el AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h
+      FROM documents
+    ),
+    a AS (SELECT DISTINCT h FROM el WHERE doc_id % 2 = 0),
+    b AS (SELECT DISTINCT h FROM el WHERE doc_id % 3 = 0),
+    u AS (SELECT h FROM a UNION SELECT h FROM b),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT 128),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT 128),
+    ku AS (SELECT h FROM u ORDER BY h LIMIT 128),
+    ska AS (SELECT count(*) AS n_sk, max(h) AS hk FROM ka),
+    skb AS (SELECT count(*) AS n_sk, max(h) AS hk FROM kb),
+    sku AS (SELECT count(*) AS n_sk, max(h) AS hk FROM ku),
+    exa AS (SELECT count(*) AS n_exact FROM a),
+    exb AS (SELECT count(*) AS n_exact FROM b),
+    exu AS (SELECT count(*) AS n_exact FROM u),
+    exi AS (SELECT count(*) AS n_exact FROM a
+            WHERE h IN (SELECT h FROM b)),
+    m AS (SELECT count(*) AS m FROM ku
+          WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b))
+    SELECT 'distinct_a' AS measure, CAST(exa.n_exact AS BIGINT) AS n_exact,
+           round(CASE WHEN ska.n_sk < 128 THEN CAST(ska.n_sk AS DOUBLE)
+                 ELSE 127.0 * 281474976710656 / ska.hk END, 4) AS estimate,
+           round(abs((CASE WHEN ska.n_sk < 128 THEN CAST(ska.n_sk AS DOUBLE)
+                      ELSE 127.0 * 281474976710656 / ska.hk END)
+                     - exa.n_exact) / exa.n_exact, 6) AS rel_err
+    FROM exa, ska
+    UNION ALL
+    SELECT 'distinct_b', CAST(exb.n_exact AS BIGINT),
+           round(CASE WHEN skb.n_sk < 128 THEN CAST(skb.n_sk AS DOUBLE)
+                 ELSE 127.0 * 281474976710656 / skb.hk END, 4),
+           round(abs((CASE WHEN skb.n_sk < 128 THEN CAST(skb.n_sk AS DOUBLE)
+                      ELSE 127.0 * 281474976710656 / skb.hk END)
+                     - exb.n_exact) / exb.n_exact, 6)
+    FROM exb, skb
+    UNION ALL
+    SELECT 'union', CAST(exu.n_exact AS BIGINT),
+           round(CASE WHEN sku.n_sk < 128 THEN CAST(sku.n_sk AS DOUBLE)
+                 ELSE 127.0 * 281474976710656 / sku.hk END, 4),
+           round(abs((CASE WHEN sku.n_sk < 128 THEN CAST(sku.n_sk AS DOUBLE)
+                      ELSE 127.0 * 281474976710656 / sku.hk END)
+                     - exu.n_exact) / exu.n_exact, 6)
+    FROM exu, sku
+    UNION ALL
+    SELECT 'intersection', CAST(exi.n_exact AS BIGINT),
+           round(m.m / CAST(sku.n_sk AS DOUBLE)
+                 * (CASE WHEN sku.n_sk < 128 THEN CAST(sku.n_sk AS DOUBLE)
+                    ELSE 127.0 * 281474976710656 / sku.hk END), 4),
+           round(abs(m.m / CAST(sku.n_sk AS DOUBLE)
+                     * (CASE WHEN sku.n_sk < 128
+                        THEN CAST(sku.n_sk AS DOUBLE)
+                        ELSE 127.0 * 281474976710656 / sku.hk END)
+                     - exi.n_exact) / exi.n_exact, 6)
+    FROM exi, m, sku
+"""
+
+QUERIES["similarity_mips_topk"] = _bind(similarity.mips_topk,
+                                        "embeddings")
+# MIPS via the order-preserving cosine reduction (Bachrach et al. 2014 /
+# Shrivastava & Li 2014): the ENGINE ranks by cosine against the
+# Phi-augmented vectors; the ORACLE ranks by the raw inner product — the
+# hash match is the order-equivalence demonstration
+ORACLE["similarity_mips_topk"] = """
+    SELECT query_id, neighbor_id, inner_product, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 6)
+               AS inner_product,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[]))
+                        DESC, c.vec_id
+             ) AS INT) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+      WHERE q.vec_id < 10
+    ) t WHERE rank <= 3
+"""
+
 QUERIES["retrieval_bm25_topk"] = _bind(curation.bm25_topk, "documents")
 # BM25 (Robertson & Zaragoza 2009, Lucene's +1-smoothed idf): per-term
 # scores floored to integer micro-units BEFORE the per-document sum, so

@@ -220,6 +220,18 @@ def _compaction(spark, sf_dir):
     return compaction_stats(spark, sf_dir)
 
 
+def _partition_compaction(spark, sf_dir):
+    from ..sources.snapshots import partition_compaction_stats
+
+    return partition_compaction_stats(spark, sf_dir)
+
+
+def _branch_wap(spark, sf_dir):
+    from ..sources.snapshots import branch_wap_stats
+
+    return branch_wap_stats(spark, sf_dir)
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -263,6 +275,8 @@ QUERIES = {
     "table_time_travel_delete": lambda spark, sf_dir:
         _time_travel_delete(spark, sf_dir),
     "table_compaction": lambda spark, sf_dir: _compaction(spark, sf_dir),
+    "table_compact_partition": _partition_compaction,
+    "table_branch_wap": _branch_wap,
     "table_changes_diff": _table_changes,
     "table_merge_upsert": _merge_upsert,
     "table_cdc_incremental_mv": _cdc_mv,
@@ -564,6 +578,69 @@ ORACLE["table_compaction"] = """
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE),
            CAST(1 AS INT), CAST(0 AS INT)
     FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+# partition-scoped compaction (sources/snapshots.py
+# partition_compaction_stats): content identical v3 vs v4 for both
+# scopes (the oracle recomputes from the slice predicates); the target
+# partition's dir count collapses 2 → 1 while the tombstone stays
+# listed for the untouched dirs — deterministic by fixture construction
+ORACLE["table_compact_partition"] = """
+    WITH vis AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 'target' ELSE 'rest' END AS scope,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    agg AS (
+      SELECT scope, count(*) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS sum_totalprice
+      FROM vis GROUP BY scope
+    )
+    SELECT CAST(3 AS INT) AS version, scope, n_rows, sum_totalprice,
+           CAST(2 AS INT) AS n_target_dirs,
+           CAST(1 AS INT) AS n_tombstone_dirs
+    FROM agg
+    UNION ALL
+    SELECT CAST(4 AS INT), scope, n_rows, sum_totalprice,
+           CAST(1 AS INT), CAST(1 AS INT)
+    FROM agg
+"""
+
+# write-audit-publish over named refs (sources/snapshots.py
+# branch_wap_stats): main_pre = v2 (full table, %5 keys still visible),
+# staging = v3 (delete applied, zero bad keys — the audit), main_post =
+# v3 after the fast-forward publish; snapshot isolation means main_pre
+# keeps v2 content even though the branch has moved by collect time
+ORACLE["table_branch_wap"] = """
+    WITH v2 AS (SELECT o_orderkey, o_totalprice FROM orders),
+    v3 AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 5 <> 0),
+    s2 AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS sum_totalprice,
+             CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad_keys
+      FROM v2
+    ),
+    s3 AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS sum_totalprice,
+             CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad_keys
+      FROM v3
+    )
+    SELECT 'main_pre' AS ref_label, CAST(2 AS INT) AS version,
+           n_rows, sum_totalprice, n_bad_keys FROM s2
+    UNION ALL
+    SELECT 'staging', CAST(3 AS INT), n_rows, sum_totalprice, n_bad_keys
+    FROM s3
+    UNION ALL
+    SELECT 'main_post', CAST(3 AS INT), n_rows, sum_totalprice,
+           n_bad_keys FROM s3
 """
 
 # first-order type-transition mining (streaming/events.py

@@ -37,6 +37,9 @@ def _load_manifest(base: str, version: int) -> dict:
     # everything" (tomb seq = +inf, dir seq = -1) — the old behavior.
     man.setdefault("dir_seqs", {})
     man.setdefault("delete_seqs", {})
+    # partition map (r12): data dir → partition value, for
+    # partition-scoped maintenance; absent on unpartitioned commits
+    man.setdefault("dir_parts", {})
     return man
 
 
@@ -82,17 +85,20 @@ def _commit(base: str, version: int, new_dir: str | None) -> list[str]:
     key = None
     dir_seqs: dict[str, int] = {}
     delete_seqs: dict[str, int] = {}
+    dir_parts: dict[str, str] = {}
     if version > 1:
         man = _load_manifest(base, version - 1)
         prev, deletes, key = man["dirs"], man["deletes"], man["key"]
         dir_seqs, delete_seqs = man["dir_seqs"], man["delete_seqs"]
+        dir_parts = man["dir_parts"]
     dirs = prev + ([new_dir] if new_dir else [])
     if new_dir:
         dir_seqs = {**dir_seqs, new_dir: version}
     _write_manifest(base, {"version": version, "dirs": dirs,
                            "deletes": deletes, "key": key,
                            "dir_seqs": dir_seqs,
-                           "delete_seqs": delete_seqs})
+                           "delete_seqs": delete_seqs,
+                           "dir_parts": dir_parts})
     return dirs
 
 
@@ -117,7 +123,8 @@ def commit_delete(spark: SparkSession, base: str, keys: DataFrame,
                            "key": key_col,
                            "dir_seqs": man["dir_seqs"],
                            "delete_seqs": {**man["delete_seqs"],
-                                           tdir: v}})
+                                           tdir: v},
+                           "dir_parts": man["dir_parts"]})
     return v
 
 
@@ -145,7 +152,8 @@ def commit_merge_upsert(spark: SparkSession, base: str,
                            "key": key_col,
                            "dir_seqs": {**man["dir_seqs"], udir: v},
                            "delete_seqs": {**man["delete_seqs"],
-                                           tdir: v}})
+                                           tdir: v},
+                           "dir_parts": man["dir_parts"]})
     return v
 
 
@@ -165,7 +173,92 @@ def compact(spark: SparkSession, base: str) -> int:
     man = _load_manifest(base, v - 1)
     _write_manifest(base, {"version": v, "dirs": [cdir],
                            "deletes": [], "key": man["key"],
-                           "dir_seqs": {cdir: v}, "delete_seqs": {}})
+                           "dir_seqs": {cdir: v}, "delete_seqs": {},
+                           "dir_parts": {}})
+    return v
+
+
+def commit_append_partitioned(spark: SparkSession, base: str,
+                              df: DataFrame, part_col: str) -> int:
+    """APPEND laid out by a partition column: one immutable data dir PER
+    PARTITION VALUE, recorded in the manifest's `dir_parts` map — the
+    file-group granularity partition-scoped maintenance (compaction,
+    partition-pruned scans) keys on (Iceberg's partitioned data files as
+    spec). The per-value write loop is driver-side over the partition
+    cardinality — bounded by construction (partition columns are
+    low-cardinality by definition; this is the documented bounded-k
+    pattern, same class as the skew hot-key split). Returns the new
+    version."""
+    v = _latest(base) + 1
+    vals = sorted(r[0] for r in df.select(part_col).distinct().collect())
+    prev = _load_manifest(base, v - 1) if v > 1 else {
+        "dirs": [], "deletes": [], "key": None, "dir_seqs": {},
+        "delete_seqs": {}, "dir_parts": {}}
+    dirs, parts = list(prev["dirs"]), dict(prev.get("dir_parts", {}))
+    seqs = dict(prev["dir_seqs"])
+    for val in vals:
+        tag = str(val).replace("/", "_").replace(" ", "_")
+        d = os.path.join(base, f"data_v{v}_p{tag}")
+        df.filter(F.col(part_col) == val).write.parquet(d)
+        dirs.append(d)
+        parts[d] = str(val)
+        seqs[d] = v
+    _write_manifest(base, {"version": v, "dirs": dirs,
+                           "deletes": prev["deletes"],
+                           "key": prev["key"], "dir_seqs": seqs,
+                           "delete_seqs": prev["delete_seqs"],
+                           "dir_parts": parts})
+    return v
+
+
+def compact_partition(spark: SparkSession, base: str,
+                      part_value: str) -> int:
+    """PARTITION-SCOPED compaction (the 100 TB shape `compact`'s
+    docstring promises — r12): materialize the visible rows of ONE
+    partition (its dirs merged, applicable SEQUENCED tombstones applied)
+    into one fresh data dir and commit a manifest where only that
+    partition's dirs are replaced — every other partition's dirs carry
+    over untouched (same paths, same sequences), so compaction work is
+    proportional to the HOT partition, never the table. Tombstones stay
+    listed (they still apply to the untouched dirs) but never to the new
+    dir — its sequence is the committing version, above every existing
+    tombstone; that sequencing is exactly what makes PARTIAL compaction
+    correct without rewriting or splitting delete files. Content is
+    unchanged by construction (oracle + pytest pin it); pre-compaction
+    versions stay AS-OF readable. Returns the new version."""
+    from functools import reduce
+
+    v = _latest(base) + 1
+    man = _load_manifest(base, v - 1)
+    parts_map = man.get("dir_parts", {})
+    affected = [d for d in man["dirs"]
+                if parts_map.get(d) == str(part_value)]
+    if not affected:
+        raise ValueError(f"no data dirs for partition {part_value!r}")
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for d in affected:
+        groups.setdefault(_applicable_tombs(man, d), []).append(d)
+    pieces = []
+    for tombs, dirs in groups.items():
+        df = spark.read.parquet(*dirs)
+        if tombs:
+            tk = spark.read.parquet(*tombs)
+            df = df.join(F.broadcast(tk), man["key"], "left_anti")
+        pieces.append(df)
+    merged = reduce(lambda a, b: a.unionByName(b), pieces)
+    tag = str(part_value).replace("/", "_").replace(" ", "_")
+    cdir = os.path.join(base, f"compacted_v{v}_p{tag}")
+    merged.write.parquet(cdir)
+    dirs = [d for d in man["dirs"] if d not in affected] + [cdir]
+    parts = {d: p for d, p in parts_map.items() if d not in affected}
+    parts[cdir] = str(part_value)
+    seqs = {d: s for d, s in man["dir_seqs"].items() if d not in affected}
+    seqs[cdir] = v
+    _write_manifest(base, {"version": v, "dirs": dirs,
+                           "deletes": man["deletes"], "key": man["key"],
+                           "dir_seqs": seqs,
+                           "delete_seqs": man["delete_seqs"],
+                           "dir_parts": parts})
     return v
 
 
@@ -187,6 +280,14 @@ def expire_snapshots(base: str, keep_from: int) -> list[str]:
         raise ValueError(
             f"keep_from={keep_from} exceeds latest committed version "
             f"{latest} under {base}: refusing to expire every manifest")
+    # named refs protect their versions (Iceberg semantics): expiring a
+    # tagged/branched snapshot would dangle the pointer
+    pinned = {n: r["version"] for n, r in _load_refs(base).items()
+              if r["version"] < keep_from}
+    if pinned:
+        raise ValueError(
+            f"refs {sorted(pinned)} pin versions below keep_from="
+            f"{keep_from}; drop or move them before expiring")
     keep = [_load_manifest(base, v) for v in range(keep_from, latest + 1)]
     referenced = {d for m in keep for d in m["dirs"] + m["deletes"]}
     removed: list[str] = []
@@ -310,6 +411,160 @@ def compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(man["deletes"])).alias("n_tombstone_dirs"),
         ).select("version", "n_rows", "sum_totalprice",
                  "n_data_dirs", "n_tombstone_dirs")
+
+    return stats(3).unionByName(stats(4))
+
+
+def _refs_path(base: str) -> str:
+    return os.path.join(base, "refs.json")
+
+
+def _load_refs(base: str) -> dict:
+    try:
+        with open(_refs_path(base)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def set_ref(base: str, name: str, version: int,
+            kind: str = "tag") -> None:
+    """NAMED REFS over snapshot versions (Iceberg branch/tag semantics,
+    r12): a `tag` is an immutable pointer (updating one raises — audit
+    pins, reproducibility anchors); a `branch` is a movable pointer that
+    may only FAST-FORWARD (version must not decrease — the
+    write-audit-publish publish step is exactly this move). Refs live in
+    one atomically-replaced refs.json beside the manifests; readers
+    resolve a ref to its version, then read that version's manifest —
+    the pointer costs nothing at scan time."""
+    if version > _latest(base) or version < 1:
+        raise ValueError(f"ref {name!r} targets uncommitted version "
+                         f"{version} (latest = {_latest(base)})")
+    refs = _load_refs(base)
+    cur = refs.get(name)
+    if cur is not None:
+        if cur["kind"] == "tag":
+            raise ValueError(f"tag {name!r} is immutable "
+                             f"(pinned at v{cur['version']})")
+        if kind != cur["kind"]:
+            raise ValueError(f"ref {name!r} is a {cur['kind']}, "
+                             f"not a {kind}")
+        if version < cur["version"]:
+            raise ValueError(
+                f"branch {name!r} may only fast-forward "
+                f"(v{cur['version']} → v{version} refused)")
+    refs[name] = {"version": version, "kind": kind}
+    tmp = _refs_path(base) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh)
+    os.replace(tmp, _refs_path(base))
+
+
+def read_ref(spark: SparkSession, base: str, name: str) -> DataFrame:
+    """Read the table AS OF a named ref. Resolution is eager (the
+    returned frame pins the ref's CURRENT version's dirs), so a plan
+    captured before a branch moves keeps reading the old version —
+    the snapshot-isolation property WAP audits rely on."""
+    refs = _load_refs(base)
+    if name not in refs:
+        raise KeyError(f"unknown ref {name!r}")
+    return read_version(spark, base, refs[name]["version"])
+
+
+def branch_wap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH over named refs (the Iceberg/Netflix WAP
+    pattern, r12): the delete fixture's v2 is `main`; the merge-on-read
+    delete commit (v3) is staged on a `staging` branch while main still
+    serves v2 (writers never publish unaudited data); the AUDIT counts
+    %5 == 0 keys visible on staging (must be 0 — the delete did its
+    job); publish = fast-forwarding `main` to v3 — a pointer move, zero
+    data movement. A `pre_publish` TAG pins v2 immutably for rollback.
+
+    Output: (ref_label, version, n_rows, sum_totalprice, n_bad_keys)
+    for main-before-publish (v2 — bad keys still visible), staging
+    (v3 — zero bad keys: the audit), and main-after-publish (v3). The
+    frames are resolved eagerly at each step, so main_pre keeps v2's
+    content even though the branch has moved by the time the driver
+    collects — the snapshot-isolation property the oracle pins.
+
+    100 TB shape: publish/rollback are O(1) pointer moves on a single
+    refs file; audits run on the staged snapshot without a copy."""
+    base = _build_delete_table(spark, sf_dir)
+    set_ref(base, "main", 2, kind="branch")
+    set_ref(base, "pre_publish", 2, kind="tag")
+    set_ref(base, "staging", 3, kind="branch")
+
+    def stats(df: DataFrame, label: str, v: int) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("ref_label"),
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double").alias("sum_totalprice"),
+            F.sum(F.when(F.col("o_orderkey") % 5 == 0, 1).otherwise(0))
+            .cast("bigint").alias("n_bad_keys"),
+        ).select("ref_label", "version", "n_rows", "sum_totalprice",
+                 "n_bad_keys")
+
+    main_pre = stats(read_ref(spark, base, "main"), "main_pre", 2)
+    staging = stats(read_ref(spark, base, "staging"), "staging", 3)
+    set_ref(base, "main", 3, kind="branch")  # PUBLISH: fast-forward
+    main_post = stats(read_ref(spark, base, "main"), "main_post", 3)
+    return main_pre.unionByName(staging).unionByName(main_post)
+
+
+def partition_compaction_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """PARTITION-SCOPED compaction lifecycle (r12): two partitioned
+    appends (orders split %3, laid out by o_orderpriority — one data
+    dir per partition value per commit), a merge-on-read DELETE of the
+    %5 == 0 keys, then `compact_partition` on the '1-URGENT' partition
+    only. Output: (version, scope, n_rows, sum_totalprice,
+    n_target_dirs, n_tombstone_dirs) for v3 (pre) and v4 (post), scope
+    ∈ {target, rest}. Content MUST be identical across versions (the
+    oracle recomputes both from the slice predicates) while the target
+    partition's dir count collapses 2 → 1 and every other partition's
+    dirs carry over untouched (pytest pins the exact paths).
+
+    100 TB shape: this is how compaction actually runs at scale — per
+    hot partition, work proportional to that partition's data; the
+    sequenced tombstone (still listed for the untouched dirs, never
+    applicable to the fresh dir) is what makes PARTIAL compaction
+    correct without rewriting delete files."""
+    from ..scratch import process_scratch_dir
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = process_scratch_dir("snappart")
+    os.makedirs(base, exist_ok=True)
+    commit_append_partitioned(
+        spark, base, orders.filter(F.col("o_orderkey") % 3 != 0),
+        "o_orderpriority")
+    commit_append_partitioned(
+        spark, base, orders.filter(F.col("o_orderkey") % 3 == 0),
+        "o_orderpriority")
+    commit_delete(spark, base,
+                  orders.filter(F.col("o_orderkey") % 5 == 0)
+                  .select("o_orderkey"), "o_orderkey")
+    compact_partition(spark, base, "1-URGENT")
+
+    def stats(v: int) -> DataFrame:
+        man = _load_manifest(base, v)
+        n_target = len([d for d in man["dirs"]
+                        if man["dir_parts"].get(d) == "1-URGENT"])
+        return (
+            read_version(spark, base, v)
+            .withColumn("scope",
+                        F.when(F.col("o_orderpriority") == "1-URGENT",
+                               "target").otherwise("rest"))
+            .groupBy("scope")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                 .cast("double").alias("sum_totalprice"))
+            .select(F.lit(v).alias("version"), "scope", "n_rows",
+                    "sum_totalprice",
+                    F.lit(n_target).alias("n_target_dirs"),
+                    F.lit(len(man["deletes"]))
+                    .alias("n_tombstone_dirs")))
 
     return stats(3).unionByName(stats(4))
 

@@ -212,6 +212,91 @@ def test_snapshot_delete_compaction_expiry_lifecycle(spark, sf_dir):
         sn.read_version(spark, base, 2)
 
 
+def test_partition_compaction_touches_only_target(spark, sf_dir):
+    """Partition-scoped compaction (r12): only the target partition's
+    dirs are replaced — every other partition's dirs carry over with
+    IDENTICAL paths and sequences; content is unchanged at the new
+    version; pre-compaction versions stay AS-OF readable; and the
+    still-listed tombstone never applies to the fresh dir (its sequence
+    is the committing version)."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.sources import snapshots as sn
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="snpc_")
+    sn.commit_append_partitioned(
+        spark, base, orders.filter(F.col("o_orderkey") % 3 != 0),
+        "o_orderpriority")
+    sn.commit_append_partitioned(
+        spark, base, orders.filter(F.col("o_orderkey") % 3 == 0),
+        "o_orderpriority")
+    sn.commit_delete(spark, base,
+                     orders.filter(F.col("o_orderkey") % 5 == 0)
+                     .select("o_orderkey"), "o_orderkey")
+    man3 = sn._load_manifest(base, 3)
+    pre = {r["o_orderkey"] for r in
+           sn.read_version(spark, base, 3)
+           .select("o_orderkey").collect()}
+    v4 = sn.compact_partition(spark, base, "1-URGENT")
+    assert v4 == 4
+    man4 = sn._load_manifest(base, 4)
+    # untouched partitions: identical dir paths AND sequences
+    others3 = {d for d in man3["dirs"]
+               if man3["dir_parts"][d] != "1-URGENT"}
+    others4 = {d for d in man4["dirs"]
+               if man4["dir_parts"][d] != "1-URGENT"}
+    assert others3 == others4
+    assert all(man4["dir_seqs"][d] == man3["dir_seqs"][d]
+               for d in others3)
+    targets4 = [d for d in man4["dirs"]
+                if man4["dir_parts"][d] == "1-URGENT"]
+    assert len(targets4) == 1 and man4["dir_seqs"][targets4[0]] == 4
+    # tombstone still listed (applies to untouched dirs), but not to
+    # the fresh dir
+    assert man4["deletes"] == man3["deletes"]
+    assert sn._applicable_tombs(man4, targets4[0]) == ()
+    # content identical at v4; v1..v3 AS-OF intact
+    post = {r["o_orderkey"] for r in
+            sn.read_version(spark, base, 4)
+            .select("o_orderkey").collect()}
+    assert post == pre
+    assert (sn.read_version(spark, base, 2).count()
+            == orders.count())
+
+
+def test_named_refs_tag_branch_and_expiry_protection(spark, sf_dir):
+    """Named refs (r12): tags are immutable, branches fast-forward only,
+    unknown refs raise, ref resolution is eager (a frame read from a
+    branch keeps its version after the branch moves), and
+    expire_snapshots refuses to drop a version a ref still pins."""
+    import pytest as _pytest
+
+    from hive_nexr_spark.sources import snapshots as sn
+
+    base = sn._build_delete_table(spark, sf_dir)
+    sn.set_ref(base, "main", 2, kind="branch")
+    sn.set_ref(base, "audit", 2, kind="tag")
+    with _pytest.raises(ValueError):
+        sn.set_ref(base, "audit", 3, kind="tag")  # tag immutable
+    with _pytest.raises(ValueError):
+        sn.set_ref(base, "main", 1, kind="branch")  # no rewind
+    with _pytest.raises(ValueError):
+        sn.set_ref(base, "main", 9, kind="branch")  # uncommitted
+    with _pytest.raises(KeyError):
+        sn.read_ref(spark, base, "nope")
+    frame_v2 = sn.read_ref(spark, base, "main")  # resolves v2 NOW
+    n_v2 = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    sn.set_ref(base, "main", 3, kind="branch")  # publish
+    assert frame_v2.count() == n_v2  # snapshot isolation
+    assert (sn.read_ref(spark, base, "main").count()
+            == sn.read_version(spark, base, 3).count())
+    with _pytest.raises(ValueError):
+        sn.expire_snapshots(base, keep_from=3)  # 'audit' pins v2
+
+
 def test_changes_between_manifest_diff_scans_only_changes(spark, sf_dir):
     """CDC reads must be computed from the MANIFEST diff: the v1→v2
     insert scan may touch only the delta directory (never v1's data),

@@ -1074,6 +1074,33 @@ def test_containment_full_same_bounded_fanout_plan(dfs):
         assert "text#" not in ex, f"document text in shuffle: {ex}"
 
 
+def test_kmv_sketch_takeordered_no_global_sort(dfs):
+    """The bottom-k KMV sketches must be TakeOrderedAndProject (O(k)
+    per partition, never a global Sort of the element set), stay
+    JVM-side, and broadcast the k-row sketch aggregates back — the
+    whole point is two k-row summaries, not a corpus join."""
+    from hive_nexr_spark.datapipe.corpus_stats import kmv_corpus_overlap
+
+    fplan = _formatted(kmv_corpus_overlap(dfs["documents"]))
+    assert "TakeOrderedAndProject" in fplan
+    assert "BatchEvalPython" not in fplan
+    assert "MapInPandas" not in fplan
+
+
+def test_mips_topk_broadcasts_queries_jvm_only(dfs):
+    """The MIPS cosine-reduction plan: query set broadcast onto ONE
+    persisted corpus scan, Phi as a broadcast 1-row aggregate, all math
+    JVM-side (zip_with/aggregate — no Python), per-query ranking
+    windows."""
+    from hive_nexr_spark.datapipe.similarity import mips_topk
+
+    fplan = _formatted(mips_topk(dfs["embeddings"]))
+    assert "BroadcastNestedLoopJoin" in fplan or "BroadcastHashJoin" in fplan
+    assert "BatchEvalPython" not in fplan
+    assert "MapInPandas" not in fplan
+    assert "InMemoryTableScan" in fplan  # corpus persisted, scanned once
+
+
 def test_zipf_fit_takeordered_head_no_global_sort(dfs):
     """Zipf fit: the top-R head must be TakeOrderedAndProject (never a
     global Sort of the vocabulary), the token count map-side combined,
