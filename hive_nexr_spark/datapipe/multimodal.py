@@ -336,3 +336,127 @@ def audio_window_features(documents: DataFrame, window: int = 256,
 
     return documents.select("doc_id").mapInPandas(
         batches, schema=AUDIO_SCHEMA)
+
+
+PHASH_W, PHASH_H = 9, 8
+
+
+def _text_rgb(text: str, shift: int) -> bytes:
+    """Deterministic synthetic image pixels: the document's UTF-8 bytes
+    cycled over a 9×8 RGB raster, plus a per-variant brightness shift
+    (clipped at 255; the corpus is ASCII so the +8 shift never clips).
+    The stand-in for real lake images — arithmetic simple enough that
+    the SQL oracle regenerates the pixels from the text directly."""
+    b = text.encode("utf-8")
+    n = PHASH_W * PHASH_H * 3
+    return bytes(min(b[i % len(b)] + shift, 255) for i in range(n))
+
+
+def phash_corpus(documents: DataFrame, max_doc_id: int = 200) -> DataFrame:
+    """The perceptual-dedup arrival mix: bounded originals (shift 0),
+    planted EXACT image copies (+100000, even ids — identical payload
+    bytes) and BRIGHTNESS-SHIFTED variants (+200000, %3 ids — every
+    pixel +8: different payload bytes, same perceptual content).
+    Columns: (doc_id, text, shift)."""
+    base = documents.select("doc_id", "text").filter(
+        (F.col("doc_id") % 100000) < max_doc_id)
+    originals = base.withColumn("shift", F.lit(0))
+    exacts = (base.filter(F.col("doc_id") % 2 == 0)
+              .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+              .withColumn("shift", F.lit(0)))
+    shifted = (base.filter(F.col("doc_id") % 3 == 0)
+               .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+               .withColumn("shift", F.lit(8)))
+    return originals.unionByName(exacts).unionByName(shifted)
+
+
+PHASH_SCHEMA = "doc_id long, phash string, digest string"
+
+
+def image_phashes(corpus: DataFrame) -> DataFrame:
+    """REAL encode→decode→hash through the Arrow path: each row's pixels
+    are rendered into an actual 24-bit BMP (`encode_bmp`), decoded back
+    by the real stdlib decoder (`decode_image` — BGR order, bottom-up
+    rows, padding all exercised by the non-multiple-of-4 width 9), then
+    reduced to the classic 64-bit dHash (difference hash — public): per
+    pixel the channel sum, per row the 8 left<right comparisons of the
+    9 columns. Emitted as a 64-char bitstring plus the payload md5 (the
+    exact-dup reference). One mapInPandas stage, Arrow-batched."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes, digests = [], [], []
+            for doc_id, text, shift in zip(pdf["doc_id"], pdf["text"],
+                                           pdf["shift"]):
+                payload = encode_bmp(
+                    PHASH_W, PHASH_H, _text_rgb(text, int(shift)))
+                w, h, _mode, px = decode_image(payload)
+                s = [px[3 * p] + px[3 * p + 1] + px[3 * p + 2]
+                     for p in range(w * h)]
+                bits = "".join(
+                    "1" if s[r * w + c + 1] > s[r * w + c] else "0"
+                    for r in range(h) for c in range(w - 1))
+                ids.append(doc_id)
+                hashes.append(bits)
+                digests.append(hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "phash": hashes, "digest": digests})
+
+    return corpus.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_dedup_pairs(documents: DataFrame, max_dist: int = 4,
+                      max_doc_id: int = 200) -> DataFrame:
+    """PERCEPTUAL image near-dup pairs — the multimodal member of the
+    dedup family: dHash each image (real BMP decode in the Arrow path),
+    band the 64-bit hash into 4×16-bit substrings, self-join on any
+    equal band (the standard hamming-LSH candidate rule: distance <= 4
+    guarantees one of 4 bands intact — zero false negatives within the
+    radius by pigeonhole), verify exact hamming <= `max_dist`, and
+    report alongside EXACT-byte equality (payload md5): the planted
+    brightness-shifted variants match at hamming 0 while their payload
+    digests differ — the case byte-exact dedup structurally misses.
+
+    Output: (doc_a, doc_b, hamming, exact_dup), doc_a < doc_b.
+
+    100 TB shape: hashing is one Arrow pass ∝ corpus; candidates shuffle
+    (band, 16-bit key) only — never pixels; verification compares
+    64-char bitstrings of candidate pairs. The oracle regenerates the
+    pixel arithmetic from the text (no codec in SQL) and mirrors the
+    banding rule exactly — the engine's hash rides a REAL container
+    roundtrip the oracle proves bit-faithful."""
+    from ._cache import tracked_persist
+
+    hashes = tracked_persist(
+        image_phashes(phash_corpus(documents, max_doc_id)))
+    bands = hashes.select(
+        "doc_id", "phash", "digest",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.substring("phash", b * 16 + 1, 16).alias("key"))
+            for b in range(4)
+        ])).alias("bb"),
+    ).select("doc_id", "phash", "digest", "bb.band", "bb.key")
+    cand = (
+        bands.alias("a").join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.phash").alias("ha"), F.col("b.phash").alias("hb"),
+                (F.col("a.digest") == F.col("b.digest")).alias("exact_dup"))
+        .distinct())
+    return (
+        cand.withColumn(
+            "hamming",
+            F.size(F.filter(
+                F.zip_with(F.split("ha", ""), F.split("hb", ""),
+                           lambda x, y: x != y),
+                lambda v: v)).cast("int"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("doc_a", "doc_b", "hamming", "exact_dup")
+    )

@@ -2527,6 +2527,68 @@ ORACLE["dedup_edit_distance"] = _CORPUS + f"""
     WHERE levenshtein(ta.text, tb.text) <= 8
 """
 
+QUERIES["multimodal_phash_dedup"] = _bind(
+    multimodal.phash_dedup_pairs, "documents")
+# perceptual (dHash) image near-dup pairs over the REAL BMP
+# encode→decode Arrow path; the oracle regenerates the pixel arithmetic
+# from the text (no codec in SQL — the hash match proves the container
+# roundtrip bit-faithful) and mirrors the 4×16-bit banding rule exactly.
+# The brightness shift adds 3*shift to every channel sum (ASCII corpus —
+# never clips), which cancels in the dHash comparisons: the planted
+# +200000 variants match at hamming 0 with exact_dup = false.
+ORACLE["multimodal_phash_dedup"] = """
+    WITH corpus AS (
+      SELECT doc_id, text, 0 AS shift FROM documents
+      WHERE doc_id % 100000 < 200
+      UNION ALL
+      SELECT doc_id + 100000, text, 0 FROM documents
+      WHERE doc_id % 100000 < 200 AND doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text, 8 FROM documents
+      WHERE doc_id % 100000 < 200 AND doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT doc_id, shift, text,
+             list_transform(range(0, 72), p ->
+               ord(substr(text, ((3*p)   % len(text)) + 1, 1))
+             + ord(substr(text, ((3*p+1) % len(text)) + 1, 1))
+             + ord(substr(text, ((3*p+2) % len(text)) + 1, 1))
+             + 3 * shift) AS s
+      FROM corpus
+    ),
+    hashes AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, 64), i ->
+               CASE WHEN s[(i // 8) * 9 + (i % 8) + 2]
+                         > s[(i // 8) * 9 + (i % 8) + 1]
+                    THEN '1' ELSE '0' END), '') AS phash,
+             array_to_string(list_transform(range(0, 216), i ->
+               CAST(least(ord(substr(text, (i % len(text)) + 1, 1))
+                          + shift, 255) AS VARCHAR)), ',') AS rgbkey
+      FROM px
+    ),
+    bands AS (
+      SELECT doc_id, phash, rgbkey, b,
+             substr(phash, b * 16 + 1, 16) AS key
+      FROM hashes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash AS ha, b.phash AS hb,
+             (a.rgbkey = b.rgbkey) AS exact_dup
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming, exact_dup FROM (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(range(1, 65),
+                  i -> substr(ha, i, 1) <> substr(hb, i, 1))) AS INT)
+               AS hamming,
+             exact_dup
+      FROM cand
+    ) v WHERE hamming <= 4
+"""
+
 QUERIES["multimodal_audio_windows"] = _bind(
     multimodal.audio_window_features, "documents")
 # all-integer windowed audio features over the real WAV byte path; the

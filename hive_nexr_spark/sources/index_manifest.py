@@ -187,6 +187,35 @@ def expire_versions(root: str, keep_from: int) -> list[str]:
     return removed
 
 
+def remove_orphans(root: str) -> list[str]:
+    """ORPHAN-FILE cleanup (Iceberg remove_orphan_files semantics): a
+    crashed writer can leave a fully-written data directory that no
+    manifest ever came to reference (the commit is the manifest write —
+    data files land first). Such directories are invisible to every
+    reader but hold storage forever; this removes any directory under
+    the root that NO committed manifest version references. Every
+    version's visible content is bit-identical afterward (orphans are
+    unreferenced by definition). Returns the removed directories."""
+    import shutil
+
+    latest = latest_version(root)
+    referenced: set[str] = set()
+    for v in range(1, latest + 1):
+        try:
+            man = read_manifest(root, v)
+        except FileNotFoundError:  # expired version
+            continue
+        referenced |= {d for dirs in man["tables"].values() for d in dirs}
+    removed: list[str] = []
+    for entry in sorted(os.listdir(root)):
+        full = os.path.join(root, entry)
+        if (os.path.isdir(full) and entry != "manifest"
+                and full not in referenced):
+            shutil.rmtree(full)
+            removed.append(full)
+    return removed
+
+
 def read_index_table(spark: SparkSession, root: str, name: str,
                      version: int | None = None) -> DataFrame:
     """Scan exactly the directories the manifest lists for `name` —

@@ -304,6 +304,32 @@ def expire_snapshots(base: str, keep_from: int) -> list[str]:
     return removed
 
 
+def remove_orphans(base: str) -> list[str]:
+    """ORPHAN-FILE cleanup for the snapshot table (Iceberg
+    remove_orphan_files semantics; the index-root twin is
+    `index_manifest.remove_orphans`): delete any directory under the
+    table root that no committed manifest references as a data or
+    tombstone dir — the leftovers of a writer that crashed between the
+    data write and the manifest commit. Visible content at every
+    version is unchanged by construction. Returns the removed dirs."""
+    import shutil
+
+    latest = _latest(base)
+    referenced: set[str] = set()
+    for v in range(1, latest + 1):
+        if not os.path.exists(os.path.join(base, f"v{v}.json")):
+            continue  # expired version
+        man = _load_manifest(base, v)
+        referenced |= set(man["dirs"]) | set(man["deletes"])
+    removed: list[str] = []
+    for entry in sorted(os.listdir(base)):
+        full = os.path.join(base, entry)
+        if os.path.isdir(full) and full not in referenced:
+            shutil.rmtree(full)
+            removed.append(full)
+    return removed
+
+
 def _latest(base: str) -> int:
     vs = [int(f[1:-5]) for f in os.listdir(base)
           if f.startswith("v") and f.endswith(".json")

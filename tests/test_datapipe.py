@@ -821,6 +821,28 @@ def test_ivf_pq_persisted_lifecycle_bit_equal(dfs, spark):
     assert re_encoded == added_codes
 
 
+def test_phash_dedup_brightness_invariant_exact_distinct(dfs):
+    """Perceptual image dedup (r12): every planted exact copy pairs with
+    its origin at hamming 0 AND exact_dup true; every planted
+    brightness-shifted variant (+8 per channel — different payload
+    bytes) pairs with its origin at hamming 0 with exact_dup FALSE —
+    the perceptual match byte-exact dedup cannot make. dHash rides a
+    real BMP encode→decode roundtrip."""
+    from hive_nexr_spark.datapipe.multimodal import phash_dedup_pairs
+
+    rows = phash_dedup_pairs(dfs["documents"]).collect()
+    pairs = {(r.doc_a, r.doc_b): (r.hamming, r.exact_dup) for r in rows}
+    origins = {a for a, _ in pairs} | {b for _, b in pairs}
+    exacts = [d for d in origins if 100000 <= d < 200000]
+    shifted = [d for d in origins if d >= 200000]
+    assert exacts and shifted
+    for d in range(0, 200, 2):  # every exact copy planted
+        assert pairs.get((d, d + 100000)) == (0, True), d
+    for d in range(0, 200, 3):  # every brightness variant planted
+        h, ex = pairs[(d, d + 200000)]
+        assert h == 0 and ex is False, (d, h, ex)
+
+
 def test_decode_image_bmp_ppm_through_arrow_path(spark):
     """Real stdlib-only image decode (r9 — the NotImplementedError stub
     is retired): generated 24-bit BMPs and P6 PPMs round-trip through
@@ -1215,6 +1237,47 @@ def test_index_manifest_guards(dfs, spark, tmp_path):
                 if ".tmp" in f]
     with _pytest.raises(ValueError):
         idx.expire_versions(root, keep_from=5)
+
+
+def test_remove_orphans_reclaims_only_unreferenced(dfs, spark, sf_dir):
+    """Orphan cleanup (r12, both manifest layers): a data directory left
+    by a writer that crashed before its manifest commit is reclaimed;
+    every referenced dir survives and every version's content is
+    unchanged."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.datapipe import dedup, similarity
+    from hive_nexr_spark.sources import index_manifest as idx
+    from hive_nexr_spark.sources import snapshots as sn
+
+    # snapshot layer
+    base = sn._build_delete_table(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orphan = _os.path.join(base, "data_v9_crashed")
+    orders.limit(5).write.parquet(orphan)
+    pre = sn.read_version(spark, base, 3).count()
+    removed = sn.remove_orphans(base)
+    assert removed == [orphan]
+    assert not _os.path.exists(orphan)
+    assert sn.read_version(spark, base, 3).count() == pre
+    assert sn.read_version(spark, base, 1).count() > 0
+    # index layer
+    docs = dfs["documents"]
+    d = similarity._index_scratch()
+    dedup.lsh_index_build(docs, d)
+    iorphan = idx.new_data_dir(d, "bands", "b00099")
+    docs.limit(3).select("doc_id").write.parquet(iorphan)
+    probe = dedup._bounded_corpus(docs, 200).filter(
+        F.col("doc_id") >= 100000)
+    before = {tuple(r) for r in
+              dedup.lsh_index_query(spark, d, probe).collect()}
+    iremoved = idx.remove_orphans(d)
+    assert iremoved == [iorphan]
+    after = {tuple(r) for r in
+             dedup.lsh_index_query(spark, d, probe).collect()}
+    assert after == before and before
 
 
 def test_snapshot_guards_and_empty_cdc_window(spark, tmp_path):

