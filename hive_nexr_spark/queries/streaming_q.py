@@ -254,6 +254,8 @@ QUERIES = {
         ensure_views(spark, sf_dir)["events"]),
     "events_stream_cdc_upsert": lambda spark, sf_dir:
         ev.stream_cdc_upsert(spark, sf_dir),
+    "events_stream_late_drop": lambda spark, sf_dir:
+        ev.stream_late_data_drop(spark, sf_dir),
     "events_json_props_stats": _json_props_stats,
     "events_mv_incremental": lambda spark, sf_dir: ev.mv_incremental_batch(
         ensure_views(spark, sf_dir)["events"]),
@@ -578,6 +580,22 @@ ORACLE["table_compaction"] = """
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE),
            CAST(1 AS INT), CAST(0 AS INT)
     FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+# watermark late-data drop (streaming/events.py stream_late_data_drop):
+# append mode emits exactly the windows closed by the final watermark
+# (end <= max_ts - 1h), counted over the ON-TIME rows only — the late
+# batch (ts < max_ts - 3 days) is dropped by the watermark, so the
+# oracle's on-time predicate IS the drop semantics
+ORACLE["events_stream_late_drop"] = """
+    WITH b AS (SELECT max(ts) AS mx FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+           count(*) AS n
+    FROM events, b
+    WHERE ts >= mx - INTERVAL 3 DAY
+      AND time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+          <= mx - INTERVAL 1 HOUR
+    GROUP BY 1, 2
 """
 
 # partition-scoped compaction (sources/snapshots.py

@@ -994,3 +994,82 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_late_data_drop(spark: SparkSession, sf_dir: str,
+                          delay: str = "1 hour",
+                          late_days: int = 3) -> DataFrame:
+    """WATERMARK LATE-DATA semantics on a genuinely MULTI-BATCH stream —
+    the one streaming behavior a single-trigger run can never exercise:
+    the RECENT events (ts >= max_ts - `late_days` days) arrive first and
+    advance the watermark to max_ts - `delay`; a later micro-batch
+    delivers the OLD events — now LATE, their windows' ends below the
+    watermark — and the windowed aggregation DROPS every one of them
+    (observed engine-side as numRowsDroppedByWatermark, pytest-pinned).
+    Append mode then emits exactly the closed windows (window end <=
+    watermark), counted from the on-time rows only.
+
+    Mechanics: THREE parquet files in a staging dir with ordered mtimes,
+    `maxFilesPerTrigger=1` making each its own micro-batch (the file
+    source processes oldest-first): two on-time slices, then the late
+    slice. The on-time data is split across TWO batches because Spark's
+    late-record filter applies the watermark with a one-batch
+    propagation lag (the watermark advanced by batch N is enforced
+    against input from batch N+2 on — measured on 4.1; with only two
+    batches the late rows land exactly inside the lag window and nothing
+    drops). The split point is max(ts) - `late_days` days — one bounded
+    1-row driver aggregate, same documented class as the skew hot-key
+    collect. The boundary window (the hour containing the cutoff) is the
+    demonstration: it is emitted with its on-time rows only, while its
+    late rows — which a batch recompute WOULD count — are gone
+    (pytest pins the delta; the oracle counts on-time rows only).
+
+    Output: (wstart, event_type, n) for every emitted window."""
+    import datetime
+    import shutil
+
+    from ..io import load_table
+    from ..scratch import process_scratch_dir
+
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - datetime.timedelta(days=late_days)
+    staging = process_scratch_dir(f"latedrop_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+
+    def land(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = os.path.join(staging, f"_tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dest = os.path.join(staging, f"{name}.parquet")
+        shutil.move(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
+
+    import time as _time
+
+    now = _time.time()
+    on_time = events.filter(F.col("ts") >= cutoff)
+    land(on_time.filter(F.col("event_id") % 7 != 0), "b1_ontime",
+         now - 120)
+    land(on_time.filter(F.col("event_id") % 7 == 0), "b2_ontime",
+         now - 60)
+    land(events.filter(F.col("ts") < cutoff), "b3_late", now)
+
+    schema = spark.read.parquet(staging).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(staging))
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

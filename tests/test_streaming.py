@@ -173,6 +173,42 @@ def test_stream_ann_ingest_equals_batch_add_batch(spark, sf_dir):
     assert streamed == batch and streamed
 
 
+def test_stream_late_drop_excludes_late_windows(spark, sf_dir):
+    """Multi-batch watermark semantics (r12): the emitted window counts
+    must equal the ON-TIME-only aggregation over the closed windows
+    (end <= max_ts - 1h) — and a batch recompute over ALL events must
+    count strictly MORE in those same windows (the late rows the
+    watermark dropped; zero delta would mean the demonstration is
+    vacuous)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.io import load_table
+    from hive_nexr_spark.streaming.events import stream_late_data_drop
+
+    got = {(r.wstart, r.event_type): r.n
+           for r in stream_late_data_drop(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - datetime.timedelta(days=3)
+    wm = mx - datetime.timedelta(hours=1)
+
+    def windowed(df):
+        return {(r.wstart, r.event_type): r.n for r in (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("w.end") <= F.lit(wm))
+            .select(F.col("w.start").alias("wstart"), "event_type", "n")
+        ).collect()}
+
+    on_time = windowed(events.filter(F.col("ts") >= cutoff))
+    full = windowed(events)
+    assert got == on_time and got
+    dropped = sum(full[k] - got.get(k, 0) for k in full)
+    assert dropped > 0, "no late rows in the fixture — vacuous"
+
+
 def test_stream_dedup_ingest_gate(spark, sf_dir):
     """The streaming dedup ingestion gate must equal the one-shot batch
     twin row-for-row (decisions probe only the frozen index version, so
