@@ -232,6 +232,12 @@ def _branch_wap(spark, sf_dir):
     return branch_wap_stats(spark, sf_dir)
 
 
+def _schema_evolution(spark, sf_dir):
+    from ..sources.snapshots import schema_evolution_stats
+
+    return schema_evolution_stats(spark, sf_dir)
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -279,6 +285,7 @@ QUERIES = {
     "table_compaction": lambda spark, sf_dir: _compaction(spark, sf_dir),
     "table_compact_partition": _partition_compaction,
     "table_branch_wap": _branch_wap,
+    "table_schema_evolution": _schema_evolution,
     "table_changes_diff": _table_changes,
     "table_merge_upsert": _merge_upsert,
     "table_cdc_incremental_mv": _cdc_mv,
@@ -624,6 +631,24 @@ ORACLE["table_compact_partition"] = """
     SELECT CAST(4 AS INT), scope, n_rows, sum_totalprice,
            CAST(1 AS INT), CAST(1 AS INT)
     FROM agg
+"""
+
+# schema evolution (sources/snapshots.py schema_evolution_stats): v1
+# reads with the original columns (AS-OF includes the schema, so
+# n_with_channel = 0); v2's merged read surfaces o_channel with NULLs
+# for the pre-evolution rows — n_with_channel = the delta row count
+ORACLE["table_schema_evolution"] = """
+    SELECT CAST(1 AS INT) AS version, count(*) AS n_rows,
+           CAST(0 AS BIGINT) AS n_with_channel,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT CAST(2 AS INT), count(*),
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+    FROM orders
 """
 
 # write-audit-publish over named refs (sources/snapshots.py

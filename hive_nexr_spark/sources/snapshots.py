@@ -350,19 +350,26 @@ def read_version(spark: SparkSession, base: str, version: int) -> DataFrame:
     from functools import reduce
 
     man = _load_manifest(base, version)
+    # mergeSchema: commits may EVOLVE the schema (a later delta adds a
+    # column — Iceberg add-column semantics); the merged read surfaces
+    # the union schema with NULLs for pre-evolution rows. (Iceberg keeps
+    # the schema in metadata instead of merging footers; the property —
+    # old files never rewritten on ADD COLUMN — is the same.)
+    reader = spark.read.option("mergeSchema", "true")
     if not man["deletes"]:
-        return spark.read.parquet(*man["dirs"])
+        return reader.parquet(*man["dirs"])
     groups: dict[tuple[str, ...], list[str]] = {}
     for d in man["dirs"]:
         groups.setdefault(_applicable_tombs(man, d), []).append(d)
     parts = []
     for tombs, dirs in groups.items():
-        df = spark.read.parquet(*dirs)
+        df = reader.parquet(*dirs)
         if tombs:
             tk = spark.read.parquet(*tombs)
             df = df.join(F.broadcast(tk), man["key"], "left_anti")
         parts.append(df)
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
 
 def _version_stats(spark: SparkSession, base: str,
@@ -486,6 +493,29 @@ def set_ref(base: str, name: str, version: int,
     os.replace(tmp, _refs_path(base))
 
 
+def rollback_ref(base: str, name: str, version: int) -> None:
+    """EXPLICIT branch rollback (Iceberg rollback semantics): move a
+    branch BACKWARD to an earlier committed version — the operation
+    `set_ref`'s fast-forward guard deliberately refuses, split out so a
+    rewind is always a loud, named intent (publish and rollback must
+    never be confusable). Tags stay immutable. The `pre_publish` tag in
+    the WAP flow is the anchor this points back to."""
+    if version > _latest(base) or version < 1:
+        raise ValueError(f"rollback of {name!r} targets uncommitted "
+                         f"version {version}")
+    refs = _load_refs(base)
+    cur = refs.get(name)
+    if cur is None:
+        raise KeyError(f"unknown ref {name!r}")
+    if cur["kind"] == "tag":
+        raise ValueError(f"tag {name!r} is immutable")
+    refs[name] = {"version": version, "kind": "branch"}
+    tmp = _refs_path(base) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh)
+    os.replace(tmp, _refs_path(base))
+
+
 def read_ref(spark: SparkSession, base: str, name: str) -> DataFrame:
     """Read the table AS OF a named ref. Resolution is eager (the
     returned frame pins the ref's CURRENT version's dirs), so a plan
@@ -593,6 +623,52 @@ def partition_compaction_stats(spark: SparkSession,
                     .alias("n_tombstone_dirs")))
 
     return stats(3).unionByName(stats(4))
+
+
+def schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the snapshot table (r12 — the Iceberg
+    add-column property: old data files are NEVER rewritten when a
+    column is added): v1 commits the o_orderkey % 3 != 0 slice with the
+    base schema; the v2 delta carries a NEW `o_channel` column
+    (orderkey-parity derived, deterministic). `read_version` merges the
+    footers, so v2 surfaces the union schema — v1's rows read back with
+    o_channel NULL — while a v1 read still returns exactly the original
+    columns (AS-OF includes the schema).
+
+    Output: (version, n_rows, n_with_channel, sum_totalprice). The
+    oracle recomputes from the slice predicates: n_with_channel is 0 at
+    v1 (column absent) and the delta row count at v2."""
+    from ..scratch import process_scratch_dir
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = process_scratch_dir("snapevo2")
+    os.makedirs(base, exist_ok=True)
+    v1_dir = os.path.join(base, "data_v1")
+    orders.filter(F.col("o_orderkey") % 3 != 0).write.parquet(v1_dir)
+    _commit(base, 1, v1_dir)
+    delta_dir = os.path.join(base, "data_v2_delta")
+    (orders.filter(F.col("o_orderkey") % 3 == 0)
+     .withColumn("o_channel",
+                 F.when(F.col("o_orderkey") % 2 == 0, "web")
+                 .otherwise("store"))
+     .write.parquet(delta_dir))
+    _commit(base, 2, delta_dir)
+
+    def stats(v: int) -> DataFrame:
+        df = read_version(spark, base, v)
+        has_col = "o_channel" in df.columns
+        n_chan = (F.count("o_channel") if has_col
+                  else F.lit(0).cast("bigint"))
+        return df.agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            n_chan.cast("bigint").alias("n_with_channel"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double").alias("sum_totalprice"),
+        ).select("version", "n_rows", "n_with_channel",
+                 "sum_totalprice")
+
+    return stats(1).unionByName(stats(2))
 
 
 def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:

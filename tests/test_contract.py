@@ -295,6 +295,46 @@ def test_named_refs_tag_branch_and_expiry_protection(spark, sf_dir):
             == sn.read_version(spark, base, 3).count())
     with _pytest.raises(ValueError):
         sn.expire_snapshots(base, keep_from=3)  # 'audit' pins v2
+    # ROLLBACK is the explicit rewind set_ref refuses: main back to the
+    # pre_publish anchor; tags stay immutable even through rollback_ref
+    sn.rollback_ref(base, "main", 2)
+    assert (sn.read_ref(spark, base, "main").count() == n_v2)
+    with _pytest.raises(ValueError):
+        sn.rollback_ref(base, "audit", 1)
+    with _pytest.raises(KeyError):
+        sn.rollback_ref(base, "nope", 1)
+
+
+def test_schema_evolution_as_of_and_merged_read(spark, sf_dir):
+    """Add-column schema evolution (r12): a v1 read returns exactly the
+    original columns (AS-OF includes the schema); the v2 merged read
+    surfaces the new column with NULLs for pre-evolution rows; no v1
+    data file is rewritten by the evolving commit."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.sources import snapshots as sn
+
+    import tempfile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = tempfile.mkdtemp(prefix="snev_")
+    import os as _os
+
+    v1_dir = _os.path.join(base, "data_v1")
+    orders.filter("o_orderkey % 3 != 0").write.parquet(v1_dir)
+    sn._commit(base, 1, v1_dir)
+    files_before = sorted(_os.listdir(v1_dir))
+    delta = _os.path.join(base, "data_v2_delta")
+    (orders.filter("o_orderkey % 3 = 0")
+     .withColumn("o_channel", F.lit("web")).write.parquet(delta))
+    sn._commit(base, 2, delta)
+    v1 = sn.read_version(spark, base, 1)
+    assert "o_channel" not in v1.columns
+    v2 = sn.read_version(spark, base, 2)
+    assert "o_channel" in v2.columns
+    n_old = v2.filter(F.col("o_channel").isNull()).count()
+    assert n_old == orders.filter("o_orderkey % 3 != 0").count()
+    assert sorted(_os.listdir(v1_dir)) == files_before
 
 
 def test_changes_between_manifest_diff_scans_only_changes(spark, sf_dir):
