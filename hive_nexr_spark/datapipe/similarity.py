@@ -238,6 +238,98 @@ def ivf_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     )
 
 
+def mips_ivf_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
+                  stride: int = 37, nprobe: int = 4) -> DataFrame:
+    """APPROXIMATE MIPS — the reduction composed with the ANN stack,
+    which is the reduction's entire point (`mips_topk` proves order
+    equivalence; this key proves the existing IVF machinery serves
+    inner-product queries UNCHANGED once vectors are augmented):
+    every corpus vector gains the sqrt(Phi² − |x|²) coordinate, queries
+    gain a 0, and the sampled-centroid IVF (assignment, probing, both
+    by AUGMENTED cosine — `ivf_topk`'s exact plan shape) runs as-is;
+    only the in-cell rerank scores by the RAW inner product, which is
+    what the user asked for.
+
+    Output: (query_id, neighbor_id, inner_product, rank) — top-k by ip
+    within the probed cells. The oracle replicates the augmented
+    assignment/probing and the raw-ip rerank in SQL.
+
+    100 TB shape: identical to `ivf_topk` — Phi and the centroid set are
+    broadcast one-row/small aggregates baked into the plan, assignment
+    is a zero-Exchange nested argmax projection, the rerank join touches
+    probed cells only; augmentation adds one JVM-side array element, no
+    extra pass."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    sq = F.aggregate(F.col("v"), F.lit(0.0).cast("double"),
+                     lambda acc, x: acc + x * x)
+    phi2 = corpus.agg(F.max(sq).alias("phi2"))
+
+    def augmented(vcol):
+        n2 = F.aggregate(vcol, F.lit(0.0).cast("double"),
+                         lambda acc, x: acc + x * x)
+        return F.concat(
+            vcol,
+            F.array(F.sqrt(F.greatest(F.col("phi2") - n2, F.lit(0.0)))))
+
+    corpus_a = (corpus.crossJoin(F.broadcast(phi2))
+                .select("vec_id", "v", augmented(F.col("v")).alias("va")))
+    cents = (corpus.filter(F.col("vec_id") % stride == 0)
+             .crossJoin(F.broadcast(phi2))
+             .select(F.col("vec_id").alias("cell"),
+                     F.col("v").alias("cv"),
+                     augmented(F.col("v")).alias("cva")))
+    queries_a = queries.select(
+        "query_id", "qv",
+        F.concat(F.col("qv"),
+                 F.array(F.lit(0.0).cast("double"))).alias("qva"))
+
+    # zero-Exchange nested argmax assignment in AUGMENTED space (the
+    # ivf_topk recipe; higher-cell tie-break preserved)
+    nested = cents.agg(
+        F.collect_list(F.struct("cell", "cva")).alias("_cents"))
+    best_cell = F.array_max(F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (_dot(F.col("va"), c["cva"])
+             / (_norm(F.col("va")) * _norm(c["cva"]))).alias("s"),
+            c["cell"].alias("cell"),
+        ),
+    ))["cell"]
+    assigned = (
+        corpus_a.crossJoin(F.broadcast(nested))
+        .select("vec_id", best_cell.alias("cell"), "v")
+    )
+
+    qsim = (_dot(F.col("qva"), F.col("cva"))
+            / (_norm(F.col("qva")) * _norm(F.col("cva"))))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("cell"))
+    probes = (
+        queries_a.join(F.broadcast(cents))
+        .select("query_id", "qv", qsim.alias("s"), "cell")
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _dot(F.col("qv"), F.col("v")).alias("ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("ip", 6).alias("inner_product"), "rank")
+    )
+
+
 def hash_planes(tables: int, bits: int, dim: int) -> list[list[list[float]]]:
     """Deterministic pseudo-random hyperplanes seeded by md5 — engine-
     portable (any engine embedding the same literals reproduces the exact

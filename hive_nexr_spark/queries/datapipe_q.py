@@ -3657,6 +3657,65 @@ ORACLE["similarity_mips_topk"] = """
     ) t WHERE rank <= 3
 """
 
+QUERIES["similarity_mips_ivf"] = _bind(similarity.mips_ivf_topk,
+                                       "embeddings")
+# approximate MIPS: the augmentation reduction composed with the
+# sampled-centroid IVF — assignment/probing by AUGMENTED cosine
+# (aug(x) = x ++ sqrt(phi2 - |x|^2), aug(q) = q ++ 0), in-cell rerank by
+# the RAW inner product; same assignment tie-break as similarity_ivf_topk
+ORACLE["similarity_mips_ivf"] = """
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+    corpus AS (SELECT * FROM emb WHERE vec_id >= 10),
+    phi AS (SELECT max(list_dot_product(v, v)) AS phi2 FROM corpus),
+    corpus_a AS (
+      SELECT vec_id, v,
+             list_concat(v, [sqrt(greatest(
+               phi2 - list_dot_product(v, v), 0.0))]) AS va
+      FROM corpus, phi
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv,
+             list_concat(v, [sqrt(greatest(
+               phi2 - list_dot_product(v, v), 0.0))]) AS cva
+      FROM corpus, phi WHERE vec_id % 37 = 0
+    ),
+    qa AS (SELECT query_id, qv, list_concat(qv, [0.0]) AS qva FROM q),
+    assigned AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, c.v, ct.cell,
+               list_dot_product(c.va, ct.cva)
+               / (sqrt(list_dot_product(c.va, c.va))
+                  * sqrt(list_dot_product(ct.cva, ct.cva))) AS s
+        FROM corpus_a c CROSS JOIN cents ct
+      ) t
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY s DESC, cell DESC) = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT qa.query_id, qa.qv, ct.cell,
+               list_dot_product(qa.qva, ct.cva)
+               / (sqrt(list_dot_product(qa.qva, qa.qva))
+                  * sqrt(list_dot_product(ct.cva, ct.cva))) AS s
+        FROM qa CROSS JOIN cents ct
+      ) t
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, cell) <= 4
+    )
+    SELECT query_id, neighbor_id, inner_product, rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, a.v), 6) AS inner_product,
+             CAST(row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_dot_product(p.qv, a.v) DESC, a.vec_id
+             ) AS INT) AS rank
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+    ) t WHERE rank <= 3
+"""
+
 QUERIES["retrieval_bm25_topk"] = _bind(curation.bm25_topk, "documents")
 # BM25 (Robertson & Zaragoza 2009, Lucene's +1-smoothed idf): per-term
 # scores floored to integer micro-units BEFORE the per-document sum, so

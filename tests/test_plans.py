@@ -1103,6 +1103,19 @@ def test_mips_topk_broadcasts_queries_jvm_only(dfs):
     assert "InMemoryTableScan" in fplan  # corpus persisted, scanned once
 
 
+def test_mips_ivf_same_shape_as_ivf(dfs):
+    """The MIPS-IVF composition must keep ivf_topk's plan posture:
+    broadcast centroids/probes, no cartesian product, JVM-only math —
+    the augmentation adds an array element, never a pass or a
+    shuffle."""
+    from hive_nexr_spark.datapipe.similarity import mips_ivf_topk
+
+    plan = _plan(mips_ivf_topk(dfs["embeddings"]))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_zipf_fit_takeordered_head_no_global_sort(dfs):
     """Zipf fit: the top-R head must be TakeOrderedAndProject (never a
     global Sort of the vocabulary), the token count map-side combined,
