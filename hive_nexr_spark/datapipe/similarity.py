@@ -330,6 +330,51 @@ def mips_ivf_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     )
 
 
+def hard_negative_mining(embeddings: DataFrame, k: int = 3,
+                         n_queries: int = 20) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training data (the FaceNet
+    triplet-selection idea, Schroff et al. CVPR 2015 — public): for each
+    anchor, the top-k most-similar corpus vectors with a DIFFERENT label
+    — the negatives that actually move a contrastive loss (random
+    negatives are trivially separated). Each mined negative also carries
+    the SEMI-HARD flag: cosine below the anchor's best same-label
+    (positive) corpus similarity — the margin-0 band FaceNet samples
+    from (harder-than-positive negatives destabilize training; easier
+    ones teach nothing).
+
+    Output: (query_id, neighbor_id, cosine, rank, semi_hard).
+
+    100 TB shape: one corpus scan against the broadcast anchor set; the
+    different-label filter rides the scoring projection (no second
+    pass); best-positive is a map-side-combined per-anchor max; ranking
+    windows partition by the bounded anchor set."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"),
+                            "label")
+    anchors = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"))
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    scored = corpus.join(F.broadcast(anchors)).select(
+        "query_id", "qlabel",
+        F.col("vec_id").alias("neighbor_id"), "label",
+        (_dot(F.col("qv"), F.col("v"))
+         / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos"))
+    best_pos = (scored.filter(F.col("label") == F.col("qlabel"))
+                .groupBy("query_id")
+                .agg(F.max("cos").alias("best_pos_cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(best_pos), "query_id", "left")
+        .select("query_id", "neighbor_id",
+                F.round("cos", 6).alias("cosine"), "rank",
+                (F.col("cos") < F.col("best_pos_cos")).alias("semi_hard"))
+    )
+
+
 def hash_planes(tables: int, bits: int, dim: int) -> list[list[list[float]]]:
     """Deterministic pseudo-random hyperplanes seeded by md5 — engine-
     portable (any engine embedding the same literals reproduces the exact

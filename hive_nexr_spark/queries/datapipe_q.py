@@ -3657,6 +3657,43 @@ ORACLE["similarity_mips_topk"] = """
     ) t WHERE rank <= 3
 """
 
+QUERIES["similarity_hard_negatives"] = _bind(
+    similarity.hard_negative_mining, "embeddings")
+# contrastive hard-negative mining (FaceNet triplet selection): per
+# anchor the top-k most-similar DIFFERENT-label corpus vectors, with the
+# semi-hard flag (cosine below the anchor's best positive similarity)
+ORACLE["similarity_hard_negatives"] = """
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings
+    ),
+    a AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+          FROM emb WHERE vec_id < 20),
+    corpus AS (SELECT * FROM emb WHERE vec_id >= 20),
+    scored AS (
+      SELECT a.query_id, a.qlabel, c.vec_id AS neighbor_id, c.label,
+             list_dot_product(a.qv, c.v)
+             / (sqrt(list_dot_product(a.qv, a.qv))
+                * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM corpus c CROSS JOIN a
+    ),
+    best_pos AS (
+      SELECT query_id, max(cos) AS best_pos_cos
+      FROM scored WHERE label = qlabel GROUP BY query_id
+    ),
+    negs AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+             ) AS INT) AS rank
+      FROM scored WHERE label <> qlabel
+    )
+    SELECT n.query_id, n.neighbor_id, round(n.cos, 6) AS cosine, n.rank,
+           n.cos < b.best_pos_cos AS semi_hard
+    FROM negs n LEFT JOIN best_pos b ON n.query_id = b.query_id
+    WHERE n.rank <= 3
+"""
+
 QUERIES["similarity_mips_ivf"] = _bind(similarity.mips_ivf_topk,
                                        "embeddings")
 # approximate MIPS: the augmentation reduction composed with the
