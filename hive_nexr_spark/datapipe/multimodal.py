@@ -411,10 +411,13 @@ def phash_dedup_pairs(documents: DataFrame, max_dist: int = 4,
                       max_doc_id: int = 200) -> DataFrame:
     """PERCEPTUAL image near-dup pairs — the multimodal member of the
     dedup family: dHash each image (real BMP decode in the Arrow path),
-    band the 64-bit hash into 4×16-bit substrings, self-join on any
-    equal band (the standard hamming-LSH candidate rule: distance <= 4
-    guarantees one of 4 bands intact — zero false negatives within the
-    radius by pigeonhole), verify exact hamming <= `max_dist`, and
+    band the 64-bit hash into 5 substrings (13/13/13/13/12 bits),
+    self-join on any equal band (the standard hamming-LSH candidate
+    rule: with 5 bands, distance <= 4 differing bits leave at least one
+    band intact — zero false negatives within the radius by pigeonhole;
+    4 bands would NOT guarantee this at radius 4, since 4 bits can land
+    one per band — same `max_hamming < n_bands` rule as simhash
+    banding in dedup.py), verify exact hamming <= `max_dist`, and
     report alongside EXACT-byte equality (payload md5): the planted
     brightness-shifted variants match at hamming 0 while their payload
     digests differ — the case byte-exact dedup structurally misses.
@@ -431,12 +434,17 @@ def phash_dedup_pairs(documents: DataFrame, max_dist: int = 4,
 
     hashes = tracked_persist(
         image_phashes(phash_corpus(documents, max_doc_id)))
+    # 5 bands of widths 13/13/13/13/12 over the 64-bit hash: the
+    # pigeonhole guarantee needs n_bands > max_dist (5 > 4).
+    widths = [13, 13, 13, 13, 12]
+    offsets = [0, 13, 26, 39, 52]
     bands = hashes.select(
         "doc_id", "phash", "digest",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.substring("phash", b * 16 + 1, 16).alias("key"))
-            for b in range(4)
+                     F.substring("phash", offsets[b] + 1,
+                                 widths[b]).alias("key"))
+            for b in range(5)
         ])).alias("bb"),
     ).select("doc_id", "phash", "digest", "bb.band", "bb.key")
     cand = (

@@ -2532,7 +2532,9 @@ QUERIES["multimodal_phash_dedup"] = _bind(
 # perceptual (dHash) image near-dup pairs over the REAL BMP
 # encode→decode Arrow path; the oracle regenerates the pixel arithmetic
 # from the text (no codec in SQL — the hash match proves the container
-# roundtrip bit-faithful) and mirrors the 4×16-bit banding rule exactly.
+# roundtrip bit-faithful) and mirrors the 5-band (13/13/13/13/12-bit)
+# banding rule exactly — 5 bands so the pigeonhole recall guarantee
+# holds at radius 4 (n_bands > max_hamming).
 # The brightness shift adds 3*shift to every channel sum (ASCII corpus —
 # never clips), which cancels in the dHash comparisons: the planted
 # +200000 variants match at hamming 0 with exact_dup = false.
@@ -2569,8 +2571,9 @@ ORACLE["multimodal_phash_dedup"] = """
     ),
     bands AS (
       SELECT doc_id, phash, rgbkey, b,
-             substr(phash, b * 16 + 1, 16) AS key
-      FROM hashes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb
+             substr(phash, b * 13 + 1,
+                    CASE WHEN b = 4 THEN 12 ELSE 13 END) AS key
+      FROM hashes CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS b) bb
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -187,7 +187,8 @@ def expire_versions(root: str, keep_from: int) -> list[str]:
     return removed
 
 
-def remove_orphans(root: str) -> list[str]:
+def remove_orphans(root: str,
+                   older_than_seconds: float = 3 * 86400) -> list[str]:
     """ORPHAN-FILE cleanup (Iceberg remove_orphan_files semantics): a
     crashed writer can leave a fully-written data directory that no
     manifest ever came to reference (the commit is the manifest write —
@@ -195,8 +196,17 @@ def remove_orphans(root: str) -> list[str]:
     reader but hold storage forever; this removes any directory under
     the root that NO committed manifest version references. Every
     version's visible content is bit-identical afterward (orphans are
-    unreferenced by definition). Returns the removed directories."""
+    unreferenced by definition). Returns the removed directories.
+
+    `older_than_seconds` (default 3 days, matching Iceberg's
+    remove_orphan_files default): an in-flight writer that has landed
+    data dirs but not yet committed its manifest looks exactly like a
+    crash; the age cutoff keeps cleanup from deleting its work. Pass 0
+    only when no writer can be active."""
     import shutil
+    import time
+
+    from .snapshots import _tree_mtime
 
     latest = latest_version(root)
     referenced: set[str] = set()
@@ -206,11 +216,13 @@ def remove_orphans(root: str) -> list[str]:
         except FileNotFoundError:  # expired version
             continue
         referenced |= {d for dirs in man["tables"].values() for d in dirs}
+    cutoff = time.time() - older_than_seconds
     removed: list[str] = []
     for entry in sorted(os.listdir(root)):
         full = os.path.join(root, entry)
         if (os.path.isdir(full) and entry != "manifest"
-                and full not in referenced):
+                and full not in referenced
+                and _tree_mtime(full) <= cutoff):
             shutil.rmtree(full)
             removed.append(full)
     return removed

@@ -304,15 +304,24 @@ def expire_snapshots(base: str, keep_from: int) -> list[str]:
     return removed
 
 
-def remove_orphans(base: str) -> list[str]:
+def remove_orphans(base: str,
+                   older_than_seconds: float = 3 * 86400) -> list[str]:
     """ORPHAN-FILE cleanup for the snapshot table (Iceberg
     remove_orphan_files semantics; the index-root twin is
     `index_manifest.remove_orphans`): delete any directory under the
     table root that no committed manifest references as a data or
     tombstone dir — the leftovers of a writer that crashed between the
     data write and the manifest commit. Visible content at every
-    version is unchanged by construction. Returns the removed dirs."""
+    version is unchanged by construction. Returns the removed dirs.
+
+    `older_than_seconds` (default 3 days — Iceberg's
+    remove_orphan_files default, for the same reason): a LIVE writer
+    that has landed its data dir but not yet committed its manifest is
+    indistinguishable from a crashed one; the age cutoff keeps cleanup
+    from racing an in-flight commit. Pass 0 only when no writer can be
+    active (tests, single-process maintenance windows)."""
     import shutil
+    import time
 
     latest = _latest(base)
     referenced: set[str] = set()
@@ -321,13 +330,27 @@ def remove_orphans(base: str) -> list[str]:
             continue  # expired version
         man = _load_manifest(base, v)
         referenced |= set(man["dirs"]) | set(man["deletes"])
+    cutoff = time.time() - older_than_seconds
     removed: list[str] = []
     for entry in sorted(os.listdir(base)):
         full = os.path.join(base, entry)
-        if os.path.isdir(full) and full not in referenced:
+        if (os.path.isdir(full) and full not in referenced
+                and _tree_mtime(full) <= cutoff):
             shutil.rmtree(full)
             removed.append(full)
     return removed
+
+
+def _tree_mtime(path: str) -> float:
+    """Newest mtime of the dir or anything directly inside it — a
+    writer still landing files keeps this fresh."""
+    times = [os.path.getmtime(path)]
+    for entry in os.listdir(path):
+        try:
+            times.append(os.path.getmtime(os.path.join(path, entry)))
+        except OSError:
+            pass
+    return max(times)
 
 
 def _latest(base: str) -> int:

@@ -1258,7 +1258,11 @@ def test_remove_orphans_reclaims_only_unreferenced(dfs, spark, sf_dir):
     orphan = _os.path.join(base, "data_v9_crashed")
     orders.limit(5).write.parquet(orphan)
     pre = sn.read_version(spark, base, 3).count()
-    removed = sn.remove_orphans(base)
+    # default age cutoff (3 days): a FRESH unreferenced dir is treated
+    # as a possibly-in-flight writer and left alone (r13 advisor fix)
+    assert sn.remove_orphans(base) == []
+    assert _os.path.exists(orphan)
+    removed = sn.remove_orphans(base, older_than_seconds=0)
     assert removed == [orphan]
     assert not _os.path.exists(orphan)
     assert sn.read_version(spark, base, 3).count() == pre
@@ -1273,7 +1277,8 @@ def test_remove_orphans_reclaims_only_unreferenced(dfs, spark, sf_dir):
         F.col("doc_id") >= 100000)
     before = {tuple(r) for r in
               dedup.lsh_index_query(spark, d, probe).collect()}
-    iremoved = idx.remove_orphans(d)
+    assert idx.remove_orphans(d) == []  # fresh → in-flight protection
+    iremoved = idx.remove_orphans(d, older_than_seconds=0)
     assert iremoved == [iorphan]
     after = {tuple(r) for r in
              dedup.lsh_index_query(spark, d, probe).collect()}
