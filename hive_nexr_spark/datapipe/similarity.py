@@ -106,8 +106,13 @@ def mips_topk(embeddings: DataFrame, k: int = 3,
             _dot(F.col("qv"), F.col("v")).alias("ip"),
             (dot_aug / (norm_aug * _norm(F.col("qv"))))
             .alias("cos_aug")))
+    # cos_aug stays the PRIMARY key (the reduction's order-equivalence
+    # demonstration); the raw ip rides as a deterministic tie-break so
+    # last-ulp differences in the per-vector norm_aug recomputation
+    # cannot invert exactly- or near-tied inner products relative to the
+    # oracle (which ranks by raw ip, then neighbor_id)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_aug").desc(), F.col("neighbor_id"))
+        F.col("cos_aug").desc(), F.col("ip").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -475,12 +475,55 @@ def _refs_path(base: str) -> str:
     return os.path.join(base, "refs.json")
 
 
-def _load_refs(base: str) -> dict:
+def _refs_seq(base: str) -> int:
+    """Latest committed refs sequence (0 = only the legacy unversioned
+    refs.json, or no refs at all)."""
+    seqs = [int(f[5:-5]) for f in os.listdir(base)
+            if f.startswith("refs.") and f.endswith(".json")
+            and f[5:-5].isdigit()]
+    return max(seqs, default=0)
+
+
+def _load_refs_versioned(base: str) -> tuple[dict, int]:
+    """Refs state + the sequence it was read at (the CAS expectation a
+    subsequent `_write_refs` must present)."""
+    seq = _refs_seq(base)
+    path = (os.path.join(base, f"refs.{seq}.json") if seq
+            else _refs_path(base))
     try:
-        with open(_refs_path(base)) as fh:
-            return json.load(fh)
+        with open(path) as fh:
+            return json.load(fh), seq
     except FileNotFoundError:
-        return {}
+        return {}, 0
+
+
+def _load_refs(base: str) -> dict:
+    return _load_refs_versioned(base)[0]
+
+
+def _write_refs(base: str, refs: dict, expect_seq: int) -> None:
+    """EXCLUSIVE refs commit (same write-temp + hard-link CAS as
+    `_write_manifest`): refs state lives in sequenced refs.<N>.json
+    files; a writer commits expect_seq+1, and two concurrent ref
+    writers racing the same sequence get a loud
+    `ManifestConflictError` instead of last-writer-wins silently
+    dropping one update (the advisor's r12 finding — the mutable
+    refs.json was the one metadata file without the guard). Losers
+    re-read (which picks up the winner's refs) and retry."""
+    from .index_manifest import ManifestConflictError
+
+    path = os.path.join(base, f"refs.{expect_seq + 1}.json")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ManifestConflictError(
+            f"refs sequence {expect_seq + 1} already committed under "
+            f"{base}; re-read the refs and retry") from None
+    finally:
+        os.remove(tmp)
 
 
 def set_ref(base: str, name: str, version: int,
@@ -496,7 +539,7 @@ def set_ref(base: str, name: str, version: int,
     if version > _latest(base) or version < 1:
         raise ValueError(f"ref {name!r} targets uncommitted version "
                          f"{version} (latest = {_latest(base)})")
-    refs = _load_refs(base)
+    refs, seq = _load_refs_versioned(base)
     cur = refs.get(name)
     if cur is not None:
         if cur["kind"] == "tag":
@@ -510,10 +553,7 @@ def set_ref(base: str, name: str, version: int,
                 f"branch {name!r} may only fast-forward "
                 f"(v{cur['version']} → v{version} refused)")
     refs[name] = {"version": version, "kind": kind}
-    tmp = _refs_path(base) + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(refs, fh)
-    os.replace(tmp, _refs_path(base))
+    _write_refs(base, refs, seq)
 
 
 def rollback_ref(base: str, name: str, version: int) -> None:
@@ -526,17 +566,14 @@ def rollback_ref(base: str, name: str, version: int) -> None:
     if version > _latest(base) or version < 1:
         raise ValueError(f"rollback of {name!r} targets uncommitted "
                          f"version {version}")
-    refs = _load_refs(base)
+    refs, seq = _load_refs_versioned(base)
     cur = refs.get(name)
     if cur is None:
         raise KeyError(f"unknown ref {name!r}")
     if cur["kind"] == "tag":
         raise ValueError(f"tag {name!r} is immutable")
     refs[name] = {"version": version, "kind": "branch"}
-    tmp = _refs_path(base) + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(refs, fh)
-    os.replace(tmp, _refs_path(base))
+    _write_refs(base, refs, seq)
 
 
 def read_ref(spark: SparkSession, base: str, name: str) -> DataFrame:

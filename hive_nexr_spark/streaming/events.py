@@ -1070,6 +1070,27 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str,
          .queryName(name).start())
     try:
         q.processAllAvailable()
+        # LOUD lag-semantics guard (r13, advisor ask): the whole
+        # fixture layout depends on the measured one-batch watermark
+        # propagation lag ("enforced from batch N+2 on" — Spark 4.1).
+        # If a Spark upgrade enforces at N+1, batch 2's on-time rows
+        # (below batch 1's watermark) get dropped and every downstream
+        # count silently shifts; if enforcement lags further, nothing
+        # drops and the demonstration is vacuous. Pin both edges from
+        # the query's own progress: every ON-TIME batch drops 0, the
+        # LATE batch drops > 0 — any deviation raises here instead of
+        # hash-diverging at the oracle.
+        fed = [p for p in q.recentProgress if p.numInputRows > 0]
+        drops = [sum(op.numRowsDroppedByWatermark
+                     for op in p.stateOperators) for p in fed]
+        if len(drops) != 3 or any(d > 0 for d in drops[:-1]) \
+                or drops[-1] <= 0:
+            raise RuntimeError(
+                "watermark propagation lag changed: per-batch "
+                f"numRowsDroppedByWatermark = {drops} (expected "
+                "[0, 0, >0] over 3 fed micro-batches) — the "
+                "stream_late_data_drop fixture layout assumes Spark's "
+                "one-batch lag; re-derive the split")
     finally:
         q.stop()
     return spark.table(name)

@@ -1326,6 +1326,44 @@ def test_snapshot_guards_and_empty_cdc_window(spark, tmp_path):
     assert _os.path.isdir(t1) and _os.path.isdir(t2)
 
 
+def test_refs_cas_conflict(tmp_path):
+    """Refs updates carry the same exclusive-create CAS as manifest
+    commits (r13, advisor ask): refs state lives in sequenced
+    refs.<N>.json files; a writer that read the refs at sequence S may
+    only commit S+1, so two concurrent ref writers racing the same
+    sequence get a loud ManifestConflictError instead of last-writer-
+    wins silently dropping one update — and the loser's re-read picks
+    up the winner's state."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from hive_nexr_spark.sources import index_manifest as idx
+    from hive_nexr_spark.sources import snapshots as sn
+
+    base = str(tmp_path / "snap")
+    _os.makedirs(base)
+    for v in (1, 2):
+        sn._write_manifest(base, {"version": v, "dirs": [],
+                                  "deletes": [], "key": None,
+                                  "dir_seqs": {}, "delete_seqs": {}})
+    sn.set_ref(base, "main", 1, kind="branch")
+    sn.set_ref(base, "main", 2, kind="branch")  # fast-forward: seq 2
+    refs, seq = sn._load_refs_versioned(base)
+    assert seq == 2 and refs["main"]["version"] == 2
+    # the race: a writer that read at seq 1 (before the fast-forward)
+    # tries to commit its update as seq 2 — must raise, not clobber
+    with _pytest.raises(idx.ManifestConflictError):
+        sn._write_refs(base, {"main": {"version": 1,
+                                       "kind": "branch"}}, 1)
+    assert sn._load_refs(base)["main"]["version"] == 2
+    assert not [f for f in _os.listdir(base) if ".tmp" in f]
+    # tag immutability survives the versioned scheme
+    sn.set_ref(base, "pin", 1, kind="tag")
+    with _pytest.raises(ValueError):
+        sn.set_ref(base, "pin", 2, kind="tag")
+
+
 def test_residual_beats_raw_on_clustered_fixture(spark):
     """The measurement `ivf_pq_residual_topk` was built to produce —
     vacuous on the uniform synthetic embeddings (r10 verdict): on the
