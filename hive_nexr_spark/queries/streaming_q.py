@@ -260,6 +260,8 @@ QUERIES = {
         ensure_views(spark, sf_dir)["events"]),
     "events_stream_cdc_upsert": lambda spark, sf_dir:
         ev.stream_cdc_upsert(spark, sf_dir),
+    "events_stream_checkpoint_restart": lambda spark, sf_dir:
+        ev.stream_checkpoint_restart(spark, sf_dir),
     "events_stream_late_drop": lambda spark, sf_dir:
         ev.stream_late_data_drop(spark, sf_dir),
     "events_json_props_stats": _json_props_stats,
@@ -923,6 +925,55 @@ ORACLE["events_cdc_merge"] = """
 
 # streaming CDC upsert: the batch twin IS the oracle (same merge spec)
 ORACLE["events_stream_cdc_upsert"] = ORACLE["events_cdc_merge"]
+# checkpoint-restart (r13): the ENGINE is killed mid-stream by an
+# injected failure after batch kill_bid=1's sink append but before its
+# checkpoint commit, then restarted from the checkpoint — Spark
+# re-delivers batch 1 and the idempotent election landing absorbs the
+# duplicate. The ORACLE is the UNINTERRUPTED batch merge (no crash
+# anywhere in it) plus the deterministic landing arithmetic:
+# n_land_attempts = #batches (slice = (event_id // 5) % 4, file order =
+# batch order under maxFilesPerTrigger=1) holding the key's changes,
+# + 1 for keys in the re-delivered batch 1. The hash match on the state
+# columns IS killed-and-resumed == uninterrupted; the +1 visible in
+# n_land_attempts IS the re-delivery having happened at the data level.
+ORACLE["events_stream_checkpoint_restart"] = """
+    WITH b1 AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 5 <> 4) t WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 5 = 4) t WHERE rn = 1
+    ),
+    att AS (
+      SELECT user_id,
+             CAST(count(DISTINCT slice)
+                  + max(CASE WHEN slice = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_land_attempts
+      FROM (SELECT user_id, (event_id // 5) % 4 AS slice
+            FROM events WHERE event_id % 5 = 4) s
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN c1.event_id IS NOT NULL
+                THEN c1.event_id ELSE b1.event_id END AS last_event_id,
+           CASE WHEN c1.event_id IS NOT NULL
+                THEN c1.event_type ELSE b1.event_type END AS last_type,
+           CASE WHEN c1.event_id IS NOT NULL
+                THEN c1.value ELSE b1.value END AS last_value,
+           CASE WHEN c1.event_id IS NOT NULL
+                THEN 'change' ELSE 'base' END AS src,
+           COALESCE(att.n_land_attempts, 0) AS n_land_attempts
+    FROM b1 FULL OUTER JOIN c1 USING (user_id)
+    LEFT JOIN att USING (user_id)
+    WHERE NOT (c1.event_id IS NOT NULL AND c1.event_type = 'error')
+"""
 # the streaming MV maintenance must equal the batch full recompute —
 # same oracle as the batch delta-merge op
 ORACLE["events_stream_mv_maintain"] = ORACLE["events_mv_incremental"]

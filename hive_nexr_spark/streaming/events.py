@@ -1094,3 +1094,165 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str,
+                              change_mod: int = 5, n_batches: int = 4,
+                              kill_bid: int = 1) -> DataFrame:
+    """CHECKPOINT-RESTART / exactly-once demonstration (r13 — the one
+    streaming production claim previously untested): the foreachBatch
+    CDC upsert runs with a REAL `checkpointLocation`, is CRASHED
+    mid-stream by an injected failure AFTER a batch's sink append but
+    BEFORE its checkpoint commit (the exact torn window restart
+    recovery exists for), and is RESTARTED from the same checkpoint —
+    Spark re-delivers the in-flight batch from the offsets log, the
+    sink receives that batch's rows a SECOND time, and the
+    latest-per-key election landing absorbs the duplicate: the final
+    state equals the uninterrupted batch twin (`cdc_merge_batch` — the
+    oracle), which is exactly-once END-TO-END via replay + idempotent
+    landing (the standard Structured Streaming contract: the engine
+    guarantees at-least-once to foreachBatch; the sink's idempotence
+    upgrades it).
+
+    Mechanics: the change slice (event_id % change_mod ==
+    change_mod-1) is staged as `n_batches` mtime-ordered parquet files
+    sliced by floor(event_id / change_mod) % n_batches, and
+    `maxFilesPerTrigger=1` makes each file its own micro-batch in file
+    order — so batch membership is DETERMINISTIC and the oracle can
+    reproduce it in SQL. Run 1 commits batches [0, kill_bid) and
+    crashes inside `kill_bid` with later files still pending; the
+    operator asserts loudly (not just in pytest) that the checkpoint's
+    commits log shows exactly batches < kill_bid committed and that
+    run 2 re-lands `kill_bid` before processing the pending batches.
+
+    Output: the `cdc_merge_batch` state (user_id, last_event_id,
+    last_type, last_value, src) PLUS `n_land_attempts` — the number of
+    compacted rows landed in the staging sink for that key across both
+    runs: 0 for base-only keys, (#batches holding the key's changes)
+    + 1 if the key appears in the re-delivered batch. The +1 IS the
+    re-delivery, visible at the data level; the election output
+    matching the uninterrupted oracle IS the absorption.
+
+    100 TB shape: restart recovery is the checkpoint's offsets/commits
+    log — O(#batches) metadata, zero data rescan beyond the in-flight
+    batch; the landing is the same append-staging + compaction merge
+    as `stream_cdc_upsert` (map-side-combined per-batch election, no
+    driver-side rows). The accounting reads only the staging table's
+    per-key row counts — one extra count on an aggregation already
+    partitioned by user_id."""
+    import shutil
+    import time as _time
+
+    from ..queries.base import ensure_views
+    from ..scratch import process_scratch_dir
+
+    events = ensure_views(spark, sf_dir)["events"]
+    is_change = F.col("event_id") % change_mod == change_mod - 1
+    slice_no = F.floor(F.col("event_id") / change_mod) % n_batches
+
+    root = process_scratch_dir(f"ckptrestart_{uuid.uuid4().hex[:8]}")
+    src, staging, ckpt = (os.path.join(root, d)
+                          for d in ("src", "staging", "ckpt"))
+    os.makedirs(src)
+
+    def land(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = os.path.join(src, f"_tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dest = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    changes = events.filter(is_change)
+    for b in range(n_batches):
+        land(changes.filter(slice_no == b), f"b{b}",
+             now - 60 * (n_batches - b))
+
+    state = {"crashed": False, "bids": []}
+
+    def upsert(batch_df: DataFrame, bid: int) -> None:
+        (batch_df.groupBy("user_id")
+         .agg(F.max(F.struct(
+             F.col("ts"), F.col("event_id"),
+             F.col("event_type"), F.col("value"))).alias("c"))
+         .select("user_id", "c.ts", "c.event_id", "c.event_type",
+                 "c.value")
+         .write.mode("append").parquet(staging))
+        state["bids"].append(bid)
+        if bid == kill_bid and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError(
+                "injected crash: sink append landed, checkpoint commit "
+                f"for batch {bid} withheld — restart must re-deliver")
+
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .writeStream.option("checkpointLocation", ckpt)
+                .foreachBatch(upsert).start())
+
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    except Exception:
+        pass  # the injected crash surfaces here or via q1.exception()
+    finally:
+        q1.stop()
+    committed_run1 = sorted(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if f.isdigit())
+    if (not state["crashed"] or q1.exception() is None
+            or committed_run1 != list(range(kill_bid))
+            or state["bids"] != list(range(kill_bid + 1))):
+        raise RuntimeError(
+            "crash-injection accounting off: crashed="
+            f"{state['crashed']} committed={committed_run1} "
+            f"bids={state['bids']} exc={q1.exception()}")
+
+    q2 = start()  # RESTART from the same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    expect = list(range(kill_bid + 1)) + list(range(kill_bid, n_batches))
+    committed_run2 = sorted(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if f.isdigit())
+    if (state["bids"] != expect
+            or committed_run2 != list(range(n_batches))):
+        raise RuntimeError(
+            "restart accounting off: expected re-delivery of batch "
+            f"{kill_bid} then the pending batches ({expect}); got "
+            f"bids={state['bids']} committed={committed_run2}")
+
+    staged = spark.read.parquet(staging)
+    attempts = staged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_land_attempts"))
+    ch = (staged.groupBy("user_id")
+          .agg(F.max(F.struct(
+              F.col("ts"), F.col("event_id"),
+              F.col("event_type"), F.col("value"))).alias("c")))
+    base = (events.filter(~is_change).groupBy("user_id").agg(
+        F.max(F.struct(F.col("ts"), F.col("event_id"),
+                       F.col("event_type"), F.col("value"))).alias("b")))
+    merged = base.join(ch, "user_id", "full_outer")
+    pick = F.when(F.col("c").isNotNull(), F.col("c")).otherwise(F.col("b"))
+    return (
+        merged.filter(~(F.col("c").isNotNull()
+                        & (F.col("c.event_type") == "error")))
+        .join(attempts, "user_id", "left")
+        .select(
+            "user_id",
+            pick["event_id"].alias("last_event_id"),
+            pick["event_type"].alias("last_type"),
+            pick["value"].alias("last_value"),
+            F.when(F.col("c").isNotNull(), F.lit("change"))
+            .otherwise(F.lit("base")).alias("src"),
+            F.coalesce(F.col("n_land_attempts"), F.lit(0).cast("long"))
+            .alias("n_land_attempts"),
+        )
+    )

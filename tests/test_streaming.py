@@ -209,6 +209,47 @@ def test_stream_late_drop_excludes_late_windows(spark, sf_dir):
     assert dropped > 0, "no late rows in the fixture — vacuous"
 
 
+def test_stream_checkpoint_restart_equals_uninterrupted(spark, sf_dir):
+    """Exactly-once via checkpoint replay + idempotent landing (r13):
+    the crashed-and-restarted foreachBatch upsert's final state must
+    equal the UNINTERRUPTED batch merge column-for-column, the keys in
+    the killed batch must show the extra landing attempt (re-delivery
+    happened at the data level), and every other change key must show
+    exactly one landing per batch that held its changes."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.queries.base import ensure_views
+    from hive_nexr_spark.streaming.events import (
+        cdc_merge_batch, stream_checkpoint_restart)
+
+    out = stream_checkpoint_restart(spark, sf_dir).collect()
+    got_state = {(r.user_id, r.last_event_id, r.last_type, r.last_value,
+                  r.src) for r in out}
+    events = ensure_views(spark, sf_dir)["events"]
+    want_state = {tuple(r) for r in cdc_merge_batch(events).collect()}
+    assert got_state == want_state and got_state
+
+    # landing accounting: per change key, one landed row per batch
+    # holding its changes, +1 iff the key appears in killed batch 1
+    slices = {r.user_id: (r.ns, r.in_kill) for r in (
+        events.filter(F.col("event_id") % 5 == 4)
+        .select("user_id",
+                (F.floor(F.col("event_id") / 5) % 4).alias("slice"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("slice").alias("ns"),
+             F.max((F.col("slice") == 1).cast("int")).alias("in_kill"))
+    ).collect()}
+    redelivered = 0
+    for r in out:
+        if r.src == "base":
+            assert r.n_land_attempts == 0
+        else:
+            ns, in_kill = slices[r.user_id]
+            assert r.n_land_attempts == ns + in_kill, r
+            redelivered += in_kill
+    assert redelivered > 0, "no key touched the killed batch — vacuous"
+
+
 def test_stream_dedup_ingest_gate(spark, sf_dir):
     """The streaming dedup ingestion gate must equal the one-shot batch
     twin row-for-row (decisions probe only the frozen index version, so
