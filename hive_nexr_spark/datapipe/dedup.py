@@ -976,28 +976,12 @@ def lsh_index_compact(spark, index_root: str) -> int:
 
 
 def _index_scan_sequenced(spark, man: dict, table: str) -> DataFrame:
-    """Scan one manifest table with SEQUENCED tombstones applied
-    (`index_manifest.applicable_tombs` — the `snapshots.read_version`
-    recipe): dirs are grouped by applicable-tombstone set, each group
-    is one multi-dir parquet scan with at most one broadcast anti-join
-    on doc_id, and dirs newer than every tombstone scan clean. A doc
-    deleted then re-admitted survives — its re-add dirs outsequence the
-    tombstone. Common shapes collapse to 1-2 groups."""
-    from functools import reduce
-
+    """Scan one manifest table with SEQUENCED tombstones applied — the
+    doc_id instance of the shared `index_manifest.scan_sequenced`
+    (generalized r13; the vector index uses the vec_id instance)."""
     from ..sources import index_manifest as idx
 
-    groups: dict[tuple[str, ...], list[str]] = {}
-    for d in man["tables"][table]:
-        groups.setdefault(idx.applicable_tombs(man, d), []).append(d)
-    parts = []
-    for tombs, dirs in groups.items():
-        df = spark.read.parquet(*dirs)
-        if tombs:
-            tk = spark.read.parquet(*tombs).select("doc_id")
-            df = df.join(F.broadcast(tk), "doc_id", "left_anti")
-        parts.append(df)
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    return idx.scan_sequenced(spark, man, table, "doc_id")
 
 
 def lsh_index_query(spark, index_root: str, probe_docs: DataFrame,

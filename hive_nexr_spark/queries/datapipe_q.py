@@ -3146,7 +3146,8 @@ def _ivf_pq_residual_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
                          train_pred: str | None = None,
                          with_recall: bool = False,
                          rerank_shortlist: int | None = None,
-                         emb_sql: str | None = None) -> str:
+                         emb_sql: str | None = None,
+                         visible_pred: str | None = None) -> str:
     """DuckDB oracle for the RESIDUAL (true IVFADC) encoding: the coarse
     CTE chain + residual computation, PQ codebooks trained on residual
     subvectors (seed = the ks lowest TRAIN-corpus vec_ids), residual
@@ -3155,7 +3156,11 @@ def _ivf_pq_residual_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
     `_ivf_pq_sql` chain verbatim), and per-query recall@k columns for
     both — mirroring `similarity.ivf_pq_residual_topk`'s output.
     ``train_pred`` restricts TRAINING (coarse + PQ + seed) to matching
-    rows while encode/probe read everything — the add-batch contract."""
+    rows while encode/probe read everything — the add-batch contract.
+    ``visible_pred`` (over ``co.vec_id``) filters the CODES at scoring
+    time only — training, encoding, and probes untouched — mirroring
+    the engine's sequenced-tombstone visibility (deletes never
+    retrain): the delete/re-insert key's contract."""
     sd = dim // m
     d2s = (f"list_aggregate([ (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) "
            f"for i in range(1, {sd} + 1) ], 'sum')")
@@ -3238,6 +3243,7 @@ def _ivf_pq_residual_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
       SELECT j, cluster, list(mu ORDER BY i) AS cv
       FROM rp{it} GROUP BY j, cluster
     )""")
+    vis = visible_pred or "TRUE"
     parts.append(f"""
     , rcodes AS (
       SELECT vec_id, j, cluster AS code FROM (
@@ -3267,6 +3273,7 @@ def _ivf_pq_residual_sql(k: int = 3, n_queries: int = 10, n_cells: int = 8,
       JOIN cells ce ON ce.vec_id = co.vec_id
       JOIN rlut l ON l.cell = ce.cell
                  AND l.j = co.j AND l.cluster = co.code
+      WHERE {vis}
       GROUP BY l.query_id, co.vec_id
     )
     , rtopk AS (
@@ -3530,6 +3537,57 @@ def _ivf_pq_add_batch(spark, sf_dir):
 QUERIES["similarity_ivf_pq_add_batch"] = _ivf_pq_add_batch
 ORACLE["similarity_ivf_pq_add_batch"] = _ivf_pq_residual_sql(
     train_pred="vec_id < 10 OR vec_id % 2 = 0")
+
+
+def _ivf_pq_delete(spark, sf_dir):
+    """Vector-index DELETE (r13 — the lifecycle asymmetry the r12
+    verdict flagged): build the persisted index, tombstone the
+    vec_id % 4 == 0 quarter of the corpus (an O(|keys|) sequenced
+    manifest bump — no code file rewritten, the takedown/opt-out
+    path), query at HEAD. Deleted vectors are anti-joined out of the
+    codes scan; training artifacts are frozen, so the oracle encodes
+    everything and drops the deleted quarter at scoring time only."""
+    emb = ensure_views(spark, sf_dir)["embeddings"]
+    d = similarity._index_scratch()
+    similarity.ivf_pq_build_index(emb, d)
+    similarity.ivf_pq_delete(
+        spark, d,
+        emb.filter((F.col("vec_id") >= 10)
+                   & (F.col("vec_id") % 4 == 0)).select("vec_id"))
+    return similarity.ivf_pq_query_index(spark, d, _queries_of(emb))
+
+
+QUERIES["similarity_ivf_pq_delete"] = _ivf_pq_delete
+ORACLE["similarity_ivf_pq_delete"] = _ivf_pq_residual_sql(
+    visible_pred="co.vec_id % 4 <> 0")
+
+
+def _ivf_pq_delete_reinsert(spark, sf_dir):
+    """Vector-index DELETE-THEN-RE-ADMIT (the `dedup_lsh_index_reinsert`
+    flow on the IVF-PQ index — the r12 verdict's ask #2): build →
+    tombstone the vec_id % 4 == 0 quarter → `ivf_pq_add_batch`
+    re-admits the vec_id % 8 == 0 half of the deleted vectors (encoded
+    against the FROZEN coarse/codebooks — deterministic, so the re-add
+    reproduces the original codes) → query at HEAD. SEQUENCED
+    tombstones make the re-added vectors retrievable — their re-add
+    dir outsequences the tombstone — so the visible corpus is
+    vec_id % 4 != 0 OR vec_id % 8 == 0, exactly what the oracle
+    scores. Under unsequenced semantics the re-admitted half would
+    stay invisible (silently lost takedown reversals)."""
+    emb = ensure_views(spark, sf_dir)["embeddings"]
+    d = similarity._index_scratch()
+    similarity.ivf_pq_build_index(emb, d)
+    deleted = emb.filter((F.col("vec_id") >= 10)
+                         & (F.col("vec_id") % 4 == 0))
+    similarity.ivf_pq_delete(spark, d, deleted.select("vec_id"))
+    similarity.ivf_pq_add_batch(
+        spark, d, deleted.filter(F.col("vec_id") % 8 == 0))
+    return similarity.ivf_pq_query_index(spark, d, _queries_of(emb))
+
+
+QUERIES["similarity_ivf_pq_delete_reinsert"] = _ivf_pq_delete_reinsert
+ORACLE["similarity_ivf_pq_delete_reinsert"] = _ivf_pq_residual_sql(
+    visible_pred="(co.vec_id % 4 <> 0 OR co.vec_id % 8 = 0)")
 
 
 QUERIES["agg_countmin_portable"] = _bind(corpus_stats.countmin_token_freq,

@@ -234,3 +234,35 @@ def read_index_table(spark: SparkSession, root: str, name: str,
     the AS-OF read path; old versions stay consistent after add-batch."""
     dirs = read_manifest(root, version)["tables"][name]
     return spark.read.parquet(*dirs)
+
+
+def scan_sequenced(spark: SparkSession, man: dict, table: str,
+                   key_col: str,
+                   tomb_table: str = "tombstones") -> DataFrame:
+    """Scan one manifest table with SEQUENCED tombstones applied (r13 —
+    generalized from the LSH index's `dedup._index_scan_sequenced` so
+    every index family shares it; key column parameterized: doc_id for
+    the LSH dedup index, vec_id for the IVF-PQ vector index): dirs are
+    grouped by applicable-tombstone set (`applicable_tombs`), each
+    group is ONE multi-dir parquet scan with at most one broadcast
+    anti-join on `key_col`, and dirs newer than every tombstone scan
+    clean. A key deleted then re-added survives — its re-add dirs
+    outsequence the tombstone. Common shapes collapse to 1-2 groups,
+    so the cost over a plain scan is one broadcast of the O(|deleted|)
+    key set."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for d in man["tables"][table]:
+        groups.setdefault(applicable_tombs(man, d, tomb_table),
+                          []).append(d)
+    parts = []
+    for tombs, dirs in groups.items():
+        df = spark.read.parquet(*dirs)
+        if tombs:
+            tk = spark.read.parquet(*tombs).select(key_col)
+            df = df.join(F.broadcast(tk), key_col, "left_anti")
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -1205,6 +1205,85 @@ def test_lsh_index_reinsert_after_delete_sequenced(dfs, spark):
     assert "tombstones" not in idx.read_manifest(d)["tables"]
 
 
+def test_ivf_pq_delete_reinsert_sequenced(dfs, spark):
+    """SEQUENCED deletes on the persisted VECTOR index (r13 — the r12
+    recipe propagated from the LSH index, closing the one lifecycle
+    asymmetry): delete(X) → add_batch re-admitting X makes X
+    retrievable at HEAD, the post-delete version excludes it, the
+    pre-delete version is untouched, and compaction preserves HEAD
+    content with no tombstone table left. Visibility is pinned at the
+    DATA level (the sequenced codes scan's vec_id set per version) so
+    the assertion doesn't depend on which survivors make top-k."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.datapipe import similarity
+    from hive_nexr_spark.queries.datapipe_q import _queries_of
+    from hive_nexr_spark.sources import index_manifest as idx
+
+    emb = dfs["embeddings"]
+    d = similarity._index_scratch()
+    similarity.ivf_pq_build_index(emb, d)
+    queries = _queries_of(emb)
+    spark_ = spark
+    before = {tuple(r) for r in
+              similarity.ivf_pq_query_index(spark_, d, queries).collect()}
+    corpus_ids = {r.vec_id for r in
+                  emb.filter(F.col("vec_id") >= 10)
+                  .select("vec_id").collect()}
+
+    deleted = emb.filter((F.col("vec_id") >= 10)
+                         & (F.col("vec_id") % 4 == 0))
+    v2 = similarity.ivf_pq_delete(spark_, d, deleted.select("vec_id"))
+    v3 = similarity.ivf_pq_add_batch(
+        spark_, d, deleted.filter(F.col("vec_id") % 8 == 0))
+    assert (v2, v3) == (2, 3)
+    man3 = idx.read_manifest(d, 3)
+    tomb = man3["tables"]["tombstones"][0]
+    assert man3["seqs"][tomb] == 2
+    assert sorted(man3["seqs"][c] for c in man3["tables"]["codes"]) \
+        == [1, 3]
+
+    def visible_ids(version):
+        man = idx.read_manifest(d, version)
+        return {r.vec_id for r in
+                idx.scan_sequenced(spark_, man, "codes", "vec_id")
+                .select("vec_id").distinct().collect()}
+
+    assert visible_ids(1) == corpus_ids
+    assert visible_ids(2) == {v for v in corpus_ids if v % 4 != 0}
+    head_ids = {v for v in corpus_ids if v % 4 != 0 or v % 8 == 0}
+    assert visible_ids(3) == head_ids
+    assert any(v % 8 == 0 for v in head_ids)  # re-admitted half is back
+
+    # AS-OF query correctness: v1 pins the pre-delete results exactly;
+    # post-delete results never surface a deleted vector
+    asof1 = {tuple(r) for r in
+             similarity.ivf_pq_query_index(spark_, d, queries,
+                                           version=1).collect()}
+    assert asof1 == before
+    asof2 = similarity.ivf_pq_query_index(spark_, d, queries,
+                                          version=2).collect()
+    assert asof2 and not any(r.neighbor_id % 4 == 0 for r in asof2)
+    head = {tuple(r) for r in
+            similarity.ivf_pq_query_index(spark_, d, queries).collect()}
+    assert head and not any(
+        v % 4 == 0 and v % 8 != 0 for _, v, *_ in head)
+
+    # compaction: content identical at HEAD, tombstones materialized
+    # away, pre-compaction versions still AS-OF readable
+    similarity.ivf_pq_compact(spark_, d)
+    assert visible_ids(None) == head_ids
+    compacted = {tuple(r) for r in
+                 similarity.ivf_pq_query_index(spark_, d,
+                                               queries).collect()}
+    assert compacted == head
+    assert "tombstones" not in idx.read_manifest(d)["tables"]
+    asof1_post = {tuple(r) for r in
+                  similarity.ivf_pq_query_index(spark_, d, queries,
+                                                version=1).collect()}
+    assert asof1_post == before
+
+
 def test_index_manifest_guards(dfs, spark, tmp_path):
     """The r12 manifest-layer guards: (a) a version collision between
     two committers raises ManifestConflictError instead of silently
