@@ -238,6 +238,12 @@ def _schema_evolution(spark, sf_dir):
     return schema_evolution_stats(spark, sf_dir)
 
 
+def _schema_rename_drop(spark, sf_dir):
+    from ..sources.snapshots import schema_rename_drop_stats
+
+    return schema_rename_drop_stats(spark, sf_dir)
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -288,6 +294,7 @@ QUERIES = {
     "table_compact_partition": _partition_compaction,
     "table_branch_wap": _branch_wap,
     "table_schema_evolution": _schema_evolution,
+    "table_schema_rename_drop": _schema_rename_drop,
     "table_changes_diff": _table_changes,
     "table_merge_upsert": _merge_upsert,
     "table_cdc_incremental_mv": _cdc_mv,
@@ -651,6 +658,37 @@ ORACLE["table_schema_evolution"] = """
                 AS BIGINT),
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
     FROM orders
+"""
+
+# rename+drop schema evolution via field IDs (sources/snapshots.py
+# schema_rename_drop_stats): v2 pre-alter (7 cols, o_totalprice), v4
+# rename surfaces the SAME values under o_amount (metadata-only — the
+# sums are equal), v5 drop hides o_orderpriority (6 cols), v6 appends
+# the %7 slice written physically under the new names — field-id
+# resolution unifies it with the o_totalprice-named history
+ORACLE["table_schema_rename_drop"] = """
+    WITH t AS (
+      SELECT count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(30,2))) AS s
+      FROM orders
+    ),
+    s7 AS (
+      SELECT count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(30,2))) AS s
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT CAST(2 AS INT) AS version, t.n AS n_rows,
+           CAST(7 AS INT) AS n_cols, 'o_totalprice' AS value_col,
+           CAST(t.s AS DOUBLE) AS sum_value FROM t
+    UNION ALL
+    SELECT CAST(4 AS INT), t.n, CAST(7 AS INT), 'o_amount',
+           CAST(t.s AS DOUBLE) FROM t
+    UNION ALL
+    SELECT CAST(5 AS INT), t.n, CAST(6 AS INT), 'o_amount',
+           CAST(t.s AS DOUBLE) FROM t
+    UNION ALL
+    SELECT CAST(6 AS INT), t.n + s7.n, CAST(6 AS INT), 'o_amount',
+           CAST(t.s + s7.s AS DOUBLE) FROM t, s7
 """
 
 # write-audit-publish over named refs (sources/snapshots.py

@@ -40,6 +40,13 @@ def _load_manifest(base: str, version: int) -> dict:
     # partition map (r12): data dir → partition value, for
     # partition-scoped maintenance; absent on unpartitioned commits
     man.setdefault("dir_parts", {})
+    # field-ID schema (r13, Iceberg column-mapping semantics): ordered
+    # [{"id": int, "name": str}] — the column set AND names visible at
+    # this version. None = schema tracking not initialized (legacy
+    # behavior: merged parquet footers). Initialized lazily by the
+    # first ALTER (rename/drop); ids are stable across renames, so
+    # history resolves by id, never by name.
+    man.setdefault("schema", None)
     return man
 
 
@@ -62,6 +69,18 @@ def _write_manifest(base: str, man: dict) -> None:
     loud). Losers re-read the latest version and retry."""
     from .index_manifest import ManifestConflictError
 
+    # schema carries forward automatically: committers that predate (or
+    # don't care about) schema tracking inherit the previous version's
+    # field-ID schema unchanged — only the alter ops pass one explicitly
+    if "schema" not in man:
+        if man["version"] > 1:
+            try:
+                man["schema"] = _load_manifest(
+                    base, man["version"] - 1).get("schema")
+            except FileNotFoundError:
+                man["schema"] = None
+        else:
+            man["schema"] = None
     path = os.path.join(base, f"v{man['version']}.json")
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -373,6 +392,8 @@ def read_version(spark: SparkSession, base: str, version: int) -> DataFrame:
     from functools import reduce
 
     man = _load_manifest(base, version)
+    if man.get("schema"):
+        return _read_version_evolved(spark, base, man)
     # mergeSchema: commits may EVOLVE the schema (a later delta adds a
     # column — Iceberg add-column semantics); the merged read surfaces
     # the union schema with NULLs for pre-evolution rows. (Iceberg keeps
@@ -393,6 +414,140 @@ def read_version(spark: SparkSession, base: str, version: int) -> DataFrame:
         parts.append(df)
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+
+def _first_schema_version(base: str, upto: int) -> int:
+    """Earliest version whose manifest carries a field-ID schema — the
+    schema-initialization commit. Its names ARE the physical column
+    names of every earlier data dir (no rename can precede schema
+    tracking), so legacy dirs resolve through it."""
+    for v in range(1, upto + 1):
+        try:
+            if _load_manifest(base, v).get("schema"):
+                return v
+        except FileNotFoundError:
+            continue
+    raise RuntimeError(f"no schema'd manifest <= v{upto} under {base}")
+
+
+def _read_version_evolved(spark: SparkSession, base: str,
+                          man: dict) -> DataFrame:
+    """Schema-aware AS-OF read (r13 — Iceberg's field-ID column
+    mapping): each data dir's physical column names are the names in
+    effect WHEN IT WAS WRITTEN (the schema of the manifest at its
+    commit sequence; dirs older than schema tracking resolve via the
+    schema-initialization commit, whose names are by construction
+    physical). Columns map physical → current by FIELD ID: a renamed
+    column's history reads under the new name without any file
+    rewrite, a dropped column is simply not selected (hidden, files
+    untouched, still visible AS-OF pre-drop), and fields a dir never
+    wrote arrive NULL via the union. Tombstones apply per sequence
+    group exactly as in the legacy path."""
+    from functools import reduce
+
+    target = man["schema"]
+    first_v = _first_schema_version(base, man["version"])
+    cache: dict[int, list[dict]] = {}
+
+    def write_schema(seq: int) -> list[dict]:
+        v = seq if seq >= first_v else first_v
+        if v not in cache:
+            cache[v] = _load_manifest(base, v)["schema"]
+        return cache[v]
+
+    reader = spark.read.option("mergeSchema", "true")
+    groups: dict[tuple, list[str]] = {}
+    for d in man["dirs"]:
+        seq = man["dir_seqs"].get(d, -1)
+        ws_v = seq if seq >= first_v else first_v
+        groups.setdefault((_applicable_tombs(man, d), ws_v),
+                          []).append(d)
+    parts = []
+    for (tombs, ws_v), dirs in groups.items():
+        df = reader.parquet(*dirs)
+        if tombs:
+            tk = spark.read.parquet(*tombs)
+            df = df.join(F.broadcast(tk), man["key"], "left_anti")
+        phys = {f["id"]: f["name"] for f in write_schema(ws_v)}
+        sel = [F.col(phys[f["id"]]).alias(f["name"]) for f in target
+               if f["id"] in phys and phys[f["id"]] in df.columns]
+        parts.append(df.select(*sel))
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+
+def _commit_metadata(base: str, man: dict, schema: list[dict]) -> int:
+    """Metadata-only commit: next version = same dirs / deletes /
+    sequences / partitions, new field-ID schema. O(1) — no data file
+    touched; this is what makes RENAME/DROP free at 100 TB."""
+    v = man["version"] + 1
+    _write_manifest(base, {"version": v, "dirs": man["dirs"],
+                           "deletes": man["deletes"], "key": man["key"],
+                           "dir_seqs": man["dir_seqs"],
+                           "delete_seqs": man["delete_seqs"],
+                           "dir_parts": man["dir_parts"],
+                           "schema": schema})
+    return v
+
+
+def init_schema_tracking(spark: SparkSession, base: str) -> int:
+    """Initialize field-ID schema tracking (idempotent): synthesize
+    {id, name} fields from the dirs' parquet footers in COMMIT ORDER
+    (first dir's columns first, then unseen columns of later dirs —
+    deterministic, unlike mergeSchema's merge order) and commit them
+    as a metadata-only version. The synthesized names are the physical
+    names of every pre-existing dir — the anchor legacy dirs resolve
+    through. Returns the version whose manifest carries the schema
+    (the existing one if already initialized)."""
+    man = _load_manifest(base, _latest(base))
+    if man.get("schema"):
+        return man["version"]
+    names: list[str] = []
+    for d in man["dirs"]:
+        for c in spark.read.parquet(d).columns:
+            if c not in names:
+                names.append(c)
+    schema = [{"id": i + 1, "name": c} for i, c in enumerate(names)]
+    return _commit_metadata(base, man, schema)
+
+
+def alter_rename_column(spark: SparkSession, base: str,
+                        old: str, new: str) -> int:
+    """RENAME COLUMN as a metadata-only commit (Iceberg semantics via
+    field IDs): the field keeps its id, only its name changes, so
+    every existing data dir — written under the old name — reads back
+    under the new name with its values intact, and AS-OF reads at
+    pre-rename versions surface the old name. No file rewritten; a
+    name-based emulation would read the history as drop+add and
+    silently NULL it. Initializes schema tracking (its own commit) on
+    first use. Returns the new version."""
+    init_schema_tracking(spark, base)
+    man = _load_manifest(base, _latest(base))
+    names = [f["name"] for f in man["schema"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    schema = [dict(f, name=new) if f["name"] == old else f
+              for f in man["schema"]]
+    return _commit_metadata(base, man, schema)
+
+
+def alter_drop_column(spark: SparkSession, base: str, name: str) -> int:
+    """DROP COLUMN as a metadata-only commit: the field leaves the
+    schema, so reads stop selecting its physical column — data files
+    untouched, storage reclaimed only by later compaction, and the
+    column is still there AS-OF every pre-drop version. Returns the
+    new version."""
+    init_schema_tracking(spark, base)
+    man = _load_manifest(base, _latest(base))
+    names = [f["name"] for f in man["schema"]]
+    if name not in names:
+        raise ValueError(f"no column {name!r} (have {names})")
+    schema = [f for f in man["schema"] if f["name"] != name]
+    if not schema:
+        raise ValueError("refusing to drop the last column")
+    return _commit_metadata(base, man, schema)
 
 
 def _version_stats(spark: SparkSession, base: str,
@@ -729,6 +884,68 @@ def schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "sum_totalprice")
 
     return stats(1).unionByName(stats(2))
+
+
+def schema_rename_drop_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """RENAME + DROP schema evolution via field IDs (r13 — the two
+    operations the r12 add-column-only layer couldn't express without
+    reading history as drop+add): v1 = orders %3 != 0 (base schema),
+    v2 = the %3 == 0 delta adding `o_channel` (footer-merged add), v3 =
+    schema-tracking init (first alter triggers it), v4 = RENAME
+    o_totalprice → o_amount, v5 = DROP o_orderpriority, v6 = the
+    %7 == 0 slice re-appended WRITTEN UNDER THE CURRENT NAMES (its file
+    physically carries o_amount) — so the HEAD read unifies dirs whose
+    physical price column is named o_totalprice (seqs 1-2) with one
+    named o_amount (seq 6) through the shared field id, and every
+    alter was a metadata-only O(1) commit (pytest pins v1's dir
+    byte-listing unchanged through all of it).
+
+    Output, for versions 2 / 4 / 5 / 6:
+    (version, n_rows, n_cols, value_col, sum_value) where value_col is
+    the name the price field carries at that version and sum_value
+    sums it — equal across 2/4/5 (rename preserves values), larger at
+    6 (the re-appended slice)."""
+    from ..scratch import process_scratch_dir
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = process_scratch_dir("snapevo3")
+    os.makedirs(base, exist_ok=True)
+    channel = (F.when(F.col("o_orderkey") % 2 == 0, "web")
+               .otherwise("store").alias("o_channel"))
+    v1_dir = os.path.join(base, "data_v1")
+    orders.filter(F.col("o_orderkey") % 3 != 0).write.parquet(v1_dir)
+    _commit(base, 1, v1_dir)
+    delta_dir = os.path.join(base, "data_v2_delta")
+    (orders.filter(F.col("o_orderkey") % 3 == 0)
+     .select("*", channel).write.parquet(delta_dir))
+    _commit(base, 2, delta_dir)
+    assert alter_rename_column(spark, base, "o_totalprice",
+                               "o_amount") == 4  # 3 = init commit
+    assert alter_drop_column(spark, base, "o_orderpriority") == 5
+    d6 = os.path.join(base, "data_v6_newnames")
+    (orders.filter(F.col("o_orderkey") % 7 == 0)
+     .select("o_orderkey", "o_custkey", "o_orderstatus",
+             F.col("o_totalprice").alias("o_amount"), "o_orderdate",
+             channel)
+     .write.parquet(d6))
+    _commit(base, 6, d6)
+
+    def stats(v: int) -> DataFrame:
+        df = read_version(spark, base, v)
+        vc = "o_amount" if "o_amount" in df.columns else "o_totalprice"
+        return df.agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.lit(len(df.columns)).alias("n_cols"),
+            F.lit(vc).alias("value_col"),
+            F.sum(F.col(vc).cast("decimal(30,2)"))
+            .cast("double").alias("sum_value"),
+        ).select("version", "n_rows", "n_cols", "value_col",
+                 "sum_value")
+
+    return (stats(2).unionByName(stats(4)).unionByName(stats(5))
+            .unionByName(stats(6)))
 
 
 def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1405,6 +1405,81 @@ def test_snapshot_guards_and_empty_cdc_window(spark, tmp_path):
     assert _os.path.isdir(t1) and _os.path.isdir(t2)
 
 
+def test_schema_rename_drop_field_ids(spark, sf_dir):
+    """Field-ID schema evolution (r13): RENAME preserves history (the
+    old files' values read back under the new name — resolution by id,
+    not name), DROP hides without rewriting, AS-OF reads surface each
+    version's own names, every alter is metadata-only (v1's data dir
+    byte-listing unchanged, alter manifests list the same dirs), and a
+    post-rename append written physically under the NEW names unifies
+    with the old-named history."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.sources import snapshots as sn
+    from hive_nexr_spark.scratch import process_scratch_dir
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = process_scratch_dir("snapevo_test")
+    _os.makedirs(base, exist_ok=True)
+    v1_dir = _os.path.join(base, "data_v1")
+    orders.filter(F.col("o_orderkey") % 3 != 0).write.parquet(v1_dir)
+    sn._commit(base, 1, v1_dir)
+    d2 = _os.path.join(base, "data_v2")
+    orders.filter(F.col("o_orderkey") % 3 == 0).write.parquet(d2)
+    sn._commit(base, 2, d2)
+
+    def listing(d):
+        return sorted((f, _os.path.getsize(_os.path.join(d, f)),
+                       _os.path.getmtime(_os.path.join(d, f)))
+                      for f in _os.listdir(d))
+
+    v1_bytes = listing(v1_dir)
+    before = {(r.o_orderkey, r.o_totalprice)
+              for r in sn.read_version(spark, base, 2)
+              .select("o_orderkey", "o_totalprice").collect()}
+
+    assert sn.alter_rename_column(spark, base, "o_totalprice",
+                                  "o_amount") == 4  # v3 = init
+    assert sn.alter_drop_column(spark, base, "o_orderpriority") == 5
+    # metadata-only: data untouched, alter manifests list the same dirs
+    assert listing(v1_dir) == v1_bytes
+    for v in (3, 4, 5):
+        assert sn._load_manifest(base, v)["dirs"] \
+            == sn._load_manifest(base, 2)["dirs"]
+
+    # rename preserves VALUES: the v1/v2 files (physically
+    # o_totalprice) read back under o_amount, row-for-row
+    at4 = sn.read_version(spark, base, 4)
+    assert "o_amount" in at4.columns and "o_totalprice" not in at4.columns
+    assert "o_orderpriority" in at4.columns
+    got4 = {(r.o_orderkey, r.o_amount)
+            for r in at4.select("o_orderkey", "o_amount").collect()}
+    assert got4 == before
+    # drop hides at HEAD, survives AS-OF
+    at5 = sn.read_version(spark, base, 5)
+    assert "o_orderpriority" not in at5.columns
+    assert at5.count() == len(before)
+    # AS-OF v2 (pre-tracking) keeps the original names
+    assert "o_totalprice" in sn.read_version(spark, base, 2).columns
+
+    # append written under the CURRENT names: field-id resolution
+    # unifies it with the o_totalprice-named history
+    d6 = _os.path.join(base, "data_v6")
+    (orders.filter(F.col("o_orderkey") % 7 == 0)
+     .select("o_orderkey", "o_custkey", "o_orderstatus",
+             F.col("o_totalprice").alias("o_amount"), "o_orderdate")
+     .write.parquet(d6))
+    sn._commit(base, 6, d6)
+    at6 = sn.read_version(spark, base, 6)
+    n7 = orders.filter(F.col("o_orderkey") % 7 == 0).count()
+    assert at6.count() == len(before) + n7
+    dup = (at6.groupBy("o_orderkey").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == n7  # every %7 key now appears twice, values intact
+
+
 def test_refs_cas_conflict(tmp_path):
     """Refs updates carry the same exclusive-create CAS as manifest
     commits (r13, advisor ask): refs state lives in sequenced
