@@ -244,6 +244,12 @@ def _schema_rename_drop(spark, sf_dir):
     return schema_rename_drop_stats(spark, sf_dir)
 
 
+def _binpack(spark, sf_dir):
+    from ..sources.snapshots import binpack_stats
+
+    return binpack_stats(spark, sf_dir)
+
+
 QUERIES = {
     "events_window_batch": _window_counts_batch,
     "events_window_stream": _window_counts_stream,
@@ -292,6 +298,7 @@ QUERIES = {
         _time_travel_delete(spark, sf_dir),
     "table_compaction": lambda spark, sf_dir: _compaction(spark, sf_dir),
     "table_compact_partition": _partition_compaction,
+    "table_compact_binpack": _binpack,
     "table_branch_wap": _branch_wap,
     "table_schema_evolution": _schema_evolution,
     "table_schema_rename_drop": _schema_rename_drop,
@@ -656,6 +663,21 @@ ORACLE["table_schema_evolution"] = """
     SELECT CAST(2 AS INT), count(*),
            CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+    FROM orders
+"""
+
+# size-targeted binpack compaction (sources/snapshots.py binpack_stats):
+# only the two sliver dirs rewrite (4 dirs -> 3); rows and sums are
+# layout-invariant, so both versions aggregate the full orders table
+ORACLE["table_compact_binpack"] = """
+    SELECT CAST(4 AS INT) AS version, count(*) AS n_rows,
+           CAST(4 AS INT) AS n_data_dirs,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders
+    UNION ALL
+    SELECT CAST(5 AS INT), count(*), CAST(3 AS INT),
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
     FROM orders
 """

@@ -144,6 +144,30 @@ def append_table_dirs(root: str, new_dirs: dict[str, list[str]]) -> int:
     return commit_manifest(root, man["params"], tables)
 
 
+def append_with_retry(root: str, new_dirs: dict[str, list[str]],
+                      max_retries: int = 8) -> tuple[int, int]:
+    """Bounded-retry add-batch commit (r13 — the `snapshots.
+    commit_append_with_retry` twin for index roots): on a version
+    collision, re-read the latest manifest (picking up the winner's
+    tables) and retry the append with jittered backoff. Appends
+    re-base cleanly by construction — `append_table_dirs` recomputes
+    the table lists from the latest manifest each attempt. Returns
+    (committed version, conflicts retried); raises after
+    `max_retries` consecutive collisions."""
+    import random
+    import time
+
+    attempts = 0
+    while True:
+        try:
+            return append_table_dirs(root, new_dirs), attempts
+        except ManifestConflictError:
+            attempts += 1
+            if attempts > max_retries:
+                raise
+            time.sleep(random.uniform(0, 0.01 * attempts))
+
+
 def new_data_dir(root: str, table: str, tag: str) -> str:
     """A fresh data directory path for one table write (not created —
     Spark's parquet writer creates it). Uniqueness comes from the tag

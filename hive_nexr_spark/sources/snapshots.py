@@ -147,6 +147,37 @@ def commit_delete(spark: SparkSession, base: str, keys: DataFrame,
     return v
 
 
+def commit_append_with_retry(base: str, new_dir: str | None,
+                             max_retries: int = 8) -> tuple[int, int]:
+    """OPTIMISTIC-CONCURRENCY append (r13 — the ergonomic layer over
+    the r12 `ManifestConflictError` guard, which is loud but manual):
+    re-read the latest version, attempt the commit, and on a version
+    collision re-base and retry with jittered backoff, up to
+    `max_retries` times. Appends are always re-basable — the loser's
+    dir list is recomputed from the winner's manifest, so two
+    committers racing DISJOINT appends both succeed and the serialized
+    history contains both (the Iceberg commit-retry model; conflicts
+    that are not plain appends — e.g. competing schema changes — must
+    stay loud, which is why only the append path gets a retry
+    wrapper). Returns (committed version, conflicts retried)."""
+    import random
+    import time
+
+    from .index_manifest import ManifestConflictError
+
+    attempts = 0
+    while True:
+        try:
+            v = _latest(base) + 1
+            _commit(base, v, new_dir)
+            return v, attempts
+        except ManifestConflictError:
+            attempts += 1
+            if attempts > max_retries:
+                raise
+            time.sleep(random.uniform(0, 0.01 * attempts))
+
+
 def commit_merge_upsert(spark: SparkSession, base: str,
                         updates: DataFrame, key_col: str) -> int:
     """MERGE INTO (upsert) as ONE atomic commit — the write shape every
@@ -272,6 +303,67 @@ def compact_partition(spark: SparkSession, base: str,
     parts = {d: p for d, p in parts_map.items() if d not in affected}
     parts[cdir] = str(part_value)
     seqs = {d: s for d, s in man["dir_seqs"].items() if d not in affected}
+    seqs[cdir] = v
+    _write_manifest(base, {"version": v, "dirs": dirs,
+                           "deletes": man["deletes"], "key": man["key"],
+                           "dir_seqs": seqs,
+                           "delete_seqs": man["delete_seqs"],
+                           "dir_parts": parts})
+    return v
+
+
+def _payload_bytes(d: str) -> int:
+    """Parquet payload size of one data dir (the binpack size key)."""
+    return sum(os.path.getsize(os.path.join(d, f))
+               for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def compact_binpack(spark: SparkSession, base: str,
+                    target_bytes: int) -> int:
+    """SIZE-TARGETED compaction (r13 — Iceberg's binpack
+    rewrite_data_files shape): rewrite ONLY the data dirs whose parquet
+    payload is under `target_bytes` — the small-file debt appends
+    accumulate — merging their VISIBLE rows (applicable sequenced
+    tombstones applied per group) into one fresh dir; every dir at or
+    above the target carries over untouched (same path, same sequence,
+    same bytes — pytest pins the byte listing), so steady-state
+    maintenance cost is proportional to the small-file debt, never the
+    table. The merged dir's sequence is the committing version (above
+    every tombstone — the `compact_partition` correctness argument);
+    tombstones stay listed for the untouched dirs. Needs >= 2
+    undersized dirs to be worth a commit — otherwise returns the
+    current version unchanged. Partition tags survive only if every
+    rewritten dir shares one value. Returns the (possibly unchanged)
+    latest version."""
+    from functools import reduce
+
+    v = _latest(base) + 1
+    man = _load_manifest(base, v - 1)
+    small = [d for d in man["dirs"]
+             if _payload_bytes(d) < target_bytes]
+    if len(small) < 2:
+        return v - 1
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for d in small:
+        groups.setdefault(_applicable_tombs(man, d), []).append(d)
+    pieces = []
+    for tombs, dirs in groups.items():
+        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if tombs:
+            tk = spark.read.parquet(*tombs)
+            df = df.join(F.broadcast(tk), man["key"], "left_anti")
+        pieces.append(df)
+    merged = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces)
+    cdir = os.path.join(base, f"binpack_v{v}")
+    merged.write.parquet(cdir)
+    parts_map = man.get("dir_parts", {})
+    small_parts = {parts_map.get(d) for d in small}
+    dirs = [d for d in man["dirs"] if d not in small] + [cdir]
+    parts = {d: p for d, p in parts_map.items() if d not in small}
+    if len(small_parts) == 1 and None not in small_parts:
+        parts[cdir] = small_parts.pop()
+    seqs = {d: s for d, s in man["dir_seqs"].items() if d not in small}
     seqs[cdir] = v
     _write_manifest(base, {"version": v, "dirs": dirs,
                            "deletes": man["deletes"], "key": man["key"],
@@ -946,6 +1038,55 @@ def schema_rename_drop_stats(spark: SparkSession,
 
     return (stats(2).unionByName(stats(4)).unionByName(stats(5))
             .unionByName(stats(6)))
+
+
+def binpack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIZE-TARGETED (binpack) compaction demonstration (r13): v1 =
+    the o_orderkey % 3 != 0 bulk (a LARGE dir), v2/v3 = two TINY
+    appends (the %3 == 0, %97 ∈ {0,1} slivers — the small-file debt),
+    v4 = the remaining %3 == 0 bulk (another large dir), v5 =
+    `compact_binpack` with the target set to the v4 dir's payload —
+    so exactly the two slivers rewrite into one dir while BOTH large
+    dirs carry over untouched (maintenance ∝ small-file debt, the
+    Iceberg rewrite_data_files binpack shape; byte-identity of the
+    untouched dirs is pytest-pinned).
+
+    Output, for v4 (pre) and v5 (post):
+    (version, n_rows, n_data_dirs, sum_totalprice) — rows and sum
+    IDENTICAL (compaction changes layout, never content), dir count
+    4 → 3."""
+    from ..scratch import process_scratch_dir
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = process_scratch_dir("snapbinpack")
+    os.makedirs(base, exist_ok=True)
+    third = F.col("o_orderkey") % 3 == 0
+    sliver = F.col("o_orderkey") % 97
+    slices = [
+        ("data_v1_bulk", ~third),
+        ("data_v2_sliver", third & (sliver == 0)),
+        ("data_v3_sliver", third & (sliver == 1)),
+        ("data_v4_bulk", third & (sliver >= 2)),
+    ]
+    for i, (name, pred) in enumerate(slices, start=1):
+        d = os.path.join(base, name)
+        orders.filter(pred).write.parquet(d)
+        _commit(base, i, d)
+    target = _payload_bytes(os.path.join(base, "data_v4_bulk"))
+    v5 = compact_binpack(spark, base, target)
+    assert v5 == 5
+
+    def stats(v: int) -> DataFrame:
+        man = _load_manifest(base, v)
+        return read_version(spark, base, v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.lit(len(man["dirs"])).alias("n_data_dirs"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double").alias("sum_totalprice"),
+        ).select("version", "n_rows", "n_data_dirs", "sum_totalprice")
+
+    return stats(4).unionByName(stats(5))
 
 
 def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:

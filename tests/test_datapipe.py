@@ -1480,6 +1480,137 @@ def test_schema_rename_drop_field_ids(spark, sf_dir):
     assert dup == n7  # every %7 key now appears twice, values intact
 
 
+def test_compact_binpack_leaves_large_dirs_untouched(spark, sf_dir):
+    """Binpack compaction (r13): only undersized dirs rewrite — both
+    bulk dirs carry over with identical paths, sequences, AND bytes;
+    content is layout-invariant at HEAD and AS-OF; a second binpack at
+    the same target is a no-op commit-wise (the merged sliver dir may
+    itself stay under target, but a single small dir is not worth a
+    rewrite)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.scratch import process_scratch_dir
+    from hive_nexr_spark.sources import snapshots as sn
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = process_scratch_dir("binpack_test")
+    _os.makedirs(base, exist_ok=True)
+    third = F.col("o_orderkey") % 3 == 0
+    sliver = F.col("o_orderkey") % 97
+    for i, (name, pred) in enumerate([
+            ("bulk_a", ~third), ("sl_a", third & (sliver == 0)),
+            ("sl_b", third & (sliver == 1)),
+            ("bulk_b", third & (sliver >= 2))], start=1):
+        d = _os.path.join(base, name)
+        orders.filter(pred).write.parquet(d)
+        sn._commit(base, i, d)
+
+    def listing(d):
+        return sorted((f, _os.path.getsize(_os.path.join(d, f)),
+                       _os.path.getmtime(_os.path.join(d, f)))
+                      for f in _os.listdir(d))
+
+    bulks = [_os.path.join(base, n) for n in ("bulk_a", "bulk_b")]
+    bulk_bytes = [listing(d) for d in bulks]
+    pre = sn.read_version(spark, base, 4)
+    pre_rows = pre.count()
+    target = sn._payload_bytes(bulks[1])
+    v5 = sn.compact_binpack(spark, base, target)
+    assert v5 == 5
+    man5 = sn._load_manifest(base, 5)
+    assert len(man5["dirs"]) == 3
+    for d, bl in zip(bulks, bulk_bytes):
+        assert d in man5["dirs"] and listing(d) == bl
+        assert man5["dir_seqs"][d] == sn._load_manifest(
+            base, 4)["dir_seqs"][d]
+    assert sn.read_version(spark, base, 5).count() == pre_rows
+    assert sn.read_version(spark, base, 4).count() == pre_rows  # AS-OF
+    assert sn.compact_binpack(spark, base, target) == 5  # no-op
+
+
+def _race_worker(tag, base, iroot, n, barrier, q):
+    """Child-process committer for the two-process race test: commits
+    `n` disjoint appends to BOTH manifest layers through the bounded
+    retry helpers, synchronized per round so the committers genuinely
+    race the same version number."""
+    import os as _os
+
+    from hive_nexr_spark.sources import index_manifest as idx
+    from hive_nexr_spark.sources import snapshots as sn
+
+    conflicts = 0
+    for i in range(n):
+        d = _os.path.join(base, f"data_{tag}_{i}")
+        _os.makedirs(d, exist_ok=True)
+        barrier.wait()
+        _, r = sn.commit_append_with_retry(base, d)
+        conflicts += r
+        idir = _os.path.join(iroot, f"t_{tag}_{i}")
+        _os.makedirs(idir, exist_ok=True)
+        barrier.wait()
+        _, r2 = idx.append_with_retry(iroot, {"t": [idir]})
+        conflicts += r2
+    q.put(conflicts)
+
+
+def test_two_process_commit_race(tmp_path):
+    """TRUE two-process optimistic-concurrency race (r13 — the r12
+    guard was only exercised via a monkeypatched stale read): two OS
+    processes race `latest+1` on both manifest layers, each round
+    barrier-synchronized; the retry helpers re-base the losers, so
+    BOTH committers' disjoint appends all land, the serialized history
+    grows by exactly one dir per version, and nothing is lost or
+    duplicated."""
+    import multiprocessing as mp
+    import os as _os
+
+    from hive_nexr_spark.sources import index_manifest as idx
+    from hive_nexr_spark.sources import snapshots as sn
+
+    base = str(tmp_path / "snap")
+    iroot = str(tmp_path / "idx")
+    _os.makedirs(base)
+    idx.commit_manifest(iroot, {}, {"t": []})  # append needs a v1
+    ctx = mp.get_context("spawn")
+    barrier, q = ctx.Barrier(2), ctx.Queue()
+    n = 6
+    ps = [ctx.Process(target=_race_worker,
+                      args=(t, base, iroot, n, barrier, q))
+          for t in ("a", "b")]
+    for p in ps:
+        p.start()
+    conflicts = q.get(timeout=120) + q.get(timeout=120)
+    for p in ps:
+        p.join(timeout=30)
+        assert p.exitcode == 0
+
+    # snapshot layer: 2n versions, each adding exactly one dir; every
+    # append from both committers present exactly once
+    assert sn._latest(base) == 2 * n
+    prev: set = set()
+    for v in range(1, 2 * n + 1):
+        dirs = set(sn._load_manifest(base, v)["dirs"])
+        assert prev < dirs and len(dirs) == v
+        prev = dirs
+    names = {_os.path.basename(d) for d in prev}
+    assert names == {f"data_{t}_{i}" for t in "ab" for i in range(n)}
+
+    # index layer: same invariants over the `t` table
+    assert idx.latest_version(iroot) == 2 * n + 1
+    tprev: set = set()
+    for v in range(2, 2 * n + 2):
+        tdirs = set(idx.read_manifest(iroot, v)["tables"]["t"])
+        assert tprev < tdirs and len(tdirs) == v - 1
+        tprev = tdirs
+    inames = {_os.path.basename(d) for d in tprev}
+    assert inames == {f"t_{t}_{i}" for t in "ab" for i in range(n)}
+    # with per-round barriers, at least one collision must have been
+    # retried (otherwise the race never happened and this is vacuous)
+    assert conflicts >= 1, "no conflicts observed — race was vacuous"
+
+
 def test_refs_cas_conflict(tmp_path):
     """Refs updates carry the same exclusive-create CAS as manifest
     commits (r13, advisor ask): refs state lives in sequenced
