@@ -840,7 +840,57 @@ def _apply_test_mode(spark: SparkSession, stmt: str, qprefix: str) -> str:
         # bucketed source: test mode reads the FIRST bucket file
         stmt = re.sub(r"(?i)\b(FROM|JOIN)\s+srcbucket\b(?!\w)",
                       r"\1 srcbucket_b0 srcbucket", stmt)
+    # qfile-created (qt_-prefixed) source tables sample too — test mode
+    # applies to EVERY scan not on the nosamplelist (input39.q: t1/t2,
+    # partitioned, each partition inserted from src). The LCG hash
+    # filter runs PER MAPPER in file row order, so the sampled view
+    # numbers rows per file and keeps the positions the Java Random
+    # sequence admits.
+    for m in re.finditer(rf"(?i)\b(?:FROM|JOIN)\s+({qprefix}\w+)\b",
+                         stmt):
+        name = m.group(1)
+        base = name[len(qprefix):].lower()
+        if base in nosample or base.startswith(tmp):
+            continue
+        try:
+            view = _make_testmode_table_view(spark, name, freq)
+        except Exception:
+            continue
+        stmt = re.sub(rf"(?i)\b(FROM|JOIN)\s+{name}\b(?!\w)",
+                      rf"\1 {view} {name}", stmt)
     return stmt
+
+
+def _make_testmode_table_view(spark: SparkSession, table: str,
+                              freq: int) -> str:
+    """Test-mode sampled view over a REAL table: emulate 0.8's
+    TABLESAMPLE(BUCKET 1 OUT OF freq ON rand(460476415)) where each
+    mapper restarts the seeded Random — positions are numbered within
+    each data FILE in row order, and a position survives when the
+    Java double-hash of its LCG draw lands in bucket 0
+    (`parse/SemanticAnalyzer.java:6347` + genSamplePredicate)."""
+    import struct as _s
+
+    from pyspark.sql.window import Window
+
+    name = f"{table}_testmode_{freq}"
+    df = spark.table(table)
+    total = df.count()
+    vals = _java_random_doubles(460476415, total)
+
+    def jhash(v: float) -> int:
+        (bits,) = _s.unpack(">q", _s.pack(">d", v))
+        ubits = bits & 0xFFFFFFFFFFFFFFFF
+        return (ubits ^ (ubits >> 32)) & 0xFFFFFFFF
+
+    keep = [i for i, v in enumerate(vals)
+            if (jhash(v) & 0x7FFFFFFF) % freq == 0]
+    w = Window.partitionBy(F.input_file_name()).orderBy(
+        F.monotonically_increasing_id())
+    sampled = (df.withColumn("__pos", F.row_number().over(w) - 1)
+               .filter(F.col("__pos").isin(keep)).drop("__pos"))
+    sampled.createOrReplaceTempView(name)
+    return name
 
 
 def _unescape_sql_string(s: str) -> str:
@@ -3293,6 +3343,25 @@ def run_qfile(spark: SparkSession, qfile: str,
                 stmt = re.sub(r"^DROP\s+VIEW\s+(?!IF\s)",
                               "DROP VIEW IF EXISTS ", stmt,
                               flags=re.IGNORECASE)
+            bare_set = re.match(r"(?is)^set\s+([\w.:]+)\s*$", stmt)
+            if bare_set:
+                # CliDriver echoes `key=value` for a bare `set key;`
+                # (SetProcessor); the echo has no PREHOOK block, so the
+                # golden parser folds the line into the PRECEDING result
+                # block (input39.q) — append it to the last captured
+                # frame the same way (single-column frames only; wider
+                # frames could never line up with the 1-field echo row)
+                k = bare_set.group(1)
+                v = qvars.get(k, spark.conf.get(k, None))
+                if v is not None and capture and \
+                        len(capture[-1].columns) == 1:
+                    last = capture[-1]
+                    col = last.columns[0]
+                    capture[-1] = freeze(
+                        last.select(F.col(col).cast("string").alias(col))
+                        .unionAll(spark.createDataFrame(
+                            [(f"{k}={v}",)], f"`{col}` string")))
+                continue
             m = _SET_CMD.match(stmt)
             if m:
                 k, v = m.group("k"), m.group("v").strip()
