@@ -64,12 +64,11 @@ HEADLINE = [
     "dedup_semantic_kmeans",
     "events_asof_join",
     # added round 7: DSIR importance resampling (one token-level shuffle
-    # + broadcast LLR table + TakeOrderedAndProject top-k), the CDC
-    # merge (two max-struct elections + keyed full-outer join), exact
+    # + broadcast LLR table + TakeOrderedAndProject top-k), exact
     # histogram-quantile curriculum sharding, and the vocab-bounded BPE
-    # pair statistic
+    # pair statistic (the round-7 CDC merge entry retired r13 — see the
+    # round-13 note below)
     "dsir_select_topk",
-    "events_cdc_merge",
     "curriculum_shards",
     "bpe_top_pairs",
     # added round 8: exact substring-level dedup (stride-1 window digests
@@ -160,6 +159,20 @@ HEADLINE = [
     "sketch_kmv_overlap",
     "table_compact_partition",
     "dedup_lsh_index_reinsert",
+    # round 13: checkpoint-restart exactly-once (crash-injected
+    # foreachBatch resumed from a real checkpointLocation — the restart
+    # recovery cost IS the streaming production contract), the vector-
+    # index delete→re-admit lifecycle (sequenced tombstones on the
+    # persisted IVF-PQ index), and the field-ID schema-evolution read
+    # path (per-write-schema dir groups mapped by column id — a new
+    # read-plan class). One redundant key retired to hold the
+    # 1,800-char final-line guard's headroom: events_cdc_merge (the
+    # same two-election + keyed full-outer merge runs INSIDE
+    # events_stream_checkpoint_restart's landing and remains the oracle
+    # of events_stream_cdc_upsert).
+    "events_stream_checkpoint_restart",
+    "similarity_ivf_pq_delete_reinsert",
+    "table_schema_rename_drop",
 ]
 
 

@@ -1176,3 +1176,64 @@ def test_asof_tolerance_single_exchange(dfs):
     exchanges = re.findall(r"hashpartitioning\(user_id", fplan)
     assert len(set(exchanges)) == 1
     assert "RunningWindowFunction" in fplan or "Window" in fplan
+
+
+def test_ivf_pq_query_after_delete_broadcast_anti_no_cartesian(spark,
+                                                               dfs):
+    """Vector-index sequenced read (r13): after a delete, the codes
+    scan carries exactly one broadcast anti-join per tombstoned
+    sequence group (the O(|deleted|) key set broadcasts — code files
+    never rewrite), the tombstone-free artifact tables scan plain, and
+    the query plan stays cartesian-free."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.datapipe import similarity
+    from hive_nexr_spark.queries.datapipe_q import _queries_of
+
+    emb = dfs["embeddings"]
+    d = similarity._index_scratch()
+    similarity.ivf_pq_build_index(emb, d)
+    similarity.ivf_pq_delete(
+        spark, d,
+        emb.filter((F.col("vec_id") >= 10)
+                   & (F.col("vec_id") % 4 == 0)).select("vec_id"))
+    fplan = _formatted(
+        similarity.ivf_pq_query_index(spark, d, _queries_of(emb)))
+    # one anti-join NODE (the formatted dump mentions the join type in
+    # both the tree and the operator-detail section — 2 mentions/node;
+    # a second tombstone group would double it)
+    assert 1 <= fplan.count("LeftAnti") <= 2
+    assert "BroadcastExchange" in fplan
+    assert "CartesianProduct" not in fplan
+    assert fplan.count("tombstones_") >= 1
+
+
+def test_schema_evolved_read_unions_per_write_schema(spark, sf_dir):
+    """Field-ID read path (r13): a table whose dirs were written under
+    two different schemas reads as a UNION of per-write-schema scan
+    groups with pure projections doing the id-mapped renames — no
+    joins, no exchanges, each data dir scanned once."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.scratch import process_scratch_dir
+    from hive_nexr_spark.sources import snapshots as sn
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = process_scratch_dir("snapevo_plan")
+    _os.makedirs(base, exist_ok=True)
+    d1 = _os.path.join(base, "data_v1")
+    orders.filter(F.col("o_orderkey") % 3 != 0).write.parquet(d1)
+    sn._commit(base, 1, d1)
+    sn.alter_rename_column(spark, base, "o_totalprice", "o_amount")
+    d4 = _os.path.join(base, "data_v4")
+    (orders.filter(F.col("o_orderkey") % 3 == 0)
+     .withColumnRenamed("o_totalprice", "o_amount").write.parquet(d4))
+    sn._commit(base, 4, d4)
+    df = sn.read_version(spark, base, 4)
+    assert "o_amount" in df.columns and "o_totalprice" not in df.columns
+    fplan = _formatted(df)
+    assert "Union" in fplan
+    assert "Join" not in fplan and "Exchange" not in fplan
+    assert fplan.count("data_v1") == 1 and fplan.count("data_v4") == 1
