@@ -130,7 +130,7 @@ def _parse_on(s: str, i: int):
             if depth == 0:
                 break
             depth -= 1
-        elif depth == 0 and c == ";":
+        elif depth == 0 and c in (";", ","):
             break
         elif depth == 0 and c.isalpha():
             m = _IDENT.match(s, i)
@@ -138,7 +138,7 @@ def _parse_on(s: str, i: int):
             if word in ("WHERE", "GROUP", "ORDER", "SORT", "CLUSTER",
                         "DISTRIBUTE", "LIMIT", "SELECT", "INSERT",
                         "UNION", "HAVING", "LEFT", "RIGHT", "FULL",
-                        "INNER", "JOIN", "CROSS"):
+                        "INNER", "JOIN", "CROSS", "LATERAL"):
                 break
             i = m.end()
             continue
@@ -669,11 +669,32 @@ def _route(spark, hql, tree, supports, emit, auto, depth):
     return None
 
 
+_NUM_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def _common_key_type(types: list[str]) -> str | None:
+    """Hive's comparison-type coercion for one join-key position
+    (FunctionRegistry.getCommonClassForComparison): equal types compare
+    as-is; numerics widen to the widest; a string/numeric mix compares
+    as DOUBLE (skewjoin.q's `src1.key+1 = src2.key` joins a double
+    against a string column). Returns the cast target, or None when no
+    cast is needed."""
+    uniq = set(types)
+    if len(uniq) == 1:
+        return None
+    if uniq <= set(_NUM_ORDER):
+        return max(uniq, key=_NUM_ORDER.index)
+    if uniq <= set(_NUM_ORDER) | {"string"}:
+        return "double"
+    return None
+
+
 def _run(spark, hql, tree, keys, tagged, pushed, conds, emit):
     n = len(tree.sources)
     per_alias_rows = []
     all_cols = []
     schemas = []
+    dfs = []
     for ai, (src, alias) in enumerate(tree.sources):
         kex = keys.get(ai, [])
         tags = tagged.get(ai, [])
@@ -689,8 +710,21 @@ def _run(spark, hql, tree, keys, tagged, pushed, conds, emit):
                           for i, k in enumerate(kex))
         q = (f"SELECT {key_sel}{alias}.*, ({tag_expr}) AS __tag "
              f"FROM {src_sql} {alias}{where}")
-        df = spark.sql(hql._rewrite(q))
-        nk = len(kex)
+        dfs.append(spark.sql(hql._rewrite(q)))
+    # align key types across aliases BEFORE collecting: python tuple
+    # equality has no SQL coercion, so mixed-type key positions cast to
+    # Hive's common comparison type engine-side
+    nk = len(keys.get(0, []))
+    from pyspark.sql import functions as F
+    for i in range(nk):
+        tgt = _common_key_type(
+            [df.schema[i].dataType.simpleString() for df in dfs])
+        if tgt is not None:
+            dfs = [df.withColumn(df.columns[i],
+                                 F.col(df.columns[i]).cast(tgt))
+                   for df in dfs]
+    for ai, (src, alias) in enumerate(tree.sources):
+        df = dfs[ai]
         cols = df.columns[nk:-1]
         # a staged intermediate (__j<k>) already carries alias__col
         # names — pass them through unprefixed
