@@ -65,10 +65,13 @@ HEADLINE = [
     "events_asof_join",
     # added round 7: DSIR importance resampling (one token-level shuffle
     # + broadcast LLR table + TakeOrderedAndProject top-k), exact
-    # histogram-quantile curriculum sharding, and the vocab-bounded BPE
-    # pair statistic (the round-7 CDC merge entry retired r13 — see the
-    # round-13 note below)
+    # histogram-quantile curriculum sharding, the round-7 CDC merge, and
+    # the vocab-bounded BPE pair statistic. (The r13 build briefly retired
+    # events_cdc_merge for line-length headroom; the optimization round
+    # restored it — bench entries are add-only — and reclaimed the
+    # headroom by emitting the final line with compact JSON separators.)
     "dsir_select_topk",
+    "events_cdc_merge",
     "curriculum_shards",
     "bpe_top_pairs",
     # added round 8: exact substring-level dedup (stride-1 window digests
@@ -166,10 +169,9 @@ HEADLINE = [
     # persisted IVF-PQ index), and the field-ID schema-evolution read
     # path (per-write-schema dir groups mapped by column id — a new
     # read-plan class). One redundant key retired to hold the
-    # 1,800-char final-line guard's headroom: events_cdc_merge (the
-    # same two-election + keyed full-outer merge runs INSIDE
-    # events_stream_checkpoint_restart's landing and remains the oracle
-    # of events_stream_cdc_upsert).
+    # 1,800-char final-line guard's headroom (reclaimed instead via the
+    # compact-separator final line; events_cdc_merge restored above —
+    # bench entries are add-only from the optimization rounds on).
     "events_stream_checkpoint_restart",
     "similarity_ivf_pq_delete_reinsert",
     "table_schema_rename_drop",
@@ -365,6 +367,10 @@ def main() -> None:
         except OSError:
             pass  # sidecar is best-effort; stdout line below is authoritative
     print(metrics_payload)
+    # Compact separators: 52 headline keys no longer fit the driver's
+    # 2,000-char stdout tail with default ", "/": " rendering; compact
+    # JSON is byte-identical semantically and buys ~110 chars of headroom
+    # (guard-tested in tests/test_bench_contract.py).
     print(
         json.dumps(
             {
@@ -373,7 +379,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -239,20 +239,48 @@ def commit_append_partitioned(spark: SparkSession, base: str,
     low-cardinality by definition; this is the documented bounded-k
     pattern, same class as the skew hot-key split). Returns the new
     version."""
+    import shutil
+    from urllib.parse import unquote
+
     v = _latest(base) + 1
-    vals = sorted(r[0] for r in df.select(part_col).distinct().collect())
     prev = _load_manifest(base, v - 1) if v > 1 else {
         "dirs": [], "deletes": [], "key": None, "dir_seqs": {},
         "delete_seqs": {}, "dir_parts": {}}
     dirs, parts = list(prev["dirs"]), dict(prev.get("dir_parts", {}))
     seqs = dict(prev["dir_seqs"])
+    # ONE scan + one shuffled-by-value write for ALL partition values
+    # (guide §2.4 — the r12 form ran `df.filter(col == val).write` per
+    # value: |values| full input scans plus a distinct+collect to even
+    # learn the values). `repartition("_p")` pins each value to one
+    # task so `partitionBy` emits one file per value; `_p` is a COPY of
+    # the partition column, so the data files keep every original
+    # column exactly as the per-value writes did. The written partition
+    # dirs are then renamed to the manifest's per-value data dirs —
+    # same dir-per-value layout, same manifest shape, |values| fewer
+    # jobs and scans.
+    tmp = os.path.join(base, f"_append_v{v}")
+    (df.withColumn("_p", F.col(part_col).cast("string"))
+     .repartition("_p")
+     .write.partitionBy("_p").parquet(tmp))
+    vals = sorted(unquote(e.split("=", 1)[1])
+                  for e in os.listdir(tmp) if e.startswith("_p="))
     for val in vals:
         tag = str(val).replace("/", "_").replace(" ", "_")
         d = os.path.join(base, f"data_v{v}_p{tag}")
-        df.filter(F.col(part_col) == val).write.parquet(d)
+        os.makedirs(d, exist_ok=True)
+        src_dir = os.path.join(tmp, f"_p={val}")
+        if not os.path.isdir(src_dir):  # value needed URL-escaping
+            src_dir = next(os.path.join(tmp, e)
+                           for e in os.listdir(tmp)
+                           if e.startswith("_p=")
+                           and unquote(e.split("=", 1)[1]) == val)
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(src_dir, f), os.path.join(d, f))
         dirs.append(d)
         parts[d] = str(val)
         seqs[d] = v
+    shutil.rmtree(tmp)
     _write_manifest(base, {"version": v, "dirs": dirs,
                            "deletes": prev["deletes"],
                            "key": prev["key"], "dir_seqs": seqs,

@@ -1037,26 +1037,31 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str,
     staging = process_scratch_dir(f"latedrop_{uuid.uuid4().hex[:8]}")
     os.makedirs(staging, exist_ok=True)
 
-    def land(df: DataFrame, name: str, mtime: float) -> None:
-        tmp = os.path.join(staging, f"_tmp_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dest = os.path.join(staging, f"{name}.parquet")
-        shutil.move(os.path.join(tmp, part), dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (mtime, mtime))
-
     import time as _time
 
+    # Stage all three slice files in ONE events scan (guide §2.4 — r13
+    # optimization: the first cut scanned events once per slice through
+    # `filter(...).coalesce(1)`). `repartition(3, "_b")` pins each slice
+    # to one task so `partitionBy("_b")` emits exactly one file per
+    # slice (the partition column is dropped from file contents); files
+    # are renamed onto the same mtime ladder as before.
     now = _time.time()
-    on_time = events.filter(F.col("ts") >= cutoff)
-    land(on_time.filter(F.col("event_id") % 7 != 0), "b1_ontime",
-         now - 120)
-    land(on_time.filter(F.col("event_id") % 7 == 0), "b2_ontime",
-         now - 60)
-    land(events.filter(F.col("ts") < cutoff), "b3_late", now)
+    slice_no = (F.when(F.col("ts") < F.lit(cutoff), 3)
+                .when(F.col("event_id") % 7 == 0, 2).otherwise(1))
+    tmp = os.path.join(staging, "_slices")
+    (events.withColumn("_b", slice_no)
+     .repartition(3, "_b")
+     .write.partitionBy("_b").parquet(tmp))
+    for b, name_ in ((1, "b1_ontime"), (2, "b2_ontime"), (3, "b3_late")):
+        pdir = os.path.join(tmp, f"_b={b}")
+        part = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        dest = os.path.join(staging, f"{name_}.parquet")
+        shutil.move(os.path.join(pdir, part), dest)
+        mtime = now - 60 * (3 - b)
+        os.utime(dest, (mtime, mtime))
+    shutil.rmtree(tmp)
 
-    schema = spark.read.parquet(staging).schema
+    schema = events.schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(staging))
     agg = (
@@ -1155,20 +1160,28 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str,
                           for d in ("src", "staging", "ckpt"))
     os.makedirs(src)
 
-    def land(df: DataFrame, name: str, mtime: float) -> None:
-        tmp = os.path.join(src, f"_tmp_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dest = os.path.join(src, f"{name}.parquet")
-        shutil.move(os.path.join(tmp, part), dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (mtime, mtime))
-
+    # Stage all n_batches slice files in ONE events scan (guide §2.4 —
+    # r13 optimization: the first cut ran `changes.filter(slice==b)
+    # .coalesce(1)` per slice, i.e. n_batches full scans of the change
+    # slice). `repartition(n_batches, "_b")` puts each slice in exactly
+    # one task, so `partitionBy("_b")` emits exactly one file per slice
+    # (partitionBy drops `_b` from the file contents, matching the old
+    # per-slice writes); the files are then renamed into the stream
+    # source dir with the same mtime ladder as before.
     now = _time.time()
     changes = events.filter(is_change)
+    tmp = os.path.join(root, "_slices")
+    (changes.withColumn("_b", slice_no)
+     .repartition(n_batches, "_b")
+     .write.partitionBy("_b").parquet(tmp))
     for b in range(n_batches):
-        land(changes.filter(slice_no == b), f"b{b}",
-             now - 60 * (n_batches - b))
+        pdir = os.path.join(tmp, f"_b={b}")
+        part = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        dest = os.path.join(src, f"b{b}.parquet")
+        shutil.move(os.path.join(pdir, part), dest)
+        mtime = now - 60 * (n_batches - b)
+        os.utime(dest, (mtime, mtime))
+    shutil.rmtree(tmp)
 
     state = {"crashed": False, "bids": []}
 
@@ -1187,7 +1200,9 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str,
                 "injected crash: sink append landed, checkpoint commit "
                 f"for batch {bid} withheld — restart must re-deliver")
 
-    schema = spark.read.parquet(src).schema
+    # the staged files carry exactly the change-slice columns (`_b` was a
+    # partition column, dropped from file contents) — no footer-read job
+    schema = changes.schema
 
     def start():
         return (spark.readStream.schema(schema)

@@ -18,7 +18,10 @@ import bench
 
 def _final_line_for(headline: list[str]) -> str:
     # Worst-case realistic rendering: every query at a 4-digit wall time
-    # with 3 decimals (9 chars per value — wider than anything observed).
+    # with 3 decimals (8 chars per value — wider than anything observed).
+    # Must mirror bench.main()'s actual rendering, which uses compact
+    # separators since round 13 (52 keys no longer fit the tail with the
+    # default ", "/": " rendering).
     payload = {
         "metric": "headline_queries_total_wall",
         "value": 99999.999,
@@ -26,7 +29,17 @@ def _final_line_for(headline: list[str]) -> str:
         "queries": {name: 9999.999 for name in headline},
         "sf": 0.1,
     }
-    return json.dumps(payload)
+    return json.dumps(payload, separators=(",", ":"))
+
+
+def test_final_line_uses_compact_separators():
+    """Pin that bench.main()'s final json.dumps really is compact — the
+    worst-case length computed in _final_line_for is only valid if so."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    final_dump = src[src.rindex("json.dumps"):]
+    assert 'separators=(",", ":")' in final_dump
 
 
 def test_final_line_fits_driver_tail():
