@@ -616,11 +616,15 @@ def _unigram_train_chain(documents: DataFrame, em_iters: int = 2,
     )
     seed = grams.groupBy("piece").agg(F.sum("n").alias("cnt"))
     chars = seed.filter(F.length("piece") == 1).select("piece")
-    chars = tracked_persist(chars)
+    # EXTEND, not tracked_persist: `wc` (and `chars` for the vocab below)
+    # stay referenced by every EM level of this one unrolled plan — a
+    # plain tracked_persist would evict them before anything materializes
+    # and each Viterbi level would recount words from the corpus
+    chars = tracked_persist_extend(chars)
     multis = (seed.filter(F.length("piece") > 1)
               .orderBy(F.col("cnt").desc(), "piece").limit(seed_multi)
               .select("piece"))
-    vocab = tracked_persist(
+    vocab = tracked_persist_extend(
         seed.join(chars.unionByName(multis), "piece")
         .select("piece", F.col("cnt").alias("sc")))
     final_cnt = None

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ._cache import tracked_persist
+from ._cache import tracked_persist, tracked_persist_extend
 
 # MinHash parameters: H hash functions grouped into BANDS bands of ROWS_PER_BAND.
 MINHASH_H = 6
@@ -368,11 +368,17 @@ def duplicate_clusters(documents: DataFrame, jaccard_threshold: float = 0.5,
     appears in at least one near-dup pair. The cluster_size window
     partitions by cluster_id — bounded by the largest duplicate group."""
     pairs = minhash_lsh_pairs(documents, jaccard_threshold, max_doc_id)
-    edges = tracked_persist(
+    # EXTEND persists throughout: minhash_lsh_pairs' own tracked_persist
+    # (the shingle table) opened this operator's cache scope; `edges` is
+    # re-read by every propagation round and `labels` by the convergence
+    # check, so evicting them mid-construction (what plain
+    # tracked_persist does) would recompute the LSH pair pipeline once
+    # per round. All released at the next operator's tracked_persist.
+    edges = tracked_persist_extend(
         pairs.select("doc_a", "doc_b").union(
             pairs.select(F.col("doc_b").alias("doc_a"),
                          F.col("doc_a").alias("doc_b"))))
-    labels = tracked_persist(
+    labels = tracked_persist_extend(
         edges.select(F.col("doc_a").alias("doc_id")).distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id")))
     for _ in range(max_iter):
@@ -380,7 +386,7 @@ def duplicate_clusters(documents: DataFrame, jaccard_threshold: float = 0.5,
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy(edges["doc_a"].alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min")))
-        new_labels = tracked_persist(
+        new_labels = tracked_persist_extend(
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -488,11 +494,15 @@ def pagerank_dup_graph(documents: DataFrame,
     (no driver-side count). Edges/degrees persist once and are reused by
     every iteration."""
     pairs = minhash_lsh_pairs(documents, jaccard_threshold, max_doc_id)
-    edges = tracked_persist(
+    # EXTEND persists (same reasoning as duplicate_clusters): the LSH
+    # shingle persist inside minhash_lsh_pairs opened this operator's
+    # cache scope, and `edges` is re-read by every PageRank iteration —
+    # evicting it mid-construction would redo the pair pipeline per round
+    edges = tracked_persist_extend(
         pairs.select("doc_a", "doc_b").union(
             pairs.select(F.col("doc_b").alias("doc_a"),
                          F.col("doc_a").alias("doc_b"))))
-    deg = tracked_persist(
+    deg = tracked_persist_extend(
         edges.groupBy("doc_a").agg(F.count("*").alias("deg")))
     n = deg.agg(F.count("*").cast("double").alias("_n"))
     ranks = deg.crossJoin(F.broadcast(n)).select(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ._cache import tracked_persist
+from ._cache import tracked_persist, tracked_persist_extend
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1124,11 +1124,20 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    probes = _probes(queries, coarse, nprobe)
+    probes = tracked_persist_extend(_probes(queries, coarse, nprobe))
 
-    # residual side
-    res = tracked_persist(_residuals(corpus, coarse))
+    # residual side — tracked_persist_EXTEND from here on: `coarse` (and
+    # below, `res`) stay referenced by later subtrees of this ONE lazy
+    # plan, so a plain tracked_persist would evict them at construction
+    # time and every consumer would silently retrain/recompute them
+    # (guide §5 caching: persist only while reused — but never unpersist
+    # BEFORE the reuse). All of them release together at the next
+    # operator's tracked_persist. (A localCheckpoint variant was measured
+    # and rejected: `.rdd` forces serial physical planning per artifact
+    # at construction — +6 s build for −3 s execution on this key.)
+    res = tracked_persist_extend(_residuals(corpus, coarse))
     cb_r, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
+    cb_r = tracked_persist_extend(cb_r)
     codes_r = _pq_encode(subr, cb_r).join(
         res.select("vec_id", "cell"), "vec_id")
     lut_r = _residual_lut(queries, probes, coarse, cb_r, m, sd)
@@ -1137,7 +1146,7 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
 
     # raw side (identical spec to ivf_pq_topk, sharing coarse/probes)
     sub = _pq_sub(emb, m, sd)
-    cb = _pq_codebooks(sub, ks, sd, pq_iters)
+    cb = tracked_persist_extend(_pq_codebooks(sub, ks, sd, pq_iters))
     codes = _pq_encode(sub.filter(F.col("vec_id") >= n_queries), cb).join(
         res.select("vec_id", "cell"), "vec_id")
     lut = (sub.filter(F.col("vec_id") < n_queries)
@@ -1153,7 +1162,7 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
         F.lit(0.0).cast("double"), lambda acc, x: acc + x)
     wx = Window.partitionBy("query_id").orderBy(
         F.col("exact_d2").asc(), F.col("neighbor_id"))
-    exact = tracked_persist(
+    exact = tracked_persist_extend(
         corpus.join(F.broadcast(queries))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 d2x.alias("exact_d2"))
@@ -1589,12 +1598,16 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     probes = _probes(queries, coarse, nprobe)
 
-    res = tracked_persist(_residuals(corpus, coarse))
+    # tracked_persist_EXTEND below `coarse`: every later persist in this
+    # one lazy plan still references the earlier ones (same fix as
+    # ivf_pq_residual_topk — a plain tracked_persist evicts them at
+    # construction time and each consumer retrains/recomputes)
+    res = tracked_persist_extend(_residuals(corpus, coarse))
     cb_r, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
     codes_r = _pq_encode(subr, cb_r).join(
         res.select("vec_id", "cell"), "vec_id")
     lut_r = _residual_lut(queries, probes, coarse, cb_r, m, sd)
-    short = tracked_persist(_adc_rank(
+    short = tracked_persist_extend(_adc_rank(
         codes_r.join(F.broadcast(probes), "cell"), lut_r, True,
         shortlist))
 
@@ -1615,7 +1628,7 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
 
     wx = Window.partitionBy("query_id").orderBy(
         F.col("exact_d2").asc(), F.col("neighbor_id"))
-    exact = tracked_persist(
+    exact = tracked_persist_extend(
         corpus.join(F.broadcast(queries))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 d2x.alias("exact_d2"))
