@@ -619,14 +619,20 @@ def _unigram_train_chain(documents: DataFrame, em_iters: int = 2,
     # EXTEND, not tracked_persist: `wc` (and `chars` for the vocab below)
     # stay referenced by every EM level of this one unrolled plan — a
     # plain tracked_persist would evict them before anything materializes
-    # and each Viterbi level would recount words from the corpus
-    chars = tracked_persist_extend(chars)
+    # and each Viterbi level would recount words from the corpus.
+    # repartition(1) on the BOUNDED tables (vocab <= chars + seed_multi
+    # rows at ANY corpus scale): cached at shuffle-partition granularity
+    # they cost a full task wave per re-read — measured 1,114 tasks/run
+    # on this key, most of them 33-130-task waves over KB-sized caches.
+    # The tiny round-robin exchange preserves upstream parallelism
+    # (unlike coalesce, which would collapse the producing aggregation).
+    chars = tracked_persist_extend(chars.repartition(1))
     multis = (seed.filter(F.length("piece") > 1)
               .orderBy(F.col("cnt").desc(), "piece").limit(seed_multi)
               .select("piece"))
     vocab = tracked_persist_extend(
         seed.join(chars.unionByName(multis), "piece")
-        .select("piece", F.col("cnt").alias("sc")))
+        .select("piece", F.col("cnt").alias("sc")).repartition(1))
     final_cnt = None
     for _ in range(em_iters):
         lp = _unigram_lp(vocab, "sc")
@@ -641,7 +647,8 @@ def _unigram_train_chain(documents: DataFrame, em_iters: int = 2,
                  .select("piece",
                          F.coalesce("cnt", F.lit(0)).alias("cnt"),
                          (F.coalesce("cnt", F.lit(0)) + 1).alias("sc")))
-        vocab = tracked_persist_extend(vocab)
+        # bounded level table (chars + keep_multi rows) — 1 partition
+        vocab = tracked_persist_extend(vocab.repartition(1))
         final_cnt = vocab
     return final_cnt, wc
 

@@ -712,7 +712,14 @@ def quality_classifier_train_ngram(documents: DataFrame, steps: int = 3,
             F.collect_list(F.struct("b", "v"))).alias("fm"))
         .join(ng.select("doc_id", "y"), "doc_id"))
     nd = fmap.agg(F.count("*").alias("_n"))
-    nb = sp.agg(F.count_distinct("b").alias("_nb"))
+    # n_buckets from the CACHED feature map (its keys are exactly sp's
+    # buckets plus the bias entry `dim`, which is excluded) — computing
+    # it from `sp` re-ran the whole gram-explode+md5+groupBy pipeline a
+    # second time as a broadcast subtree (profiled at 2.5 s of the key's
+    # wall); this reads KB of cached map keys instead
+    nb = (fmap.select(F.explode(F.map_keys("fm")).alias("b"))
+          .filter(F.col("b") != dim)
+          .agg(F.count_distinct("b").alias("_nb")))
 
     spark = documents.sparkSession
     w = spark.range(1).select(

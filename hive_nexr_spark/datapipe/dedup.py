@@ -902,12 +902,16 @@ def lsh_index_build(documents: DataFrame, index_root: str,
     toks = _with_shingles(corpus).select("doc_id", "sh")
     sdir = idx.new_data_dir(index_root, "shingles", "b00001")
     toks.write.mode("overwrite").parquet(sdir)
-    toks_t = documents.sparkSession.read.parquet(sdir)
+    # read-back with the known schema: no footer-inference job
+    toks_t = documents.sparkSession.read.schema(
+        toks.schema).parquet(sdir)
+    bands = hof_bands(toks_t).select("doc_id", "band", "bucket")
     bdir = idx.new_data_dir(index_root, "bands", "b00001")
-    (hof_bands(toks_t).select("doc_id", "band", "bucket")
-     .write.mode("overwrite").parquet(bdir))
+    bands.write.mode("overwrite").parquet(bdir)
     return idx.commit_manifest(index_root, {"max_doc_id": max_doc_id},
-                               {"shingles": [sdir], "bands": [bdir]})
+                               {"shingles": [sdir], "bands": [bdir]},
+                               schemas={"shingles": toks.schema.json(),
+                                        "bands": bands.schema.json()})
 
 
 def lsh_index_add_batch(spark, index_root: str,
@@ -926,7 +930,7 @@ def lsh_index_add_batch(spark, index_root: str,
     sdir = idx.new_data_dir(index_root, "shingles", tag)
     toks.write.mode("overwrite").parquet(sdir)
     bdir = idx.new_data_dir(index_root, "bands", tag)
-    (hof_bands(spark.read.parquet(sdir))
+    (hof_bands(spark.read.schema(toks.schema).parquet(sdir))
      .select("doc_id", "band", "bucket")
      .write.mode("overwrite").parquet(bdir))
     return idx.append_table_dirs(index_root,
@@ -957,8 +961,11 @@ def lsh_index_delete(spark, index_root: str, keys: DataFrame) -> int:
 
     tag = f"b{idx.latest_version(index_root) + 1:05d}"
     tdir = idx.new_data_dir(index_root, "tombstones", tag)
-    keys.select("doc_id").write.mode("overwrite").parquet(tdir)
-    return idx.append_table_dirs(index_root, {"tombstones": [tdir]})
+    tomb = keys.select("doc_id")
+    tomb.write.mode("overwrite").parquet(tdir)
+    return idx.append_table_dirs(
+        index_root, {"tombstones": [tdir]},
+        schemas={"tombstones": tomb.schema.json()})
 
 
 def lsh_index_compact(spark, index_root: str) -> int:
@@ -982,7 +989,8 @@ def lsh_index_compact(spark, index_root: str) -> int:
     bdir = idx.new_data_dir(index_root, "bands", tag)
     bd.write.mode("overwrite").parquet(bdir)
     return idx.commit_manifest(index_root, man["params"],
-                               {"shingles": [sdir], "bands": [bdir]})
+                               {"shingles": [sdir], "bands": [bdir]},
+                               base_version=man["version"])
 
 
 def _index_scan_sequenced(spark, man: dict, table: str) -> DataFrame:

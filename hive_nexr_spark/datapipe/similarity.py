@@ -1118,13 +1118,20 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
     persists the residual form without the comparison)."""
     sd = dim // m
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # repartition(1) on the BOUNDED trained artifacts (n_cells
+    # centroids, n_queries*nprobe probes, m*ks codebooks, k*n_queries
+    # exact baseline): cached at shuffle-partition granularity each
+    # re-read costs a full task wave; one partition is the right layout
+    # for these at ANY corpus scale, and the tiny round-robin exchange
+    # preserves the producing aggregation's parallelism.
     coarse = tracked_persist(
         _kmeans_centroids(emb, n_cells, coarse_iters, dim)
-        .select("cluster", "cv"))
+        .select("cluster", "cv").repartition(1))
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    probes = tracked_persist_extend(_probes(queries, coarse, nprobe))
+    probes = tracked_persist_extend(
+        _probes(queries, coarse, nprobe).repartition(1))
 
     # residual side — tracked_persist_EXTEND from here on: `coarse` (and
     # below, `res`) stay referenced by later subtrees of this ONE lazy
@@ -1137,7 +1144,7 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
     # at construction — +6 s build for −3 s execution on this key.)
     res = tracked_persist_extend(_residuals(corpus, coarse))
     cb_r, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
-    cb_r = tracked_persist_extend(cb_r)
+    cb_r = tracked_persist_extend(cb_r.repartition(1))
     codes_r = _pq_encode(subr, cb_r).join(
         res.select("vec_id", "cell"), "vec_id")
     lut_r = _residual_lut(queries, probes, coarse, cb_r, m, sd)
@@ -1146,7 +1153,8 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
 
     # raw side (identical spec to ivf_pq_topk, sharing coarse/probes)
     sub = _pq_sub(emb, m, sd)
-    cb = tracked_persist_extend(_pq_codebooks(sub, ks, sd, pq_iters))
+    cb = tracked_persist_extend(
+        _pq_codebooks(sub, ks, sd, pq_iters).repartition(1))
     codes = _pq_encode(sub.filter(F.col("vec_id") >= n_queries), cb).join(
         res.select("vec_id", "cell"), "vec_id")
     lut = (sub.filter(F.col("vec_id") < n_queries)
@@ -1168,7 +1176,7 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
                 d2x.alias("exact_d2"))
         .withColumn("rank", F.row_number().over(wx))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id"))
+        .select("query_id", "neighbor_id").repartition(1))
 
     def recall_of(topk: DataFrame, name: str) -> DataFrame:
         return (
@@ -1310,7 +1318,8 @@ def ivf_pq_build_index(embeddings: DataFrame, index_root: str,
         "cluster", "cv")
     cdir = idx.new_data_dir(index_root, "coarse", "v00001")
     coarse.write.mode("overwrite").parquet(cdir)
-    coarse_t = spark.read.parquet(cdir)
+    # read-backs pass the known schema: no footer-inference job
+    coarse_t = spark.read.schema(coarse.schema).parquet(cdir)
 
     # residual-train the PQ codebooks on the PERSISTED coarse centroids
     # (bit-stability: encode-at-build and encode-at-add read identical
@@ -1320,19 +1329,22 @@ def ivf_pq_build_index(embeddings: DataFrame, index_root: str,
     cb, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
     bdir = idx.new_data_dir(index_root, "codebooks", "v00001")
     cb.write.mode("overwrite").parquet(bdir)
-    cb_t = spark.read.parquet(bdir)
+    cb_t = spark.read.schema(cb.schema).parquet(bdir)
 
     codes = _pq_encode(subr, cb_t).join(
         res.select("vec_id", "cell"), "vec_id")
+    codes_out = codes.select("vec_id", "cell", "j", "code")
     kdir = idx.new_data_dir(index_root, "codes", "b00001")
-    (codes.select("vec_id", "cell", "j", "code")
-     .write.mode("overwrite").parquet(kdir))
+    codes_out.write.mode("overwrite").parquet(kdir)
     return idx.commit_manifest(
         index_root,
         {"m": m, "dim": dim, "ks": ks, "n_cells": n_cells,
          "n_queries": n_queries, "residual": True,
          "coarse_iters": coarse_iters, "pq_iters": pq_iters},
-        {"coarse": [cdir], "codebooks": [bdir], "codes": [kdir]})
+        {"coarse": [cdir], "codebooks": [bdir], "codes": [kdir]},
+        schemas={"coarse": coarse.schema.json(),
+                 "codebooks": cb.schema.json(),
+                 "codes": codes_out.schema.json()})
 
 
 def ivf_pq_add_batch(spark, index_root: str,
@@ -1385,8 +1397,11 @@ def ivf_pq_delete(spark, index_root: str, keys: DataFrame) -> int:
 
     tag = f"b{idx.latest_version(index_root) + 1:05d}"
     tdir = idx.new_data_dir(index_root, "tombstones", tag)
-    keys.select("vec_id").write.mode("overwrite").parquet(tdir)
-    return idx.append_table_dirs(index_root, {"tombstones": [tdir]})
+    tomb = keys.select("vec_id")
+    tomb.write.mode("overwrite").parquet(tdir)
+    return idx.append_table_dirs(
+        index_root, {"tombstones": [tdir]},
+        schemas={"tombstones": tomb.schema.json()})
 
 
 def ivf_pq_compact(spark, index_root: str) -> int:
@@ -1410,7 +1425,8 @@ def ivf_pq_compact(spark, index_root: str) -> int:
     tables = {"coarse": man["tables"]["coarse"],
               "codebooks": man["tables"]["codebooks"],
               "codes": [kdir]}
-    return idx.commit_manifest(index_root, man["params"], tables)
+    return idx.commit_manifest(index_root, man["params"], tables,
+                               base_version=man["version"])
 
 
 def ivf_pq_query_index(spark, index_root: str, queries: DataFrame,
@@ -1443,8 +1459,10 @@ def ivf_pq_query_index(spark, index_root: str, queries: DataFrame,
     codes_t = idx.scan_sequenced(spark, man, "codes", "vec_id")
 
     # n_queries × nprobe rows, consumed by both the LUT and the
-    # candidate join — persisted so the query set is scanned once
-    probes = tracked_persist(_probes(queries, coarse_t, nprobe))
+    # candidate join — persisted (1 partition: bounded) so the query
+    # set is scanned once
+    probes = tracked_persist(
+        _probes(queries, coarse_t, nprobe).repartition(1))
     lut = _residual_lut(queries, probes, coarse_t, cb_t, m, sd)
     return _adc_rank(codes_t.join(F.broadcast(probes), "cell"),
                      lut, True, k)
@@ -1590,9 +1608,12 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
     serving path."""
     sd = dim // m
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # bounded artifacts at 1 partition — same rationale as
+    # ivf_pq_residual_topk (a cached KB-sized table re-read at
+    # shuffle-partition granularity costs a task wave per consumer)
     coarse = tracked_persist(
         _kmeans_centroids(emb, n_cells, coarse_iters, dim)
-        .select("cluster", "cv"))
+        .select("cluster", "cv").repartition(1))
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
@@ -1609,7 +1630,7 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
     lut_r = _residual_lut(queries, probes, coarse, cb_r, m, sd)
     short = tracked_persist_extend(_adc_rank(
         codes_r.join(F.broadcast(probes), "cell"), lut_r, True,
-        shortlist))
+        shortlist).repartition(1))
 
     d2x = F.aggregate(
         F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
@@ -1634,7 +1655,7 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
                 d2x.alias("exact_d2"))
         .withColumn("rank", F.row_number().over(wx))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id"))
+        .select("query_id", "neighbor_id").repartition(1))
 
     def recall_of(topk: DataFrame, name: str) -> DataFrame:
         return (

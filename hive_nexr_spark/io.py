@@ -114,6 +114,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+# (sf_dir, name) → parquet schema: static testdata metadata, memoized so
+# repeated stream constructions skip the per-call footer-read job (each
+# one is a small driver-side job; stream-heavy keys build several).
+_STREAM_SCHEMA_CACHE: dict = {}
+
+
 def read_table_stream(spark: SparkSession, sf_dir: str,
                       name: str) -> DataFrame:
     """Structured-Streaming file source over one testdata table: the
@@ -123,7 +129,11 @@ def read_table_stream(spark: SparkSession, sf_dir: str,
     convention, one place — r9 review finding). Timestamp normalization
     (`_fix_nanos_ts`) is the caller's concern — only events needs it."""
     ensure_runtime_compat(spark)
-    raw_schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    ck = (os.path.abspath(sf_dir), name)
+    raw_schema = _STREAM_SCHEMA_CACHE.get(ck)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(table_path(sf_dir, name)).schema
+        _STREAM_SCHEMA_CACHE[ck] = raw_schema
     return (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", f"{name}.parquet")

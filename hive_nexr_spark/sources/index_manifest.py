@@ -95,32 +95,54 @@ def applicable_tombs(man: dict, data_dir: str,
 
 
 def commit_manifest(root: str, params: dict,
-                    tables: dict[str, list[str]]) -> int:
+                    tables: dict[str, list[str]],
+                    schemas: dict[str, str] | None = None,
+                    base_version: int | None = None) -> int:
     """Atomically commit the next manifest version. `tables` is the
     FULL visibility map for the new version (callers extend the previous
     manifest's lists for append semantics). Directories not present in
     the previous manifest's `seqs` are stamped with the NEW version —
     the data-sequence number tombstone applicability keys on.
 
+    `schemas` (optional) maps table name → StructType.json(): index
+    table schemas are FIXED per table, so recording them at commit
+    lets every reader pass an explicit schema and skip the per-read
+    parquet footer-inference job (a measurable driver-side job per
+    `spark.read.parquet` on the lifecycle keys). Previous-version
+    schemas carry over for tables not re-declared.
+
     The version file is created EXCLUSIVELY (write temp, hard-link to
     the final name — `os.link` raises if it exists, and the temp is
     always removed): a crashed writer leaves the table at the previous
     version, and a concurrent committer racing the same `latest+1`
     raises `ManifestConflictError` instead of clobbering. Returns the
-    new version."""
+    new version.
+
+    `base_version` (the version this commit's table lists were derived
+    from) pins the target to base+1 so the exclusive create detects a
+    concurrent commit. Without it the target was re-resolved as
+    `latest+1` AT COMMIT TIME — if another process committed between
+    the caller's read and this commit, the stale table lists landed at
+    a FRESH version with no collision, silently dropping the winner's
+    dirs (caught by the two-process race test this round)."""
     d = _mdir(root)
     os.makedirs(d, exist_ok=True)
-    v = latest_version(root) + 1
+    v = (latest_version(root) if base_version is None
+         else base_version) + 1
     prev_seqs: dict[str, int] = {}
+    prev_schemas: dict[str, str] = {}
     if v > 1:
-        prev_seqs = read_manifest(root, v - 1).get("seqs", {})
+        prev = read_manifest(root, v - 1)
+        prev_seqs = prev.get("seqs", {})
+        prev_schemas = prev.get("schemas", {})
     all_dirs = [p for dirs in tables.values() for p in dirs]
     seqs = {p: prev_seqs.get(p, v) for p in all_dirs}
+    merged_schemas = {**prev_schemas, **(schemas or {})}
     path = os.path.join(d, f"v{v:05d}.json")
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump({"version": v, "params": params, "tables": tables,
-                   "seqs": seqs}, fh)
+                   "seqs": seqs, "schemas": merged_schemas}, fh)
     try:
         os.link(tmp, path)
     except FileExistsError:
@@ -132,16 +154,20 @@ def commit_manifest(root: str, params: dict,
     return v
 
 
-def append_table_dirs(root: str, new_dirs: dict[str, list[str]]) -> int:
+def append_table_dirs(root: str, new_dirs: dict[str, list[str]],
+                      schemas: dict[str, str] | None = None) -> int:
     """Add-batch commit: next version = previous tables with `new_dirs`
     appended per table (tables absent from `new_dirs` carry over
-    unchanged). Params carry over verbatim."""
+    unchanged). Params carry over verbatim; `schemas` as in
+    `commit_manifest` (new tables, e.g. the first tombstone dir,
+    declare theirs here)."""
     man = read_manifest(root)
     tables = {k: list(v) for k, v in man["tables"].items()}
     for name, dirs in new_dirs.items():
         tables.setdefault(name, [])
         tables[name] = tables[name] + list(dirs)
-    return commit_manifest(root, man["params"], tables)
+    return commit_manifest(root, man["params"], tables, schemas,
+                           base_version=man["version"])
 
 
 def append_with_retry(root: str, new_dirs: dict[str, list[str]],
@@ -252,12 +278,27 @@ def remove_orphans(root: str,
     return removed
 
 
+def _read_parquet(spark: SparkSession, man: dict, table: str,
+                  dirs: list[str] | tuple[str, ...]) -> DataFrame:
+    """Read parquet dirs with the manifest-recorded schema when present
+    (skips the footer-inference job); fall back to inference for
+    manifests written before schemas were recorded."""
+    sj = man.get("schemas", {}).get(table)
+    if sj:
+        from pyspark.sql.types import StructType
+
+        reader = spark.read.schema(StructType.fromJson(json.loads(sj)))
+    else:
+        reader = spark.read
+    return reader.parquet(*dirs)
+
+
 def read_index_table(spark: SparkSession, root: str, name: str,
                      version: int | None = None) -> DataFrame:
     """Scan exactly the directories the manifest lists for `name` —
     the AS-OF read path; old versions stay consistent after add-batch."""
-    dirs = read_manifest(root, version)["tables"][name]
-    return spark.read.parquet(*dirs)
+    man = read_manifest(root, version)
+    return _read_parquet(spark, man, name, man["tables"][name])
 
 
 def scan_sequenced(spark: SparkSession, man: dict, table: str,
@@ -284,9 +325,10 @@ def scan_sequenced(spark: SparkSession, man: dict, table: str,
                           []).append(d)
     parts = []
     for tombs, dirs in groups.items():
-        df = spark.read.parquet(*dirs)
+        df = _read_parquet(spark, man, table, dirs)
         if tombs:
-            tk = spark.read.parquet(*tombs).select(key_col)
+            tk = _read_parquet(spark, man, tomb_table, tombs) \
+                .select(key_col)
             df = df.join(F.broadcast(tk), key_col, "left_anti")
         parts.append(df)
     return reduce(lambda a, b: a.unionByName(b), parts)
