@@ -34,6 +34,28 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def _local_artifact(df: DataFrame) -> DataFrame:
+    """Materialize a BOUNDED trained artifact (coarse centroids, PQ
+    codebooks, probe lists, k-row exact baselines — tens-to-thousands of
+    rows at ANY corpus scale, by the same bound that lets them
+    broadcast) into a LocalRelation literal: run the producing subtree
+    ONCE, collect its rows (the documented bounded driver-side class —
+    the production ANN posture: trained quantizer artifacts are held
+    in memory, not recomputed per consumer), and rebuild the same rows
+    as a leaf relation. The values are transported verbatim — no
+    arithmetic — so every downstream result is bit-identical; what
+    changes is the PLAN: consumers reference an O(rows) leaf instead of
+    re-inlining the whole training subtree, which the r13 measurement
+    pass found dominating these keys' wall as DRIVER time (Catalyst
+    treePatternBits walks + Janino codegen over the unrolled
+    64-dim-sum trees; thread dumps in OPTIMIZATION_r13.md). Guide
+    §3.3: very large plans make planning itself the bottleneck —
+    materialize intermediates; §5: the driver transfer here is k
+    artifact rows, never corpus data."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def brute_force_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10) -> DataFrame:
     """Exact cosine top-k: query set broadcast against a single corpus scan."""
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
@@ -652,8 +674,11 @@ def semdedup(embeddings: DataFrame, n_clusters: int = 8, iters: int = 2,
     posture), never a corpus-wide cartesian; the distinct dup-id set
     left-joins back as a boolean mark (ids only, no vector payload)."""
     emb = with_synthetic_vec_dups(embeddings, dim=dim)
-    cents = _kmeans_centroids(emb, n_clusters, iters, dim).select(
-        "cluster", "cv")
+    # trained centroids as a LocalRelation literal (`_local_artifact`:
+    # one training run, bit-identical, leaf-sized consumer plans)
+    cents = _local_artifact(
+        _kmeans_centroids(emb, n_clusters, iters, dim).select(
+            "cluster", "cv"))
 
     assigned = (
         emb.crossJoin(F.broadcast(_nest_centroids(cents)))
@@ -698,15 +723,16 @@ def ivf_kmeans_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     driver-side, no cross product through a shuffle."""
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     # the trained centroid table is consumed by TWO broadcasts (corpus
-    # assignment + query probing). Measured at sf0.1: NOT persisted on
-    # purpose — caching the k-row result serializes the two consumers
-    # behind a materialization barrier (3.8-5.0 s vs 2.5-2.7 s when each
-    # broadcast just re-runs the cheap unrolled training subtree in its
-    # own parallel stage). At cluster scale the training subtree cost
-    # grows with the corpus; revisit with a persist if iters x scans
-    # dominate — the knob is one tracked_persist here.
-    cents = _kmeans_centroids(emb, n_cells, iters, dim).select(
-        "cluster", "cv")
+    # assignment + query probing) — a LocalRelation literal serves both
+    # (`_local_artifact`: one training run, bit-identical values, and
+    # the consumers plan against a leaf instead of re-walking the
+    # unrolled training tree). This supersedes the r10 note that
+    # rejected a tracked_persist here: the persist serialized the two
+    # consumers behind a materialization barrier AND kept the full
+    # logical tree in both plans; the literal does neither.
+    cents = _local_artifact(
+        _kmeans_centroids(emb, n_cells, iters, dim).select(
+            "cluster", "cv"))
 
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
@@ -1118,33 +1144,31 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
     persists the residual form without the comparison)."""
     sd = dim // m
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    # repartition(1) on the BOUNDED trained artifacts (n_cells
-    # centroids, n_queries*nprobe probes, m*ks codebooks, k*n_queries
-    # exact baseline): cached at shuffle-partition granularity each
-    # re-read costs a full task wave; one partition is the right layout
-    # for these at ANY corpus scale, and the tiny round-robin exchange
-    # preserves the producing aggregation's parallelism.
-    coarse = tracked_persist(
+    # BOUNDED trained artifacts (n_cells centroids, n_queries*nprobe
+    # probes, m*ks codebooks, k*n_queries exact baseline) land as
+    # LocalRelation LITERALS (`_local_artifact` — bit-identical values,
+    # one producing job each): the r13 profile found this key's wall
+    # dominated by DRIVER time (10-49 s gap) from every consumer
+    # re-walking and re-codegening the unrolled training subtrees; as
+    # leaves, the downstream plans (residual projection, encode, LUT,
+    # ADC rank, recall joins) are all O(small). The earlier
+    # persist-at-1-partition form kept the full logical trees alive in
+    # every consumer's plan. (A localCheckpoint variant was measured
+    # and rejected earlier: `.rdd` forces serial physical planning per
+    # artifact — +6 s build for −3 s execution on this key.)
+    coarse = _local_artifact(
         _kmeans_centroids(emb, n_cells, coarse_iters, dim)
-        .select("cluster", "cv").repartition(1))
+        .select("cluster", "cv"))
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    probes = tracked_persist_extend(
-        _probes(queries, coarse, nprobe).repartition(1))
+    probes = _local_artifact(_probes(queries, coarse, nprobe))
 
-    # residual side — tracked_persist_EXTEND from here on: `coarse` (and
-    # below, `res`) stay referenced by later subtrees of this ONE lazy
-    # plan, so a plain tracked_persist would evict them at construction
-    # time and every consumer would silently retrain/recompute them
-    # (guide §5 caching: persist only while reused — but never unpersist
-    # BEFORE the reuse). All of them release together at the next
-    # operator's tracked_persist. (A localCheckpoint variant was measured
-    # and rejected: `.rdd` forces serial physical planning per artifact
-    # at construction — +6 s build for −3 s execution on this key.)
-    res = tracked_persist_extend(_residuals(corpus, coarse))
-    cb_r, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
-    cb_r = tracked_persist_extend(cb_r.repartition(1))
+    # `res` is the one CORPUS-SIZED reused intermediate — persisted,
+    # never collected (guide §5: the driver does no data work)
+    res = tracked_persist(_residuals(corpus, coarse))
+    cb_r_t, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
+    cb_r = _local_artifact(cb_r_t)
     codes_r = _pq_encode(subr, cb_r).join(
         res.select("vec_id", "cell"), "vec_id")
     lut_r = _residual_lut(queries, probes, coarse, cb_r, m, sd)
@@ -1153,8 +1177,7 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
 
     # raw side (identical spec to ivf_pq_topk, sharing coarse/probes)
     sub = _pq_sub(emb, m, sd)
-    cb = tracked_persist_extend(
-        _pq_codebooks(sub, ks, sd, pq_iters).repartition(1))
+    cb = _local_artifact(_pq_codebooks(sub, ks, sd, pq_iters))
     codes = _pq_encode(sub.filter(F.col("vec_id") >= n_queries), cb).join(
         res.select("vec_id", "cell"), "vec_id")
     lut = (sub.filter(F.col("vec_id") < n_queries)
@@ -1170,13 +1193,13 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
         F.lit(0.0).cast("double"), lambda acc, x: acc + x)
     wx = Window.partitionBy("query_id").orderBy(
         F.col("exact_d2").asc(), F.col("neighbor_id"))
-    exact = tracked_persist_extend(
+    exact = _local_artifact(
         corpus.join(F.broadcast(queries))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 d2x.alias("exact_d2"))
         .withColumn("rank", F.row_number().over(wx))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id").repartition(1))
+        .select("query_id", "neighbor_id"))
 
     def recall_of(topk: DataFrame, name: str) -> DataFrame:
         return (
@@ -1220,8 +1243,12 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     the CELL id; the ADC LUT broadcasts."""
     sd = dim // m
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    coarse = _kmeans_centroids(emb, n_cells, coarse_iters, dim).select(
-        "cluster", "cv")
+    # trained artifacts as LocalRelation literals (bit-identical values;
+    # see `_local_artifact` — kills the per-consumer re-walk of the
+    # training subtrees that the r13 profile measured as driver time)
+    coarse = _local_artifact(
+        _kmeans_centroids(emb, n_cells, coarse_iters, dim).select(
+            "cluster", "cv"))
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     cells = _coarse_assign(corpus, coarse)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
@@ -1242,7 +1269,7 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     # shared helpers — the persisted-index lifecycle reuses them, which
     # is what makes `ivf_pq_query_index` bit-equal by construction)
     sub = _pq_sub(emb, m, sd)
-    cb = _pq_codebooks(sub, ks, sd, pq_iters)
+    cb = _local_artifact(_pq_codebooks(sub, ks, sd, pq_iters))
     codes = _pq_encode(sub.filter(F.col("vec_id") >= n_queries), cb)
     d2 = _pq_d2()
     lut = (
@@ -1312,14 +1339,17 @@ def ivf_pq_build_index(embeddings: DataFrame, index_root: str,
     from ..sources import index_manifest as idx
 
     sd = dim // m
-    spark = embeddings.sparkSession
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    coarse = _kmeans_centroids(emb, n_cells, coarse_iters, dim).select(
-        "cluster", "cv")
+    # train → collect the BOUNDED artifact into a literal → write the
+    # literal as the index table: one training job, a leaf-sized write,
+    # and no read-back job at all (the literal IS what the parquet
+    # roundtrip would return — doubles survive parquet bit-exactly, so
+    # encode-at-build and encode-at-add still read identical values)
+    coarse_t = _local_artifact(
+        _kmeans_centroids(emb, n_cells, coarse_iters, dim).select(
+            "cluster", "cv"))
     cdir = idx.new_data_dir(index_root, "coarse", "v00001")
-    coarse.write.mode("overwrite").parquet(cdir)
-    # read-backs pass the known schema: no footer-inference job
-    coarse_t = spark.read.schema(coarse.schema).parquet(cdir)
+    coarse_t.write.mode("overwrite").parquet(cdir)
 
     # residual-train the PQ codebooks on the PERSISTED coarse centroids
     # (bit-stability: encode-at-build and encode-at-add read identical
@@ -1327,9 +1357,9 @@ def ivf_pq_build_index(embeddings: DataFrame, index_root: str,
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     res = tracked_persist(_residuals(corpus, coarse_t))
     cb, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
+    cb_t = _local_artifact(cb)
     bdir = idx.new_data_dir(index_root, "codebooks", "v00001")
-    cb.write.mode("overwrite").parquet(bdir)
-    cb_t = spark.read.schema(cb.schema).parquet(bdir)
+    cb_t.write.mode("overwrite").parquet(bdir)
 
     codes = _pq_encode(subr, cb_t).join(
         res.select("vec_id", "cell"), "vec_id")
@@ -1342,8 +1372,8 @@ def ivf_pq_build_index(embeddings: DataFrame, index_root: str,
          "n_queries": n_queries, "residual": True,
          "coarse_iters": coarse_iters, "pq_iters": pq_iters},
         {"coarse": [cdir], "codebooks": [bdir], "codes": [kdir]},
-        schemas={"coarse": coarse.schema.json(),
-                 "codebooks": cb.schema.json(),
+        schemas={"coarse": coarse_t.schema.json(),
+                 "codebooks": cb_t.schema.json(),
                  "codes": codes_out.schema.json()})
 
 
@@ -1459,10 +1489,9 @@ def ivf_pq_query_index(spark, index_root: str, queries: DataFrame,
     codes_t = idx.scan_sequenced(spark, man, "codes", "vec_id")
 
     # n_queries × nprobe rows, consumed by both the LUT and the
-    # candidate join — persisted (1 partition: bounded) so the query
-    # set is scanned once
-    probes = tracked_persist(
-        _probes(queries, coarse_t, nprobe).repartition(1))
+    # candidate join — a LocalRelation literal (`_local_artifact`), so
+    # the query set is scanned once and both consumers plan on a leaf
+    probes = _local_artifact(_probes(queries, coarse_t, nprobe))
     lut = _residual_lut(queries, probes, coarse_t, cb_t, m, sd)
     return _adc_rank(codes_t.join(F.broadcast(probes), "cell"),
                      lut, True, k)
@@ -1491,8 +1520,11 @@ def knn_join(embeddings: DataFrame, k: int = 3, n_clusters: int = 8,
     retained pre-shuffle, asserted in tests/test_plans.py).
     """
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    cents = _kmeans_centroids(emb, n_clusters, iters, dim).select(
-        "cluster", "cv")
+    # literal centroids: the persisted `assigned` is self-joined below,
+    # and each alias re-walked the inlined training tree at plan time
+    cents = _local_artifact(
+        _kmeans_centroids(emb, n_clusters, iters, dim).select(
+            "cluster", "cv"))
     assigned = tracked_persist(
         emb.crossJoin(F.broadcast(_nest_centroids(cents)))
         .select("vec_id", _nearest_cluster(F.col("v")).alias("cluster"),
@@ -1608,29 +1640,27 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
     serving path."""
     sd = dim // m
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    # bounded artifacts at 1 partition — same rationale as
-    # ivf_pq_residual_topk (a cached KB-sized table re-read at
-    # shuffle-partition granularity costs a task wave per consumer)
-    coarse = tracked_persist(
+    # bounded trained artifacts as LocalRelation literals — same
+    # rationale as ivf_pq_residual_topk (`_local_artifact`:
+    # bit-identical values, leaf-sized consumer plans)
+    coarse = _local_artifact(
         _kmeans_centroids(emb, n_cells, coarse_iters, dim)
-        .select("cluster", "cv").repartition(1))
+        .select("cluster", "cv"))
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    probes = _probes(queries, coarse, nprobe)
+    probes = _local_artifact(_probes(queries, coarse, nprobe))
 
-    # tracked_persist_EXTEND below `coarse`: every later persist in this
-    # one lazy plan still references the earlier ones (same fix as
-    # ivf_pq_residual_topk — a plain tracked_persist evicts them at
-    # construction time and each consumer retrains/recomputes)
-    res = tracked_persist_extend(_residuals(corpus, coarse))
+    # `res` is the one corpus-sized reused intermediate — persisted
+    res = tracked_persist(_residuals(corpus, coarse))
     cb_r, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
+    cb_r = _local_artifact(cb_r)
     codes_r = _pq_encode(subr, cb_r).join(
         res.select("vec_id", "cell"), "vec_id")
     lut_r = _residual_lut(queries, probes, coarse, cb_r, m, sd)
-    short = tracked_persist_extend(_adc_rank(
+    short = _local_artifact(_adc_rank(
         codes_r.join(F.broadcast(probes), "cell"), lut_r, True,
-        shortlist).repartition(1))
+        shortlist))
 
     d2x = F.aggregate(
         F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
@@ -1649,13 +1679,13 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
 
     wx = Window.partitionBy("query_id").orderBy(
         F.col("exact_d2").asc(), F.col("neighbor_id"))
-    exact = tracked_persist_extend(
+    exact = _local_artifact(
         corpus.join(F.broadcast(queries))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 d2x.alias("exact_d2"))
         .withColumn("rank", F.row_number().over(wx))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id").repartition(1))
+        .select("query_id", "neighbor_id"))
 
     def recall_of(topk: DataFrame, name: str) -> DataFrame:
         return (
