@@ -34,26 +34,74 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+_MAX_ARTIFACT_ROWS = 1_000_000  # driver-safety bound; real artifacts are ≤ thousands
+# Reducer count for bounded-artifact collects: map-side partial
+# aggregation makes reduce input n_maps × k rows, so a handful of
+# reducers is the right shape at any corpus scale (NOT a local-core
+# tune — the session default schedules core-count empty tasks).
+_ARTIFACT_SHUFFLE_PARTITIONS = 4
+
+
 def _local_artifact(df: DataFrame) -> DataFrame:
     """Materialize a BOUNDED trained artifact (coarse centroids, PQ
     codebooks, probe lists, k-row exact baselines — tens-to-thousands of
     rows at ANY corpus scale, by the same bound that lets them
-    broadcast) into a LocalRelation literal: run the producing subtree
-    ONCE, collect its rows (the documented bounded driver-side class —
-    the production ANN posture: trained quantizer artifacts are held
-    in memory, not recomputed per consumer), and rebuild the same rows
-    as a leaf relation. The values are transported verbatim — no
-    arithmetic — so every downstream result is bit-identical; what
-    changes is the PLAN: consumers reference an O(rows) leaf instead of
-    re-inlining the whole training subtree, which the r13 measurement
-    pass found dominating these keys' wall as DRIVER time (Catalyst
-    treePatternBits walks + Janino codegen over the unrolled
-    64-dim-sum trees; thread dumps in OPTIMIZATION_r13.md). Guide
-    §3.3: very large plans make planning itself the bottleneck —
-    materialize intermediates; §5: the driver transfer here is k
-    artifact rows, never corpus data."""
-    rows = df.collect()
-    return df.sparkSession.createDataFrame(rows, df.schema)
+    broadcast) into a parallelized leaf (plans as `Scan ExistingRDD`):
+    run the producing subtree ONCE, collect its rows (the documented
+    bounded driver-side class — the production ANN posture: trained
+    quantizer artifacts are held in memory, not recomputed per
+    consumer), and rebuild the same rows as a leaf relation. The values
+    are transported verbatim — no arithmetic — so every downstream
+    result is bit-identical; what changes is the PLAN: consumers
+    reference an O(rows) leaf instead of re-inlining the whole training
+    subtree, which the r13 measurement pass found dominating these
+    keys' wall as DRIVER time (Catalyst treePatternBits walks + Janino
+    codegen over the unrolled 64-dim-sum trees; thread dumps in
+    OPTIMIZATION_r13.md). Guide §3.3: very large plans make planning
+    itself the bottleneck — materialize intermediates; §5: the driver
+    transfer here is k artifact rows, never corpus data.
+
+    coalesce(1): createDataFrame parallelizes the rows over
+    defaultParallelism (32 locally), so every broadcast build / write
+    over the leaf was a 32-task wave (r13 driver sidecars: the
+    per-consumer task storms on the IVF-PQ keys). One partition is the
+    right shape for a k-row artifact at any scale.
+
+    ExistingRDD carries no size statistics (defaults to
+    spark.sql.defaultSizeInBytes), so consumers joining the leaf must
+    hint F.broadcast explicitly — every call site does."""
+    spark = df.sparkSession
+    # AQE decomposes even a tiny artifact query into one JOB PER SHUFFLE
+    # STAGE (plus driver-side re-planning between them) — pure fixed
+    # cost at this size. Disable it for the bounded collect only: the
+    # values are identical either way (AQE never changes results), the
+    # job count per artifact drops to 1, and the session conf is
+    # restored immediately (the engine's query paths are single-threaded
+    # per session — the documented posture of datapipe/_cache.py).
+    # Shuffle partitions are pinned to a handful for the same reason: a
+    # k-row artifact aggregation needs a handful of reducers at ANY
+    # corpus scale (the map side is partially aggregated, so reduce
+    # input is n_maps × k rows), and the session default (core count)
+    # just schedules empty tasks. The suite independently runs these
+    # operators at shuffle_partitions=4 (tests/conftest.py) with the
+    # same oracle-exact values, and the r14 sf0.01 sweep re-verified
+    # all 12 similarity keys under this exact setting.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(_ARTIFACT_SHUFFLE_PARTITIONS))
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    if len(rows) > _MAX_ARTIFACT_ROWS:
+        raise ValueError(
+            f"_local_artifact collected {len(rows)} rows (> "
+            f"{_MAX_ARTIFACT_ROWS}): call sites must be bounded trained "
+            "artifacts, never corpus-sized data")
+    return spark.createDataFrame(rows, df.schema)
 
 
 def brute_force_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10) -> DataFrame:
@@ -674,11 +722,14 @@ def semdedup(embeddings: DataFrame, n_clusters: int = 8, iters: int = 2,
     posture), never a corpus-wide cartesian; the distinct dup-id set
     left-joins back as a boolean mark (ids only, no vector payload)."""
     emb = with_synthetic_vec_dups(embeddings, dim=dim)
-    # trained centroids as a LocalRelation literal (`_local_artifact`:
-    # one training run, bit-identical, leaf-sized consumer plans)
-    cents = _local_artifact(
-        _kmeans_centroids(emb, n_clusters, iters, dim).select(
-            "cluster", "cv"))
+    # cents stays LAZY: it has exactly ONE consumer (the assignment
+    # below, whose tracked_persist materializes training exactly once),
+    # so collecting it into a literal bought no consumer-dedup and
+    # added eager collect jobs — the r13 driver sidecar measured the
+    # _local_artifact form at 16→24 tasks / ×2.99 wall (VERDICT r13
+    # item 1); reverted r14.
+    cents = _kmeans_centroids(emb, n_clusters, iters, dim).select(
+        "cluster", "cv")
 
     assigned = (
         emb.crossJoin(F.broadcast(_nest_centroids(cents)))
@@ -722,17 +773,15 @@ def ivf_kmeans_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
     probed cells. The k-row centroid table is always broadcast — nothing
     driver-side, no cross product through a shuffle."""
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    # the trained centroid table is consumed by TWO broadcasts (corpus
-    # assignment + query probing) — a LocalRelation literal serves both
-    # (`_local_artifact`: one training run, bit-identical values, and
-    # the consumers plan against a leaf instead of re-walking the
-    # unrolled training tree). This supersedes the r10 note that
-    # rejected a tracked_persist here: the persist serialized the two
-    # consumers behind a materialization barrier AND kept the full
-    # logical tree in both plans; the literal does neither.
-    cents = _local_artifact(
-        _kmeans_centroids(emb, n_cells, iters, dim).select(
-            "cluster", "cv"))
+    # cents stays LAZY (the r10-measured decision, restored r14): its
+    # two consumers are both BROADCAST builds of a k-row table, so the
+    # duplicated training subtree is two cheap broadcast jobs — the r13
+    # _local_artifact wrap added eager collect jobs instead (driver
+    # sidecar: tasks 14→29, no wall win; VERDICT r13 item 2) and hid
+    # the training joins from the plan contract pinned in
+    # tests/test_plans.py::test_ivf_kmeans_trained_quantizer_broadcasts.
+    cents = _kmeans_centroids(emb, n_cells, iters, dim).select(
+        "cluster", "cv")
 
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
@@ -1143,10 +1192,15 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
     drop them for the pure index path (`ivf_pq_build_index`, which
     persists the residual form without the comparison)."""
     sd = dim // m
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    # emb persisted for the whole operator (r14, guide §5): each
+    # artifact collect below is its own job, and without the cache every
+    # one re-scanned the source parquet — the r13 driver sidecar
+    # measured this key's input bytes ×9.5 after the literals landed.
+    emb = tracked_persist(
+        embeddings.select("vec_id", _as_double("embedding").alias("v")))
     # BOUNDED trained artifacts (n_cells centroids, n_queries*nprobe
     # probes, m*ks codebooks, k*n_queries exact baseline) land as
-    # LocalRelation LITERALS (`_local_artifact` — bit-identical values,
+    # parallelized leaves (`_local_artifact` — bit-identical values,
     # one producing job each): the r13 profile found this key's wall
     # dominated by DRIVER time (10-49 s gap) from every consumer
     # re-walking and re-codegening the unrolled training subtrees; as
@@ -1165,8 +1219,9 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
     probes = _local_artifact(_probes(queries, coarse, nprobe))
 
     # `res` is the one CORPUS-SIZED reused intermediate — persisted,
-    # never collected (guide §5: the driver does no data work)
-    res = tracked_persist(_residuals(corpus, coarse))
+    # never collected (guide §5: the driver does no data work); EXTEND
+    # form so it doesn't evict the operator's own emb persist above
+    res = tracked_persist_extend(_residuals(corpus, coarse))
     cb_r_t, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
     cb_r = _local_artifact(cb_r_t)
     codes_r = _pq_encode(subr, cb_r).join(
@@ -1203,7 +1258,8 @@ def ivf_pq_residual_topk(embeddings: DataFrame, k: int = 3,
 
     def recall_of(topk: DataFrame, name: str) -> DataFrame:
         return (
-            topk.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            topk.join(F.broadcast(exact), ["query_id", "neighbor_id"],
+                      "left_semi")
             .groupBy("query_id")
             .agg(F.round(F.count("*") / F.lit(float(k)), 6).alias(name))
         )
@@ -1339,27 +1395,36 @@ def ivf_pq_build_index(embeddings: DataFrame, index_root: str,
     from ..sources import index_manifest as idx
 
     sd = dim // m
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    # train → collect the BOUNDED artifact into a literal → write the
-    # literal as the index table: one training job, a leaf-sized write,
-    # and no read-back job at all (the literal IS what the parquet
+    # emb persisted across the build's jobs (coarse training, codebook
+    # training, encode) — without it each one re-scans the source
+    # parquet (r14, guide §5)
+    emb = tracked_persist(
+        embeddings.select("vec_id", _as_double("embedding").alias("v")))
+    # train → collect the BOUNDED artifact into a 1-partition leaf →
+    # write it as the index table: one training job, a 1-task/1-file
+    # write, and no read-back job at all (the leaf IS what the parquet
     # roundtrip would return — doubles survive parquet bit-exactly, so
     # encode-at-build and encode-at-add still read identical values)
     coarse_t = _local_artifact(
         _kmeans_centroids(emb, n_cells, coarse_iters, dim).select(
             "cluster", "cv"))
     cdir = idx.new_data_dir(index_root, "coarse", "v00001")
-    coarse_t.write.mode("overwrite").parquet(cdir)
+    # coalesce ONLY the write lineage: the k-row table lands as one file
+    # (the parallelized leaf would otherwise write core-count near-empty
+    # parts — ADVICE r13); coarse_t itself stays multi-partition for the
+    # downstream encode parallelism (measured: coalescing the leaf
+    # serialized the corpus compute, see OPTIMIZATION_r14.md)
+    coarse_t.coalesce(1).write.mode("overwrite").parquet(cdir)
 
     # residual-train the PQ codebooks on the PERSISTED coarse centroids
     # (bit-stability: encode-at-build and encode-at-add read identical
-    # artifacts)
+    # artifacts); EXTEND form keeps the emb persist above alive
     corpus = emb.filter(F.col("vec_id") >= n_queries)
-    res = tracked_persist(_residuals(corpus, coarse_t))
+    res = tracked_persist_extend(_residuals(corpus, coarse_t))
     cb, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
     cb_t = _local_artifact(cb)
     bdir = idx.new_data_dir(index_root, "codebooks", "v00001")
-    cb_t.write.mode("overwrite").parquet(bdir)
+    cb_t.coalesce(1).write.mode("overwrite").parquet(bdir)
 
     codes = _pq_encode(subr, cb_t).join(
         res.select("vec_id", "cell"), "vec_id")
@@ -1639,8 +1704,11 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
     evaluation-harness cost, bounded by n_queries, dropped in the pure
     serving path."""
     sd = dim // m
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    # bounded trained artifacts as LocalRelation literals — same
+    # emb persisted for the operator's artifact jobs (r14, guide §5 —
+    # same rationale as ivf_pq_residual_topk)
+    emb = tracked_persist(
+        embeddings.select("vec_id", _as_double("embedding").alias("v")))
+    # bounded trained artifacts as parallelized leaves — same
     # rationale as ivf_pq_residual_topk (`_local_artifact`:
     # bit-identical values, leaf-sized consumer plans)
     coarse = _local_artifact(
@@ -1652,7 +1720,8 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
     probes = _local_artifact(_probes(queries, coarse, nprobe))
 
     # `res` is the one corpus-sized reused intermediate — persisted
-    res = tracked_persist(_residuals(corpus, coarse))
+    # (EXTEND form keeps the emb persist above alive)
+    res = tracked_persist_extend(_residuals(corpus, coarse))
     cb_r, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
     cb_r = _local_artifact(cb_r)
     codes_r = _pq_encode(subr, cb_r).join(
@@ -1665,9 +1734,12 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
     d2x = F.aggregate(
         F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    # BROADCAST the (n_queries × shortlist)-row candidate list: the
+    # ExistingRDD leaf has no size stats, so without the hint the
+    # planner would broadcast (or at scale shuffle) the CORPUS side
     rer = (
-        short.select("query_id", "neighbor_id")
-        .join(corpus.withColumnRenamed("vec_id", "neighbor_id"),
+        corpus.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(short.select("query_id", "neighbor_id")),
               "neighbor_id")
         .join(F.broadcast(queries), "query_id")
         .select("query_id", "neighbor_id", d2x.alias("exact_d2"))
@@ -1689,7 +1761,8 @@ def ivf_pq_rerank_topk(embeddings: DataFrame, k: int = 3,
 
     def recall_of(topk: DataFrame, name: str) -> DataFrame:
         return (
-            topk.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            topk.join(F.broadcast(exact), ["query_id", "neighbor_id"],
+                      "left_semi")
             .groupBy("query_id")
             .agg(F.round(F.count("*") / F.lit(float(k)), 6).alias(name))
         )

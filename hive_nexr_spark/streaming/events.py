@@ -20,6 +20,30 @@ from pyspark.sql import functions as F
 from ..functions.stable import dsum
 
 
+def _move_slice_file(src_df: DataFrame, tmp: str, b, dest: str) -> None:
+    """Move the one parquet part-file of staged-slice partition `_b=b`
+    to `dest`. A slice with ZERO rows produces no `_b=` directory at all
+    (r13 latent crash: `next()` over a missing/empty dir raised
+    StopIteration) — fall back to writing an empty parquet file with
+    `src_df`'s schema, which is what the old per-slice
+    `filter(...).coalesce(1).write` always produced."""
+    import glob
+    import shutil
+
+    pdir = os.path.join(tmp, f"_b={b}")
+    parts = (sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+             if os.path.isdir(pdir) else [])
+    if parts:
+        shutil.move(parts[0], dest)
+        return
+    edir = os.path.join(tmp, f"_empty_{b}")
+    (src_df.filter(F.lit(False)).coalesce(1)
+     .write.mode("overwrite").parquet(edir))
+    part = next(f for f in sorted(os.listdir(edir))
+                if f.endswith(".parquet"))
+    shutil.move(os.path.join(edir, part), dest)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming file source over the events table.
 
@@ -1053,10 +1077,8 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str,
      .repartition(3, "_b")
      .write.partitionBy("_b").parquet(tmp))
     for b, name_ in ((1, "b1_ontime"), (2, "b2_ontime"), (3, "b3_late")):
-        pdir = os.path.join(tmp, f"_b={b}")
-        part = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
         dest = os.path.join(staging, f"{name_}.parquet")
-        shutil.move(os.path.join(pdir, part), dest)
+        _move_slice_file(events, tmp, b, dest)
         mtime = now - 60 * (3 - b)
         os.utime(dest, (mtime, mtime))
     shutil.rmtree(tmp)
@@ -1175,10 +1197,8 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str,
      .repartition(n_batches, "_b")
      .write.partitionBy("_b").parquet(tmp))
     for b in range(n_batches):
-        pdir = os.path.join(tmp, f"_b={b}")
-        part = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
         dest = os.path.join(src, f"b{b}.parquet")
-        shutil.move(os.path.join(pdir, part), dest)
+        _move_slice_file(changes, tmp, b, dest)
         mtime = now - 60 * (n_batches - b)
         os.utime(dest, (mtime, mtime))
     shutil.rmtree(tmp)

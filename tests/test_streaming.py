@@ -422,3 +422,29 @@ def test_stream_asof_equals_batch_asof(spark, sf_dir):
     want = {tuple(r) for r in asof_enrich_batch(
         ensure_views(spark, sf_dir)["events"]).collect()}
     assert got == want
+
+
+def test_move_slice_file_empty_slice(dfs, tmp_path):
+    """The staged-slice mover must tolerate a slice with ZERO rows
+    (no `_b=` dir written at all — the r13 latent StopIteration): it
+    falls back to an empty parquet file with the source schema, which
+    is what the old per-slice coalesce(1) write produced."""
+    from pyspark.sql import functions as F
+
+    from hive_nexr_spark.streaming.events import _move_slice_file
+
+    events = dfs["events"]
+    tmp = str(tmp_path / "_slices")
+    # stage only slice 0; slice 1 is deliberately empty
+    (events.limit(5).withColumn("_b", F.lit(0))
+     .repartition(1).write.partitionBy("_b").parquet(tmp))
+    d0 = str(tmp_path / "b0.parquet")
+    d1 = str(tmp_path / "b1.parquet")
+    _move_slice_file(events, tmp, 0, d0)
+    _move_slice_file(events, tmp, 1, d1)
+    spark = events.sparkSession
+    assert spark.read.parquet(d0).count() == 5
+    empty = spark.read.parquet(d1)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] \
+        == [f.name for f in events.schema.fields]

@@ -1,4 +1,6 @@
-"""Capture .explain('formatted') for headline queries → plans/r13/<q>_<tag>.txt.
+"""Capture .explain('formatted') for headline queries → plans/<round>/<q>_<tag>.txt.
+
+Round dir from $SPARK_GRAFT_PLANS_ROUND (default r14).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
 Defaults to every bench.HEADLINE key. Streaming/lifecycle keys whose
@@ -20,7 +22,8 @@ def main() -> None:
     names = sys.argv[2:] or bench.HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app_name="capture-plans")
     for df in ensure_views(spark, sf_dir).values():
