@@ -5,8 +5,14 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query is executed once for warm-up-free wall time measured around a
-full materialization (count of the result — avoids driver-side collect cost
-dominating small results while still forcing every stage to run).
+full materialization. Since r14 the timed action is the NOOP SINK
+(guide §1.4: `df.write.format("noop").mode("overwrite").save()` computes
+EVERY column of every row and discards it). The previous count() action
+let Catalyst prune columns — and sometimes whole subtrees — so keys with
+wide or expensive output projections were under-timed (r13 verdict item
+8; OPTIMIZATION_r14.md records a same-host run under BOTH actions so the
+methodology step is visible). Like the count() form, no rows cross to
+the driver.
 """
 
 from __future__ import annotations
@@ -303,16 +309,25 @@ def main() -> None:
     for df in ensure_views(spark, sf_dir).values():
         df.count()
 
+    # Per-key independence (r14, VERDICT item 5): tracked_persist_extend
+    # blocks from one key otherwise survive into the next, and Spark's
+    # CacheManager substitutes them into any later key whose canonicalized
+    # subtree matches — measured: bpe_train_merges ran 871 tasks in a
+    # fresh process but 223 mid-sweep in r13. Release between keys
+    # (OUTSIDE the timed region) so every key computes from parquet.
+    from hive_nexr_spark.datapipe._cache import release_tracked
+
     timings: dict[str, float] = {}
     metrics: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         fn = queries[name]
         group = f"bench:{name}"
+        release_tracked()
         stream_before = listener.snapshot() if listener is not None else {}
         spark.sparkContext.setJobGroup(group, name)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.sparkContext.setJobGroup("bench:idle", "idle")
         m = _job_group_metrics(spark, group)

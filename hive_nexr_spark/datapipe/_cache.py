@@ -28,15 +28,28 @@ _LIVE: list[DataFrame] = []
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` after releasing persists from prior tracked calls."""
+    release_tracked()
+    df = df.persist()
+    _LIVE.append(df)
+    return df
+
+
+def release_tracked() -> None:
+    """Release every live tracked persist NOW (r14). The bench/sweep
+    loops call this BETWEEN keys: `tracked_persist_extend` blocks
+    otherwise survive into the next key, and Spark's CacheManager
+    substitutes them into any later query whose canonicalized subtree
+    matches — measured r14: bpe_train_merges runs 871 tasks in a fresh
+    process but 223 mid-sweep (the r13 'unattributed task drops' were
+    exactly this cross-key cache bleed, VERDICT item 5). Releasing
+    between keys keeps per-key bench numbers independent. Unpersist
+    never invalidates a DataFrame — later reuse just recomputes."""
     for old in _LIVE:
         try:
             old.unpersist()
         except Exception:
             pass  # session gone / already released — nothing to leak
     _LIVE.clear()
-    df = df.persist()
-    _LIVE.append(df)
-    return df
 
 
 def tracked_persist_extend(df: DataFrame) -> DataFrame:

@@ -271,7 +271,15 @@ def _bpe_train_chain(documents: DataFrame, n_merges: int
         .groupBy("w").agg(F.count("*").alias("n"))
         .select("w", F.split("w", "").alias("syms"), "n")
     )
-    vocab = tracked_persist(vocab)
+    # repartition(1) on the vocab table (r14 — the unigram trainer's
+    # treatment, VERDICT item 5): the word-vocabulary is corpus-SUBLINEAR
+    # (Heaps' law) and each merge level re-reads the cached table twice,
+    # so a multi-partition cache turns every re-read into a core-count
+    # task wave (cold probe: 871 tasks/63 stages). One partition is
+    # right for a vocab that fits a task; a production deployment at
+    # 100 TB sizes this by |vocab| bytes instead. Levels derive
+    # narrowly, so the single partition propagates through the loop.
+    vocab = tracked_persist(vocab.repartition(1))
 
     steps: list[DataFrame] = []
     for step in range(1, n_merges + 1):
@@ -1194,7 +1202,10 @@ def wordpiece_train_merges(documents: DataFrame,
         .groupBy("w").agg(F.count("*").alias("n"))
         .select("w", F.split("w", "").alias("syms"), "n")
     )
-    vocab = vocab.localCheckpoint(eager=False)
+    # repartition(1): same vocab-table treatment as _bpe_train_chain
+    # (r14, VERDICT item 5) — the checkpointed level is re-read by the
+    # pair statistics and the fold; see the scale note there
+    vocab = vocab.repartition(1).localCheckpoint(eager=False)
 
     out = None
     for step in range(1, n_merges + 1):
@@ -1216,7 +1227,8 @@ def wordpiece_train_merges(documents: DataFrame,
                      F.col("p.rhs").alias("rhs"))
             .agg(F.sum("n").alias("cnt"))
         )
-        entries = tracked_persist_extend(entries)
+        # pairs table is vocab-bounded; 1 partition for the same reason
+        entries = tracked_persist_extend(entries.repartition(1))
         sym_map = (
             entries.groupBy("lhs").agg(F.sum("cnt").alias("ns"))
             .agg(F.map_from_entries(F.collect_list(

@@ -1131,9 +1131,15 @@ def containment_pairs(documents: DataFrame, threshold: float = 0.8,
     # collect_set-style posting list would accumulate every doc of a
     # hot shingle before the cap could drop it
     df_all = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = tracked_persist_extend(
-        sh.join(df_all.filter(F.col("df") <= df_cap).select("shingle"),
-                "shingle"))
+    # ONE posting⋈df join shared by BOTH candidate sides (r14, §2.4):
+    # the earlier form ran `sh.join(df_all, ...)` twice — once for the
+    # rare postings, once for the prefix table — i.e. two full shuffles
+    # of the exploded posting table (the bench's largest exchange,
+    # 10.5 MB at sf0.1 in the r13 driver sidecar). The joined table is
+    # persisted (extend form — `toks` above stays live) and both sides
+    # derive from it with plain filters.
+    sh_df = tracked_persist_extend(sh.join(df_all, "shingle"))
+    rare = sh_df.filter(F.col("df") <= df_cap).select("doc_id", "shingle")
     # CONTAINED-side prefix prune (r12, the PPJoin prefix principle of
     # `jaccard_prefix_filter_pairs` adapted to the directed measure):
     # for c(A→B) >= t at most (1-t)·|A| of A's shingles miss B, so A
@@ -1148,7 +1154,7 @@ def containment_pairs(documents: DataFrame, threshold: float = 0.8,
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     wl = Window.partitionBy("doc_id")
     pref = (
-        sh.join(df_all, "shingle")
+        sh_df
         .select("doc_id", "shingle", "df",
                 F.row_number().over(w).alias("pos"),
                 F.count("*").over(wl).alias("len"))

@@ -103,3 +103,15 @@ def test_round_metrics_sidecar_covers_headline():
     assert payload.get("sf") == 0.1, latest
     missing = [n for n in bench.HEADLINE if n not in payload["metrics"]]
     assert not missing, (latest, missing)
+
+
+def test_timed_action_is_noop_sink():
+    """r14 methodology: the timed materialization must be the guide-§1.4
+    noop sink (computes every column of every row), not count() (lets
+    Catalyst prune columns and under-time wide-output keys)."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    loop = src[src.index("for name in HEADLINE"):src.index("sf = ")]
+    assert 'format("noop")' in loop
+    assert "df.count()" not in loop

@@ -36,8 +36,11 @@ def main() -> None:
     for name in names:
         res = {val_a: [], val_b: []}
         tasks = {val_a: [], val_b: []}
+        from hive_nexr_spark.datapipe._cache import release_tracked
+
         for i in range(n):
             for val in (val_a, val_b):
+                release_tracked()
                 spark.conf.set(conf_key, val)
                 group = f"ab:{name}:{val}:{i}"
                 spark.sparkContext.setJobGroup(group, name)

@@ -31,7 +31,10 @@ def main() -> None:
     for df in ensure_views(spark, sf_dir).values():
         df.count()
     q = entry_mod.queries()
+    from hive_nexr_spark.datapipe._cache import release_tracked
+
     for i in range(n):
+        release_tracked()
         group = f"prof:{name}:{i}"
         spark.sparkContext.setJobGroup(group, name)
         t0 = time.perf_counter()
