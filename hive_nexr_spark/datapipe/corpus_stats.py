@@ -622,7 +622,12 @@ def _unigram_train_chain(documents: DataFrame, em_iters: int = 2,
             lambda s: F.col("w").substr(s, F.col("g")),
         )).alias("piece"),
     )
-    seed = grams.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    # seed feeds THREE consumers (chars, the multi-char top-k, the vocab
+    # score join) — unpersisted it re-ran the grams explode + aggregation
+    # (a full wc scan) per consumer (r14; piece table is bounded by the
+    # substring space, 1 partition)
+    seed = tracked_persist_extend(
+        grams.groupBy("piece").agg(F.sum("n").alias("cnt")).repartition(1))
     chars = seed.filter(F.length("piece") == 1).select("piece")
     # EXTEND, not tracked_persist: `wc` (and `chars` for the vocab below)
     # stay referenced by every EM level of this one unrolled plan — a
@@ -645,8 +650,12 @@ def _unigram_train_chain(documents: DataFrame, em_iters: int = 2,
     for _ in range(em_iters):
         lp = _unigram_lp(vocab, "sc")
         segs = _unigram_viterbi(wc, lp, max_piece_len)
-        cnt = (segs.select("n", F.explode("ps").alias("piece"))
-               .groupBy("piece").agg(F.sum("n").alias("cnt")))
+        # cnt feeds TWO consumers (the prune top-k and the vocab left
+        # join) — unpersisted, the VITERBI SEGMENTATION of every word ran
+        # twice per EM level (r14; piece-count table, vocab-bounded)
+        cnt = tracked_persist_extend(
+            segs.select("n", F.explode("ps").alias("piece"))
+            .groupBy("piece").agg(F.sum("n").alias("cnt")).repartition(1))
         kept_multi = (cnt.filter(F.length("piece") > 1)
                       .orderBy(F.col("cnt").desc(), "piece")
                       .limit(keep_multi).select("piece"))

@@ -1655,9 +1655,15 @@ def pca_power_iteration(embeddings: DataFrame, iters: int = 2,
             F.posexplode(
                 F.transform(F.col("x"), lambda xi: xi * F.col("d"))
             ).alias("i", "c"))
-        sums = contrib.groupBy("i").agg(
-            F.sum(F.col("c").cast("decimal(38,12)"))
-            .cast("double").alias("s"))
+        # `sums` (dim rows, bounded) feeds TWO consumers — the norm
+        # aggregate and the normalized w — so unpersisted, each
+        # iteration ran the corpus explode+groupBy TWICE (the norm's
+        # broadcast build re-derived it; r14 cold probe: 15 emb scans
+        # for 2 iterations). One partition: it is a dim-row table.
+        sums = tracked_persist_extend(
+            contrib.groupBy("i").agg(
+                F.sum(F.col("c").cast("decimal(38,12)"))
+                .cast("double").alias("s")).repartition(1))
         norm = sums.agg(
             F.sqrt(F.sum((F.col("s") * F.col("s"))
                          .cast("decimal(38,12)")).cast("double"))

@@ -36,11 +36,16 @@ def _bench_shingles(docs: DataFrame, n: int,
     """The benchmark slice's distinct shingle set as ONE row carrying a
     sorted array — the broadcast literal of the gate (sorted only for a
     deterministic plan; `arrays_overlap` is order-blind)."""
+    # collect_set replaces distinct+collect_list (r14): same sorted
+    # distinct array bit-for-bit, one aggregation instead of a distinct
+    # shuffle (whose reduce ran at core-count partitions) feeding a
+    # second; map-side partials hold the per-partition distinct set,
+    # bounded by the benchmark slice (eval suites are small at any
+    # corpus scale — the module contract above)
     return (
         docs.filter(F.col("doc_id") % benchmark_mod == 0)
         .select(F.explode(_shingles(F.col("text"), n)).alias("shingle"))
-        .distinct()
-        .agg(F.array_sort(F.collect_list("shingle")).alias("_bench"))
+        .agg(F.array_sort(F.collect_set("shingle")).alias("_bench"))
     )
 
 

@@ -103,8 +103,11 @@ def _static_index(spark: SparkSession, sf_dir: str, max_doc_id: int):
     docs = ensure_views(spark, sf_dir)["documents"]
     corpus = docs.select("doc_id", "text").filter(
         (F.col("doc_id") % 100000) < max_doc_id)
+    # repartition(1): the static index slice is max_doc_id rows — cached
+    # at shuffle granularity every per-batch stream-static join scanned
+    # it as a core-count task wave (r14)
     toks_static = tracked_persist(
-        _with_shingles(corpus).select("doc_id", "sh"))
+        _with_shingles(corpus).select("doc_id", "sh").repartition(1))
     bands_static = _hof_bands(toks_static).select("doc_id", "band",
                                                   "bucket")
     return docs, toks_static, bands_static

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entry_mod
 
 
@@ -94,6 +96,7 @@ print("HIVE_CATALOG_OK")
     assert "HIVE_CATALOG_OK" in out.stdout, out.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_all_queries_run_at_smoke_sf(spark, sf_dir):
     """Every declared query must at least execute and return a schema at
     sf0.001 (full value checks run against DuckDB at sf0.01 via

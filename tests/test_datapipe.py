@@ -4,6 +4,8 @@ text ops must satisfy basic invariants."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -604,6 +606,7 @@ def test_bpe_train_merges_matches_reference_algorithm(dfs):
     assert top.n_occurrences == got[0].n_occurrences
 
 
+@pytest.mark.slow
 def test_unigram_train_matches_reference_algorithm(dfs):
     """The in-engine unigram-LM trainer (hard-EM Viterbi, Kudo 2018)
     must equal a direct Python transcription: same seed vocab, same
@@ -748,6 +751,7 @@ def test_bpe_trained_apply_uses_learned_pieces(dfs):
     assert agg.bpe < chars
 
 
+@pytest.mark.slow
 def test_ivf_pq_persisted_lifecycle_bit_equal(dfs, spark):
     """TRAIN→persist→QUERY (residual/IVFADC form) must return exactly
     the in-plan residual scoring's rows; build+ADD-BATCH (frozen
@@ -898,6 +902,7 @@ def test_bloom_filter_no_false_negatives_and_fp_accounting(dfs):
     assert near and not any(r.exact_dup for r in near)
 
 
+@pytest.mark.slow
 def test_bpe_merge_order_vs_longest_match(dfs):
     """Merge-order application must reproduce the trainer's own final
     segmentation: total pieces = sum over the training vocab of
@@ -1205,6 +1210,7 @@ def test_lsh_index_reinsert_after_delete_sequenced(dfs, spark):
     assert "tombstones" not in idx.read_manifest(d)["tables"]
 
 
+@pytest.mark.slow
 def test_ivf_pq_delete_reinsert_sequenced(dfs, spark):
     """SEQUENCED deletes on the persisted VECTOR index (r13 — the r12
     recipe propagated from the LSH index, closing the one lifecycle
@@ -1318,6 +1324,7 @@ def test_index_manifest_guards(dfs, spark, tmp_path):
         idx.expire_versions(root, keep_from=5)
 
 
+@pytest.mark.slow
 def test_remove_orphans_reclaims_only_unreferenced(dfs, spark, sf_dir):
     """Orphan cleanup (r12, both manifest layers): a data directory left
     by a writer that crashed before its manifest commit is reclaimed;

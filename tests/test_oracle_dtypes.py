@@ -14,6 +14,8 @@ records that as part of the artifact-freshness discipline.
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entry_mod
 from tools.oracle_dtype_lint import lint
 
@@ -38,6 +40,7 @@ def test_lint_flags_the_r7_hugeint_bug(spark):
     assert any("sum_k" in f and "kind mismatch" in f for f in failures)
 
 
+@pytest.mark.slow
 def test_declared_oracles_dtype_compatible(spark):
     """All non-qfile (query, oracle) pairs pass the kind lint at
     sf0.001 — no HUGEINT/float64 drift, no nested or decimal values

@@ -3,6 +3,8 @@ same result as their batch twins (SURVEY §2.11 north-star extension)."""
 
 from __future__ import annotations
 
+import pytest
+
 
 def _key(rows):
     return sorted(tuple(str(c) for c in r) for r in rows)
@@ -161,6 +163,7 @@ def test_stream_decontaminate_equals_batch_twin(spark, sf_dir):
     assert any(not c for c in flags.values())
 
 
+@pytest.mark.slow
 def test_stream_ann_ingest_equals_batch_add_batch(spark, sf_dir):
     """Streaming frozen-codebook ingestion must produce exactly the
     batch add-batch lifecycle's query results — arrival path cannot
