@@ -202,13 +202,13 @@ QUERIES = {
     # results/clientpositive/bucketmapjoin1.q.out final row)
     "qfile_bucketmapjoin1": partial(
         _qfile_named, "bucketmapjoin1.q", ["d_key", "d_value1", "d_value2"]),
-    # join_filters.q final statement under STANDARD outer-join semantics
-    # (ON-clause single-side filters restrict the match, unmatched rows
-    # null-pad). Hive 0.8's CommonJoinOperator filter-tag padding bug
-    # (JoinOperator.java) makes the reference's golden drop rows on OTHER
-    # statements in this file (documented divergence class, SURVEY §5);
-    # the final RIGHT OUTER statement is standard-consistent and the
-    # DuckDB oracle asserts the standard answer our engine gives
+    # join_filters.q final statement under HIVE-0.8 outer-join semantics:
+    # the CommonJoinOperator filter-tag padding bug (JoinOperator.java)
+    # drops unmatched null-padded rows when ON-clause single-side filters
+    # are present — the reference golden's final RIGHT OUTER answer is
+    # the two matched pairs ONLY, which the runner's r13 join emulation
+    # reproduces and the DuckDB oracle asserts (r14 fix: the oracle had
+    # been left at the standard 6-row answer and diverged from both)
     "qfile_join_filters": partial(
         _qfile_named, "join_filters.q",
         ["a_key", "a_value", "b_key", "b_value"]),
@@ -509,7 +509,19 @@ ORACLE = {
         SELECT CAST(NULL AS VARCHAR) AS value, CAST(NULL AS INT) AS key
         WHERE 1 = 0
     """,
-    # 3-way outer join of range-filtered subqueries
+    # 3-way outer join of range-filtered subqueries. Hive 0.8's MERGED
+    # CommonJoinOperator (both joins key on a.c1, so all three tags share
+    # one join operator) emits the CROSS PRODUCT of each key group's
+    # per-tag row lists: for a key present in b AND c but absent from a
+    # (key 24: two b rows, two c rows), the golden holds |b|×|c| = 4
+    # output rows with the c columns null-padded (the LEFT OUTER match
+    # condition references the null a.c1) — standard SQL emits only |b|.
+    # The engine reproduces the reference golden
+    # (results/clientpositive/join7.q.out, 16 rows) via the runner's
+    # CommonJoinOperator emulation; the oracle replicates the group-cross
+    # multiplicity with the OR'd join condition and null-pads c whenever
+    # the a side is null (r14 — the oracle had been left at the standard
+    # 14-row answer when the runner gained Hive join semantics in r13).
     "qfile_join7": f"""{_W},
         a AS (SELECT key AS c1, value AS c2 FROM src
               WHERE CAST(key AS DOUBLE) > 10 AND CAST(key AS DOUBLE) < 20),
@@ -519,9 +531,11 @@ ORACLE = {
               WHERE CAST(key AS DOUBLE) > 20 AND CAST(key AS DOUBLE) < 25)
         SELECT CAST(a.c1 AS INT) AS c1, a.c2 AS c2,
                CAST(b.c3 AS INT) AS c3, b.c4 AS c4,
-               CAST(c.c5 AS INT) AS c5, c.c6 AS c6
+               CAST(CASE WHEN a.c1 IS NOT NULL THEN c.c5 END AS INT) AS c5,
+               CASE WHEN a.c1 IS NOT NULL THEN c.c6 END AS c6
         FROM a FULL OUTER JOIN b ON a.c1 = b.c3
-        LEFT OUTER JOIN c ON a.c1 = c.c5
+        LEFT OUTER JOIN c
+          ON (a.c1 = c.c5) OR (a.c1 IS NULL AND b.c3 = c.c5)
     """,
     # anti-join shape: left-outer rows where the right side missed
     "qfile_join8": f"""{_W},
@@ -702,9 +716,15 @@ ORACLE = {
         SELECT CAST(0 AS BIGINT) AS d_key, CAST(0 AS BIGINT) AS d_value1,
                CAST(0 AS BIGINT) AS d_value2
     """,
-    # join_filters.q final statement, STANDARD outer-join semantics:
-    # ON-clause filters restrict matches, every right row survives
-    # null-padded. smb_input2 = in1.txt ∪ in2.txt (key int, value int).
+    # join_filters.q final statement under HIVE-0.8 CommonJoinOperator
+    # semantics (the runner's r13 emulation; the reference golden's own
+    # answer): the filter-tag padding bug drops unmatched right rows
+    # instead of null-padding them, so the statement collapses to the
+    # matched pairs only — results/clientpositive/join_filters.q.out ends
+    # with exactly (100,100,100,100) and (200,200,200,200). The r13-era
+    # oracle asserted the STANDARD null-padded answer (6 rows) and had
+    # diverged from both the engine and the golden (caught by the r14
+    # full sweep). smb_input2 = in1.txt ∪ in2.txt (key int, value int).
     "qfile_join_filters": f"""
         WITH si AS (
           SELECT * FROM read_csv('{DATA_DIR}/in1.txt', delim='\x01',
@@ -715,7 +735,7 @@ ORACLE = {
         )
         SELECT a.key AS a_key, a.value AS a_value,
                b.key AS b_key, b.value AS b_value
-        FROM si a RIGHT OUTER JOIN si b
+        FROM si a JOIN si b
           ON a.value = b.value AND a.key > 40 AND a.value > 50
              AND a.key = a.value AND b.key > 40 AND b.value > 50
              AND b.key = b.value
