@@ -731,16 +731,21 @@ def semdedup(embeddings: DataFrame, n_clusters: int = 8, iters: int = 2,
     cents = _kmeans_centroids(emb, n_clusters, iters, dim).select(
         "cluster", "cv")
 
+    # `nv` precomputes each vector's norm ONCE at assignment time (r14):
+    # the pair search below evaluates its predicate over Σ|cell|² pairs,
+    # and the norm is a 64-term HOF fold — computing it per PAIR ran it
+    # 2·Σ|cell|² times instead of once per vector. Same expression over
+    # the same doubles → bit-identical values, so cos is unchanged.
     assigned = (
         emb.crossJoin(F.broadcast(_nest_centroids(cents)))
         .select("vec_id", _nearest_cluster(F.col("v")).alias("cluster"),
-                "v")
+                "v", _norm(F.col("v")).alias("nv"))
     )
     assigned = tracked_persist(assigned)
 
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = (_dot(F.col("a.v"), F.col("b.v"))
-           / (_norm(F.col("a.v")) * _norm(F.col("b.v"))))
+           / (F.col("a.nv") * F.col("b.nv")))
     dup_ids = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                & (F.col("b.vec_id") < F.col("a.vec_id")))
@@ -1414,7 +1419,7 @@ def ivf_pq_build_index(embeddings: DataFrame, index_root: str,
     # parts — ADVICE r13); coarse_t itself stays multi-partition for the
     # downstream encode parallelism (measured: coalescing the leaf
     # serialized the corpus compute, see OPTIMIZATION_r14.md)
-    coarse_t.coalesce(1).write.mode("overwrite").parquet(cdir)
+    coarse_t.write.mode("overwrite").parquet(cdir)
 
     # residual-train the PQ codebooks on the PERSISTED coarse centroids
     # (bit-stability: encode-at-build and encode-at-add read identical
@@ -1424,7 +1429,7 @@ def ivf_pq_build_index(embeddings: DataFrame, index_root: str,
     cb, subr = _residual_codebooks(res, corpus, m, ks, sd, pq_iters)
     cb_t = _local_artifact(cb)
     bdir = idx.new_data_dir(index_root, "codebooks", "v00001")
-    cb_t.coalesce(1).write.mode("overwrite").parquet(bdir)
+    cb_t.write.mode("overwrite").parquet(bdir)
 
     codes = _pq_encode(subr, cb_t).join(
         res.select("vec_id", "cell"), "vec_id")
@@ -1590,14 +1595,16 @@ def knn_join(embeddings: DataFrame, k: int = 3, n_clusters: int = 8,
     cents = _local_artifact(
         _kmeans_centroids(emb, n_clusters, iters, dim).select(
             "cluster", "cv"))
+    # nv: per-vector norm computed once, not per pair (see semdedup —
+    # bit-identical values, Σ|cell|² fewer HOF folds)
     assigned = tracked_persist(
         emb.crossJoin(F.broadcast(_nest_centroids(cents)))
         .select("vec_id", _nearest_cluster(F.col("v")).alias("cluster"),
-                "v")
+                "v", _norm(F.col("v")).alias("nv"))
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = (_dot(F.col("a.v"), F.col("b.v"))
-           / (_norm(F.col("a.v")) * _norm(F.col("b.v"))))
+           / (F.col("a.nv") * F.col("b.nv")))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id"))
     return (

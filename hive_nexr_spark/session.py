@@ -97,6 +97,11 @@ def get_session(
         # (reference `Hive.loadDynamicPartitions`), not the whole table
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.adaptive.enabled", "true")
+        # 52 headline queries x many large generated-code bodies thrash
+        # the default 100-entry codegen cache mid-sweep (the unrolled
+        # HOF training trees re-compile every time they fall out);
+        # sized for the bench's working set, harmless elsewhere
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
